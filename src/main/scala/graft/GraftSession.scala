@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session tuning so Verify, Bench, and the
+  * test suites all run the same configuration.
+  *
+  * Scale notes (designed for a real cluster, exercised on local[N]):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join
+  *    splitting are what keep the same plans healthy at 100 TB.
+  *  - shuffle.partitions is sized to the local core count here; on a
+  *    cluster it should be ~2-3x total cores (AQE coalesces down).
+  *  - session TZ pinned to UTC: the reference has a latent local-vs-UTC
+  *    day-boundary bug (/root/reference/api/mongo/main.py:68 vs
+  *    dags/get_prices_load_mongodb.py:41); we fix it by pinning.
+  *  - nanosAsLong: the events table stores TIMESTAMP(NANOS) which
+  *    Spark's parquet reader rejects; we read raw int64 nanos and
+  *    convert explicitly (see Tables.events).
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  /** Session for ScalaTest suites (shared across suites via getOrCreate). */
+  def test(): SparkSession = {
+    val s = builder("local[8]", "8").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

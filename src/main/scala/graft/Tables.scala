@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table access + determinism helpers shared by every operator.
+  *
+  * Determinism contract (the driver hash-compares our parquet output
+  * against DuckDB running `SparkEntry.oracleSql`): all money/measure
+  * arithmetic is done in exact DECIMAL and only the final aggregate is
+  * cast back to DOUBLE. Both engines then perform the identical
+  * exact-decimal computation followed by one identical decimal->double
+  * rounding, so results match bit-for-bit — no float-summation-order
+  * nondeterminism. Mirrors the numeric-over-lexicographic decision in
+  * SURVEY.md §1.2 (reference sorts price as varchar:
+  * /root/reference/api/postgres/api.py:22).
+  */
+object Tables {
+
+  /** All driver-generated tables (TESTDATA.md). */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` with its TIMESTAMP(NANOS) column surfaced as timestamp_ntz.
+    * Read as raw int64 nanos (spark.sql.legacy.parquet.nanosAsLong) and
+    * truncated ns->us, the same truncation DuckDB applies on read, so
+    * oracle comparisons agree. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events").withColumn(
+      "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+
+  /** Naive (NTZ) timestamp literal — the corpus stores naive timestamps,
+    * which Spark reads as timestamp_ntz; literals must match that type. */
+  def tsLit(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  /** Exact 2-dp decimal view of a money/measure double column. Input
+    * doubles in the corpus carry <=2 decimals, so the cast is lossless. */
+  def d2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Narrow decimal for small factors like (1 - discount), (1 + tax). */
+  def d4(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Exact decimal sum of a 2-dp double column, surfaced as double. */
+  def dsum(c: Column): Column = sum(d2(c)).cast(DoubleType)
+
+  /** Exact decimal sum of an already-decimal expression, as double. */
+  def dsumExpr(c: Column): Column = sum(c).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum, one cast to double, then
+    * double division — both engines perform the identical IEEE op. */
+  def davg(c: Column): Column = sum(d2(c)).cast(DoubleType) / count(lit(1))
+}

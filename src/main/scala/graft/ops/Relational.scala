@@ -1,0 +1,358 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Relational operator coverage: scans/filters/projections (SURVEY.md
+  * §2.1/§2.3), joins of every flavor (§2.4 — all ABSENT in the reference,
+  * supplied here via Catalyst), aggregations (§2.5), sorts/top-k (§2.7)
+  * and set operations (§2.8).
+  *
+  * Every query is paired with an ANSI-SQL oracle (DuckDB) in
+  * [[oracles]]; numeric determinism comes from exact DECIMAL arithmetic
+  * (see graft.Tables scaladoc). Every query ends in a total ORDER BY so
+  * row order is reproducible across engines.
+  *
+  * Scale design: aggregations are expressed as groupBy/agg so Catalyst
+  * plans partial (map-side) aggregation before the shuffle; small
+  * dimension tables (region/nation/supplier) are explicitly
+  * broadcast; top-k uses orderBy+limit which Spark executes as
+  * TakeOrderedAndProject (per-partition heap, no global sort).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: full-scan partial aggregation.
+    * Maps the reference's only aggregate shapes (A1-A3,
+    * /root/reference/api/mongo/main.py:72-75) onto a wide measure set. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= tsLit("2000-12-01 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumExpr(d2(col("l_extendedprice")) * d4(lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsumExpr(d2(col("l_extendedprice")) * d4(lit(1.0) - col("l_discount"))
+          * d4(lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q6-style: predicate-pushdown scan + ungrouped aggregate.
+    * The filter reaches the parquet scan (PushedFilters) — the engine's
+    * answer to the reference's server-side-filter pattern
+    * (/root/reference/api/mongo/main.py:72). */
+  def revenueFilter(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= tsLit("1997-01-01 00:00:00") &&
+        col("l_shipdate") < tsLit("1998-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dsumExpr(d2(col("l_extendedprice")) * d2(col("l_discount")))
+        .as("revenue"))
+
+  /** TPC-H Q3-style: 3-way shuffle join + agg + top-k by revenue. */
+  def topUnshippedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = load(spark, dir, "orders")
+      .filter(col("o_orderdate") < tsLit("2000-03-15 00:00:00"))
+    val l = load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > tsLit("2000-03-15 00:00:00"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsumExpr(d2(col("l_extendedprice")) * d4(lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4-style: left-semi join (EXISTS). */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= tsLit("1997-07-01 00:00:00") &&
+        col("o_orderdate") < tsLit("1997-10-01 00:00:00"))
+    val l = load(spark, dir, "lineitem").filter(col("l_quantity") > 47)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5-style: multiway join with broadcast dimensions
+    * (region/nation/supplier are tiny at any SF — broadcast them). */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val o = load(spark, dir, "orders")
+    val l = load(spark, dir, "lineitem")
+    val s = load(spark, dir, "supplier")
+    val n = load(spark, dir, "nation")
+    val r = load(spark, dir, "region")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumExpr(d2(col("l_extendedprice")) * d4(lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q13-style: left-outer join + two-level aggregation
+    * (distribution of orders per customer, zeros included). */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val o = load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val o = load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    * heaps, no full sort; this is the all-time argmax path of the
+    * reference (T1, /root/reference/api/postgres/api.py:22). */
+  def globalTopOrders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  /** Per-day argmax as max(struct(...)): partially aggregable — no
+    * window shuffle-and-sort, map-side combine does most of the work.
+    * This is the reference's flagship query A1
+    * (/root/reference/api/mongo/main.py:72) generalized to every day. */
+  def argmaxPerDay(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("order_date"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"), col("o_custkey")))
+        .as("top"))
+      .select(col("order_date"), col("top.o_orderkey").as("o_orderkey"),
+        col("top.o_custkey").as("o_custkey"),
+        col("top.o_totalprice").as("o_totalprice"))
+      .orderBy(col("order_date"))
+
+  /** Per-day argmin (A2, /root/reference/api/mongo/main.py:75). */
+  def argminPerDay(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("order_date"))
+      .agg(min(struct(col("o_totalprice"), col("o_orderkey"), col("o_custkey")))
+        .as("top"))
+      .select(col("order_date"), col("top.o_orderkey").as("o_orderkey"),
+        col("top.o_custkey").as("o_custkey"),
+        col("top.o_totalprice").as("o_totalprice"))
+      .orderBy(col("order_date"))
+
+  /** Set operations (§2.8 — ABSENT in reference, engine-native):
+    * (O ∩ F) \ P over customer keys by order status. */
+  def setOpsCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey").as("custkey"))
+    keys("O").intersect(keys("F")).except(keys("P")).orderBy(col("custkey"))
+  }
+
+  /** ROLLUP grouping sets over return flag/line status. */
+  def rollupQuantities(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** CUBE grouping sets over order status/priority. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+
+  /** HAVING: market segments whose average balance clears a floor. */
+  def segmentBalances(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        davg(col("c_acctbal")).as("avg_bal"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .filter(col("n_customers") > 3)
+      .orderBy(col("c_mktsegment"))
+
+  /** DISTINCT + count-distinct aggregates. */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> pricingSummary,
+    "q02_revenue_filter" -> revenueFilter,
+    "q03_top_orders" -> topUnshippedOrders,
+    "q04_semi_join" -> orderPriorityCheck,
+    "q05_multiway_join" -> localSupplierVolume,
+    "q06_outer_join_distribution" -> customerDistribution,
+    "q07_anti_join" -> customersWithoutOrders,
+    "q08_global_topk" -> globalTopOrders,
+    "q09_argmax_per_day" -> argmaxPerDay,
+    "q10_argmin_per_day" -> argminPerDay,
+    "q11_set_ops" -> setOpsCustkeys,
+    "q12_rollup" -> rollupQuantities,
+    "q13_cube" -> cubeOrders,
+    "q14_having" -> segmentBalances,
+    "q15_distinct_counts" -> distinctCounts)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 47)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q05_multiway_join" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_outer_join_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q08_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 15""".stripMargin,
+    "q09_argmax_per_day" ->
+      """SELECT order_date, o_orderkey, o_custkey, o_totalprice
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderkey,
+        |             o_custkey, o_totalprice,
+        |             ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate AS DATE)
+        |               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY order_date""".stripMargin,
+    "q10_argmin_per_day" ->
+      """SELECT order_date, o_orderkey, o_custkey, o_totalprice
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderkey,
+        |             o_custkey, o_totalprice,
+        |             ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate AS DATE)
+        |               ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+        |      FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY order_date""".stripMargin,
+    "q11_set_ops" ->
+      """(SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY custkey""".stripMargin,
+    "q12_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q13_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+        |       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q14_having" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |HAVING COUNT(*) > 3
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q15_distinct_counts" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+}

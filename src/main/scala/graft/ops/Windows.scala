@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Window-function coverage (SURVEY.md §2.6 — the reference's per-day
+  * top-1 lookups /root/reference/api/mongo/main.py:72-75 are
+  * semantically `row_number() OVER (PARTITION BY date ORDER BY ...)`;
+  * here the full ranking/analytic/frame machinery is exercised).
+  *
+  * Every window ORDER BY carries a unique tie-break key so results are
+  * total-order deterministic across engines.
+  */
+object Windows {
+
+  /** Top-3 orders per customer by price — ranking window + filter. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running (cumulative) quantity per supplier — frame-spec window. */
+  def runningQuantityPerSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"))
+      .withColumn("running_qty", sum(d2(col("l_quantity"))).over(w).cast(DoubleType))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  /** Analytic functions: rank + lag over each customer's order history. */
+  def orderHistoryAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("order_seq", row_number().over(w).cast(LongType))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  /** Keep-last dedup — the MinIO object-key upsert semantics (K3,
+    * /root/reference/dags/get_prices_load_minio.py:80: object key
+    * date+station makes the last write win). Latest event per
+    * (user_id, event_type). */
+  def keepLastEvent(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_window_topn" -> topOrdersPerCustomer,
+    "q17_window_running_sum" -> runningQuantityPerSupplier,
+    "q18_window_analytics" -> orderHistoryAnalytics,
+    "q19_keep_last_dedup" -> keepLastEvent)
+
+  val oracles: Map[String, String] = Map(
+    "q16_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q17_window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q18_window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | ROW_NUMBER() OVER w AS order_seq,
+        | LAG(o_totalprice, 1) OVER w AS prev_price,
+        | LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "q19_keep_last_dedup" ->
+      """SELECT user_id, event_type, event_id, ts, value
+        |FROM (SELECT user_id, event_type, event_id, ts, value,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |               ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin)
+}

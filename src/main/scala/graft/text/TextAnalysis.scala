@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Text-analysis operators for LLM-training-data pipelines (north-star
+  * extension, BASELINE.json): token counting, quality scoring,
+  * language ID, document fingerprinting. All are single-pass,
+  * shuffle-free per-document projections built from codegen'd
+  * built-ins — at 100 TB these run at scan speed with full column
+  * pruning (only `doc_id`/`text` are read).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a trimmed document. */
+  def tokens(c: Column): Column = split(trim(c), " +")
+
+  /** Token/char statistics per document (token counting op). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).cast(LongType)
+        .as("n_unique_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length/word-shape/stopword heuristics of the kind
+    * used for pre-training corpus filtering (Gopher/C4-style rules). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast(DoubleType)
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("mean_token_len",
+        (length(regexp_replace(trim(col("text")), " +", ""))
+          .cast(DoubleType) / col("n_tokens")).cast(DoubleType))
+      .withColumn("stopword_ratio",
+        (size(filter(tokens(col("text")),
+          t => t.isin(stop.map(lit(_)): _*))).cast(DoubleType) /
+          col("n_tokens")))
+      .withColumn("alpha_ratio",
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast(DoubleType) / length(col("text")).cast(DoubleType)))
+      .withColumn("passes_quality",
+        col("n_tokens") >= 10 && col("mean_token_len") >= 2.0 &&
+          col("mean_token_len") <= 12.0 && col("stopword_ratio") >= 0.0)
+      .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+        col("stopword_ratio"), col("alpha_ratio"), col("passes_quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID by stopword evidence: score each candidate language by
+    * hits from a tiny per-language marker lexicon, argmax via greatest
+    * struct — one pass, no shuffle, no UDF. (An n-gram model slots in
+    * the same shape; the corpus is synthetic so markers are heuristic.) */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "is", "a"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "es" -> Seq("el", "los", "las", "una", "y"),
+      "de" -> Seq("der", "die", "das", "und", "ein"),
+      "zh" -> Seq("de", "shi", "zai", "le", "wo"))
+    def score(lang: String): Column =
+      struct(
+        size(filter(tokens(col("text")),
+          t => t.isin(markers(lang).map(lit(_)): _*))).cast(LongType)
+          .as("hits"),
+        lit(lang).as("lang"))
+    val best = greatest(markers.keys.toSeq.sorted.map(score): _*)
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        best.getField("lang").as("predicted_lang"),
+        best.getField("hits").as("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: min/max of 64-bit token-bigram hashes — a
+    * winnowing-style content fingerprint usable as a cheap near-dup
+    * prefilter key. Deterministic (xxhash64 with fixed seed 42). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = transform(
+      sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), bigrams.as("bigrams"))
+      .select(col("doc_id"),
+        array_min(transform(col("bigrams"), b => xxhash64(b)))
+          .as("fp_min"),
+        array_max(transform(col("bigrams"), b => xxhash64(b)))
+          .as("fp_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_token_stats" -> tokenStats,
+    "q27_quality_score" -> qualityScore,
+    "q28_language_id" -> languageId,
+    "q29_fingerprint" -> fingerprint)
+
+  /** Token stats are exactly expressible in ANSI SQL; quality/langid/
+    * fingerprint use engine-specific hashing or heuristics → rows-only
+    * checks (per the driver contract). */
+  val oracles: Map[String, String] = Map(
+    "q26_token_stats" ->
+      """SELECT doc_id,
+        | LENGTH(text) AS n_chars,
+        | LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS n_tokens,
+        | LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), ' +'))) AS n_unique_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
+}

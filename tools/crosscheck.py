@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify at a
+scale factor, then execute each oracle SQL in DuckDB over the same
+parquet tables and compare (schema-insensitive to column order: columns
+sorted by name; rows sorted by all columns).
+
+Usage: python3 tools/crosscheck.py [sfDir] [outDir]
+Dev tool only — the shipped Scala library does not depend on this.
+"""
+import json, math, sys, glob, os
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+def values_equal(a, b):
+    import datetime
+    if a is b: return True
+    if pd.isna(a) and pd.isna(b): return True
+    if pd.isna(a) or pd.isna(b): return False
+    # parquet DATE -> datetime.date via pandas, DuckDB DATE -> midnight
+    # Timestamp via .df(); both engines hold logical DATE — normalize.
+    if isinstance(a, datetime.date) or isinstance(b, datetime.date):
+        try: return pd.Timestamp(a) == pd.Timestamp(b)
+        except (TypeError, ValueError): return False
+    if isinstance(a, float) or isinstance(b, float):
+        try: return (a == b) or math.isclose(float(a), float(b), rel_tol=0, abs_tol=0)
+        except (TypeError, ValueError): return False
+    return a == b
+
+def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame):
+    mine, oracle = canon(mine), canon(oracle)
+    if list(mine.columns) != list(oracle.columns):
+        return f"SCHEMA cols mine={list(mine.columns)} oracle={list(oracle.columns)}"
+    if len(mine) != len(oracle):
+        return f"ROWS mine={len(mine)} oracle={len(oracle)}"
+    for c in mine.columns:
+        mv, ov = mine[c].tolist(), oracle[c].tolist()
+        for i, (x, y) in enumerate(zip(mv, ov)):
+            if not values_equal(x, y):
+                return f"VALUE col={c} row={i}: mine={x!r} oracle={y!r}"
+    return None
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle_sql = json.load(open(f"{OUT}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(OUT)):
+        d = os.path.join(OUT, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no output parquet"); n_fail += 1; continue
+        mine = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracle_sql:
+            print(f"rows-only {name}: {len(mine)} rows")
+            continue
+        try:
+            oracle = con.sql(oracle_sql[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        err = compare(name, mine, oracle)
+        if err:
+            print(f"FAIL {name}: {err}"); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(mine)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
