@@ -1,17 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev scratch main for cross-engine probes (not part of the library). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    li.printSchema()
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.selectExpr("ts", "date_trunc('hour', ts) as h", "cast(ts as date) d").show(3, false)
-    li.selectExpr("l_shipdate", "year(l_shipdate) y").show(2, false)
+    spark.sql(
+      """SELECT s,
+        |  cast(conv(substring(md5(cast(s as binary)), 1, 14), 16, 10) as bigint) AS h56,
+        |  cast(conv(substring(md5(cast(s as binary)), 1, 14), 16, 10) as bigint) % 1000000007 AS hmod
+        |FROM VALUES ('abc'), ('hello world'), (''), ('thé çà') AS t(s)
+        |""".stripMargin).show(false)
     spark.stop()
   }
 }

@@ -54,4 +54,25 @@ object Tables {
   /** Deterministic average: exact decimal sum, one cast to double, then
     * double division — both engines perform the identical IEEE op. */
   def davg(c: Column): Column = sum(d2(c)).cast(DoubleType) / count(lit(1))
+
+  /** Portable 56-bit content hash: the top 14 hex digits of MD5 over the
+    * UTF-8 bytes, read as a non-negative BIGINT. Chosen because BOTH
+    * engines compute it identically — Spark:
+    * `conv(substring(md5(x),1,14),16,10)`; DuckDB:
+    * `('0x' || substring(md5(x),1,14))::BIGINT` — so sketch operators
+    * built on it (MinHash, SimHash, LSH) stay oracle-checkable.
+    * 56 bits also guarantees headroom for modular re-hashing without
+    * int64 overflow. */
+  def phash(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 14), 16, 10).cast(LongType)
+
+  /** The DuckDB spelling of [[phash]], for oracle SQL interpolation. */
+  def phashSql(x: String): String =
+    s"(('0x' || substring(md5($x),1,14))::BIGINT)"
+
+  /** [[phash]] folded into the prime field Z_p, p = 1e9+7: values < 2^30,
+    * so a*h+b with a,b < 2^30 stays within int64 in both engines. */
+  val P: Long = 1000000007L
+  def phashMod(c: Column): Column = phash(c) % P
+  def phashModSql(x: String): String = s"(${phashSql(x)} % ${P})"
 }

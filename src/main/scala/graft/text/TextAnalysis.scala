@@ -79,21 +79,21 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Document fingerprint: min/max of 64-bit token-bigram hashes — a
-    * winnowing-style content fingerprint usable as a cheap near-dup
-    * prefilter key. Deterministic (xxhash64 with fixed seed 42). */
+  /** Document fingerprint: min/max of portable 56-bit token-bigram
+    * hashes ([[graft.Tables.phash]]) — a winnowing-style content
+    * fingerprint usable as a cheap near-dup prefilter key. One pass,
+    * shuffle-free, oracle-checkable (the hash is engine-portable). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val bigrams = transform(
       sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+      i => concat_ws(" ", try_element_at(toks, i + 1),
+        try_element_at(toks, i + 2)))
     load(spark, dir, "documents")
       .select(col("doc_id"), bigrams.as("bigrams"))
       .select(col("doc_id"),
-        array_min(transform(col("bigrams"), b => xxhash64(b)))
-          .as("fp_min"),
-        array_max(transform(col("bigrams"), b => xxhash64(b)))
-          .as("fp_max"))
+        array_min(transform(col("bigrams"), b => phash(b))).as("fp_min"),
+        array_max(transform(col("bigrams"), b => phash(b))).as("fp_max"))
       .orderBy(col("doc_id"))
   }
 
@@ -103,9 +103,12 @@ object TextAnalysis {
     "q28_language_id" -> languageId,
     "q29_fingerprint" -> fingerprint)
 
-  /** Token stats are exactly expressible in ANSI SQL; quality/langid/
-    * fingerprint use engine-specific hashing or heuristics → rows-only
-    * checks (per the driver contract). */
+  /** Every query here is oracle-checked. Determinism notes: ratios are a
+    * single IEEE double division of integer-derived doubles (identical in
+    * both engines); the fingerprint hash is the portable 56-bit md5
+    * prefix ([[graft.Tables.phash]]); language-ID argmax is a struct max
+    * with (hits, lang) field order, which both engines compare
+    * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
     "q26_token_stats" ->
       """SELECT doc_id,
@@ -113,5 +116,52 @@ object TextAnalysis {
         | LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS n_tokens,
         | LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), ' +'))) AS n_unique_tokens
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q27_quality_score" ->
+      """SELECT doc_id, n_tokens,
+        | CAST(LENGTH(REGEXP_REPLACE(TRIM(text), ' +', '', 'g')) AS DOUBLE) / n_tokens AS mean_token_len,
+        | CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), ' +'),
+        |   t -> t IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) / n_tokens AS stopword_ratio,
+        | CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |   / CAST(LENGTH(text) AS DOUBLE) AS alpha_ratio,
+        | (n_tokens >= 10
+        |   AND CAST(LENGTH(REGEXP_REPLACE(TRIM(text), ' +', '', 'g')) AS DOUBLE) / n_tokens >= 2.0
+        |   AND CAST(LENGTH(REGEXP_REPLACE(TRIM(text), ' +', '', 'g')) AS DOUBLE) / n_tokens <= 12.0
+        |   AND CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), ' +'),
+        |     t -> t IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) / n_tokens >= 0.0)
+        |   AS passes_quality
+        |FROM (SELECT doc_id, text,
+        |        LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS n_tokens
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q28_language_id" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        | best.lang AS predicted_lang, best.hits AS marker_hits
+        |FROM (
+        |  SELECT doc_id, lang, LIST_SORT([
+        |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('der','die','das','und','ein'))) AS BIGINT), 'lang': 'de'},
+        |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','and','of','is','a'))) AS BIGINT), 'lang': 'en'},
+        |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('el','los','las','una','y'))) AS BIGINT), 'lang': 'es'},
+        |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('le','la','et','les','des'))) AS BIGINT), 'lang': 'fr'},
+        |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('de','shi','zai','le','wo'))) AS BIGINT), 'lang': 'zh'}
+        |  ], 'DESC')[1] AS best
+        |  FROM (SELECT doc_id, lang,
+        |          STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |        FROM documents)
+        |)
+        |ORDER BY doc_id""".stripMargin,
+    "q29_fingerprint" ->
+      """SELECT doc_id,
+        | LIST_MIN(LIST_TRANSFORM(bigrams,
+        |   b -> ('0x' || substring(md5(b),1,14))::BIGINT)) AS fp_min,
+        | LIST_MAX(LIST_TRANSFORM(bigrams,
+        |   b -> ('0x' || substring(md5(b),1,14))::BIGINT)) AS fp_max
+        |FROM (
+        |  SELECT doc_id,
+        |    LIST_TRANSFORM(GENERATE_SERIES(0, GREATEST(LEN(toks)-2, 0)),
+        |      i -> CONCAT_WS(' ', toks[i+1], toks[i+2])) AS bigrams
+        |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |        FROM documents)
+        |)
         |ORDER BY doc_id""".stripMargin)
 }
