@@ -21,7 +21,9 @@ object SparkEntry {
     (ops.Relational.queries, ops.Relational.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ops.Scalars.queries, ops.Scalars.oracles),
-    (text.TextAnalysis.queries, text.TextAnalysis.oracles))
+    (text.TextAnalysis.queries, text.TextAnalysis.oracles),
+    (dedup.Dedup.queries, dedup.Dedup.oracles),
+    (sim.Similarity.queries, sim.Similarity.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
