@@ -23,7 +23,10 @@ object SparkEntry {
     (ops.Scalars.queries, ops.Scalars.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
-    (sim.Similarity.queries, sim.Similarity.oracles))
+    (sim.Similarity.queries, sim.Similarity.oracles),
+    (ops.Temporal.queries, ops.Temporal.oracles),
+    (streaming.Streams.queries, streaming.Streams.oracles),
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

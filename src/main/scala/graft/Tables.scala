@@ -30,9 +30,10 @@ object Tables {
     * Read as raw int64 nanos (spark.sql.legacy.parquet.nanosAsLong) and
     * truncated ns->us, the same truncation DuckDB applies on read, so
     * oracle comparisons agree. */
+  val tsFromNanos: String = "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"
+
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events").withColumn(
-      "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    load(spark, sfDir, "events").withColumn("ts", expr(tsFromNanos))
 
   /** Naive (NTZ) timestamp literal — the corpus stores naive timestamps,
     * which Spark reads as timestamp_ntz; literals must match that type. */

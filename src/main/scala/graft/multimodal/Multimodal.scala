@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Multimodal-column plumbing for training-data pipelines (north-star
+  * extension, BASELINE.json): media payloads travel as opaque `binary`
+  * columns with typed metadata alongside; decode/feature-extraction
+  * runs partition-batched over a typed Dataset.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in
+  * this container): it deterministically fakes "pixels" from the
+  * payload bytes. Everything around it — the binary column, the typed
+  * schema, the partition-batched iterator shape (the JVM analogue of a
+  * batched pandas UDF), the feature schema — is real and tested
+  * (MultimodalSpec).
+  *
+  * Scale notes: payloads never pass through a shuffle here (narrow
+  * pipeline); at 100 TB you partition by content size so decode
+  * batches stay memory-bounded, and push metadata-only predicates
+  * (format, dimensions) to the parquet scan so undecodable/oversized
+  * payloads are pruned before a single byte is fetched.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String,
+    width: Int, height: Int)
+
+  /** Per-media extracted features. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, n_pixels: Long,
+    mean_pixel: Double)
+
+  /** Decode batch size: bounds peak decoded-buffer memory per task. */
+  val DecodeBatch = 32
+
+  /** STUB — a real deployment decodes `payload` with an image/audio
+    * codec here; this container has none, so the decoded "pixels" are
+    * deterministically faked from the payload bytes themselves. The
+    * signature (bytes + metadata in, fixed-size buffer out) is the real
+    * contract a codec drops into. */
+  def decodeStub(payload: Array[Byte], width: Int, height: Int): Array[Int] =
+    payload.map(b => b & 0xff)
+
+  /** The documents table lifted into a media table: text bytes stand in
+    * for an image payload; metadata (format, dimensions, content hash)
+    * is derived deterministically. */
+  /** 56-bit hash as a SQL fragment (integer `div` keeps exactness —
+    * Column./ would detour through double and lose bits above 2^53). */
+  private val hSql =
+    "cast(conv(substring(md5(cast(text as binary)),1,14),16,10) as bigint)"
+
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(lit("img/"), col("source")).as("format"),
+      length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+      expr(s"$hSql % 640").as("width"),
+      expr(s"($hSql div 640) % 480").as("height"),
+      md5(col("text").cast(BinaryType)).as("content_hash"))
+      .orderBy(col("doc_id"))
+
+  /** Typed media records (payload = UTF-8 bytes as the stand-in blob). */
+  def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      concat(lit("img/"), col("source")).as("format"),
+      expr(s"$hSql % 640").cast(IntegerType).as("width"),
+      expr(s"($hSql div 640) % 480").cast(IntegerType).as("height"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-batched decode + feature extraction: the mapPartitions
+    * iterator is consumed in DecodeBatch-sized groups, mirroring the
+    * batch shape a vectorized (Arrow/pandas-style) UDF would see. */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap { batch =>
+        batch.map { r =>
+          val px = decodeStub(r.payload, r.width, r.height)
+          val mean =
+            if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
+          MediaFeatures(r.doc_id, r.payload.length.toLong, px.length.toLong,
+            mean)
+        }
+      }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_multimodal_meta" -> mediaMeta)
+
+  val oracles: Map[String, String] = Map(
+    "q41_multimodal_meta" ->
+      s"""SELECT doc_id,
+        | 'img/' || source AS format,
+        | CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+        | ${phashSql("text")} % 640 AS width,
+        | (${phashSql("text")} // 640) % 480 AS height,
+        | md5(text) AS content_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Temporal operators the reference lacks entirely (SURVEY.md §2.4 —
+  * range/as-of joins marked ABSENT; §2.10 — sessionization intent via
+  * the unused kafka dep): as-of join, equi+range join, and session
+  * windows, all over the events stream table.
+  *
+  * Scale design (100 TB):
+  *  - the as-of join is the union-window formulation: tag both streams,
+  *    one shuffle on the key, one sort per partition, then
+  *    `last(ignoreNulls)` carries the most recent build-side row
+  *    forward. No point-in-time cross product, no per-row probe — this
+  *    is how as-of joins stay O(n log n) on a cluster (vs the naive
+  *    range-join + argmax which explodes quadratically in hot keys).
+  *  - the range join keeps an equality key (user_id) so Catalyst plans
+  *    a sort-merge join with the range as a residual predicate — never
+  *    a cartesian. Pure-range workloads would add time-bucketing.
+  *  - session windows use Spark's native session_window aggregation
+  *    (mergeable partial state, streaming-capable).
+  */
+object Temporal {
+
+  /** As-of join: for every click, the most recent prior-or-equal
+    * purchase by the same user (event-time inclusive). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      // purchases sort before clicks at identical ts -> inclusive as-of
+      .withColumn("tag", when(col("event_type") === "purchase", 0).otherwise(1))
+      .withColumn("pe", when(col("tag") === 0, col("event_id")))
+      .withColumn("pv", when(col("tag") === 0, col("value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_purchase_event", last(col("pe"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_value", last(col("pv"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_purchase_event"), col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Equi+range join: clicks within the hour following each purchase,
+    * per user; purchases with no clicks kept (left join). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") > col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("p_event_id"), col("user_id"))
+      .agg(count(col("c_ts")).as("n_clicks"),
+        sum(d2(col("c_value"))).cast(DoubleType).as("sum_click_value"))
+      .orderBy(col("p_event_id"))
+  }
+
+  /** Session windows: 30-minute-gap sessions per user (native
+    * session_window — mergeable, works identically under Structured
+    * Streaming with a watermark). */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_asof_join" -> asofJoin,
+    "q38_range_join" -> rangeJoin,
+    "q39_session_window" -> sessionWindows)
+
+  val oracles: Map[String, String] = Map(
+    "q37_asof_join" ->
+      """SELECT event_id, user_id, ts, last_purchase_event, last_purchase_value
+        |FROM (
+        |  SELECT event_id, user_id, ts, tag,
+        |    LAST_VALUE(pe IGNORE NULLS) OVER w AS last_purchase_event,
+        |    LAST_VALUE(pv IGNORE NULLS) OVER w AS last_purchase_value
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+        |      CASE WHEN event_type = 'purchase' THEN event_id END AS pe,
+        |      CASE WHEN event_type = 'purchase' THEN value END AS pv
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
+    "q38_range_join" ->
+      """SELECT p_event_id, user_id, COUNT(c_ts) AS n_clicks,
+        | CAST(SUM(CAST(c_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_click_value
+        |FROM (SELECT event_id AS p_event_id, user_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts, value AS c_value
+        |           FROM events WHERE event_type = 'click') c
+        |  ON user_id = c_user AND c_ts > p_ts
+        |     AND c_ts <= p_ts + INTERVAL 1 HOUR
+        |GROUP BY p_event_id, user_id
+        |ORDER BY p_event_id""".stripMargin,
+    "q39_session_window" ->
+      """SELECT user_id, MIN(ts) AS session_start,
+        | MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |           THEN 1 ELSE 0 END AS brk
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
+}
