@@ -17,20 +17,39 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Left(error) on failure — a failed query must NOT contribute to the
+    // total (the old -1.0 sentinel *lowered* it, flattering the bench)
+    // and its cause must be visible in the emitted JSON.
+    def run(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => run(n, SparkEntry.queries(n))) // warmup
     val results = names.map(n => n -> run(n, SparkEntry.queries(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map {
+      case (k, Right(v)) => s"${jstr(k)}:$v"
+      case (k, Left(_)) => s"${jstr(k)}:-1.0" // sentinel, excluded from total
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val nFail = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

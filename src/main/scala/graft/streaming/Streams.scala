@@ -28,32 +28,50 @@ import graft.Tables._
 object Streams {
 
   /** Event-time tumbling 1-hour aggregation executed as a stream
-    * (AvailableNow), materialized through the memory sink. */
+    * (AvailableNow), materialized through the memory sink.
+    *
+    * Spark's file stream source requires a *directory* to monitor; the
+    * corpus stores each table as a single parquet file, so the stream
+    * reads the containing directory with a glob restricted to the
+    * events file — the same shape a production job uses to tail a
+    * landing directory. */
   def streamHourly(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema // ts surfaces as int64 nanos
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema // int64 nanos
     // watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
     // so the wall-clock values match the NTZ batch path exactly.
-    val agg = spark.readStream.schema(schema).parquet(path)
+    val agg = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
     val name = "graft_stream_hourly"
     if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val q = agg.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("complete")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-stream-ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try {
+      q.awaitTermination()
+    } finally {
+      q.stop()
+      deleteRecursively(ckpt.toFile) // Bench reruns each query; don't leak
+    }
     spark.table(name)
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

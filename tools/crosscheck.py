@@ -58,10 +58,16 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle_sql = json.load(open(f"{OUT}/oracle_sql.json"))
+    # Drive the loop from the union of registered oracles and produced
+    # output dirs — a registered query whose Verify run threw (so wrote
+    # no directory) must surface as FAIL, not silently vanish.
+    out_dirs = {n for n in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, n))}
     n_pass = n_fail = 0
-    for name in sorted(os.listdir(OUT)):
+    for name in sorted(set(oracle_sql) | out_dirs):
         d = os.path.join(OUT, name)
         if not os.path.isdir(d):
+            print(f"FAIL {name}: query produced no output (Verify error?)")
+            n_fail += 1
             continue
         files = glob.glob(f"{d}/*.parquet")
         if not files:
