@@ -38,9 +38,21 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // Optional comma-separated filter for local iteration, e.g.
+    // SPARK_GRAFT_QUERIES=q01_pricing_summary,q33_ngram_jaccard
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(_.contains(n)))
     names.foreach(n => run(n, SparkEntry.queries(n))) // warmup
-    val results = names.map(n => n -> run(n, SparkEntry.queries(n)))
+    // Collect garbage left by the previous query before each measured
+    // run: otherwise the pair-heavy joins (q33/q34) fill the old gen
+    // and their major-GC pauses land in whichever query runs next
+    // (observed: q01 1.3s alone vs 11s when measured after them).
+    val results = names.map { n =>
+      System.gc()
+      n -> run(n, SparkEntry.queries(n))
+    }
     val qs = results.map {
       case (k, Right(v)) => s"${jstr(k)}:$v"
       case (k, Left(_)) => s"${jstr(k)}:-1.0" // sentinel, excluded from total

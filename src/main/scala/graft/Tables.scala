@@ -26,6 +26,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Round-robin repartition to the cluster's parallelism. The corpus
+    * stores each table as ONE parquet file with ONE row group, which
+    * Spark cannot split — so a scan feeding compute-heavy per-row work
+    * (hashing, shingling, vector math) would otherwise run on a single
+    * core. One tiny shuffle buys full-width execution; on a real
+    * cluster the same call is a no-op in spirit (many files → many
+    * splits) but still protects against skewed file layouts. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** `events` with its TIMESTAMP(NANOS) column surfaced as timestamp_ntz.
     * Read as raw int64 nanos (spark.sql.legacy.parquet.nanosAsLong) and
     * truncated ns->us, the same truncation DuckDB applies on read, so

@@ -31,14 +31,16 @@ object Dedup {
 
   def tokens(c: Column): Column = split(trim(c), " +")
 
-  /** Distinct word trigram shingles of a document. */
-  def shingles(c: Column): Column = {
-    val toks = tokens(c)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", try_element_at(toks, i),
-        try_element_at(toks, i + 1), try_element_at(toks, i + 2))))
-  }
+  /** Distinct word trigram shingles — the native [[graft.functions.WordNGrams]]
+    * expression (codegen'd clipped-tail n-grams + first-occurrence
+    * distinct), replacing an interpreted transform/concat_ws chain. */
+  def shingles(c: Column): Column =
+    call_function("word_shingles", tokens(c), lit(3))
+
+  /** 56-bit portable hashes of the distinct shingles, folded into Z_P
+    * for MinHash when `mod` is set. One codegen'd pass per document. */
+  def shingleHashes(c: Column, mod: Boolean): Column =
+    call_function(if (mod) "phash_mod_array" else "phash_array", shingles(c))
 
   /** Exact duplicate grouping on whitespace/case-normalized content.
     * One shuffle on the md5 key; at scale prefer groupBy+agg over the
@@ -46,7 +48,7 @@ object Dedup {
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val key = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast(BinaryType))
     val w = Window.partitionBy(col("content_key"))
-    load(spark, dir, "documents")
+    spread(load(spark, dir, "documents"))
       .select(col("doc_id"), key.as("content_key"))
       .withColumn("dup_group", min(col("doc_id")).over(w))
       .withColumn("group_size", count(lit(1)).over(w))
@@ -56,35 +58,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Fixed MinHash permutation constants (primes; deterministic and
-    * mirrored literally in the DuckDB oracle). h_i(x) = (a_i*x + b_i)
-    * mod P with x < 2^30 keeps every product within int64. */
-  val A: Seq[Long] = Seq(472882049L, 972663749L, 203280221L, 715225739L,
-    179424673L, 899809363L, 32452843L, 49979687L, 67867967L, 86028121L,
-    104395301L, 122949823L, 141650939L, 160481183L, 298489861L, 350377849L)
-  val B: Seq[Long] = Seq(15485863L, 86028157L, 256203161L, 533000389L,
-    982451653L, 472882027L, 179424691L, 32452867L, 67867979L, 104395303L,
-    122949829L, 141650963L, 160481219L, 203280251L, 715225741L, 899809343L)
-  val K = 16 // signature length
+  /** MinHash permutation constants — canonical values live in
+    * [[graft.functions.Hashing]] (the codegen kernel); these Seq views
+    * exist to interpolate the identical literals into the DuckDB
+    * oracle. */
+  val A: Seq[Long] = graft.functions.Hashing.A.toSeq
+  val B: Seq[Long] = graft.functions.Hashing.B.toSeq
+  val K: Int = graft.functions.Hashing.K // signature length
   val BANDS = 4 // LSH bands of r = K/BANDS rows
   val R = K / BANDS
 
   /** Per-doc MinHash signature (array of K minima) over trigram
-    * shingles. Narrow, shuffle-free. */
-  private def withSignature(docs: DataFrame): DataFrame = {
-    val hs = transform(shingles(col("text")), s => phashMod(s))
-    val sig = array((0 until K).map(i =>
-      array_min(transform(col("hs"),
-        h => (lit(A(i)) * h + lit(B(i))) % lit(P)))): _*)
-    docs.select(col("doc_id"), hs.as("hs")).withColumn("sig", sig)
-  }
+    * shingles — one codegen'd pass ([[graft.functions.MinHashSig]]),
+    * narrow and shuffle-free. */
+  private def withSignature(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("minhash_sig", shingleHashes(col("text"), mod = true))
+        .as("sig"))
 
   /** MinHash + LSH near-duplicate pairs: band-key equi-join produces
     * candidates; the signature-estimated Jaccard >= 0.5 confirms. The
     * band join is the scale path — pair generation never touches
     * non-colliding docs. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = withSignature(load(spark, dir, "documents"))
+    val sigs = withSignature(spread(load(spark, dir, "documents")))
     val bandStructs = array((0 until BANDS).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until R).map(r =>
@@ -112,38 +109,39 @@ object Dedup {
 
   /** 32-bit SimHash per document over tokens (with multiplicity): bit b
     * is set when the signed sum of token-hash bit b is positive. One
-    * narrow pass; near-dup lookup is then hamming distance on int keys. */
+    * narrow codegen'd pass ([[graft.functions.SimHash32]]); near-dup
+    * lookup is then hamming distance on int keys. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents")
+    spread(load(spark, dir, "documents"))
       .select(col("doc_id"),
-        transform(tokens(col("text")), t => phash(t)).as("hs"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 31), 0L, (acc, b) -> acc + IF(
-          |  aggregate(hs, 0L, (a2, h) ->
-          |    a2 + IF(((shiftright(h, b) & 1) = 1), 1L, -1L)) > 0,
-          |  shiftleft(1L, b), 0L))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+        call_function("simhash32",
+          call_function("phash_array", tokens(col("text")))).as("simhash"))
       .orderBy(col("doc_id"))
 
-  /** Exact trigram-shingle Jaccard >= 0.5 via inverted-index self-join:
-    * explode distinct shingles, equi-join on shingle, count overlap,
-    * |A ∪ B| = |A| + |B| - common. */
+  /** Trigram-shingle Jaccard >= 0.5 via inverted-index self-join on
+    * 56-bit shingle hashes: explode hashed shingles, equi-join on the
+    * hash, count overlap, |A ∪ B| = |A| + |B| - common.
+    *
+    * Scale shape: the join key is an 8-byte long, not a ~25-byte
+    * shingle string — the dominant shuffle (the exploded inverted
+    * index) shrinks ~3x. Set sizes ride along with the exploded rows
+    * (they're functionally dependent on doc_id), so shingles are
+    * computed once and no extra size-lookup joins are needed. Hash
+    * collisions are identical in both engines (the oracle hashes the
+    * same way), and at 2^56 the expected collision count is ~0 for any
+    * realistic shingle universe. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val s = load(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sizes = s.select(col("doc_id"), size(col("sh")).cast(LongType).as("n"))
-    val inv = s.select(col("doc_id"), explode(col("sh")).as("ng"))
+    val inv = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        shingleHashes(col("text"), mod = false).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast(LongType).as("n"),
+        explode(col("shs")).as("h"))
     val a = inv.alias("a")
     val b = inv.alias("b")
-    val common = a.join(b, col("a.ng") === col("b.ng") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= 0.5)
@@ -206,16 +204,16 @@ object Dedup {
     "q33_ngram_jaccard" ->
       s"""WITH t AS ($toksSql),
         |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-        |sizes AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n FROM s),
-        |inv AS (SELECT doc_id, UNNEST(sh) AS ng FROM s),
-        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        |           FROM inv a JOIN inv b ON a.ng = b.ng AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2)
+        |inv AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n,
+        |          UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS h
+        |        FROM s),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             a.n AS na, b.n AS nb, COUNT(*) AS c
+        |           FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2, 3, 4)
         |SELECT doc_a, doc_b,
-        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |  CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
         |FROM common
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -1,0 +1,145 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind graft's native text/sketch expressions
+  * ([[TextExpressions]]). Each is a tight primitive loop invoked from
+  * whole-stage-generated code via the object's static forwarders — the
+  * replacement for interpreted higher-order-function chains
+  * (`transform`/`aggregate` lambdas are evaluated row-at-a-time by
+  * Catalyst's interpreter and dominated round-2 bench time: the four
+  * document queries built on them took 85 of 113 seconds).
+  *
+  * Portability contract: [[phash56]] equals Spark
+  * `conv(substring(md5(x),1,14),16,10)` and DuckDB
+  * `('0x' || substring(md5(x),1,14))::BIGINT` — the first 7 MD5 bytes
+  * read big-endian — so every sketch built on it stays
+  * DuckDB-oracle-checkable (see graft.Tables.phash).
+  */
+object Hashing {
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** 56-bit portable content hash: first 14 hex digits of MD5 over the
+    * UTF-8 bytes, as a non-negative long. */
+  def phash56(s: UTF8String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** [[phash56]] of every element; mod > 0 folds into Z_mod. Null
+    * elements stay null (mirrors `transform` + null-propagating md5). */
+  def phashArray(a: ArrayData, mod: Long): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val h = phash56(a.getUTF8String(i))
+        out(i) = java.lang.Long.valueOf(if (mod > 0) h % mod else h)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash permutation constants (primes): h_i(x) = (A(i)*x + B(i))
+    * mod P with x < 2^30 keeps every product within int64. Mirrored
+    * literally into the DuckDB oracle (graft.dedup.Dedup). */
+  val A: Array[Long] = Array(472882049L, 972663749L, 203280221L, 715225739L,
+    179424673L, 899809363L, 32452843L, 49979687L, 67867967L, 86028121L,
+    104395301L, 122949823L, 141650939L, 160481183L, 298489861L, 350377849L)
+  val B: Array[Long] = Array(15485863L, 86028157L, 256203161L, 533000389L,
+    982451653L, 472882027L, 179424691L, 32452867L, 67867979L, 104395303L,
+    122949829L, 141650963L, 160481219L, 203280251L, 715225741L, 899809343L)
+  val K: Int = 16
+  val P: Long = 1000000007L
+
+  /** MinHash signature: per-permutation minimum over the element
+    * hashes. Equals `array(array_min(transform(hs, h -> (A_i*h+B_i)%P))
+    * for i < K)` — K nulls when the input is empty/all-null, matching
+    * array_min's empty-input null. */
+  def minhashSig(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    val mins = Array.fill(K)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        any = true
+        val h = hs.getLong(i)
+        var k = 0
+        while (k < K) {
+          val v = (A(k) * h + B(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) new GenericArrayData(new Array[Any](K))
+    else new GenericArrayData(mins)
+  }
+
+  /** 32-bit SimHash over element hashes (with multiplicity): bit b set
+    * iff the signed count of that bit across hashes is positive. Null
+    * elements are skipped. */
+  def simhash32(hs: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 32) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var v = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) > 0) v |= 1L << b; b += 1 }
+    v
+  }
+
+  /** Space-joined word n-grams with clipped tails: max(size-n+1, 1)
+    * grams; gram i joins elements [i, min(i+n, size)) skipping nulls —
+    * exactly `transform(sequence(...), i -> concat_ws(' ',
+    * try_element_at...))`, so a short document yields one clipped gram
+    * rather than none. `distinct` keeps first occurrences
+    * (array_distinct semantics). */
+  def wordNGrams(a: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val sz = a.numElements()
+    val cnt = math.max(sz - n + 1, 1)
+    val sep = UTF8String.fromString(" ")
+    val seen = if (distinct) new java.util.LinkedHashSet[UTF8String]() else null
+    val out = new java.util.ArrayList[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      val hi = math.min(i + n, sz)
+      val parts = new Array[UTF8String](hi - i)
+      var j = i
+      while (j < hi) {
+        parts(j - i) = if (a.isNullAt(j)) null else a.getUTF8String(j)
+        j += 1
+      }
+      val g = UTF8String.concatWs(sep, parts: _*) // concatWs skips nulls
+      if (distinct) { if (seen.add(g)) out.add(g) } else out.add(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

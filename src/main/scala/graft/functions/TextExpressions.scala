@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions over the [[Hashing]] kernels. Each
+  * participates in whole-stage codegen (`doGenCode` emits a single
+  * static call — no interpreted lambda dispatch, no per-element
+  * Expression-tree eval), replacing the `transform`/`aggregate`
+  * higher-order-function formulations that Catalyst cannot compile.
+  * Registered by [[graft.GraftExtensions]]; reachable from SQL and
+  * `call_function`.
+  */
+private[functions] trait ArrayInUnary extends UnaryExpression {
+  /** Expected element type of the array argument. */
+  def elementType: DataType
+  def prettyName: String
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et == elementType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<${elementType.simpleString}>, got ${other.catalogString}")
+  }
+}
+
+/** `phash_array(array<string>) -> array<long>` — portable 56-bit hash
+  * per element; `mod > 0` folds into Z_mod (`phash_mod_array`). */
+case class PHashArray(child: Expression, mod: Long) extends ArrayInUnary {
+  override def elementType: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = if (mod > 0) "phash_mod_array" else "phash_array"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Hashing.phashArray(a.asInstanceOf[ArrayData], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hashing.phashArray($c, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): PHashArray =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(array<long>) -> array<long>` — K-permutation MinHash
+  * signature with the engine's fixed prime constants. */
+case class MinHashSig(child: Expression) extends ArrayInUnary {
+  override def elementType: DataType = LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Hashing.minhashSig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hashing.minhashSig($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `simhash32(array<long>) -> long` — 32-bit SimHash fingerprint. */
+case class SimHash32(child: Expression) extends ArrayInUnary {
+  override def elementType: DataType = LongType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Hashing.simhash32(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hashing.simhash32($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** `word_ngrams(array<string>, n) -> array<string>` (clipped-tail
+  * n-grams, ≥1 gram); `word_shingles` is the distinct variant. */
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
+  extends ArrayInUnary {
+  override def elementType: DataType = StringType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = if (distinct) "word_shingles" else "word_ngrams"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Hashing.wordNGrams(a.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hashing.wordNGrams($c, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}

@@ -53,7 +53,7 @@ object Multimodal {
     "cast(conv(substring(md5(cast(text as binary)),1,14),16,10) as bigint)"
 
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents").select(
+    spread(load(spark, dir, "documents")).select(
       col("doc_id"),
       concat(lit("img/"), col("source")).as("format"),
       length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),

@@ -45,7 +45,7 @@ object Similarity {
 
   /** Embeddings with precomputed squared norms. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "embeddings")
+    spread(load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("n2", dot(col("embedding"), col("embedding")))
 

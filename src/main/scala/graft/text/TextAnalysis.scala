@@ -19,7 +19,7 @@ object TextAnalysis {
 
   /** Token/char statistics per document (token counting op). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents").select(
+    spread(load(spark, dir, "documents")).select(
       col("doc_id"),
       length(col("text")).cast(LongType).as("n_chars"),
       size(tokens(col("text"))).cast(LongType).as("n_tokens"),
@@ -33,7 +33,7 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast(DoubleType)
     val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
-    load(spark, dir, "documents")
+    spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("text"),
         size(tokens(col("text"))).cast(LongType).as("n_tokens"))
       .withColumn("mean_token_len",
@@ -72,7 +72,7 @@ object TextAnalysis {
           .as("hits"),
         lit(lang).as("lang"))
     val best = greatest(markers.keys.toSeq.sorted.map(score): _*)
-    load(spark, dir, "documents")
+    spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         best.getField("lang").as("predicted_lang"),
         best.getField("hits").as("marker_hits"))
@@ -81,21 +81,19 @@ object TextAnalysis {
 
   /** Document fingerprint: min/max of portable 56-bit token-bigram
     * hashes ([[graft.Tables.phash]]) — a winnowing-style content
-    * fingerprint usable as a cheap near-dup prefilter key. One pass,
-    * shuffle-free, oracle-checkable (the hash is engine-portable). */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val bigrams = transform(
-      sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", try_element_at(toks, i + 1),
-        try_element_at(toks, i + 2)))
-    load(spark, dir, "documents")
-      .select(col("doc_id"), bigrams.as("bigrams"))
+    * fingerprint usable as a cheap near-dup prefilter key. One
+    * codegen'd pass (native word_ngrams + phash_array expressions,
+    * [[graft.functions.Hashing]]), shuffle-free, oracle-checkable (the
+    * hash is engine-portable). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "documents"))
       .select(col("doc_id"),
-        array_min(transform(col("bigrams"), b => phash(b))).as("fp_min"),
-        array_max(transform(col("bigrams"), b => phash(b))).as("fp_max"))
+        call_function("phash_array",
+          call_function("word_ngrams", tokens(col("text")), lit(2))).as("hs"))
+      .select(col("doc_id"),
+        array_min(col("hs")).as("fp_min"),
+        array_max(col("hs")).as("fp_max"))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_token_stats" -> tokenStats,
