@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables.phash
+
+/** Specs for the registered native expressions driven through real
+  * Spark plans (codegen path), not direct kernel calls. */
+class ExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.test()
+  import spark.implicits._
+
+  test("phash_array through SQL equals Tables.phash per element") {
+    val df = Seq(Seq("alpha", "beta", "gamma")).toDF("xs")
+    val viaExpr = df.select(call_function("phash_array", col("xs"))).head
+      .getSeq[Long](0)
+    val viaBuiltins = df.select(explode(col("xs")).as("x"))
+      .select(phash(col("x"))).as[Long].collect.toSeq
+    assert(viaExpr === viaBuiltins)
+  }
+
+  test("word_shingles via SQL equals the interpreted HOF formulation") {
+    val docs = Seq("the quick brown fox jumps", "one", "a b", "").toDF("text")
+    val toks = split(trim(col("text")), " +")
+    val hof = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", try_element_at(toks, i),
+        try_element_at(toks, i + 1), try_element_at(toks, i + 2))))
+    val rows = docs.select(
+      call_function("word_shingles", toks, lit(3)).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
+  test("vec_dot: plain dot product on equal-length dense vectors") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val d = df.select(call_function("vec_dot", col("a"), col("b")))
+      .as[Double].head
+    assert(d === (4.0 + 10.0 + 18.0))
+  }
+
+  test("vec_dot: shorter right side or null element yields NULL (oracle fold)") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(1.0f, 2.0f), Seq(1.0f)),            // shorter right -> null
+      Row(Seq(1.0f, null), Seq(1.0f, 2.0f)),      // null element -> null
+      Row(Seq(1.0f), Seq(1.0f, 99.0f)))           // longer right ok -> 1.0
+    val df = spark.createDataFrame(rows, schema)
+    val got = df.select(call_function("vec_dot", col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq === Seq(None, None, Some(1.0)))
+  }
+
+  test("simhash32 and minhash_sig run inside whole-stage codegen plans") {
+    // spark.range source: a local Seq would be constant-folded into a
+    // LocalTableScan at optimization time, bypassing codegen entirely.
+    val df = spark.range(2)
+      .select(concat(lit("a b c a word"), col("id").cast("string")).as("text"))
+      .select(call_function("simhash32",
+        call_function("phash_array", split(col("text"), " "))).as("sh"),
+        call_function("minhash_sig",
+          call_function("phash_mod_array", split(col("text"), " "))).as("sig"))
+    val rows = df.collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getSeq[Long](1).length === functions.Hashing.K))
+    // codegen actually engaged: "*(n)" marks a WholeStageCodegen stage;
+    // an interpreted fallback would print a bare Project
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [simhash32"), plan)
+  }
+}

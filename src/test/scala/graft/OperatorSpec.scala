@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end operator specs over the sf0.001 corpus: structural
+  * invariants that hold regardless of data values (the exact-value gate
+  * is the driver's DuckDB crosscheck; these protect refactors between
+  * rounds). */
+class OperatorSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.test()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every registered query has an oracle and returns rows") {
+    val qs = SparkEntry.queries
+    val missing = qs.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    // entry() is the flagship smoke check
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("argmax rows are real input rows (row membership)") {
+    val top = run("q09_argmax_per_day")
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val bogus = top.join(orders, Seq("o_orderkey"))
+      .filter(top("o_totalprice") =!= orders("o_totalprice"))
+    assert(bogus.count() === 0)
+  }
+
+  test("exact dedup partitions the corpus: group sizes sum to row count") {
+    val d = run("q30_exact_dedup")
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(d.count() === total)
+    // each group: exactly one canonical row, the min doc_id
+    val perGroup = d.groupBy("dup_group")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canon"),
+        min("doc_id").as("min_id"), first("dup_group").as("g"))
+    assert(perGroup.filter(col("n_canon") =!= 1).count() === 0)
+    assert(perGroup.filter(col("min_id") =!= col("g")).count() === 0)
+  }
+
+  test("minhash LSH pairs are ordered and estimates bounded in [0.5, 1]") {
+    val p = run("q31_minhash_lsh")
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(p.filter(col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0)
+      .count() === 0)
+  }
+
+  test("ngram jaccard finds the planted duplicates minhash estimates") {
+    val exact = run("q33_ngram_jaccard").select("doc_a", "doc_b")
+    // every exact-Jaccard>=0.5 pair should collide in at least one LSH
+    // band with high probability at this signature size; sanity: exact
+    // pair set is non-empty and symmetric-free
+    assert(exact.count() > 0)
+    assert(exact.filter(col("doc_a") >= col("doc_b")).count() === 0)
+  }
+
+  test("knn: rank 1..10 per query, no self-matches, cosine in [-1, 1]") {
+    val k = run("q35_knn_bruteforce")
+    assert(k.filter(col("neighbor_id") === col("query_id")).count() === 0)
+    assert(k.filter(col("cosine") > 1.0001 || col("cosine") < -1.0001)
+      .count() === 0)
+    val ranks = k.groupBy("query_id").agg(
+      min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("n"))
+    assert(ranks.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() === 0)
+  }
+
+  test("ann recall against brute force is high at this scale") {
+    val bf = run("q35_knn_bruteforce").select("query_id", "neighbor_id")
+    val ann = run("q36_ann_ivf").select("query_id", "neighbor_id")
+    val nBf = bf.count().toDouble
+    val hit = bf.intersect(ann).count().toDouble
+    assert(nBf > 0)
+    assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=2 of ~sqrt(n) lists
+  }
+
+  test("streaming hourly aggregation equals its batch twin exactly") {
+    val stream = run("q40_stream_hourly").collect().toSeq
+    val batch = run("q25_events_hourly").collect().toSeq
+    assert(stream === batch)
+  }
+
+  test("session windows: no session shorter than 1 event or overlapping gap") {
+    val s = run("q39_session_window")
+    assert(s.filter(col("n_events") < 1).count() === 0)
+    assert(s.filter(col("session_end") <= col("session_start")).count() === 0)
+  }
+
+  test("as-of join: every click row keeps user and clicks-only output") {
+    val a = run("q37_asof_join")
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(a.count() === clicks)
+  }
+}
