@@ -25,6 +25,7 @@ object SparkEntry {
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (sim.Similarity.queries, sim.Similarity.oracles),
     (ops.Temporal.queries, ops.Temporal.oracles),
+    (ops.Extended.queries, ops.Extended.oracles),
     (streaming.Streams.queries, streaming.Streams.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles))
 

@@ -1,0 +1,130 @@
+package graft.ingest
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's own domain, re-expressed Spark-first: ingest of the
+  * Montreal gas-price HTML table and the top-of-day serving queries.
+  *
+  * Reference semantics reproduced (all paths /root/reference/):
+  *  - S2 cell extraction by CSS class — price cells match any of
+  *    greencell/redcell/pricecell (dags/get_prices_load_mongodb.py:23-26)
+  *    → `regexp_extract_all` per cell family.
+  *  - S3 positional zip of the four cell lists, silently truncating to
+  *    the shortest (dags/get_prices_load_mongodb.py:30) → `posexplode`
+  *    + inner equi-join on ordinal; the inner join IS the truncation.
+  *  - F1 whitespace-normalized text-fragment join (`" ".join(
+  *    stripped_strings)`, dags/get_prices_load_mongodb.py:31-34) →
+  *    strip tags, collapse whitespace, trim.
+  *  - F2 split-at-first-whitespace into (time, user), user possibly
+  *    empty (dags/get_prices_load_mongodb.py:37-38).
+  *  - F3 run-date injection — but as an explicit parameter, not
+  *    `date.today()` (dags/get_prices_load_mongodb.py:41-44), so runs
+  *    are replayable (SURVEY §7.4 determinism).
+  *  - §1.2 decision: price is DECIMAL(6,1) and sorts numerically; the
+  *    reference sorts the varchar representation lexicographically
+  *    (api/postgres/api.py:22), a latent bug we intentionally fix.
+  *  - A1/A2 top-of-day argmax/argmin with station+city
+  *    (api/mongo/main.py:63-77) and the all-time variant
+  *    (api/postgres/api.py:16-33).
+  *
+  * Scale notes: parsing is a narrow per-row pipeline (the ordinal join
+  * is broadcast at any realistic page count); the canonical store is
+  * date-partitioned parquet so top-of-day prunes to one partition.
+  */
+object GasPrices {
+
+  /** Raw page text → one row per aligned (price, station, city,
+    * time/user) cell quadruple. Input: one row per page in `pages`
+    * column `html`; a page id column `page_id` keeps ordinals
+    * page-local. */
+  def parse(pages: DataFrame, runDate: LocalDate): DataFrame = {
+    def cells(pattern: String): Column =
+      regexp_extract_all(col("html"), lit(pattern), lit(1))
+
+    val families = Seq(
+      ("price_raw", """<td[^>]*class="(?:greencell|redcell|pricecell)"[^>]*>(.*?)</td>"""),
+      ("station_raw", """<td[^>]*class="stationcell"[^>]*>(.*?)</td>"""),
+      ("city_raw", """<td[^>]*class="citycell"[^>]*>(.*?)</td>"""),
+      ("timeuser_raw", """<td[^>]*class="usercell"[^>]*>(.*?)</td>"""))
+
+    // One posexplode per family; inner join on (page_id, pos) aligns the
+    // four lists and drops unmatched tails — the reference's zip().
+    val exploded = families.map { case (name, pat) =>
+      pages.select(col("page_id"),
+        posexplode(cells(pat)).as(Seq("pos", name)))
+    }
+    val aligned = exploded.reduce((a, b) => a.join(b, Seq("page_id", "pos")))
+
+    // F1: stripped_strings-join ≈ drop tags, collapse whitespace, trim.
+    def norm(c: Column): Column =
+      trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+
+    val tu = split(norm(col("timeuser_raw")), "\\s+", 2)
+    aligned.select(
+      norm(col("price_raw")).cast(DecimalType(6, 1)).as("price"),
+      norm(col("station_raw")).as("station"),
+      norm(col("city_raw")).as("city"),
+      element_at(tu, 1).as("time"),
+      coalesce(try_element_at(tu, lit(2)), lit("")).as("user"),
+      lit(java.sql.Date.valueOf(runDate)).as("date"))
+  }
+
+  /** Canonical store write: date-partitioned parquet with the MinIO
+    * sink's keep-last-per-(date,station) upsert semantics (K3,
+    * dags/get_prices_load_minio.py:80) made explicit. Rerun-idempotent
+    * via dynamic partition overwrite — the reference's append sinks
+    * double-load on reruns (SURVEY §2.10). */
+  def writeCanonical(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("date"), col("station"))
+      .orderBy(col("time").desc, col("user").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .repartition(col("date"))
+      .write.mode("overwrite")
+      .partitionBy("date")
+      .parquet(path)
+  }
+
+  /** A1/A2: the day's highest and lowest price with station and city —
+    * the reference's flagship serving query (api/mongo/main.py:63-77),
+    * as one partially-aggregable pass (max_by/min_by, no sort). */
+  def topOfDay(df: DataFrame, day: LocalDate): DataFrame =
+    df.filter(col("date") === lit(java.sql.Date.valueOf(day)))
+      .agg(
+        max_by(struct(col("price"), col("station"), col("city")), col("price"))
+          .as("highest_price"),
+        min_by(struct(col("price"), col("station"), col("city")), col("price"))
+          .as("lowest_price"))
+
+  /** T1/T2 all-time variant (api/postgres/api.py:16-33 — which returns
+    * all six columns and no date filter; asymmetry noted in SURVEY
+    * §2.3). */
+  def topAllTime(df: DataFrame): DataFrame =
+    df.agg(
+      max_by(struct(df.columns.map(col): _*), col("price")).as("highest"),
+      min_by(struct(df.columns.map(col): _*), col("price")).as("lowest"))
+
+  /** Fixture page fragment shaped like the reference's source table
+    * (README.md:12-23 sample values; UTF-8 accents intentional). */
+  val fixtureHtml: String =
+    """<table>
+      |<tr><td class="pricecell"><b>163.9</b></td>
+      |    <td class="stationcell">Esso  Du Commerce / René Lévesque</td>
+      |    <td class="citycell">Verdun ( Île des Soeurs )</td>
+      |    <td class="usercell">10:42AM driverMTL</td></tr>
+      |<tr><td class="greencell">154.4</td>
+      |    <td class="stationcell">Shell 4849 Av Pierre-De Coubertin</td>
+      |    <td class="citycell">Montréal</td>
+      |    <td class="usercell">9:05AM</td></tr>
+      |<tr><td class="redcell">166.4</td>
+      |    <td class="stationcell">Petro-Canada 7950 Boul Newman</td>
+      |    <td class="citycell">LaSalle</td>
+      |    <td class="usercell">11:15AM lasalle_joe</td></tr>
+      |<tr><td class="pricecell">159.9</td></tr>
+      |</table>""".stripMargin // last row has no station/city/user -> zip-dropped
+}

@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Extended relational / source-sink coverage beyond the round-2 set:
+  * pivot, correlated scalar subquery (Catalyst decorrelation), CSV and
+  * JSON source round-trips, bucketed co-located joins, salted skew
+  * joins, sketch aggregates, and exact percentiles.
+  *
+  * Scale notes are per-query; the unifying theme is shuffle economy:
+  * bucketing pre-pays the join shuffle at write time, salting splits a
+  * hot build key across S reducers, the approx-distinct sketch
+  * replaces a two-phase exact distinct with one mergeable pass.
+  */
+object Extended {
+
+  /** PIVOT: order counts per priority × status. Explicit value list so
+    * the plan is a single partial-aggregable pass (no values-discovery
+    * job), which is also what keeps it sane on a wide cluster. */
+  def pivotOrders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems below
+    * half their part's average quantity. Catalyst decorrelates the
+    * subquery into an aggregate + join — written as SQL to exercise
+    * exactly that path (the oracle runs the same text). */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "lineitem").createOrReplaceTempView("graft_li_corr")
+    spark.sql(
+      """SELECT COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft_li_corr l1
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |                / COUNT(*))
+        |  FROM graft_li_corr l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
+  /** CSV sink + source round-trip (SURVEY §2.1 file-format scans,
+    * ABSENT in the reference): project → write CSV → read back with an
+    * explicit schema → aggregate. The aggregate must equal the direct
+    * parquet path bit-for-bit. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip"
+    load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_returnflag", StringType),
+      StructField("l_quantity", DoubleType)))
+    spark.read.schema(schema).option("header", "true").csv(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** JSON round-trip: struct → to_json (F7, the MinIO object body,
+    * /root/reference/dags/get_prices_load_minio.py:77) → JSON files →
+    * schema'd read → aggregate. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip"
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    spark.read.schema(schema).json(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Bucketed co-located join: both sides bucketed by the join key at
+    * write time, so the join itself needs NO shuffle — the 100 TB
+    * answer for repeated joins on the same key (pre-pay once, join
+    * free forever). */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // External-table locations under tmp: a fresh session's in-memory
+    // catalog has forgotten the table while the directory persists, so
+    // managed-table overwrite would die with LOCATION_ALREADY_EXISTS.
+    def recreate(name: String): String = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$name")
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+      }
+      rm(loc)
+      loc.toString
+    }
+    load(spark, dir, "customer")
+      .write.mode("overwrite")
+      .option("path", recreate("graft_customer_bucketed"))
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bucketed")
+    load(spark, dir, "orders")
+      .write.mode("overwrite")
+      .option("path", recreate("graft_orders_bucketed"))
+      .bucketBy(8, "o_custkey")
+      .saveAsTable("graft_orders_bucketed")
+    val c = spark.table("graft_customer_bucketed")
+    val o = spark.table("graft_orders_bucketed")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Skew-salted join: the build side is replicated across S salt
+    * values and the probe side deterministically salted, splitting any
+    * hot key over S reducers. Result is identical to the plain join —
+    * the oracle is the unsalted formulation. */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val l = load(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(S)))
+    val o = load(spark, dir, "orders")
+      .withColumn("salt", explode(array((0 until S).map(lit(_)): _*)))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsumExpr(d2(col("l_extendedprice")) * d4(lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** HLL sketch distinct-count next to the exact answer. The sketch is
+    * deterministic for fixed data; the emitted check is that it lands
+    * within 10% of exact (typical HLL error at default rsd is ~2%),
+    * so the oracle row is engine-independent. One mergeable pass vs
+    * the exact path's two-phase distinct shuffle — the 100 TB default.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey")).as("n_approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast(DoubleType) /
+          col("n_exact") <= 0.1).as("approx_within_10pct"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact interpolated percentiles (median/p90) of an integer-valued
+    * measure: linear interpolation over whole numbers is exact in
+    * IEEE doubles, so Spark's percentile and DuckDB's quantile_cont
+    * agree bit-for-bit. */
+  def medians(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_pivot" -> pivotOrders,
+    "q46_correlated_subquery" -> correlatedSubquery,
+    "q47_csv_roundtrip" -> csvRoundtrip,
+    "q48_json_roundtrip" -> jsonRoundtrip,
+    "q49_bucketed_join" -> bucketedJoin,
+    "q50_salted_skew_join" -> saltedSkewJoin,
+    "q51_approx_distinct" -> approxDistinct,
+    "q52_percentiles" -> medians)
+
+  val oracles: Map[String, String] = Map(
+    "q44_pivot" ->
+      """SELECT o_orderpriority,
+        | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q46_correlated_subquery" ->
+      """SELECT COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l1
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |                / COUNT(*))
+        |  FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "q47_csv_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q48_json_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q49_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q50_salted_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q51_approx_distinct" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS n_exact,
+        | TRUE AS approx_within_10pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q52_percentiles" ->
+      """SELECT l_returnflag,
+        | QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+        | QUANTILE_CONT(l_quantity, 0.9) AS p90_qty,
+        | MIN(l_quantity) AS min_qty,
+        | MAX(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+}

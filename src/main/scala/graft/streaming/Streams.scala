@@ -74,11 +74,106 @@ object Streams {
     f.delete(): Unit
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q40_stream_hourly" -> streamHourly)
+  /** Streaming exactly-once dedup + aggregation: dropDuplicates keyed
+    * on event_id holds seen-key state across micro-batches (the
+    * streaming form of the MinIO last-write-wins upsert, SURVEY §2.2
+    * K3), then a complete-mode count per type. Unbounded key state is
+    * bounded in production with dropDuplicatesWithinWatermark; here the
+    * AvailableNow run is finite by construction. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val agg = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = "graft_stream_dedup"
+    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { q.stop(); deleteRecursively(ckpt.toFile) }
+    spark.table(name).orderBy(col("event_type"))
+  }
 
-  /** Identical to q25's oracle: the streaming run must agree with the
-    * batch semantics bit-for-bit. */
+  /** Sessionization through the custom-state API
+    * (KeyValueGroupedDataset.flatMapGroupsWithState): per-user sessions
+    * with a 30-minute gap, the state machine a production stream runs
+    * unbounded with event-time timeouts. Batch execution invokes the
+    * same function once per group — identical results, same code, which
+    * is the point of the unified API. Semantics (gap >= 30 min starts a
+    * new session; session_end = last_ts + 30 min) match the native
+    * session_window query q39 and its oracle exactly; sums are
+    * exact-decimal then one cast to double (graft.Tables contract). */
+  case class Ev(user_id: Long, event_id: Long,
+    ts: java.time.LocalDateTime, value: Double)
+  case class Sess(user_id: Long, session_start: java.time.LocalDateTime,
+    session_end: java.time.LocalDateTime, n_events: Long, sum_value: Double)
+
+  def customStateSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import java.time.LocalDateTime
+    import java.time.temporal.ChronoUnit
+
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[Ev]
+
+    def sessionize(user: Long, it: Iterator[Ev],
+        state: GroupState[Int]): Iterator[Sess] = {
+      val epoch = LocalDateTime.of(1970, 1, 1, 0, 0)
+      val evs = it.toVector.sortBy(e =>
+        (ChronoUnit.MICROS.between(epoch, e.ts), e.event_id))
+      val out = Vector.newBuilder[Sess]
+      var start: LocalDateTime = null
+      var last: LocalDateTime = null
+      var n = 0L
+      var sum = java.math.BigDecimal.ZERO
+      def close(): Unit = if (n > 0) {
+        out += Sess(user, start, last.plus(30, ChronoUnit.MINUTES), n,
+          sum.doubleValue)
+      }
+      evs.foreach { e =>
+        // gap >= 30 min (exact, micros precision — ts is micros-truncated)
+        if (last == null ||
+            ChronoUnit.MICROS.between(last, e.ts) >= 30L * 60 * 1000000) {
+          close(); start = e.ts; n = 0; sum = java.math.BigDecimal.ZERO
+        }
+        last = e.ts; n += 1
+        // mirrors Spark's double->decimal(18,2) cast (shortest-repr
+        // BigDecimal, HALF_UP) — the d2() exactness contract
+        sum = sum.add(java.math.BigDecimal.valueOf(e.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP))
+      }
+      close()
+      out.result().iterator
+    }
+
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionize)
+      .toDF()
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_stream_hourly" -> streamHourly,
+    "q42_custom_state_sessions" -> customStateSessions,
+    "q43_stream_dedup" -> streamDedup)
+
+  /** q40 is identical to q25's oracle and q42 to q39's: the streaming /
+    * custom-state runs must agree with the batch semantics
+    * bit-for-bit. */
   val oracles: Map[String, String] = Map(
     "q40_stream_hourly" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
@@ -86,5 +181,28 @@ object Streams {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    "q42_custom_state_sessions" ->
+      """SELECT user_id, MIN(ts) AS session_start,
+        | MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |           THEN 1 ELSE 0 END AS brk
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q43_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_events
+        |FROM (SELECT DISTINCT event_id, event_type FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }

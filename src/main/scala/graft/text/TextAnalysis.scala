@@ -95,11 +95,24 @@ object TextAnalysis {
         array_max(col("hs")).as("fp_max"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-wide word frequency top-k: explode tokens → two-phase
+    * count (map-side partial agg) → TakeOrderedAndProject. The
+    * vocabulary-histogram primitive of corpus analysis; at 100 TB the
+    * explode is narrow and only (word, count) partials shuffle. */
+  def wordTopK(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "documents"))
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("word"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_token_stats" -> tokenStats,
     "q27_quality_score" -> qualityScore,
     "q28_language_id" -> languageId,
-    "q29_fingerprint" -> fingerprint)
+    "q29_fingerprint" -> fingerprint,
+    "q45_word_topk" -> wordTopK)
 
   /** Every query here is oracle-checked. Determinism notes: ratios are a
     * single IEEE double division of integer-derived doubles (identical in
@@ -148,6 +161,13 @@ object TextAnalysis {
         |        FROM documents)
         |)
         |ORDER BY doc_id""".stripMargin,
+    "q45_word_topk" ->
+      """SELECT word, COUNT(*) AS n_occurrences
+        |FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS word
+        |      FROM documents)
+        |GROUP BY word
+        |ORDER BY n_occurrences DESC, word
+        |LIMIT 20""".stripMargin,
     "q29_fingerprint" ->
       """SELECT doc_id,
         | LIST_MIN(LIST_TRANSFORM(bigrams,

@@ -1,0 +1,80 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.GasPrices
+
+/** Golden tests for the reference-domain ingest: HTML cell extraction,
+  * zip-truncation alignment, normalization, and the top-of-day answer
+  * shape (/root/reference/README.md:12-23). */
+class GasPricesSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.test()
+  private val day = LocalDate.of(2023, 4, 1)
+
+  private def parsed = {
+    import spark.implicits._
+    GasPrices.parse(
+      Seq((1L, GasPrices.fixtureHtml)).toDF("page_id", "html"), day)
+  }
+
+  test("parse aligns cell families and drops the unmatched tail row") {
+    val rows = parsed.orderBy(col("price")).collect()
+    // 4 price cells but only 3 complete rows -> zip truncation drops one
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[java.math.BigDecimal]("price").toString).toSeq
+      === Seq("154.4", "163.9", "166.4"))
+  }
+
+  test("normalization: tags stripped, whitespace collapsed, accents kept") {
+    val esso = parsed.filter(col("price") === "163.9").head
+    assert(esso.getAs[String]("station") === "Esso Du Commerce / René Lévesque")
+    assert(esso.getAs[String]("city") === "Verdun ( Île des Soeurs )")
+    assert(esso.getAs[String]("time") === "10:42AM")
+    assert(esso.getAs[String]("user") === "driverMTL")
+  }
+
+  test("time/user split: missing user becomes empty string") {
+    val shell = parsed.filter(col("price") === "154.4").head
+    assert(shell.getAs[String]("time") === "9:05AM")
+    assert(shell.getAs[String]("user") === "")
+  }
+
+  test("topOfDay answers the README shape with numeric (not lexicographic) order") {
+    val r = GasPrices.topOfDay(parsed, day).head
+    val hi = r.getAs[Row]("highest_price")
+    val lo = r.getAs[Row]("lowest_price")
+    assert(hi.getAs[java.math.BigDecimal]("price").toString === "166.4")
+    assert(hi.getAs[String]("station") === "Petro-Canada 7950 Boul Newman")
+    assert(lo.getAs[java.math.BigDecimal]("price").toString === "154.4")
+    assert(lo.getAs[String]("city") === "Montréal")
+  }
+
+  test("numeric sort diverges from the reference's lexicographic sort by design") {
+    // "99.9" > "163.9" as varchar (the reference's latent bug,
+    // /root/reference/api/postgres/api.py:22); numerically it is lower.
+    import spark.implicits._
+    val withCheap = parsed.select(col("price").cast("string"))
+      .union(Seq("99.9").toDF)
+    val lexMax = withCheap.agg(max(col("price"))).as[String].head
+    assert(lexMax === "99.9") // what the reference would serve as "highest"
+    val numMax = withCheap.agg(max(col("price").cast("decimal(6,1)"))).head
+      .getDecimal(0).toString
+    assert(numMax === "166.4") // what graft serves
+  }
+
+  test("writeCanonical keeps last per (date, station) and reruns idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gas").toString
+    val dup = parsed.union(parsed) // simulate a rerun double-load
+    GasPrices.writeCanonical(dup, dir)
+    GasPrices.writeCanonical(dup, dir) // second run must not double
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    assert(back.groupBy("date", "station").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+}
