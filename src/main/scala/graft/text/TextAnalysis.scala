@@ -17,14 +17,23 @@ object TextAnalysis {
   /** Whitespace tokens of a trimmed document. */
   def tokens(c: Column): Column = split(trim(c), " +")
 
-  /** Token/char statistics per document (token counting op). */
+  /** BPE-style pre-tokenization: word runs and individual
+    * punctuation/symbol marks, the split a subword tokenizer applies
+    * before merges — an upper-bound proxy for LLM token counts. ASCII
+    * word classes in both engines (Java regex and RE2 agree). */
+  val bpeIshPattern = "\\w+|[^\\w\\s]"
+
+  /** Token/char statistics per document (token counting op):
+    * whitespace tokens plus the BPE-ish pre-token count. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     spread(load(spark, dir, "documents")).select(
       col("doc_id"),
       length(col("text")).cast(LongType).as("n_chars"),
       size(tokens(col("text"))).cast(LongType).as("n_tokens"),
       size(array_distinct(tokens(col("text")))).cast(LongType)
-        .as("n_unique_tokens"))
+        .as("n_unique_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0)))
+        .cast(LongType).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring: length/word-shape/stopword heuristics of the kind
@@ -125,7 +134,8 @@ object TextAnalysis {
       """SELECT doc_id,
         | LENGTH(text) AS n_chars,
         | LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS n_tokens,
-        | LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), ' +'))) AS n_unique_tokens
+        | LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), ' +'))) AS n_unique_tokens,
+        | LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q27_quality_score" ->
