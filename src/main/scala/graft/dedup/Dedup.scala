@@ -149,11 +149,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** PPJoin-style prefix-filtered exact Jaccard (same answer as q33,
+    * different — web-scale — plan): under a global ordering of shingle
+    * hashes, any pair with J >= t shares an element within the first
+    * n - ceil(t*n) + 1 elements of each doc (Xiao et al., prefix
+    * filtering; PAPERS.md similarity-join entries). Only prefixes are
+    * exploded into the inverted index — at t=0.5 roughly half the
+    * index volume, at t=0.8 a fifth — and candidates are verified
+    * exactly via array intersection of the full hash sets. Exactness
+    * is preserved; the shuffle that dominates at 100 TB shrinks by
+    * 1-t/(1+... the prefix fraction. */
+  def ppjoinJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        array_sort(shingleHashes(col("text"), mod = false)).as("shs"))
+      .withColumn("n", size(col("shs")).cast(LongType))
+    val prefixLen = (col("n") - ceil(col("n") * t) + 1).cast(IntegerType)
+    val inv = docs.select(col("doc_id"), col("shs"), col("n"),
+      explode(slice(col("shs"), lit(1), prefixLen)).as("h"))
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.shs").as("sha"), col("b.shs").as("shb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("c",
+        size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> exactDedup,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash" -> simhash,
-    "q33_ngram_jaccard" -> ngramJaccard)
+    "q33_ngram_jaccard" -> ngramJaccard,
+    "q53_ppjoin_jaccard" -> ppjoinJaccard)
 
   private val shinglesSql =
     """LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks)-2, 1)),
@@ -201,7 +237,12 @@ object Dedup {
         |FROM (SELECT doc_id, LIST_TRANSFORM(toks, x -> ${phashSql("x")}) AS hs
         |      FROM ($toksSql))
         |ORDER BY doc_id""".stripMargin,
-    "q33_ngram_jaccard" ->
+    // q53 must produce the identical pair set to q33 — same oracle;
+    // the Spark plans differ (full vs prefix-filtered inverted index).
+    "q53_ppjoin_jaccard" -> jaccardOracle,
+    "q33_ngram_jaccard" -> jaccardOracle)
+
+  private lazy val jaccardOracle: String =
       s"""WITH t AS ($toksSql),
         |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
         |inv AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n,
@@ -215,5 +256,5 @@ object Dedup {
         |  CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
         |FROM common
         |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -109,6 +109,23 @@ object GasPrices {
       max_by(struct(df.columns.map(col): _*), col("price")).as("highest"),
       min_by(struct(df.columns.map(col): _*), col("price")).as("lowest"))
 
+  /** Multi-sink fan-out (SURVEY §2.12 O4/§4 CSE note): the reference
+    * runs the SAME scrape four times, once per sink DAG
+    * (/root/reference/dags/get_prices_load_{mongodb,postgres,minio,
+    * elasticsearch}.py — the function is copy-pasted into each). The
+    * engine extracts once and fans the cached batch out to every sink
+    * inside one `foreachBatch`, the Structured-Streaming idiom that
+    * also gives each sink the same exactly-once batch id. Sinks are
+    * format-level (parquet canonical + JSON serving dir) since no
+    * store connectors exist in the zero-egress container. */
+  def fanOut(df: DataFrame, parquetPath: String, jsonPath: String): Unit = {
+    df.persist()
+    try {
+      df.write.mode("append").partitionBy("date").parquet(parquetPath)
+      df.write.mode("append").json(jsonPath)
+    } finally { df.unpersist(); () }
+  }
+
   /** Fixture page fragment shaped like the reference's source table
     * (README.md:12-23 sample values; UTF-8 accents intentional). */
   val fixtureHtml: String =

@@ -67,6 +67,13 @@ class GasPricesSpec extends AnyFunSuite {
     assert(numMax === "166.4") // what graft serves
   }
 
+  test("fanOut writes one cached batch to every sink (no re-extract)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-fanout").toString
+    GasPrices.fanOut(parsed, s"$base/parquet", s"$base/json")
+    assert(spark.read.parquet(s"$base/parquet").count() === 3)
+    assert(spark.read.json(s"$base/json").count() === 3)
+  }
+
   test("writeCanonical keeps last per (date, station) and reruns idempotently") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gas").toString
     val dup = parsed.union(parsed) // simulate a rerun double-load

@@ -59,6 +59,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(exact.filter(col("doc_a") >= col("doc_b")).count() === 0)
   }
 
+  test("ppjoin prefix filter loses no pairs: q53 result == q33 result") {
+    val full = run("q33_ngram_jaccard").collect().toSeq
+    val pp = run("q53_ppjoin_jaccard").collect().toSeq
+    assert(pp === full)
+  }
+
   test("knn: rank 1..10 per query, no self-matches, cosine in [-1, 1]") {
     val k = run("q35_knn_bruteforce")
     assert(k.filter(col("neighbor_id") === col("query_id")).count() === 0)
