@@ -166,15 +166,23 @@ object Dedup {
         array_sort(shingleHashes(col("text"), mod = false)).as("shs"))
       .withColumn("n", size(col("shs")).cast(LongType))
     val prefixLen = (col("n") - ceil(col("n") * t) + 1).cast(IntegerType)
-    val inv = docs.select(col("doc_id"), col("shs"), col("n"),
+    // the exploded inverted index stays SLIM (doc_id, hash) — carrying
+    // the full hash arrays through the pair join would multiply the
+    // dominant shuffle by the array size; arrays are joined back only
+    // for the (much smaller) candidate verification
+    val inv = docs.select(col("doc_id"),
       explode(slice(col("shs"), lit(1), prefixLen)).as("h"))
     val a = inv.alias("a")
     val b = inv.alias("b")
-    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shs").as("sha"), col("b.shs").as("shb"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = a
+      .join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sha"),
+        col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("shb"),
+        col("n").as("nb")), "doc_b")
       .withColumn("c",
         size(array_intersect(col("sha"), col("shb"))).cast(LongType))
       .withColumn("jaccard",
