@@ -92,6 +92,72 @@ object Multimodal {
     }
   }
 
+  /** A resized image: fixed output dimensions, row-major pixels. */
+  case class ResizedMedia(doc_id: Long, out_w: Int, out_h: Int,
+    pixels: Array[Int])
+
+  /** One sampled frame's summary. */
+  case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Long,
+    mean_pixel: Double)
+
+  /** Nearest-neighbor resize over the (stub-)decoded pixel buffer. The
+    * index math is the real kernel a codec-backed deployment keeps;
+    * only the pixel source is the stub. Out-of-range source indices
+    * clamp (the stub's buffer length is the payload length, not
+    * necessarily w*h). */
+  def resizeStub(px: Array[Int], w: Int, h: Int, ow: Int, oh: Int): Array[Int] = {
+    val out = new Array[Int](ow * oh)
+    if (px.nonEmpty) {
+      var y = 0
+      while (y < oh) {
+        val sy = math.min((y.toLong * h / oh).toInt, h - 1)
+        var x = 0
+        while (x < ow) {
+          val sx = math.min((x.toLong * w / ow).toInt, w - 1)
+          out(y * ow + x) = px(math.min(sy * w + sx, px.length - 1))
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  /** Batched resize pipeline: same partition-batched iterator shape as
+    * [[extractFeatures]]; output schema is fixed-size so downstream
+    * tensorization is schema-stable. */
+  def resize(ds: Dataset[MediaRecord], ow: Int, oh: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { r =>
+        val px = decodeStub(r.payload, r.width, r.height)
+        ResizedMedia(r.doc_id, ow, oh,
+          resizeStub(px, math.max(r.width, 1), math.max(r.height, 1), ow, oh))
+      })
+    }
+  }
+
+  /** Frame sampling for video-like payloads: the payload is treated as
+    * contiguous fixed-size frames and every `every`-th frame is
+    * decoded and summarized — the standard decimation step before
+    * per-frame feature extraction. Short tail frames are kept. */
+  def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int,
+      every: Int): Dataset[FrameSample] = {
+    require(frameBytes > 0 && every > 0)
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+      (0 until nFrames by every).map { f =>
+        val frame = r.payload.slice(f * frameBytes,
+          math.min((f + 1) * frameBytes, r.payload.length))
+        val px = decodeStub(frame, r.width, r.height)
+        val mean =
+          if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
+        FrameSample(r.doc_id, f, frame.length.toLong, mean)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_multimodal_meta" -> mediaMeta)
 
