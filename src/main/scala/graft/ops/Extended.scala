@@ -168,7 +168,31 @@ object Extended {
         max(col("l_quantity")).as("max_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Array aggregation: collect_set → sorted → joined, emitted as a
+    * scalar string so cross-engine comparison is unambiguous (ASCII
+    * sort order agrees between engines). */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("p_type")).as("n_types"),
+        array_join(array_sort(collect_set(col("p_type"))), ",")
+          .as("types_sorted"))
+      .orderBy(col("p_brand"))
+
+  /** UNPIVOT via stack(): wide aggregate → long (metric, value) rows,
+    * the melt step of metric pipelines. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .selectExpr("l_returnflag",
+        "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, value)")
+      .orderBy(col("l_returnflag"), col("metric"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_array_agg" -> arrayAgg,
+    "q57_unpivot" -> unpivotMeasures,
     "q44_pivot" -> pivotOrders,
     "q46_correlated_subquery" -> correlatedSubquery,
     "q47_csv_roundtrip" -> csvRoundtrip,
@@ -179,6 +203,23 @@ object Extended {
     "q52_percentiles" -> medians)
 
   val oracles: Map[String, String] = Map(
+    "q56_array_agg" ->
+      """SELECT p_brand,
+        | COUNT(DISTINCT p_type) AS n_types,
+        | ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT p_type)), ',') AS types_sorted
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q57_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q44_pivot" ->
       """SELECT o_orderpriority,
         | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,

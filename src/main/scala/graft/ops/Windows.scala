@@ -68,11 +68,41 @@ object Windows {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** RANGE frame (vs q17's ROWS): peers at the same order date share
+    * the cumulative value — the frame-spec semantics distinction. */
+  def rangeFrameCumulative(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("cum_orders_range", count(lit(1)).over(w))
+      .withColumn("cum_price_range",
+        sum(d2(col("o_totalprice"))).over(w).cast(DoubleType))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Distribution window functions: quartile, percent_rank, cume_dist
+    * over each segment's balance ladder (unique tie-break key so both
+    * engines compute identical integer-derived ratios). */
+  def balanceDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    load(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_window_topn" -> topOrdersPerCustomer,
     "q17_window_running_sum" -> runningQuantityPerSupplier,
     "q18_window_analytics" -> orderHistoryAnalytics,
-    "q19_keep_last_dedup" -> keepLastEvent)
+    "q19_keep_last_dedup" -> keepLastEvent,
+    "q54_window_range_frame" -> rangeFrameCumulative,
+    "q55_window_distribution" -> balanceDistribution)
 
   val oracles: Map[String, String] = Map(
     "q16_window_topn" ->
@@ -100,6 +130,23 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, order_seq""".stripMargin,
+    "q54_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | COUNT(*) OVER w AS cum_orders_range,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   AS cum_price_range
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q55_window_distribution" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        | CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        | PERCENT_RANK() OVER w AS pct_rank,
+        | CUME_DIST() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
     "q19_keep_last_dedup" ->
       """SELECT user_id, event_type, event_id, ts, value
         |FROM (SELECT user_id, event_type, event_id, ts, value,
