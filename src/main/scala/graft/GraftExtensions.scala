@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "phash_mod_array")(cs => PHashArray(cs.head, mod = Hashing.P))
     register(ext, "minhash_sig")(cs => MinHashSig(cs.head))
     register(ext, "simhash32")(cs => SimHash32(cs.head))
+    register(ext, "sorted_intersect_count")(cs =>
+      SortedIntersectCount(cs(0), cs(1)))
     register(ext, "word_ngrams")(cs =>
       WordNGrams(cs.head, intLit(cs(1), "word_ngrams"), distinct = false))
     register(ext, "word_shingles")(cs =>

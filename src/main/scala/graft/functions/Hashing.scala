@@ -115,6 +115,32 @@ object Hashing {
     v
   }
 
+  /** Intersection size of two SORTED long arrays by linear merge —
+    * O(na+nb), zero allocation; the verification kernel of the PPJoin
+    * similarity join (array_intersect would build a hash set per raw).
+    * Duplicate values count once per matching pair step, matching set
+    * semantics when inputs are distinct (shingle sets are). Null
+    * elements sort wherever the producer put them and are skipped. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+
   /** Space-joined word n-grams with clipped tails: max(size-n+1, 1)
     * grams; gram i joins elements [i, min(i+n, size)) skipping nulls —
     * exactly `transform(sequence(...), i -> concat_ws(' ',

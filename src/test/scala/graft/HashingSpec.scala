@@ -91,6 +91,23 @@ class HashingSpec extends AnyFunSuite {
     assert((0 until Hashing.K).forall(e.isNullAt))
   }
 
+  test("sortedIntersectCount equals set intersection on sorted distinct arrays") {
+    def longs(xs: Long*): ArrayData = new GenericArrayData(xs.toArray)
+    def count(a: Seq[Long], b: Seq[Long]): Long =
+      Hashing.sortedIntersectCount(longs(a: _*), longs(b: _*))
+    assert(count(Seq(1, 3, 5, 9), Seq(2, 3, 4, 5, 10)) === 2)
+    assert(count(Seq(), Seq(1, 2)) === 0)
+    assert(count(Seq(7), Seq(7)) === 1)
+    assert(count(Seq(1, 2, 3), Seq(4, 5)) === 0)
+    // matches the generic set-intersection on random sorted-distinct input
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val a = Seq.fill(50)(rnd.nextLong(1000)).distinct.sorted
+      val b = Seq.fill(50)(rnd.nextLong(1000)).distinct.sorted
+      assert(count(a, b) === a.toSet.intersect(b.toSet).size.toLong)
+    }
+  }
+
   test("simhash32 equals the signed-bit-count reference") {
     val cases = Seq(Seq.empty[Long], Seq(0L), Seq(1L, 3L, 7L),
       samples.map(hexPhash), Seq(Long.MaxValue >> 8, 42L, 42L))
