@@ -43,5 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordNGrams(cs.head, intLit(cs(1), "word_ngrams"), distinct = false))
     register(ext, "word_shingles")(cs =>
       WordNGrams(cs.head, intLit(cs(1), "word_shingles"), distinct = true))
+    register(ext, "winnow_mins")(cs =>
+      WinnowMins(cs.head, intLit(cs(1), "winnow_mins")))
   }
 }

@@ -141,6 +141,36 @@ object Hashing {
     c
   }
 
+  /** Winnowing: minimum of each w-wide sliding window over the hash
+    * sequence (Schleimer et al. local fingerprinting). max(n-w+1, 1)
+    * windows, the tail window clipped to the array end; null elements
+    * are skipped inside a window (all-null/empty window -> null).
+    * Output is position-ordered with duplicates — callers dedupe with
+    * array_distinct to get the fingerprint set. */
+  def winnowMins(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    val cnt = math.max(n - w + 1, 1)
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      val hi = math.min(i + w, n)
+      var m = Long.MaxValue
+      var any = false
+      var j = i
+      while (j < hi) {
+        if (!hs.isNullAt(j)) {
+          any = true
+          val v = hs.getLong(j)
+          if (v < m) m = v
+        }
+        j += 1
+      }
+      if (any) out(i) = java.lang.Long.valueOf(m)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Space-joined word n-grams with clipped tails: max(size-n+1, 1)
     * grams; gram i joins elements [i, min(i+n, size)) skipping nulls —
     * exactly `transform(sequence(...), i -> concat_ws(' ',

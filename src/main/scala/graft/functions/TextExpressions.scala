@@ -109,6 +109,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `winnow_mins(array<long>, w) -> array<long>` — sliding-window
+  * minima for winnowing fingerprints. */
+case class WinnowMins(child: Expression, w: Int) extends ArrayInUnary {
+  override def elementType: DataType = LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "winnow_mins"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Hashing.winnowMins(a.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hashing.winnowMins($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
 /** `word_ngrams(array<string>, n) -> array<string>` (clipped-tail
   * n-grams, ≥1 gram); `word_shingles` is the distinct variant. */
 case class WordNGrams(child: Expression, n: Int, distinct: Boolean)

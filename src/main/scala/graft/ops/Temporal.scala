@@ -80,12 +80,40 @@ object Temporal {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Full-outer join of two daily aggregates (the one join type the
+    * rest of the suite doesn't exercise): click days vs purchase days,
+    * missing sides surfaced as zero. */
+  def fullOuterDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def daily(t: String, as: String) = ev.filter(col("event_type") === t)
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as(as))
+    daily("click", "n_clicks")
+      .join(daily("purchase", "n_purchases"), Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join" -> asofJoin,
     "q38_range_join" -> rangeJoin,
-    "q39_session_window" -> sessionWindows)
+    "q39_session_window" -> sessionWindows,
+    "q58_full_outer_join" -> fullOuterDaily)
 
   val oracles: Map[String, String] = Map(
+    "q58_full_outer_join" ->
+      """SELECT day,
+        | COALESCE(n_clicks, 0) AS n_clicks,
+        | COALESCE(n_purchases, 0) AS n_purchases
+        |FROM (SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS n_clicks
+        |      FROM events WHERE event_type = 'click' GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS n_purchases
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+        |USING (day)
+        |ORDER BY day""".stripMargin,
     "q37_asof_join" ->
       """SELECT event_id, user_id, ts, last_purchase_event, last_purchase_value
         |FROM (

@@ -116,12 +116,36 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("word"))
       .limit(20)
 
+  /** Winnowing fingerprint (Schleimer et al. — "rolling hash" local
+    * fingerprinting): minima of an 8-wide window sliding over the
+    * token-bigram hash sequence, deduped into the document's
+    * fingerprint set. Guarantees shared fingerprints for sufficiently
+    * long shared substrings — the plagiarism/near-dup detector's
+    * selection step. Native codegen'd kernel
+    * ([[graft.functions.WinnowMins]]); one narrow pass. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        call_function("winnow_mins",
+          call_function("phash_array",
+            call_function("word_ngrams", tokens(col("text")), lit(2))),
+          lit(W)).as("wins"))
+      .select(col("doc_id"),
+        size(col("wins")).cast(LongType).as("n_windows"),
+        size(array_distinct(col("wins"))).cast(LongType).as("n_fingerprints"),
+        array_min(col("wins")).as("fp_global_min"),
+        array_max(col("wins")).as("fp_minimax"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_token_stats" -> tokenStats,
     "q27_quality_score" -> qualityScore,
     "q28_language_id" -> languageId,
     "q29_fingerprint" -> fingerprint,
-    "q45_word_topk" -> wordTopK)
+    "q45_word_topk" -> wordTopK,
+    "q59_winnow_fingerprint" -> winnowFingerprint)
 
   /** Every query here is oracle-checked. Determinism notes: ratios are a
     * single IEEE double division of integer-derived doubles (identical in
@@ -178,6 +202,26 @@ object TextAnalysis {
         |GROUP BY word
         |ORDER BY n_occurrences DESC, word
         |LIMIT 20""".stripMargin,
+    "q59_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |           FROM documents),
+        |bg AS (SELECT doc_id,
+        |         LIST_TRANSFORM(GENERATE_SERIES(0, GREATEST(LEN(toks)-2, 0)),
+        |           i -> CONCAT_WS(' ', toks[i+1], toks[i+2])) AS bigrams
+        |       FROM t),
+        |h AS (SELECT doc_id, LIST_TRANSFORM(bigrams,
+        |        b -> ('0x' || substring(md5(b),1,14))::BIGINT) AS hs FROM bg),
+        |w AS (SELECT doc_id,
+        |        LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(hs)-7, 1)),
+        |          i -> LIST_MIN(hs[i : i+7])) AS wins
+        |      FROM h)
+        |SELECT doc_id,
+        | CAST(LEN(wins) AS BIGINT) AS n_windows,
+        | CAST(LEN(LIST_DISTINCT(wins)) AS BIGINT) AS n_fingerprints,
+        | LIST_MIN(wins) AS fp_global_min,
+        | LIST_MAX(wins) AS fp_minimax
+        |FROM w
+        |ORDER BY doc_id""".stripMargin,
     "q29_fingerprint" ->
       """SELECT doc_id,
         | LIST_MIN(LIST_TRANSFORM(bigrams,

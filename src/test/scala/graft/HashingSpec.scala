@@ -108,6 +108,20 @@ class HashingSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowMins: sliding minima with clipped tail, >=1 window") {
+    def wins(w: Int, xs: Long*): Seq[Long] = {
+      val a = Hashing.winnowMins(new GenericArrayData(xs.toArray), w)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    assert(wins(3, 5, 1, 4, 2, 8) === Seq(1, 1, 2))
+    assert(wins(3, 9, 7) === Seq(7))  // shorter than window -> one clipped
+    assert(wins(1, 3, 1, 2) === Seq(3, 1, 2))
+    assert(wins(8, 42) === Seq(42))
+    // count = max(n - w + 1, 1)
+    for (n <- 1 to 10; w <- 1 to 4)
+      assert(wins(w, (1L to n.toLong): _*).size === math.max(n - w + 1, 1))
+  }
+
   test("simhash32 equals the signed-bit-count reference") {
     val cases = Seq(Seq.empty[Long], Seq(0L), Seq(1L, 3L, 7L),
       samples.map(hexPhash), Seq(Long.MaxValue >> 8, 42L, 42L))
