@@ -27,17 +27,23 @@ object Windows {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** Running (cumulative) quantity per supplier — frame-spec window. */
+  /** Running (cumulative) quantity per supplier — frame-spec window.
+    * The order carries l_quantity as a final tie-break: the synthetic
+    * corpus has duplicate (suppkey, shipdate, orderkey, linenumber)
+    * keys at sf0.1, and with l_quantity included any remaining ties
+    * are rows identical in every output column, so tie order cannot
+    * change the result multiset in either engine. */
   def runningQuantityPerSupplier(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     load(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("l_quantity"))
       .withColumn("running_qty", sum(d2(col("l_quantity"))).over(w).cast(DoubleType))
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
-        col("l_linenumber"))
+        col("l_linenumber"), col("l_quantity"))
   }
 
   /** Analytic functions: rank + lag over each customer's order history. */
@@ -117,11 +123,11 @@ object Windows {
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |   PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q18_window_analytics" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         | ROW_NUMBER() OVER w AS order_seq,
