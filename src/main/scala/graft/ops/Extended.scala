@@ -190,7 +190,21 @@ object Extended {
         "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, value)")
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** Fuzzy string matching: Levenshtein edit distance over name pairs
+    * (classic integer DP — bit-identical across engines). */
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val n = load(spark, dir, "nation").select(col("n_name"))
+    val a = n.select(col("n_name").as("name_a"))
+    val b = n.select(col("n_name").as("name_b"))
+    a.join(b, col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("dist") <= 7)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_levenshtein" -> levenshteinPairs,
     "q56_array_agg" -> arrayAgg,
     "q57_unpivot" -> unpivotMeasures,
     "q44_pivot" -> pivotOrders,
@@ -203,6 +217,12 @@ object Extended {
     "q52_percentiles" -> medians)
 
   val oracles: Map[String, String] = Map(
+    "q60_levenshtein" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        | CAST(LEVENSHTEIN(a.n_name, b.n_name) AS BIGINT) AS dist
+        |FROM nation a JOIN nation b ON a.n_name < b.n_name
+        |WHERE LEVENSHTEIN(a.n_name, b.n_name) <= 7
+        |ORDER BY name_a, name_b""".stripMargin,
     "q56_array_agg" ->
       """SELECT p_brand,
         | COUNT(DISTINCT p_type) AS n_types,

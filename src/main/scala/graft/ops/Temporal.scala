@@ -96,13 +96,77 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Daily revenue pre-aggregate shared by the gap-fill and
+    * moving-average queries: the 100 TB trick is that the window work
+    * happens AFTER aggregation shrinks the data to O(distinct days). */
+  private def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+
+  /** Time-series densification: generate the full day range, left-join
+    * the daily aggregate, zero-fill gaps. */
+  def gapFillDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
+    val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    days.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy(col("day"))
+  }
+
+  /** Trailing 7-day moving aggregate via a RANGE frame over the day
+    * index. Unpartitioned window — correct here because the daily
+    * pre-aggregate is O(days), tiny at any corpus scale. */
+  def movingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day_idx")).rangeBetween(-6, 0)
+    dailyRevenue(spark, dir)
+      .withColumn("day_idx",
+        datediff(col("day"), to_date(lit("1995-01-01"))))
+      .withColumn("rev_7d", sum(d2(col("revenue"))).over(w).cast(DoubleType))
+      .withColumn("n_days_7d", count(lit(1)).over(w))
+      .select(col("day"), col("revenue"), col("rev_7d"), col("n_days_7d"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join" -> asofJoin,
     "q38_range_join" -> rangeJoin,
     "q39_session_window" -> sessionWindows,
-    "q58_full_outer_join" -> fullOuterDaily)
+    "q58_full_outer_join" -> fullOuterDaily,
+    "q61_gapfill_days" -> gapFillDays,
+    "q62_moving_average" -> movingAverage)
+
+  private val dailySql =
+    """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q61_gapfill_days" ->
+      s"""WITH daily AS ($dailySql),
+        |days AS (SELECT UNNEST(GENERATE_SERIES(
+        |           (SELECT MIN(day) FROM daily),
+        |           (SELECT MAX(day) FROM daily),
+        |           INTERVAL 1 DAY))::DATE AS day)
+        |SELECT day,
+        | COALESCE(n_orders, 0) AS n_orders,
+        | COALESCE(revenue, 0.0) AS revenue
+        |FROM days LEFT JOIN daily USING (day)
+        |ORDER BY day""".stripMargin,
+    "q62_moving_average" ->
+      s"""WITH daily AS ($dailySql)
+        |SELECT day, revenue,
+        | CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_7d,
+        | COUNT(*) OVER w AS n_days_7d
+        |FROM daily
+        |WINDOW w AS (ORDER BY DATE_DIFF('day', DATE '1995-01-01', day)
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "q58_full_outer_join" ->
       """SELECT day,
         | COALESCE(n_clicks, 0) AS n_clicks,
