@@ -214,7 +214,21 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Multiset set operations (§2.8 completion): INTERSECT ALL keeps
+    * duplicate multiplicity min(a,b), EXCEPT ALL subtracts it —
+    * duplicates matter because o_custkey repeats across orders. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey").as("custkey"))
+    keys("O").intersectAll(keys("F")).exceptAll(keys("P"))
+      .groupBy(col("custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_set_ops_all" -> setOpsAll,
     "q01_pricing_summary" -> pricingSummary,
     "q02_revenue_filter" -> revenueFilter,
     "q03_top_orders" -> topUnshippedOrders,
@@ -232,6 +246,16 @@ object Relational {
     "q15_distinct_counts" -> distinctCounts)
 
   val oracles: Map[String, String] = Map(
+    "q63_set_ops_all" ->
+      """SELECT custkey, COUNT(*) AS multiplicity
+        |FROM (
+        |  (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |   INTERSECT ALL
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+        |GROUP BY custkey
+        |ORDER BY custkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
