@@ -80,12 +80,18 @@ object GasPrices {
     * double-load on reruns (SURVEY §2.10). */
   def writeCanonical(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    // chronological keep-last: the raw "10:42AM" token sorts wrongly as
+    // a string ("9:.." > "10:.."), so parse it to a time-of-day key
+    val tkey = try_to_timestamp(col("time"), lit("h:mma"))
     val w = Window.partitionBy(col("date"), col("station"))
-      .orderBy(col("time").desc, col("user").desc)
+      .orderBy(tkey.desc_nulls_last, col("time").desc, col("user").desc)
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
       .repartition(col("date"))
       .write.mode("overwrite")
+      // only partitions present in this batch are replaced; without
+      // this the (static) overwrite would truncate every earlier date
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("date")
       .parquet(path)
   }

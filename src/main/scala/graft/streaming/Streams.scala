@@ -85,7 +85,11 @@ object Streams {
     val agg = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .dropDuplicates("event_id")
+      // key on (event_id, event_type): keyed on event_id alone the
+      // survivor's type would be arrival-order-dependent whenever an
+      // id repeated under two types, diverging from the DISTINCT
+      // (event_id, event_type) oracle
+      .dropDuplicates("event_id", "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     val name = "graft_stream_dedup"

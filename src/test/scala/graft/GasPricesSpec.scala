@@ -84,4 +84,31 @@ class GasPricesSpec extends AnyFunSuite {
     assert(back.groupBy("date", "station").count()
       .filter(col("count") > 1).count() === 0)
   }
+
+  test("keep-last is chronological, not lexicographic on the time token") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gas-t").toString
+    // same station reported at 9:05AM then 1:15PM: "9:05AM" wins a
+    // string sort, but 1:15PM is the actual last write
+    val rows = Seq(("150.0", "9:05AM"), ("160.0", "1:15PM"))
+      .toDF("p", "time")
+      .select(col("p").cast("decimal(6,1)").as("price"), lit("S").as("station"),
+        lit("C").as("city"), col("time"), lit("u").as("user"),
+        lit(java.sql.Date.valueOf(day)).as("date"))
+    GasPrices.writeCanonical(rows, dir)
+    val kept = spark.read.parquet(dir)
+    assert(kept.count() === 1)
+    assert(kept.head.getAs[java.math.BigDecimal]("price").toString === "160.0")
+  }
+
+  test("writeCanonical overwrites only the partitions present in the batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gas-d").toString
+    GasPrices.writeCanonical(parsed, dir) // day 1
+    val day2 = parsed.withColumn("date",
+      lit(java.sql.Date.valueOf(day.plusDays(1))))
+    GasPrices.writeCanonical(day2, dir) // day 2 must not wipe day 1
+    val back = spark.read.parquet(dir)
+    assert(back.select("date").distinct().count() === 2)
+    assert(back.count() === 6)
+  }
 }

@@ -58,6 +58,12 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle_sql = json.load(open(f"{OUT}/oracle_sql.json"))
+    # Queries that threw in THIS Verify run: must FAIL even when a
+    # stale output dir from a previous run into the same outDir exists.
+    try:
+        failures = json.load(open(f"{OUT}/_failures.json"))
+    except FileNotFoundError:
+        failures = {}
     # Drive the loop from the union of registered oracles and produced
     # output dirs — a registered query whose Verify run threw (so wrote
     # no directory) must surface as FAIL, not silently vanish.
@@ -65,6 +71,10 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(set(oracle_sql) | out_dirs):
         d = os.path.join(OUT, name)
+        if name in failures:
+            print(f"FAIL {name}: Verify error: {failures[name]}")
+            n_fail += 1
+            continue
         if not os.path.isdir(d):
             print(f"FAIL {name}: query produced no output (Verify error?)")
             n_fail += 1
