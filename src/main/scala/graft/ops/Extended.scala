@@ -190,6 +190,28 @@ object Extended {
         "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, value)")
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** Partition pruning end-to-end: write events date-partitioned
+    * (repartitioned by day first so each partition is one file, the
+    * write-side hygiene that matters at 10k partitions), then read
+    * back filtered to the earliest day — the scan must touch ONE
+    * partition (PartitionFilters, pinned in PlanSpec). The single-row
+    * driver fetch of min(day) is a query parameter, not a data loop.
+    * This is the storage layout SURVEY §4 prescribes for the
+    * reference's date-filtered serving queries (P3). */
+  def partitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("day", to_date(col("ts")))
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_events_by_day$safe"
+    ev.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val minDay = ev.agg(min(col("day"))).head.getDate(0)
+    spark.read.parquet(out)
+      .filter(col("day") === lit(minDay))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fuzzy string matching: Levenshtein edit distance over name pairs
     * (classic integer DP — bit-identical across engines). */
   def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -204,6 +226,7 @@ object Extended {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_partition_pruning" -> partitionPruning,
     "q60_levenshtein" -> levenshteinPairs,
     "q56_array_agg" -> arrayAgg,
     "q57_unpivot" -> unpivotMeasures,
@@ -217,6 +240,14 @@ object Extended {
     "q52_percentiles" -> medians)
 
   val oracles: Map[String, String] = Map(
+    "q64_partition_pruning" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE DATE_TRUNC('day', ts) =
+        |      (SELECT MIN(DATE_TRUNC('day', ts)) FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q60_levenshtein" ->
       """SELECT a.n_name AS name_a, b.n_name AS name_b,
         | CAST(LEVENSHTEIN(a.n_name, b.n_name) AS BIGINT) AS dist

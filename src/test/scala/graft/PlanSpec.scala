@@ -81,6 +81,13 @@ class PlanSpec extends AnyFunSuite {
       l.contains("simhash32") && l.contains("*(")), plan)
   }
 
+  test("q64 scan prunes to one partition of the date-partitioned store") {
+    val plan = formatted(run("q64_partition_pruning"))
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    // the day filter must be a partition filter, not a data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(day)"), plan)
+  }
+
   test("q35 knn broadcasts the query side (no shuffle of the corpus)") {
     val plan = formatted(run("q35_knn_bruteforce"))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
