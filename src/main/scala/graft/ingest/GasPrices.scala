@@ -120,15 +120,22 @@ object GasPrices {
     * (/root/reference/dags/get_prices_load_{mongodb,postgres,minio,
     * elasticsearch}.py — the function is copy-pasted into each). The
     * engine extracts once and fans the cached batch out to every sink
-    * inside one `foreachBatch`, the Structured-Streaming idiom that
-    * also gives each sink the same exactly-once batch id. Sinks are
+    * once, the cached batch fans out to every sink. Sinks are
     * format-level (parquet canonical + JSON serving dir) since no
-    * store connectors exist in the zero-egress container. */
+    * store connectors exist in the zero-egress container. Both writes
+    * are rerun-idempotent via dynamic partition overwrite on the
+    * batch's date partitions — rerunning a day replaces that day in
+    * both sinks instead of double-loading it (the SURVEY §2.10 defect
+    * in the reference's append sinks). */
   def fanOut(df: DataFrame, parquetPath: String, jsonPath: String): Unit = {
     df.persist()
     try {
-      df.write.mode("append").partitionBy("date").parquet(parquetPath)
-      df.write.mode("append").json(jsonPath)
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date").parquet(parquetPath)
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date").json(jsonPath)
     } finally { df.unpersist(); () }
   }
 

@@ -53,7 +53,8 @@ object Extended {
     * explicit schema → aggregate. The aggregate must equal the direct
     * parquet path bit-for-bit. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip"
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip$safe"
     load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
       .write.mode("overwrite").option("header", "true").csv(out)
@@ -71,7 +72,8 @@ object Extended {
     * /root/reference/dags/get_prices_load_minio.py:77) → JSON files →
     * schema'd read → aggregate. */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip"
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip$safe"
     load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").json(out)
@@ -273,9 +275,9 @@ object Extended {
         |ORDER BY l_returnflag, metric""".stripMargin,
     "q44_pivot" ->
       """SELECT o_orderpriority,
-        | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,

@@ -70,7 +70,8 @@ class GasPricesSpec extends AnyFunSuite {
   test("fanOut writes one cached batch to every sink (no re-extract)") {
     val base = java.nio.file.Files.createTempDirectory("graft-fanout").toString
     GasPrices.fanOut(parsed, s"$base/parquet", s"$base/json")
-    assert(spark.read.parquet(s"$base/parquet").count() === 3)
+    GasPrices.fanOut(parsed, s"$base/parquet", s"$base/json") // rerun
+    assert(spark.read.parquet(s"$base/parquet").count() === 3) // not 6
     assert(spark.read.json(s"$base/json").count() === 3)
   }
 
