@@ -200,12 +200,65 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over the exact near-dup pairs (q33's edge
+    * set): duplicate CLUSTERS, not just pairs — the step a dedup
+    * pipeline needs before it can keep one canonical doc per group,
+    * since near-dup relations are not transitive (A~B, B~C but A!~C
+    * still belong to one retention group).
+    *
+    * Implementation is iterative min-label propagation: every node
+    * takes the minimum label among itself and its neighbors until
+    * fixpoint — O(component diameter) Spark jobs, each one shuffle on
+    * doc_id. `localCheckpoint` truncates lineage per iteration so the
+    * plan doesn't grow with the loop (the classic iterative-algorithm
+    * trap). Near-dup components are shallow (dup groups, not social
+    * graphs), so the diameter bound is small; for adversarial graphs
+    * at 100 TB swap in alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond" — PAPERS.md),
+    * which converges in O(log n) rounds with the same per-round join
+    * shape. The driver loop only ever collects one scalar (the changed
+    * count) per iteration — no data rides through the driver. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 50) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_min"))
+      val prev = labels.withColumnRenamed("label", "old_label")
+      val next = prev
+        .join(nbrMin, prev("id") === nbrMin("src"), "left")
+        .select(prev("id").as("id"),
+          least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = next.join(prev, "id")
+        .filter(col("label") =!= col("old_label")).count()
+      labels = next
+      iters += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    val out = labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+    edges.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> exactDedup,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash" -> simhash,
     "q33_ngram_jaccard" -> ngramJaccard,
-    "q53_ppjoin_jaccard" -> ppjoinJaccard)
+    "q53_ppjoin_jaccard" -> ppjoinJaccard,
+    "q67_dedup_clusters" -> dedupClusters)
 
   private val shinglesSql =
     """LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks)-2, 1)),
@@ -256,10 +309,14 @@ object Dedup {
     // q53 must produce the identical pair set to q33 — same oracle;
     // the Spark plans differ (full vs prefix-filtered inverted index).
     "q53_ppjoin_jaccard" -> jaccardOracle,
-    "q33_ngram_jaccard" -> jaccardOracle)
+    "q33_ngram_jaccard" -> jaccardOracle,
+    "q67_dedup_clusters" -> clustersOracle)
 
-  private lazy val jaccardOracle: String =
-      s"""WITH t AS ($toksSql),
+  /** Shared CTE prefix producing `common(doc_a, doc_b, na, nb, c)` —
+    * the exact-Jaccard pair computation both the pair oracles and the
+    * cluster oracle build on. */
+  private lazy val jaccardCommonCte: String =
+      s"""t AS ($toksSql),
         |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
         |inv AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n,
         |          UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS h
@@ -267,10 +324,32 @@ object Dedup {
         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |             a.n AS na, b.n AS nb, COUNT(*) AS c
         |           FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2, 3, 4)
+        |           GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private lazy val jaccardOracle: String =
+      s"""WITH $jaccardCommonCte
         |SELECT doc_a, doc_b,
         |  CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
         |FROM common
         |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Cluster labels via recursive transitive closure + min over the
+    * reachable set — SQL's declarative twin of the Spark-side label
+    * propagation (identical fixpoint by construction). */
+  private lazy val clustersOracle: String =
+      s"""WITH RECURSIVE $jaccardCommonCte,
+        |pairs AS (SELECT doc_a, doc_b FROM common
+        |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (SELECT src, dst FROM edges
+        |  UNION SELECT r.src, e.dst FROM reach r
+        |        JOIN edges e ON r.dst = e.src AND e.dst <> r.src),
+        |lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |        FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        |FROM lab
+        |ORDER BY doc_id""".stripMargin
 }

@@ -227,7 +227,44 @@ object Extended {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** GROUPING SETS: one pass computing the (flag, status) cube slice,
+    * the per-flag margin, and the grand total, with grouping_id
+    * disambiguating levels. Spark expands the sets inside a single
+    * hash aggregate (Expand + partial agg — not N scans), which is the
+    * reason to prefer it over UNION ALL of three aggregates at scale.
+    * NULL group keys are coalesced to a sentinel so cross-engine sort
+    * and hash semantics never see NULL ordering differences. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** ORC sink + source round-trip — same contract as the CSV/JSON
+    * round-trips: the aggregate over the re-read ORC must equal the
+    * direct parquet path bit-for-bit (the oracle runs on parquet). */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip$safe"
+    load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_grouping_sets" -> groupingSetsAgg,
+    "q72_orc_roundtrip" -> orcRoundtrip,
     "q64_partition_pruning" -> partitionPruning,
     "q60_levenshtein" -> levenshteinPairs,
     "q56_array_agg" -> arrayAgg,
@@ -242,6 +279,22 @@ object Extended {
     "q52_percentiles" -> medians)
 
   val oracles: Map[String, String] = Map(
+    "q65_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q72_orc_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "q64_partition_pruning" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

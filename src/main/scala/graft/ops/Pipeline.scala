@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Corpus-pipeline operators a large-scale training-data build needs
+  * beyond dedup/similarity (north-star extension, BASELINE.json): PII
+  * scrubbing + pseudonymization, deterministic hash sampling,
+  * train/val/test splitting, benchmark decontamination, and
+  * repetition-quality signals.
+  *
+  * The unifying scale decision: every sampling/splitting operator here
+  * is HASH-deterministic, not RNG-based. `sample(fraction, seed)` is
+  * partition-layout-dependent (a repartition changes the sample), while
+  * `phash(key) % N` assigns every row the same bucket on any cluster,
+  * any partitioning, any engine — reproducible pipelines and an exact
+  * DuckDB oracle for free. All per-row ops are codegen'd built-ins
+  * running at scan speed with full column pruning.
+  */
+object Pipeline {
+
+  private def tokens(c: Column): Column = split(trim(c), " +")
+
+  /** Stable per-document bucket in [0, n): portable 56-bit hash of the
+    * key rendered as a string (identical text in both engines). */
+  private def hashBucket(key: Column, n: Int): Column =
+    phash(key.cast(StringType)) % n
+
+  /** PII scrubbing + pseudonymization (the C4/CCNet-style redaction
+    * pass): mask digit runs in free-text identity fields, count what
+    * was masked (an audit signal), and derive a stable pseudonym key —
+    * the hash that lets downstream joins work without carrying the
+    * raw identifier. Single codegen'd projection, shuffle-free. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "\\d+", "<ID>").as("masked_name"),
+        length(regexp_replace(col("c_name"), "[^0-9]", ""))
+          .cast(LongType).as("n_masked_chars"),
+        phash(col("c_name")).as("pseudonym_key"))
+      .orderBy(col("c_custkey"))
+
+  /** Deterministic 5% corpus sample: keep rows whose key-hash bucket
+    * is 0 of 20. Unlike `DataFrame.sample`, the selection is a pure
+    * function of the row key — stable across partitionings, engines,
+    * and reruns, which is what makes a 100 TB eval slice auditable. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .filter(hashBucket(col("doc_id"), 20) === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Train/val/test split by key hash (8/1/1): the split is a property
+    * of the document, not of the run — adding or removing OTHER
+    * documents never moves a doc across splits (no leakage on corpus
+    * refresh). Emits per-split size/char/lang stats; the full split
+    * assignment rides the same projection at scale. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .withColumn("b", hashBucket(col("doc_id"), 10))
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    * flag training docs sharing any 5-gram with the benchmark set.
+    * Shingles are hashed to 8-byte keys ([[graft.Tables.phash]]) by
+    * the native codegen'd expressions, so the contamination join
+    * shuffles longs, not strings. The benchmark index is the SMALL
+    * side by construction (eval sets are fixed; the corpus grows), so
+    * it is broadcast — the training corpus never shuffles at all. At
+    * 100 TB the same shape works with the benchmark hash set
+    * distributed as a bloom filter when even the index outgrows
+    * broadcast. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        call_function("phash_array",
+          call_function("word_shingles", tokens(col("text")), lit(5)))
+          .as("shs"))
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("bench_id"), explode(col("shs")).as("h"))
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+    train.join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+        countDistinct(col("h")).as("n_shared_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition signals (Gopher-style quality rules): type-token ratio
+    * and most-frequent-token share per document. Two-level aggregation
+    * — explode to (doc, token), partial-agg counts, then per-doc
+    * rollup — so the token explosion shuffles only (doc_id, token,
+    * count) partials, never raw text. */
+  def repSignals(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+        (col("n_unique").cast(DoubleType) / col("n_tokens"))
+          .as("unique_ratio"),
+        (col("top_count").cast(DoubleType) / col("n_tokens"))
+          .as("top_token_share"),
+        (col("top_count").cast(DoubleType) / col("n_tokens") > 0.1)
+          .as("is_repetitive"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_pii_scrub" -> piiScrub,
+    "q68_hash_sample" -> hashSample,
+    "q69_train_split" -> trainSplit,
+    "q70_decontaminate" -> decontaminate,
+    "q71_rep_signals" -> repSignals)
+
+  private def bucketSql(key: String, n: Int): String =
+    s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
+
+  val oracles: Map[String, String] = Map(
+    "q66_pii_scrub" ->
+      s"""SELECT c_custkey,
+        | REGEXP_REPLACE(c_name, '\\d+', '<ID>', 'g') AS masked_name,
+        | LENGTH(REGEXP_REPLACE(c_name, '[^0-9]', '', 'g')) AS n_masked_chars,
+        | ${phashSql("c_name")} AS pseudonym_key
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q68_hash_sample" ->
+      s"""SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE ${bucketSql("doc_id", 20)} = 0
+        |ORDER BY doc_id""".stripMargin,
+    "q69_train_split" ->
+      s"""SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        | COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | COUNT(DISTINCT lang) AS n_langs
+        |FROM (SELECT *, ${bucketSql("doc_id", 10)} AS b FROM documents)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q70_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        LIST_DISTINCT(LIST_TRANSFORM(
+        |          GENERATE_SERIES(1, GREATEST(LEN(toks)-4, 1)),
+        |          i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2],
+        |                         toks[i+3], toks[i+4]))) AS sh
+        |      FROM t),
+        |h AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS h
+        |      FROM s)
+        |SELECT t.doc_id,
+        | COUNT(DISTINCT b.doc_id) AS n_bench_docs,
+        | COUNT(DISTINCT t.h) AS n_shared_shingles
+        |FROM h t JOIN h b ON t.h = b.h
+        | AND b.doc_id % 20 = 0 AND t.doc_id % 20 <> 0
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "q71_rep_signals" ->
+      """WITH tok AS (SELECT doc_id,
+        |               UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
+        |             FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id,
+        | CAST(SUM(c) AS BIGINT) AS n_tokens,
+        | COUNT(*) AS n_unique,
+        | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS unique_ratio,
+        | CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_token_share,
+        | (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)) > 0.1 AS is_repetitive
+        |FROM c
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -170,10 +170,54 @@ object Streams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Stream-stream inner join with event-time bounds: click→purchase
+    * attribution within 4 hours, per user. Both sides carry watermarks
+    * and the join condition carries the time bound — exactly what lets
+    * Spark expire join state on an unbounded run (state for a click is
+    * droppable once the watermark passes click_ts + 4h). Run with
+    * AvailableNow the finite input lands in one micro-batch, so the
+    * append-mode join emits every match and the batch oracle checks it
+    * exactly. The post-sink per-user rollup is batch (chaining an
+    * aggregation after a stream-stream join in one query is
+    * unsupported in append mode — the documented two-stage pattern). */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+        col("value"))
+      .withWatermark("buy_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""click_user = buy_user AND
+              buy_ts >= click_ts AND
+              buy_ts <= click_ts + interval 4 hours"""))
+    val name = "graft_stream_join"
+    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { q.stop(); deleteRecursively(ckpt.toFile) }
+    spark.table(name)
+      .groupBy(col("click_user").as("user_id"))
+      .agg(count(lit(1)).as("n_attributed"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_stream_hourly" -> streamHourly,
     "q42_custom_state_sessions" -> customStateSessions,
-    "q43_stream_dedup" -> streamDedup)
+    "q43_stream_dedup" -> streamDedup,
+    "q73_stream_join" -> streamJoin)
 
   /** q40 is identical to q25's oracle and q42 to q39's: the streaming /
     * custom-state runs must agree with the batch semantics
@@ -208,5 +252,14 @@ object Streams {
       """SELECT event_type, COUNT(*) AS n_events
         |FROM (SELECT DISTINCT event_id, event_type FROM events)
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    "q73_stream_join" ->
+      """SELECT a.user_id AS user_id, COUNT(*) AS n_attributed,
+        | CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin)
 }

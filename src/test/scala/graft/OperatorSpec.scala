@@ -102,4 +102,64 @@ class OperatorSpec extends AnyFunSuite {
       .filter(col("event_type") === "click").count()
     assert(a.count() === clicks)
   }
+
+  test("dedup clusters: both ends of every near-dup pair share a cluster") {
+    val clusters = run("q67_dedup_clusters")
+      .select(col("doc_id"), col("cluster_id")).persist()
+    val pairs = run("q33_ngram_jaccard").select(col("doc_a"), col("doc_b"))
+    val split = pairs
+      .join(clusters.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("cluster_id", "ca"), "doc_a")
+      .join(clusters.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("cluster_id", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split === 0, "a near-dup pair was split across clusters")
+    // cluster label is the minimum member id
+    val badLabel = clusters.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("mn"))
+      .filter(col("cluster_id") =!= col("mn")).count()
+    assert(badLabel === 0)
+    clusters.unpersist()
+    ()
+  }
+
+  test("train split covers the corpus exactly once with an 8/1/1 shape") {
+    val s = run("q69_train_split").collect()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(s.map(_.getLong(1)).sum === total)
+    assert(s.map(_.getString(0)).sorted.toSeq === Seq("test", "train", "val"))
+    val train = s.find(_.getString(0) == "train").get.getLong(1)
+    assert(train > total / 2, "train must be the dominant split")
+  }
+
+  test("hash sample rows satisfy the bucket predicate and are stable") {
+    val a = run("q68_hash_sample").collect().toSeq
+    val b = run("q68_hash_sample").collect().toSeq // rerun: identical
+    assert(a === b)
+    assert(a.nonEmpty && a.size < 100) // ~5% of 500
+  }
+
+  test("decontamination never flags a benchmark doc") {
+    val flagged = run("q70_decontaminate")
+      .filter(col("doc_id") % 20 === 0).count()
+    assert(flagged === 0)
+    assert(run("q70_decontaminate").count() > 0) // planted dups overlap
+  }
+
+  test("stream-stream join equals its batch twin exactly") {
+    val streamed = run("q73_stream_join")
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("value"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("interval 4 hours"))
+      .groupBy(col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        Tables.dsum(col("value")).as("sum_value"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
 }

@@ -93,4 +93,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q65 grouping sets expand into ONE aggregate pass, not N scans") {
+    val plan = formatted(run("q65_grouping_sets"))
+    assert(plan.contains("Expand"), plan)
+    // one scan of lineitem feeds all three grouping levels (the node
+    // detail header "(n) Scan parquet" appears once per scan node)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("q70 decontamination broadcasts the benchmark index") {
+    val plan = formatted(run("q70_decontaminate"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
