@@ -81,7 +81,25 @@ class OperatorSpec extends AnyFunSuite {
     val nBf = bf.count().toDouble
     val hit = bf.intersect(ann).count().toDouble
     assert(nBf > 0)
-    assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=2 of ~sqrt(n) lists
+    assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=8 of k=32 lists
+  }
+
+  test("tiled exact pair join equals the naive all-pairs formulation") {
+    val tiled = run("q34_embedding_neardup").collect().toSeq
+    val v = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", call_function("vec_dot", col("embedding"), col("embedding")))
+    val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("n2").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("n2").as("nb"))
+    val naive = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        call_function("vec_dot", col("ea"), col("eb")) / sqrt(col("na") * col("nb")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b")).collect().toSeq
+    assert(tiled === naive)
   }
 
   test("streaming hourly aggregation equals its batch twin exactly") {

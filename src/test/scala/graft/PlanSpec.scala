@@ -94,6 +94,17 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q34 exact pair join is tiled — no nested-loop or cartesian operator") {
+    val plan = formatted(run("q34_embedding_neardup"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q36 centroid sample is a heap top-k (fixed k, no full sort)") {
+    val plan = formatted(run("q36_ann_ivf"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q65 grouping sets expand into ONE aggregate pass, not N scans") {
     val plan = formatted(run("q65_grouping_sets"))
     assert(plan.contains("Expand"), plan)
