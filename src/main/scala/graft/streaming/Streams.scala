@@ -113,7 +113,15 @@ object Streams {
     * is the point of the unified API. Semantics (gap >= 30 min starts a
     * new session; session_end = last_ts + 30 min) match the native
     * session_window query q39 and its oracle exactly; sums are
-    * exact-decimal then one cast to double (graft.Tables contract). */
+    * exact-decimal then one cast to double (graft.Tables contract).
+    *
+    * Memory bound: flatMapGroupsWithState provides no secondary sort,
+    * so `it.toVector.sortBy` below buffers ONE KEY'S events in executor
+    * memory — the per-hot-key ceiling of this API. That is the standard
+    * shape for custom state machines; when the per-key history can be
+    * unbounded (a bot user at 100 TB), the bounded-state path is the
+    * native merge-based session_window aggregation (q39), which holds
+    * only open-session aggregates, not raw events. */
   case class Ev(user_id: Long, event_id: Long,
     ts: java.time.LocalDateTime, value: Double)
   case class Sess(user_id: Long, session_start: java.time.LocalDateTime,
@@ -170,6 +178,16 @@ object Streams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Deterministic file-sink + checkpoint locations keyed by dataset
+    * dir (the roundtrip-tmp-path convention): wiped at the start of
+    * each call so Bench reruns price the full computation and never
+    * resume a previous run's checkpoint. */
+  private[graft] def streamJoinPaths(dir: String): (String, String) = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    (s"${sys.props("java.io.tmpdir")}/graft_stream_join$safe",
+      s"${sys.props("java.io.tmpdir")}/graft_stream_join_ckpt$safe")
+  }
+
   /** Stream-stream inner join with event-time bounds: click→purchase
     * attribution within 4 hours, per user. Both sides carry watermarks
     * and the join condition carries the time bound — exactly what lets
@@ -177,9 +195,19 @@ object Streams {
     * droppable once the watermark passes click_ts + 4h). Run with
     * AvailableNow the finite input lands in one micro-batch, so the
     * append-mode join emits every match and the batch oracle checks it
-    * exactly. The post-sink per-user rollup is batch (chaining an
-    * aggregation after a stream-stream join in one query is
-    * unsupported in append mode — the documented two-stage pattern). */
+    * exactly.
+    *
+    * The matches land in a CHECKPOINTED PARQUET FILE SINK (SURVEY
+    * §2.2's exactly-once streaming sink): the checkpoint WAL plus the
+    * sink's _spark_metadata commit log give exactly-once file output
+    * across restarts, and — unlike a memory sink — the O(data)
+    * pre-aggregation match stream never resides on the driver; it goes
+    * executor → files. The per-user rollup then runs as a batch query
+    * over the committed files (chaining an aggregation after a
+    * stream-stream join in one query is unsupported in append mode —
+    * the documented two-stage pattern). Production keeps the
+    * checkpoint dir for restart; this entry point wipes it per call so
+    * reruns are self-contained. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src = spark.readStream.schema(schema)
@@ -197,17 +225,17 @@ object Streams {
       expr("""click_user = buy_user AND
               buy_ts >= click_ts AND
               buy_ts <= click_ts + interval 4 hours"""))
-    val name = "graft_stream_join"
-    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val q = joined.writeStream.format("memory").queryName(name)
+    val (out, ckpt) = streamJoinPaths(dir)
+    deleteRecursively(new java.io.File(out))
+    deleteRecursively(new java.io.File(ckpt))
+    val q = joined.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
       .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally { q.stop(); deleteRecursively(ckpt.toFile) }
-    spark.table(name)
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out)
       .groupBy(col("click_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"), dsum(col("value")).as("sum_value"))
       .orderBy(col("user_id"))

@@ -179,5 +179,14 @@ class OperatorSpec extends AnyFunSuite {
         Tables.dsum(col("value")).as("sum_value"))
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
+    // the raw match stream lands in the checkpointed FILE sink, not on
+    // the driver: the sink directory holds exactly the join's matches
+    val (out, _) = streaming.Streams.streamJoinPaths(sf)
+    val sunk = spark.read.parquet(out).count()
+    val nMatches = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("interval 4 hours")).count()
+    assert(sunk === nMatches && sunk > 0,
+      s"file sink holds $sunk rows, expected $nMatches")
   }
 }
