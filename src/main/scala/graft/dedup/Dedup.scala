@@ -200,57 +200,157 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** One alternating round of the Kiveris et al. star algorithm
+    * ("Connected Components in MapReduce and Beyond", PAPERS.md),
+    * operating on a deduplicated directed edge list.
+    *
+    * large-star: every node connects its LARGER neighbors to
+    * m(u) = min(Γ(u) ∪ {u}); small-star re-orients each edge
+    * large→small and connects u and its (smaller) neighbors to m(u).
+    * Alternating the two converges in O(log n) rounds to a forest of
+    * stars whose centers are the component minima — the
+    * adversarial-diameter (long-chain) complement to plain label
+    * propagation. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val m = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .withColumn("m", least(col("mn"), col("src")))
+    sym.join(m, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val m = or.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    or.join(m, "src")
+      .select(col("dst").as("v"), col("m"))
+      .union(m.select(col("src").as("v"), col("m")))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair list (first two
+    * columns = the two endpoint ids): every node labeled with the
+    * minimum id reachable from it.
+    *
+    * Two regimes behind one operator:
+    *  1. min-label propagation for up to `propagationBudget` rounds —
+    *     O(component diameter) rounds, ONE shuffle join + one count
+    *     over the localCheckpoint-materialized frame per round (the
+    *     changed-count rides in the propagation select; no second
+    *     join). Near-dup graphs are shallow, so this is the common
+    *     exit.
+    *  2. if the fixpoint is NOT reached in budget (adversarial
+    *     long-chain graphs), fall back to alternating
+    *     large-star/small-star contraction, which converges in
+    *     O(log n) rounds regardless of diameter — no silent wrong
+    *     labels at any depth.
+    * `localCheckpoint` truncates lineage each round so the plan never
+    * grows with the loop; the driver only ever sees per-round scalar
+    * counts — no data rides through the driver. */
+  def connectedComponents(pairs: DataFrame, propagationBudget: Int = 20): DataFrame = {
+    val Seq(a, b) = pairs.columns.take(2).toSeq
+    val p = pairs.select(col(a).as("src"), col(b).as("dst"))
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < propagationBudget) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.withColumnRenamed("label", "old_label")
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
+            .as("label"),
+          col("old_label"))
+        .localCheckpoint() // materializes: the count below is a re-scan, not a recompute
+      converged = next.filter(col("label") =!= col("old_label")).count() == 0
+      labels = next.drop("old_label")
+      iters += 1
+    }
+    if (!converged) {
+      // star contraction: converged when an alternating round leaves
+      // the edge set unchanged (compared via count + order-insensitive
+      // hash checksum of the materialized frames — two scalar scans)
+      var e = p.filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      def checksum(d: DataFrame): (Long, String) = {
+        // decimal(38,0) sum: ANSI-safe against long overflow at any size
+        val r = d.agg(count(lit(1)),
+          coalesce(sum(xxhash64(col("src"), col("dst")).cast(DecimalType(38, 0))),
+            lit(0)).cast(StringType)).head()
+        (r.getLong(0), r.getString(1))
+      }
+      var prev = checksum(e)
+      var stable = false
+      while (!stable) {
+        e = smallStar(largeStar(e)).localCheckpoint()
+        val cur = checksum(e)
+        stable = cur == prev
+        prev = cur
+      }
+      // at fixpoint e is a star forest pointing at component minima
+      val centers = e.groupBy(col("src")).agg(min(col("dst")).as("label"))
+      labels = edges.select(col("src").as("id")).distinct()
+        .join(centers, col("id") === centers("src"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    val out = labels.join(sizes, "label")
+      .select(col("id"), col("label"), col("n_members"))
+    edges.unpersist()
+    out
+  }
+
   /** Connected components over the exact near-dup pairs (q33's edge
     * set): duplicate CLUSTERS, not just pairs — the step a dedup
     * pipeline needs before it can keep one canonical doc per group,
     * since near-dup relations are not transitive (A~B, B~C but A!~C
-    * still belong to one retention group).
-    *
-    * Implementation is iterative min-label propagation: every node
-    * takes the minimum label among itself and its neighbors until
-    * fixpoint — O(component diameter) Spark jobs, each one shuffle on
-    * doc_id. `localCheckpoint` truncates lineage per iteration so the
-    * plan doesn't grow with the loop (the classic iterative-algorithm
-    * trap). Near-dup components are shallow (dup groups, not social
-    * graphs), so the diameter bound is small; for adversarial graphs
-    * at 100 TB swap in alternating large-star/small-star (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond" — PAPERS.md),
-    * which converges in O(log n) rounds with the same per-round join
-    * shape. The driver loop only ever collects one scalar (the changed
-    * count) per iteration — no data rides through the driver. */
+    * still belong to one retention group). Delegates to
+    * [[connectedComponents]] (label propagation with the
+    * large-star/small-star fallback for adversarial diameters). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < 50) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src"))
-        .agg(min(col("label")).as("nbr_min"))
-      val prev = labels.withColumnRenamed("label", "old_label")
-      val next = prev
-        .join(nbrMin, prev("id") === nbrMin("src"), "left")
-        .select(prev("id").as("id"),
-          least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
-            .as("label"))
-        .localCheckpoint()
-      changed = next.join(prev, "id")
-        .filter(col("label") =!= col("old_label")).count()
-      labels = next
-      iters += 1
-    }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
-    val out = labels.join(sizes, "label")
+    connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("n_members"))
       .orderBy(col("doc_id"))
-    edges.unpersist()
-    out
   }
+
+  /** Cluster-level MinHash signatures: per-doc codegen'd signatures
+    * rolled up per duplicate cluster with the mergeable
+    * [[graft.functions.MinHashMerge]] Aggregator — the signature of
+    * each cluster's shingle UNION, computed as a partial-aggregable
+    * element-wise min (map-side combine applies; no re-shingling of
+    * concatenated text). The signature is emitted comma-joined so the
+    * oracle compare stays scalar. */
+  def clusterMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val sigs = withSignature(spread(load(spark, dir, "documents")))
+    clusters.join(sigs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        minhashMergeAgg(col("sig")).as("csig"))
+      .select(col("cluster_id"), col("n_members"),
+        concat_ws(",", col("csig").cast(ArrayType(StringType))).as("cluster_sig"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private lazy val minhashMergeAgg =
+    udaf(graft.functions.MinHashMerge,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> exactDedup,
@@ -258,7 +358,8 @@ object Dedup {
     "q32_simhash" -> simhash,
     "q33_ngram_jaccard" -> ngramJaccard,
     "q53_ppjoin_jaccard" -> ppjoinJaccard,
-    "q67_dedup_clusters" -> dedupClusters)
+    "q67_dedup_clusters" -> dedupClusters,
+    "q74_cluster_minhash" -> clusterMinhash)
 
   private val shinglesSql =
     """LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks)-2, 1)),
@@ -310,7 +411,8 @@ object Dedup {
     // the Spark plans differ (full vs prefix-filtered inverted index).
     "q53_ppjoin_jaccard" -> jaccardOracle,
     "q33_ngram_jaccard" -> jaccardOracle,
-    "q67_dedup_clusters" -> clustersOracle)
+    "q67_dedup_clusters" -> clustersOracle,
+    "q74_cluster_minhash" -> clusterMinhashOracle)
 
   /** Shared CTE prefix producing `common(doc_a, doc_b, na, nb, c)` —
     * the exact-Jaccard pair computation both the pair oracles and the
@@ -334,11 +436,12 @@ object Dedup {
         |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Cluster labels via recursive transitive closure + min over the
-    * reachable set — SQL's declarative twin of the Spark-side label
-    * propagation (identical fixpoint by construction). */
-  private lazy val clustersOracle: String =
-      s"""WITH RECURSIVE $jaccardCommonCte,
+  /** Shared CTE chain ending in `lab(doc_id, cluster_id)` — cluster
+    * labels via recursive transitive closure + min over the reachable
+    * set, SQL's declarative twin of the Spark-side label propagation /
+    * star contraction (identical fixpoint by construction). */
+  private lazy val clusterLabCte: String =
+      s"""$jaccardCommonCte,
         |pairs AS (SELECT doc_a, doc_b FROM common
         |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -347,9 +450,26 @@ object Dedup {
         |  UNION SELECT r.src, e.dst FROM reach r
         |        JOIN edges e ON r.dst = e.src AND e.dst <> r.src),
         |lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-        |        FROM reach GROUP BY src)
+        |        FROM reach GROUP BY src)""".stripMargin
+
+  private lazy val clustersOracle: String =
+      s"""WITH RECURSIVE $clusterLabCte
         |SELECT doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM lab
         |ORDER BY doc_id""".stripMargin
+
+  /** q74: the per-cluster element-wise-min signature — each MIN(sig[i])
+    * mirrors one slot of the mergeable sketch aggregate. */
+  private lazy val clusterMinhashOracle: String =
+      s"""WITH RECURSIVE $clusterLabCte,
+        |h AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s),
+        |sig AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
+        |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
+        |        FROM h)
+        |SELECT lab.cluster_id, COUNT(*) AS n_members,
+        |  ARRAY_TO_STRING([${(1 to K).map(i => s"CAST(MIN(sig.sig[$i]) AS VARCHAR)").mkString(", ")}], ',') AS cluster_sig
+        |FROM lab JOIN sig ON lab.doc_id = sig.doc_id
+        |GROUP BY lab.cluster_id
+        |ORDER BY cluster_id""".stripMargin
 }

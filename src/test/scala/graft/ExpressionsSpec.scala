@@ -77,4 +77,52 @@ class ExpressionsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [simhash32"), plan)
   }
+
+  test("MinHashMerge is a lawful mergeable sketch: identity, commutative, associative") {
+    import functions.MinHashMerge
+    val K = functions.Hashing.K
+    def sig(seed: Long): Array[Long] =
+      Array.tabulate(K)(i => (seed * 31 + i * 7919) % 100000)
+    val (a, b, c) = (sig(3), sig(11), sig(42))
+    def m(x: Array[Long], y: Array[Long]): Array[Long] =
+      MinHashMerge.merge(MinHashMerge.reduce(MinHashMerge.zero, x),
+        MinHashMerge.reduce(MinHashMerge.zero, y))
+    // identity: zero merges to the element itself
+    assert(MinHashMerge.merge(MinHashMerge.zero, a.clone()).toSeq === a.toSeq)
+    // commutativity and associativity (fresh buffers each call — the
+    // aggregator mutates its left argument by contract)
+    assert(m(a.clone(), b.clone()).toSeq === m(b.clone(), a.clone()).toSeq)
+    assert(MinHashMerge.merge(m(a.clone(), b.clone()), c.clone()).toSeq ===
+      MinHashMerge.merge(a.clone(), m(b.clone(), c.clone())).toSeq)
+    // min-of-union law: merged signature == per-slot min
+    assert(m(a.clone(), b.clone()).toSeq ===
+      a.zip(b).map { case (x, y) => math.min(x, y) }.toSeq)
+    // null input signatures contribute nothing
+    assert(MinHashMerge.reduce(MinHashMerge.reduce(MinHashMerge.zero, a.clone()), null)
+      .toSeq === a.toSeq)
+  }
+
+  test("MinHashMerge udaf over groups equals the per-slot min of member signatures") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (1L, "a completely different sentence entirely here"),
+      (1L, "the quick brown fox jumps over the dog again"),
+      (2L, "another group with its own words")).toDF("g", "text")
+    val sigs = df.select(col("g"), call_function("minhash_sig",
+      call_function("phash_mod_array",
+        call_function("word_shingles", split(col("text"), " +"), lit(3)))).as("sig"))
+    val merged = sigs.repartition(8) // force partial aggregation + merge
+      .groupBy(col("g"))
+      .agg(udaf(functions.MinHashMerge,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())(col("sig"))
+        .as("msig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val bySlotMin = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .groupBy(_._1).map { case (g, ss) =>
+        g -> ss.map(_._2).reduce((x, y) =>
+          x.zip(y).map { case (p, q) => math.min(p, q) })
+      }
+    assert(merged.keySet === bySlotMin.keySet)
+    merged.foreach { case (g, s) => assert(s === bySlotMin(g)) }
+  }
 }

@@ -164,6 +164,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(run("q70_decontaminate").count() > 0) // planted dups overlap
   }
 
+  test("connected components: star contraction labels a 200-deep chain (budget exceeded)") {
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    // budget 3 << diameter 199 forces the large-star/small-star path
+    val cc = dedup.Dedup.connectedComponents(chain, propagationBudget = 3)
+      .persist()
+    assert(cc.count() === 200)
+    assert(cc.filter(col("label") =!= 0L).count() === 0,
+      "star contraction must label every chain node with the component min")
+    assert(cc.filter(col("n_members") =!= 200L).count() === 0)
+    // the two regimes agree when propagation IS allowed to converge
+    val viaProp = dedup.Dedup.connectedComponents(chain, propagationBudget = 250)
+      .orderBy("id").collect().toSeq
+    assert(cc.orderBy("id").collect().toSeq === viaProp)
+    cc.unpersist()
+  }
+
+  test("cluster minhash signature is the per-slot min over member signatures") {
+    val sigs = Tables.spread(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"), call_function("minhash_sig",
+        call_function("phash_mod_array",
+          call_function("word_shingles",
+            split(trim(col("text")), " +"), lit(3)))).as("sig"))
+    val got = run("q74_cluster_minhash").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val members = run("q67_dedup_clusters")
+      .join(sigs, "doc_id")
+      .select(col("cluster_id"), col("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).groupBy(_._1)
+    assert(got.keySet === members.keySet)
+    members.foreach { case (cid, ss) =>
+      val expect = ss.map(_._2).reduce((x, y) =>
+        x.zip(y).map { case (p, q) => math.min(p, q) })
+      assert(got(cid)._1 === ss.size.toLong)
+      assert(got(cid)._2 === expect.mkString(","))
+    }
+  }
+
   test("stream-stream join equals its batch twin exactly") {
     val streamed = run("q73_stream_join")
     val ev = Tables.events(spark, sf)
