@@ -126,16 +126,24 @@ object GasPrices {
     * are rerun-idempotent via dynamic partition overwrite on the
     * batch's date partitions — rerunning a day replaces that day in
     * both sinks instead of double-loading it (the SURVEY §2.10 defect
-    * in the reference's append sinks). */
+    * in the reference's append sinks).
+    *
+    * The JSON serving sink partitions by a DUPLICATED `dt` column so
+    * each record keeps `date` inline in its body — the reference's
+    * serving objects carry the date field
+    * (/root/reference/dags/get_prices_load_minio.py:75), and non-Spark
+    * consumers of the serving dir must not need partition-directory
+    * discovery to recover it. */
   def fanOut(df: DataFrame, parquetPath: String, jsonPath: String): Unit = {
     df.persist()
     try {
       df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date").parquet(parquetPath)
-      df.write.mode("overwrite")
+      df.withColumn("dt", col("date"))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("date").json(jsonPath)
+        .partitionBy("dt").json(jsonPath)
     } finally { df.unpersist(); () }
   }
 

@@ -73,6 +73,11 @@ class GasPricesSpec extends AnyFunSuite {
     GasPrices.fanOut(parsed, s"$base/parquet", s"$base/json") // rerun
     assert(spark.read.parquet(s"$base/parquet").count() === 3) // not 6
     assert(spark.read.json(s"$base/json").count() === 3)
+    // serving records carry the date INLINE in the body (reference
+    // serving-object shape) — not only in the dt=... directory name
+    val raw = spark.read.textFile(s"$base/json/dt=*/*.json")
+    assert(raw.count() === 3)
+    assert(raw.filter(_.contains("\"date\":")).count() === 3)
   }
 
   test("writeCanonical keeps last per (date, station) and reruns idempotently") {

@@ -202,6 +202,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("kafka source constructor builds the streaming plan when the connector is present") {
+    try {
+      val df = streaming.Streams.kafkaSource(spark, "localhost:9092", "events")
+      assert(df.isStreaming)
+      assert(df.columns.toSeq ===
+        Seq("key", "value", "topic", "partition", "offset", "timestamp"))
+    } catch {
+      case e: Exception
+          if String.valueOf(e.getMessage).contains("Failed to find data source: kafka") ||
+            String.valueOf(e.getMessage).contains("KAFKA") =>
+        cancel("spark-sql-kafka connector absent from the offline classpath " +
+          "(zero-egress container); the constructor is the code path a cluster runs")
+    }
+  }
+
   test("stream-stream join equals its batch twin exactly") {
     val streamed = run("q73_stream_join")
     val ev = Tables.events(spark, sf)
