@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -119,7 +120,34 @@ object Pipeline {
           .as("is_repetitive"))
       .orderBy(col("doc_id"))
 
+  /** Stratified quota sampling: an EXACT per-stratum quota (25 docs
+    * per language) selected in deterministic hash-priority order — the
+    * balanced-eval-set builder (equal representation per language/
+    * domain regardless of stratum skew), where a fraction-based sample
+    * would keep the corpus imbalance and an RNG one would be
+    * layout-dependent.
+    *
+    * Scale shape: one shuffle on the stratum key; the rank window
+    * sorts each stratum and only quota rows survive. Priority is a
+    * pure function of doc_id (the q68 hash-determinism contract), so
+    * the sample is stable across reruns and partitionings, and a
+    * corpus refresh only swaps a sampled doc when an inserted doc
+    * hash-sorts below the current quota boundary. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val n = 25
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("priority"), col("doc_id"))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        phash(col("doc_id").cast(StringType)).as("priority"))
+      .withColumn("sample_rank", row_number().over(w).cast(LongType))
+      .filter(col("sample_rank") <= n)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_stratified_sample" -> stratifiedSample,
     "q66_pii_scrub" -> piiScrub,
     "q68_hash_sample" -> hashSample,
     "q69_train_split" -> trainSplit,
@@ -130,6 +158,14 @@ object Pipeline {
     s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
 
   val oracles: Map[String, String] = Map(
+    "q75_stratified_sample" ->
+      s"""SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ${phashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 25
+        |ORDER BY lang, sample_rank""".stripMargin,
     "q66_pii_scrub" ->
       s"""SELECT c_custkey,
         | REGEXP_REPLACE(c_name, '\\d+', '<ID>', 'g') AS masked_name,

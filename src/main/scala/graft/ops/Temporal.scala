@@ -133,13 +133,44 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** SCD Type-2 history derivation: collapse each customer's
+    * status-change log into validity intervals — rows where the status
+    * differs from its predecessor open an interval
+    * (`valid_from` = change time), `valid_to` = the next change's
+    * start, NULL (+`is_current`) for the open tail. The reference's
+    * MinIO last-write-wins key (SCD1, q19) keeps only the latest
+    * state; this is the history-preserving twin every warehouse load
+    * eventually needs.
+    *
+    * Scale shape: ONE shuffle on the entity key — the change-detect
+    * lag window and the interval-close lead window share partitioning
+    * AND sort order, and the filter between them preserves both, so
+    * Catalyst plans a single exchange+sort feeding two window passes.
+    * The change log never leaves its partition. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderstatus").as("status"),
+        col("o_orderkey").as("anchor_orderkey"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("anchor_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join" -> asofJoin,
     "q38_range_join" -> rangeJoin,
     "q39_session_window" -> sessionWindows,
     "q58_full_outer_join" -> fullOuterDaily,
     "q61_gapfill_days" -> gapFillDays,
-    "q62_moving_average" -> movingAverage)
+    "q62_moving_average" -> movingAverage,
+    "q76_scd2_history" -> scd2History)
 
   private val dailySql =
     """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
@@ -147,6 +178,21 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q76_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    LAG(o_orderstatus) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |chg AS (SELECT * FROM ordered
+        |        WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus AS status,
+        |  o_orderkey AS anchor_orderkey, o_orderdate AS valid_from,
+        |  LEAD(o_orderdate) OVER w AS valid_to,
+        |  LEAD(o_orderdate) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, anchor_orderkey""".stripMargin,
     "q61_gapfill_days" ->
       s"""WITH daily AS ($dailySql),
         |days AS (SELECT UNNEST(GENERATE_SERIES(

@@ -105,6 +105,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q76 scd2 windows share one entity-key shuffle (lag + lead, one sort)") {
+    val df = run("q76_scd2_history")
+    val n = countShuffles(df.queryExecution.sparkPlan)
+    // exchange 1: hash partition by o_custkey feeding BOTH window
+    // passes; exchange 2: the final presentation orderBy. A plan that
+    // re-shuffled between lag and lead would show 3.
+    assert(n <= 2, s"expected <=2 shuffles, got $n:\n${df.queryExecution.sparkPlan}")
+  }
+
   test("q65 grouping sets expand into ONE aggregate pass, not N scans") {
     val plan = formatted(run("q65_grouping_sets"))
     assert(plan.contains("Expand"), plan)
