@@ -147,6 +147,32 @@ object GasPrices {
     } finally { df.unpersist(); () }
   }
 
+  /** Store compaction — the maintenance operator every long-running
+    * ingestion needs at scale: daily/streaming appends leave each date
+    * partition littered with small files, and at 100 TB the per-file
+    * open/footer/scheduling overhead comes to dominate scan time (the
+    * classic small-file problem). Rewrites the store with
+    * `targetPartitions` range-clustered tasks — ranged AND sorted on
+    * (date, station), so output files hold contiguous key runs and
+    * parquet min/max row-group stats support predicate skipping on the
+    * serving columns — into `outPath`, date-partitioned like the
+    * source.
+    *
+    * Writes to a NEW directory on purpose: Spark (correctly) refuses
+    * to overwrite a path it is simultaneously reading, and raw-parquet
+    * compaction is only atomic via the write-then-swap it forces;
+    * table formats (Delta/Iceberg) exist to make this transactional
+    * in place. */
+  def compactStore(spark: SparkSession, inPath: String, outPath: String,
+      targetPartitions: Int): Unit = {
+    spark.read.parquet(inPath)
+      .repartitionByRange(targetPartitions, col("date"), col("station"))
+      .sortWithinPartitions(col("date"), col("station"))
+      .write.mode("overwrite")
+      .partitionBy("date")
+      .parquet(outPath)
+  }
+
   /** Fixture page fragment shaped like the reference's source table
     * (README.md:12-23 sample values; UTF-8 accents intentional). */
   val fixtureHtml: String =

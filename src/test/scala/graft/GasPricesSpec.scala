@@ -80,6 +80,32 @@ class GasPricesSpec extends AnyFunSuite {
     assert(raw.filter(_.contains("\"date\":")).count() === 3)
   }
 
+  test("compactStore shrinks a fragmented store and preserves every row") {
+    def partFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // fragment: two ingest days, each scattered across 6 shuffled files
+    val twoDays = parsed.union(GasPrices.parse(
+      { import spark.implicits._
+        Seq((1L, GasPrices.fixtureHtml)).toDF("page_id", "html") },
+      day.plusDays(1)))
+    twoDays.repartition(6)
+      .write.partitionBy("date").parquet(s"$base/frag")
+    val before = partFiles(s"$base/frag").size
+    assert(before >= 6, s"fixture store not fragmented enough: $before files")
+    GasPrices.compactStore(spark, s"$base/frag", s"$base/tidy", 2)
+    val after = partFiles(s"$base/tidy").size
+    assert(after <= 3, s"compaction left $after files (was $before)")
+    // content identical (multiset)
+    val a = spark.read.parquet(s"$base/frag")
+    val b = spark.read.parquet(s"$base/tidy").select(a.columns.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("writeCanonical keeps last per (date, station) and reruns idempotently") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gas").toString
     val dup = parsed.union(parsed) // simulate a rerun double-load
