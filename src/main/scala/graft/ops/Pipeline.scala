@@ -146,7 +146,58 @@ object Pipeline {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** Sliding-window document chunking — the context-window preparation
+    * step of a training/embedding pipeline: split each document into
+    * CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE (overlap
+    * keeps boundary context). Pure per-row explode: no shuffle at all
+    * until a consumer aggregates, chunk count is
+    * ceil(max(n-C,0)/S)+1 (integer arithmetic, identical in both
+    * engines), tail chunks clip at the document end. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val C = 50
+    val S = 40
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("nch",
+        expr(s"(greatest(size(toks) - $C, 0) + ${S - 1}) div $S + 1"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("nch") - 1)))
+      .withColumn("chunk_start", col("chunk_idx") * S + 1)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        size(slice(col("toks"), col("chunk_start").cast(IntegerType), lit(C)))
+          .cast(LongType).as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("chunk_start").cast(IntegerType),
+          lit(C)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Deterministic sequence packing — assign documents to fixed token
+    * budgets (the pretraining batch packer): within each of 8 hash
+    * shards, documents are packed in id order by running token offset;
+    * a document belongs to the bin where its first token lands
+    * (`offset div BUDGET`, the streaming next-fit packer). Sharding is
+    * the scale decision: a GLOBAL running sum would serialize on one
+    * partition, while per-shard cumulative sums run in parallel and
+    * stay deterministic because shard assignment is a pure hash of
+    * doc_id — same packs on any cluster layout. Emits per-pack
+    * occupancy stats (the packer's quality signal). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("shard", hashBucket(col("doc_id"), 8))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_chunk_docs" -> chunkDocs,
+    "q78_pack_sequences" -> packSequences,
     "q75_stratified_sample" -> stratifiedSample,
     "q66_pii_scrub" -> piiScrub,
     "q68_hash_sample" -> hashSample,
@@ -158,6 +209,33 @@ object Pipeline {
     s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
 
   val oracles: Map[String, String] = Map(
+    "q77_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |             STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |           FROM documents),
+        |k AS (SELECT doc_id, toks,
+        |        (GREATEST(LEN(toks) - 50, 0) + 39) // 40 + 1 AS nch
+        |      FROM t)
+        |SELECT doc_id, i - 1 AS chunk_idx,
+        |  (i - 1) * 40 + 1 AS chunk_start,
+        |  LEN(toks[(i-1)*40+1 : (i-1)*40+50]) AS n_chunk_tokens,
+        |  ARRAY_TO_STRING(toks[(i-1)*40+1 : (i-1)*40+50], ' ') AS chunk_text
+        |FROM k, UNNEST(GENERATE_SERIES(1, nch)) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q78_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+        |             CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT) AS n_tok,
+        |             ${bucketSql("doc_id", 8)} AS shard
+        |           FROM documents),
+        |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT shard, (cum - n_tok) // 2000 AS pack_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q75_stratified_sample" ->
       s"""SELECT doc_id, lang, sample_rank FROM (
         |  SELECT doc_id, lang,
