@@ -176,6 +176,79 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Spherical k-means training for the IVF coarse quantizer — the
+    * quality upgrade over [[annIvf]]'s hash-order sample when recall
+    * matters: initialize with the same deterministic fixed-k hash
+    * sample, then run `iters` Lloyd rounds (assign each vector to its
+    * max-cosine centroid, recenter each cluster on its member mean —
+    * the spherical k-means update, which monotonically improves the
+    * average-cosine objective).
+    *
+    * Deterministic end to end: hash-order init, tie-broken argmax
+    * assignment, and exact-decimal mean accumulation would be overkill
+    * — the objective monotonicity (pinned in OperatorSpec) is the
+    * contract, not bit-equality, which is why this is a training
+    * OPERATOR rather than an oracle query (RNG-free but float-mean
+    * ordering differs across engines).
+    *
+    * Scale per round: one broadcast of k centroids (k is a config
+    * constant), one O(n·k) codegen'd assignment pass, one
+    * posexplode+groupBy partial-agg recenter that shuffles (cid, dim)
+    * partial sums — never raw vectors. Empty clusters keep their
+    * previous centroid (the standard guard). */
+  def trainIvfCentroids(spark: SparkSession, dir: String,
+      k: Int = IvfK, iters: Int = 3): DataFrame = {
+    val v = vecs(spark, dir)
+    var cent = v.orderBy(phash(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("n2").as("cn"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid").desc)
+      val assign = v.join(broadcast(cent), lit(true))
+        .withColumn("csim", cosine(dot(col("embedding"), col("ce")),
+          col("n2"), col("cn")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("cid"), col("embedding"))
+      val means = assign
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), e => e.getField("m").cast(FloatType)).as("ce"))
+        .withColumn("cn", dot(col("ce"), col("ce")))
+      // empty clusters (no assignment) keep their previous centroid
+      cent = cent.select(col("cid"), col("ce").as("prev_ce"), col("cn").as("prev_cn"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("ce"), col("prev_ce")).as("ce"),
+          coalesce(col("cn"), col("prev_cn")).as("cn"))
+        .localCheckpoint()
+    }
+    cent.select(col("cid"), col("ce").as("centroid"), col("cn").as("norm2"))
+      .orderBy(col("cid"))
+  }
+
+  /** Mean max-cosine of every vector to its nearest centroid — the
+    * (higher-is-better) spherical k-means objective, for recall/quality
+    * tracking of a trained quantizer. */
+  def quantizerObjective(spark: SparkSession, dir: String,
+      centroids: DataFrame): Double = {
+    val v = vecs(spark, dir)
+    val c = centroids.select(col("cid"), col("centroid").as("ce"),
+      col("norm2").as("cn"))
+    v.join(broadcast(c), lit(true))
+      .withColumn("csim", cosine(dot(col("embedding"), col("ce")),
+        col("n2"), col("cn")))
+      .groupBy(col("vec_id")).agg(max(col("csim")).as("best"))
+      .agg(avg(col("best"))).head().getDouble(0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embedding_neardup" -> embeddingNearDup,
     "q35_knn_bruteforce" -> knnBruteForce,

@@ -84,6 +84,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=8 of k=32 lists
   }
 
+  test("Lloyd training monotonically improves the quantizer objective") {
+    val k = 16
+    val c0 = sim.Similarity.trainIvfCentroids(spark, sf, k, iters = 0)
+    val c2 = sim.Similarity.trainIvfCentroids(spark, sf, k, iters = 2)
+    assert(c0.count() === k && c2.count() === k)
+    val o0 = sim.Similarity.quantizerObjective(spark, sf, c0)
+    val o2 = sim.Similarity.quantizerObjective(spark, sf, c2)
+    assert(o2 >= o0 - 1e-9,
+      s"training worsened the spherical k-means objective: $o0 -> $o2")
+    // training actually moved the centroids (not a no-op)
+    assert(o2 > o0, s"objective unchanged: $o0 -> $o2")
+  }
+
   test("tiled exact pair join equals the naive all-pairs formulation") {
     val tiled = run("q34_embedding_neardup").collect().toSeq
     val v = Tables.load(spark, sf, "embeddings")
