@@ -112,11 +112,57 @@ object Dedup {
     * narrow codegen'd pass ([[graft.functions.SimHash32]]); near-dup
     * lookup is then hamming distance on int keys. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashed(spark, dir)
+      .select(col("doc_id"), col("sh").as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** SimHash fingerprint per document (the q32 projection, reused by
+    * the near-dup pairing below). */
+  private def simhashed(spark: SparkSession, dir: String): DataFrame =
     spread(load(spark, dir, "documents"))
       .select(col("doc_id"),
         call_function("simhash32",
-          call_function("phash_array", tokens(col("text")))).as("simhash"))
-      .orderBy(col("doc_id"))
+          call_function("phash_array", tokens(col("text")))).as("sh"))
+
+  /** SimHash near-duplicate pairs (hamming distance <= 3) via LOSSLESS
+    * multi-index banding — Manku et al., WWW'07 "Detecting
+    * Near-Duplicates for Web Crawling" (PAPERS.md): split the 32-bit
+    * fingerprint into 4 disjoint 8-bit bands; a pair within distance 3
+    * can touch at most 3 bands, so by pigeonhole at least one band
+    * matches exactly and the band equi-join yields a candidate
+    * SUPERSET. `bit_count(xor)` verification is then exact — unlike
+    * LSH this blocking provably loses nothing.
+    *
+    * Scale: on near-uniform fingerprints a band matches a random pair
+    * with probability 2^-8, so 4 bands cut the verified pair stream
+    * ~64x; band width trades that factor against the guaranteed
+    * distance (b bands are lossless for hamming < b). This is the
+    * hamming-space counterpart of q53's prefix filter — and the
+    * pruning that q34's continuous cosine threshold provably cannot
+    * have. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhashed(spark, dir)
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
+    }: _*)
+    val bands = fp.select(col("doc_id"), col("sh"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val x = bands.alias("x")
+    val y = bands.alias("y")
+    x.join(y, col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .distinct() // a pair sharing several bands collides several times
+      .withColumn("hamming",
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Trigram-shingle Jaccard >= 0.5 via inverted-index self-join on
     * 56-bit shingle hashes: explode hashed shingles, equi-join on the
@@ -359,7 +405,8 @@ object Dedup {
     "q33_ngram_jaccard" -> ngramJaccard,
     "q53_ppjoin_jaccard" -> ppjoinJaccard,
     "q67_dedup_clusters" -> dedupClusters,
-    "q74_cluster_minhash" -> clusterMinhash)
+    "q74_cluster_minhash" -> clusterMinhash,
+    "q79_simhash_neardup" -> simhashNearDup)
 
   private val shinglesSql =
     """LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks)-2, 1)),
@@ -412,7 +459,23 @@ object Dedup {
     "q53_ppjoin_jaccard" -> jaccardOracle,
     "q33_ngram_jaccard" -> jaccardOracle,
     "q67_dedup_clusters" -> clustersOracle,
-    "q74_cluster_minhash" -> clusterMinhashOracle)
+    "q74_cluster_minhash" -> clusterMinhashOracle,
+    // exact answer: the oracle is the naive all-pairs formulation; only
+    // the Spark plan blocks by fingerprint bands (losslessly)
+    "q79_simhash_neardup" ->
+      s"""WITH t AS ($toksSql),
+        |s AS (SELECT doc_id,
+        |        CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 31), b ->
+        |          CASE WHEN LIST_SUM(LIST_TRANSFORM(
+        |                 LIST_TRANSFORM(toks, x -> ${phashSql("x")}), h ->
+        |                 CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+        |               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sh
+        |      FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(BIT_COUNT(XOR(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE BIT_COUNT(XOR(a.sh, b.sh)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** Shared CTE prefix producing `common(doc_a, doc_b, na, nb, c)` —
     * the exact-Jaccard pair computation both the pair oracles and the

@@ -97,6 +97,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(o2 > o0, s"objective unchanged: $o0 -> $o2")
   }
 
+  test("simhash band blocking is lossless: q79 equals the naive hamming filter") {
+    val blocked = run("q79_simhash_neardup").collect().toSeq
+    val fp = run("q32_simhash")
+    val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sha"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("shb"))
+    val naive = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    assert(blocked === naive)
+    assert(blocked.nonEmpty)
+  }
+
   test("tiled exact pair join equals the naive all-pairs formulation") {
     val tiled = run("q34_embedding_neardup").collect().toSeq
     val v = Tables.load(spark, sf, "embeddings")
