@@ -73,6 +73,25 @@ object GasPrices {
       lit(java.sql.Date.valueOf(runDate)).as("date"))
   }
 
+  /** P5's malformed-row metric (SURVEY §2.3: "count dropped rows to a
+    * metrics accumulator"): how many cell quadruples the zip truncation
+    * silently discarded — the number the reference can never report
+    * because its `zip()` hides the drop. Computed as (longest cell
+    * family) − (aligned rows) per page, summed; one aggregate pass per
+    * side, no accumulator-on-retry double-count hazard. */
+  def droppedRowCount(pages: DataFrame, runDate: LocalDate): Long = {
+    val families = Seq(
+      """<td[^>]*class="(?:greencell|redcell|pricecell)"[^>]*>(.*?)</td>""",
+      """<td[^>]*class="stationcell"[^>]*>(.*?)</td>""",
+      """<td[^>]*class="citycell"[^>]*>(.*?)</td>""",
+      """<td[^>]*class="usercell"[^>]*>(.*?)</td>""")
+    val longest = pages.select(
+      greatest(families.map(p =>
+        size(regexp_extract_all(col("html"), lit(p), lit(1)))): _*).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    longest - parse(pages, runDate).count()
+  }
+
   /** Canonical store write: date-partitioned parquet with the MinIO
     * sink's keep-last-per-(date,station) upsert semantics (K3,
     * dags/get_prices_load_minio.py:80) made explicit. Rerun-idempotent

@@ -67,6 +67,18 @@ class GasPricesSpec extends AnyFunSuite {
     assert(numMax === "166.4") // what graft serves
   }
 
+  test("droppedRowCount reports the zip-truncated rows the reference hides") {
+    import spark.implicits._
+    val pages = Seq((1L, GasPrices.fixtureHtml)).toDF("page_id", "html")
+    // fixture: 4 price cells, 3 complete rows -> exactly 1 dropped
+    assert(GasPrices.droppedRowCount(pages, day) === 1L)
+    // a complete page drops nothing
+    val complete = Seq((1L, GasPrices.fixtureHtml.linesIterator
+      .filterNot(_.contains("""pricecell">159.9""")).mkString("\n")))
+      .toDF("page_id", "html")
+    assert(GasPrices.droppedRowCount(complete, day) === 0L)
+  }
+
   test("fanOut writes one cached batch to every sink (no re-extract)") {
     val base = java.nio.file.Files.createTempDirectory("graft-fanout").toString
     GasPrices.fanOut(parsed, s"$base/parquet", s"$base/json")

@@ -114,6 +114,27 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= 2, s"expected <=2 shuffles, got $n:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("MinHashMerge aggregates partially (map-side combine before the shuffle)") {
+    import org.apache.spark.sql.functions._
+    // the udaf directly over a grouped frame — q74 itself spends its
+    // plan on the cluster loop, so pin the aggregate shape in isolation
+    val sigs = Tables.spread(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"), call_function("minhash_sig",
+        call_function("phash_mod_array",
+          call_function("word_shingles", split(trim(col("text")), " +"),
+            lit(3)))).as("sig"))
+    val agged = sigs
+      .groupBy((col("doc_id") % 7).as("g"))
+      .agg(udaf(graft.functions.MinHashMerge,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())(
+        col("sig")).as("msig"))
+    val plan = formatted(agged)
+    // ObjectHashAggregate appears twice: partial (before the exchange)
+    // and final (after) — the mergeable-sketch contract in the plan
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_minhashmerge"), plan)
+  }
+
   test("q65 grouping sets expand into ONE aggregate pass, not N scans") {
     val plan = formatted(run("q65_grouping_sets"))
     assert(plan.contains("Expand"), plan)
