@@ -88,6 +88,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("PushedFilters: [IsNotNull(day)"), plan)
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    run("q64_partition_pruning").collect() // materializes the partitioned store
+    val safe = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val fact = spark.read.parquet(
+      s"${sys.props("java.io.tmpdir")}/graft_events_by_day$safe")
+    val twoDays = fact.select(col("day")).distinct().orderBy(col("day"))
+      .limit(2).collect().map(_.getDate(0))
+    import spark.implicits._
+    // the dim must be a FILE source: a local relation constant-folds
+    // its filter away and leaves DPP nothing to hook
+    val dimPath = s"${sys.props("java.io.tmpdir")}/graft_dpp_dim$safe"
+    Seq((twoDays(0), "keep"), (twoDays(1), "drop")).toDF("d", "flag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.filter(col("flag") === "keep"),
+      fact("day") === dim("d"))
+      .groupBy(col("event_type")).count()
+    val plan = formatted(joined)
+    // the fact scan's PartitionFilters must carry a runtime
+    // (dynamicpruning) predicate fed by the dim filter — at 10k
+    // partitions this is the difference between 1 and all partitions
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
   test("q35 knn broadcasts the query side (no shuffle of the corpus)") {
     val plan = formatted(run("q35_knn_bruteforce"))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
