@@ -192,6 +192,34 @@ object GasPrices {
       .parquet(outPath)
   }
 
+  /** Partition retention — the expiry half of store maintenance: drop
+    * date partitions older than `keepFrom` from a date-partitioned
+    * store by deleting their directories, never rewriting the kept
+    * data. Partition-dir deletion is the only sane expiry at 100 TB
+    * (a filtered rewrite would cost a full copy of everything kept);
+    * the date partitioning exists precisely so retention is O(dropped
+    * partitions). Returns the number of partitions dropped. The
+    * directory delete is atomic per partition; as with
+    * [[compactStore]], table formats make the multi-partition batch
+    * transactional — raw parquet callers expire from oldest forward so
+    * any interruption leaves a contiguous retained range. */
+  def expirePartitions(path: String, keepFrom: LocalDate): Long = {
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+      .sortBy(_.getName)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete(): Unit
+    }
+    parts.count { d =>
+      val day = LocalDate.parse(d.getName.stripPrefix("date="))
+      val drop = day.isBefore(keepFrom)
+      if (drop) del(d)
+      drop
+    }.toLong
+  }
+
   /** Fixture page fragment shaped like the reference's source table
     * (README.md:12-23 sample values; UTF-8 accents intentional). */
   val fixtureHtml: String =

@@ -118,6 +118,24 @@ class GasPricesSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("expirePartitions drops only stale date partitions, without a rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-expire").toString + "/store"
+    val threeDays = (0 to 2).map(i => GasPrices.parse(
+      { import spark.implicits._
+        Seq((1L, GasPrices.fixtureHtml)).toDF("page_id", "html") },
+      day.plusDays(i))).reduce(_ union _)
+    threeDays.write.partitionBy("date").parquet(dir)
+    assert(spark.read.parquet(dir).select("date").distinct().count() === 3)
+    val dropped = GasPrices.expirePartitions(dir, day.plusDays(1))
+    assert(dropped === 1L)
+    val kept = spark.read.parquet(dir)
+    assert(kept.select("date").distinct().count() === 2)
+    assert(kept.filter(col("date") < java.sql.Date.valueOf(day.plusDays(1)))
+      .count() === 0)
+    // idempotent: nothing further to expire
+    assert(GasPrices.expirePartitions(dir, day.plusDays(1)) === 0L)
+  }
+
   test("writeCanonical keeps last per (date, station) and reruns idempotently") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gas").toString
     val dup = parsed.union(parsed) // simulate a rerun double-load
