@@ -14,6 +14,14 @@ object Verify {
     // SPARK_GRAFT_QUERIES=q34_embedding_neardup,q36_ann_ivf
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd filter silently selecting nothing would read as a clean
+    // pass — surface it
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: SPARK_GRAFT_QUERIES names not registered: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failures = selected.flatMap { case (name, fn) =>

@@ -76,6 +76,23 @@ object Dedup {
       call_function("minhash_sig", shingleHashes(col("text"), mod = true))
         .as("sig"))
 
+  /** Band-blocked candidate pairs: self-join of (doc_id, band, bkey,
+    * payload) on the band key with doc_id ordering, deduped — the
+    * shared skeleton of MinHash LSH (q31) and SimHash banding (q79).
+    * The payload column rides along as <payload>_a/<payload>_b for the
+    * verification step. */
+  private def bandedPairs(bands: DataFrame, payload: String): DataFrame = {
+    val x = bands.alias("x")
+    val y = bands.alias("y")
+    x.join(y, col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col(s"x.$payload").as(s"${payload}_a"),
+        col(s"y.$payload").as(s"${payload}_b"))
+      .distinct()
+  }
+
   /** MinHash + LSH near-duplicate pairs: band-key equi-join produces
     * candidates; the signature-estimated Jaccard >= 0.5 confirms. The
     * band join is the scale path — pair generation never touches
@@ -91,16 +108,9 @@ object Dedup {
       .select(col("doc_id"), col("sig"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
-    val x = bands.alias("x")
-    val y = bands.alias("y")
-    x.join(y, col("x.band") === col("y.band") &&
-        col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sa"), col("y.sig").as("sb"))
-      .distinct()
+    bandedPairs(bands, "sig")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
           m => m)).cast(DoubleType) / lit(K.toDouble))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
@@ -149,16 +159,9 @@ object Dedup {
     val bands = fp.select(col("doc_id"), col("sh"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
-    val x = bands.alias("x")
-    val y = bands.alias("y")
-    x.join(y, col("x.band") === col("y.band") &&
-        col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sh").as("sha"), col("y.sh").as("shb"))
-      .distinct() // a pair sharing several bands collides several times
+    bandedPairs(bands, "sh")
       .withColumn("hamming",
-        bit_count(col("sha").bitwiseXOR(col("shb"))).cast(LongType))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -340,11 +343,23 @@ object Dedup {
       }
       var prev = checksum(e)
       var stable = false
+      var rounds = 0
       while (!stable) {
-        e = smallStar(largeStar(e)).localCheckpoint()
-        val cur = checksum(e)
-        stable = cur == prev
+        rounds += 1
+        // O(log n) rounds expected (Kiveris et al.); far past that is a
+        // regression in the star ops — fail loudly, never spin or emit
+        // unconverged labels
+        require(rounds <= 64,
+          s"star contraction did not converge after $rounds rounds")
+        val next = smallStar(largeStar(e)).localCheckpoint()
+        val cur = checksum(next)
+        // checksum equality is only necessary; confirm with an exact
+        // multiset compare (runs ~once, at the end) so a 64-bit hash
+        // collision can never bless a non-fixpoint as converged
+        stable = cur == prev &&
+          next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
         prev = cur
+        e = next
       }
       // at fixpoint e is a star forest pointing at component minima
       val centers = e.groupBy(col("src")).agg(min(col("dst")).as("label"))

@@ -41,19 +41,22 @@ object GasPrices {
     * time/user) cell quadruple. Input: one row per page in `pages`
     * column `html`; a page id column `page_id` keeps ordinals
     * page-local. */
+  /** The four cell families (S2) — single source of truth shared by
+    * [[parse]] and the [[droppedRowCount]] metric so the regexes can
+    * never desynchronize. */
+  private val cellFamilies: Seq[(String, String)] = Seq(
+    ("price_raw", """<td[^>]*class="(?:greencell|redcell|pricecell)"[^>]*>(.*?)</td>"""),
+    ("station_raw", """<td[^>]*class="stationcell"[^>]*>(.*?)</td>"""),
+    ("city_raw", """<td[^>]*class="citycell"[^>]*>(.*?)</td>"""),
+    ("timeuser_raw", """<td[^>]*class="usercell"[^>]*>(.*?)</td>"""))
+
+  private def cells(pattern: String): Column =
+    regexp_extract_all(col("html"), lit(pattern), lit(1))
+
   def parse(pages: DataFrame, runDate: LocalDate): DataFrame = {
-    def cells(pattern: String): Column =
-      regexp_extract_all(col("html"), lit(pattern), lit(1))
-
-    val families = Seq(
-      ("price_raw", """<td[^>]*class="(?:greencell|redcell|pricecell)"[^>]*>(.*?)</td>"""),
-      ("station_raw", """<td[^>]*class="stationcell"[^>]*>(.*?)</td>"""),
-      ("city_raw", """<td[^>]*class="citycell"[^>]*>(.*?)</td>"""),
-      ("timeuser_raw", """<td[^>]*class="usercell"[^>]*>(.*?)</td>"""))
-
     // One posexplode per family; inner join on (page_id, pos) aligns the
     // four lists and drops unmatched tails — the reference's zip().
-    val exploded = families.map { case (name, pat) =>
+    val exploded = cellFamilies.map { case (name, pat) =>
       pages.select(col("page_id"),
         posexplode(cells(pat)).as(Seq("pos", name)))
     }
@@ -75,21 +78,15 @@ object GasPrices {
 
   /** P5's malformed-row metric (SURVEY §2.3: "count dropped rows to a
     * metrics accumulator"): how many cell quadruples the zip truncation
-    * silently discarded — the number the reference can never report
-    * because its `zip()` hides the drop. Computed as (longest cell
-    * family) − (aligned rows) per page, summed; one aggregate pass per
-    * side, no accumulator-on-retry double-count hazard. */
-  def droppedRowCount(pages: DataFrame, runDate: LocalDate): Long = {
-    val families = Seq(
-      """<td[^>]*class="(?:greencell|redcell|pricecell)"[^>]*>(.*?)</td>""",
-      """<td[^>]*class="stationcell"[^>]*>(.*?)</td>""",
-      """<td[^>]*class="citycell"[^>]*>(.*?)</td>""",
-      """<td[^>]*class="usercell"[^>]*>(.*?)</td>""")
-    val longest = pages.select(
-      greatest(families.map(p =>
-        size(regexp_extract_all(col("html"), lit(p), lit(1)))): _*).as("n"))
-      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    longest - parse(pages, runDate).count()
+    * silently discards — the number the reference can never report
+    * because its `zip()` hides the drop. Per page the aligned row count
+    * is the SHORTEST family, so dropped = greatest − least, summed in
+    * one narrow aggregate pass (no re-parse, no accumulator-on-retry
+    * double-count hazard); regexes shared with [[parse]]. */
+  def droppedRowCount(pages: DataFrame): Long = {
+    val counts = cellFamilies.map { case (_, p) => size(cells(p)) }
+    pages.select((greatest(counts: _*) - least(counts: _*)).as("d"))
+      .agg(coalesce(sum(col("d")), lit(0L))).head().getLong(0)
   }
 
   /** Canonical store write: date-partitioned parquet with the MinIO
@@ -203,21 +200,27 @@ object GasPrices {
     * [[compactStore]], table formats make the multi-partition batch
     * transactional — raw parquet callers expire from oldest forward so
     * any interruption leaves a contiguous retained range. */
-  def expirePartitions(path: String, keepFrom: LocalDate): Long = {
-    val root = new java.io.File(path)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("date="))
-      .sortBy(_.getName)
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-      f.delete(): Unit
-    }
-    parts.count { d =>
-      val day = LocalDate.parse(d.getName.stripPrefix("date="))
-      val drop = day.isBefore(keepFrom)
-      if (drop) del(d)
-      drop
-    }.toLong
+  def expirePartitions(spark: SparkSession, path: String,
+      keepFrom: LocalDate): Long = {
+    // Hadoop FS, not java.io: the same call works on hdfs://, s3a://,
+    // and local paths (everything else in this store layer goes
+    // through Spark's Hadoop filesystem too)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .sortBy(_.getPath.getName)
+      .count { d =>
+        val name = d.getPath.getName.stripPrefix("date=")
+        // non-date partition dirs (e.g. a null-date sentinel) are kept
+        val day = try Some(LocalDate.parse(name)) catch {
+          case _: java.time.format.DateTimeParseException => None
+        }
+        // count only deletes that actually succeeded — a partition the
+        // FS refuses to remove must not be reported as expired
+        day.exists(_.isBefore(keepFrom)) && fs.delete(d.getPath, true)
+      }.toLong
   }
 
   /** Fixture page fragment shaped like the reference's source table

@@ -212,11 +212,14 @@ object Similarity {
           col("n2"), col("cn")))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
-        .select(col("cid"), col("embedding"))
+        .select(col("cid"), col("embedding"), col("n2"))
+      // spherical k-means recenters on the mean of NORMALIZED members
+      // (mean direction): a raw mean would weight members by norm and
+      // can worsen the unweighted average-cosine objective
       val means = assign
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("cid"), col("n2"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(avg(col("x") / sqrt(col("n2"))).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),

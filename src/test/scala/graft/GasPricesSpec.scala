@@ -71,12 +71,15 @@ class GasPricesSpec extends AnyFunSuite {
     import spark.implicits._
     val pages = Seq((1L, GasPrices.fixtureHtml)).toDF("page_id", "html")
     // fixture: 4 price cells, 3 complete rows -> exactly 1 dropped
-    assert(GasPrices.droppedRowCount(pages, day) === 1L)
+    assert(GasPrices.droppedRowCount(pages) === 1L)
+    // the metric agrees with what parse actually drops
+    assert(GasPrices.droppedRowCount(pages) ===
+      4L - GasPrices.parse(pages, day).count())
     // a complete page drops nothing
     val complete = Seq((1L, GasPrices.fixtureHtml.linesIterator
       .filterNot(_.contains("""pricecell">159.9""")).mkString("\n")))
       .toDF("page_id", "html")
-    assert(GasPrices.droppedRowCount(complete, day) === 0L)
+    assert(GasPrices.droppedRowCount(complete) === 0L)
   }
 
   test("fanOut writes one cached batch to every sink (no re-extract)") {
@@ -126,14 +129,14 @@ class GasPricesSpec extends AnyFunSuite {
       day.plusDays(i))).reduce(_ union _)
     threeDays.write.partitionBy("date").parquet(dir)
     assert(spark.read.parquet(dir).select("date").distinct().count() === 3)
-    val dropped = GasPrices.expirePartitions(dir, day.plusDays(1))
+    val dropped = GasPrices.expirePartitions(spark, dir, day.plusDays(1))
     assert(dropped === 1L)
     val kept = spark.read.parquet(dir)
     assert(kept.select("date").distinct().count() === 2)
     assert(kept.filter(col("date") < java.sql.Date.valueOf(day.plusDays(1)))
       .count() === 0)
     // idempotent: nothing further to expire
-    assert(GasPrices.expirePartitions(dir, day.plusDays(1)) === 0L)
+    assert(GasPrices.expirePartitions(spark, dir, day.plusDays(1)) === 0L)
   }
 
   test("writeCanonical keeps last per (date, station) and reruns idempotently") {
