@@ -229,7 +229,7 @@ object Pipeline {
         |           FROM documents),
         |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |                ROWS UNBOUNDED PRECEDING) AS cum FROM d)
-        |SELECT shard, (cum - n_tok) // 2000 AS pack_id,
+        |SELECT shard, CAST((cum - n_tok) // 2000 AS BIGINT) AS pack_id,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

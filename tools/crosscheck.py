@@ -42,6 +42,16 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame):
     mine, oracle = canon(mine), canon(oracle)
     if list(mine.columns) != list(oracle.columns):
         return f"SCHEMA cols mine={list(mine.columns)} oracle={list(oracle.columns)}"
+    # The driver hashes RENDERED values, so an int column on one side and
+    # a float on the other (e.g. DuckDB HUGEINT from SUM(BIGINT) -> pandas
+    # float64) hash-mismatches even when values compare equal ("0" vs
+    # "0.0"). Mirror that strictness: numeric KIND must agree per column.
+    for c in mine.columns:
+        mi, oi = pd.api.types.is_integer_dtype(mine[c]), pd.api.types.is_integer_dtype(oracle[c])
+        mf, of = pd.api.types.is_float_dtype(mine[c]), pd.api.types.is_float_dtype(oracle[c])
+        if (mi and of) or (mf and oi):
+            return (f"DTYPE col={c}: mine={mine[c].dtype} oracle={oracle[c].dtype}"
+                    " (cast the oracle aggregate to BIGINT/DOUBLE explicitly)")
     if len(mine) != len(oracle):
         return f"ROWS mine={len(mine)} oracle={len(oracle)}"
     for c in mine.columns:
