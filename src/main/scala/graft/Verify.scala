@@ -25,7 +25,7 @@ object Verify {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failures = selected.flatMap { case (name, fn) =>
-      try {
+      val r = try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         None
@@ -33,6 +33,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Some(name -> s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
       }
+      // free blocks the finished query persisted/localCheckpoint'ed —
+      // the result is on disk, nothing live depends on them (see Bench)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      r
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
