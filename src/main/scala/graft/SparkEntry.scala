@@ -26,6 +26,8 @@ object SparkEntry {
     (sim.Similarity.queries, sim.Similarity.oracles),
     (ops.Temporal.queries, ops.Temporal.oracles),
     (ops.Extended.queries, ops.Extended.oracles),
+    (ops.Incremental.queries, ops.Incremental.oracles),
+    (ops.Layout.queries, ops.Layout.oracles),
     (ops.Pipeline.queries, ops.Pipeline.oracles),
     (streaming.Streams.queries, streaming.Streams.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles))

@@ -81,6 +81,13 @@ object Pipeline {
     * distributed as a bloom filter when even the index outgrows
     * broadcast. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val (bench, train) = benchTrainShingles(spark, dir)
+    contaminationRollup(train.join(broadcast(bench), "h"))
+  }
+
+  /** (bench, train) exploded 5-gram shingle-hash streams — the shared
+    * front half of q70 and q81. */
+  private def benchTrainShingles(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"),
         call_function("phash_array",
@@ -90,11 +97,37 @@ object Pipeline {
       .select(col("doc_id").as("bench_id"), explode(col("shs")).as("h"))
     val train = docs.filter(col("doc_id") % 20 =!= 0)
       .select(col("doc_id"), explode(col("shs")).as("h"))
-    train.join(broadcast(bench), "h")
-      .groupBy(col("doc_id"))
+    (bench, train)
+  }
+
+  private def contaminationRollup(matches: DataFrame): DataFrame =
+    matches.groupBy(col("doc_id"))
       .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
         countDistinct(col("h")).as("n_shared_shingles"))
       .orderBy(col("doc_id"))
+
+  /** Bloom-pruned decontamination — q70's documented overflow path made
+    * real: when even the benchmark hash INDEX outgrows a broadcast hash
+    * join, ship a fixed 128 KiB [[graft.functions.Sketches.BloomAgg]]
+    * bitset instead and discard the (vast) non-colliding majority of
+    * corpus shingles at scan speed; only survivors enter the exact
+    * join. The Bloom filter has NO false negatives, so every truly
+    * shared shingle survives the prune and the final exact join + exact
+    * rollup produce byte-identical output to q70 — same oracle, scale
+    * plan for when the eval suite is 10^8 shingles.
+    *
+    * Plan shape: sketch build is one partially-aggregated pass over the
+    * bench side (map-side partial Bloom bitsets OR-merged, 128 KiB
+    * total); the probe is codegen'd Column arithmetic over the
+    * broadcast array — no UDF, no driver residency beyond the bitset. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val (bench, train) = benchTrainShingles(spark, dir)
+    val bloom = bench.agg(Sketches.bloomAgg(col("h")).as("bf"))
+    val pruned = train.join(broadcast(bloom))
+      .filter(Sketches.bloomMightContain(col("h"), col("bf")))
+      .drop("bf")
+    contaminationRollup(pruned.join(broadcast(bench), "h"))
   }
 
   /** Repetition signals (Gopher-style quality rules): type-token ratio
@@ -203,7 +236,8 @@ object Pipeline {
     "q68_hash_sample" -> hashSample,
     "q69_train_split" -> trainSplit,
     "q70_decontaminate" -> decontaminate,
-    "q71_rep_signals" -> repSignals)
+    "q71_rep_signals" -> repSignals,
+    "q81_bloom_decontaminate" -> bloomDecontaminate)
 
   private def bucketSql(key: String, n: Int): String =
     s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
@@ -265,7 +299,26 @@ object Pipeline {
         |FROM (SELECT *, ${bucketSql("doc_id", 10)} AS b FROM documents)
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
-    "q70_decontaminate" ->
+    // q81 is the Bloom-pruned PLAN of the same exact computation — the
+    // prune is lossless (no false negatives), so one oracle serves both.
+    "q70_decontaminate" -> decontaminateOracle,
+    "q81_bloom_decontaminate" -> decontaminateOracle,
+    "q71_rep_signals" ->
+      """WITH tok AS (SELECT doc_id,
+        |               UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
+        |             FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id,
+        | CAST(SUM(c) AS BIGINT) AS n_tokens,
+        | COUNT(*) AS n_unique,
+        | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS unique_ratio,
+        | CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_token_share,
+        | (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)) > 0.1 AS is_repetitive
+        |FROM c
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)
+
+  private lazy val decontaminateOracle: String =
       s"""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
         |           FROM documents),
         |s AS (SELECT doc_id,
@@ -283,19 +336,5 @@ object Pipeline {
         |FROM h t JOIN h b ON t.h = b.h
         | AND b.doc_id % 20 = 0 AND t.doc_id % 20 <> 0
         |GROUP BY t.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
-    "q71_rep_signals" ->
-      """WITH tok AS (SELECT doc_id,
-        |               UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
-        |             FROM documents),
-        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
-        |SELECT doc_id,
-        | CAST(SUM(c) AS BIGINT) AS n_tokens,
-        | COUNT(*) AS n_unique,
-        | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS unique_ratio,
-        | CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_token_share,
-        | (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)) > 0.1 AS is_repetitive
-        |FROM c
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY t.doc_id""".stripMargin
 }

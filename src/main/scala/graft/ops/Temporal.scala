@@ -163,7 +163,39 @@ object Temporal {
       .orderBy(col("o_custkey"), col("valid_from"), col("anchor_orderkey"))
   }
 
+  /** Ordered conversion funnel (view → click → purchase) per user: the
+    * product-analytics staple. Each stage's timestamp is the FIRST
+    * qualifying event strictly after the previous stage — order
+    * matters, so this is min-after-join, not three independent mins.
+    *
+    * Scale shape: three aggregations and two joins, ALL keyed on
+    * user_id — one partitioning reused across the whole chain (no
+    * re-shuffle between stages), and each stage's frame shrinks to one
+    * row per user before the next join, so join inputs are bounded by
+    * the user count, not the event count. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def typed(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"))
+    val v = typed("view").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = typed("click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = typed("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        (lit(1L) + col("t_click").isNotNull.cast(LongType) +
+          col("t_purchase").isNotNull.cast(LongType)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_funnel_stages" -> funnelStages,
     "q37_asof_join" -> asofJoin,
     "q38_range_join" -> rangeJoin,
     "q39_session_window" -> sessionWindows,
@@ -178,6 +210,23 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q84_funnel_stages" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |      GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  1 + CAST(t_click IS NOT NULL AS BIGINT)
+        |    + CAST(t_purchase IS NOT NULL AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "q76_scd2_history" ->
       """WITH ordered AS (
         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -139,7 +140,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF top-3 terms per document — the classic salience ranking a
+    * corpus search/labeling pipeline runs. Two-level aggregation: the
+    * token explode shuffles once into (doc, tok) partials, document
+    * frequency is a second shrink over the already-tiny (tok) domain,
+    * and the corpus size rides in as a broadcast 1-row frame (never a
+    * driver collect). Determinism: the score is one IEEE division of
+    * integer-exact operands (tf·N and df), ties broken by token text.
+    * At 100 TB the (doc, tok) partial aggregation is the only wide op
+    * and map-side combine absorbs the explode. */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .join(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast(DoubleType) / col("df"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Sketch-pruned EXACT heavy hitters: word bigrams occurring in at
+    * least 1/1000 of all bigram occurrences (φ-heavy hitters). The
+    * scale problem: exact counting shuffles the full (key, partial)
+    * stream — at web scale the key domain alone can exceed memory. The
+    * two-pass sketch shape bounds it: pass 1 builds a FIXED 256 KiB
+    * [[graft.functions.Sketches.CountMinAgg]] sketch (partial-agg,
+    * map-side combined); pass 2 probes the broadcast sketch per
+    * occurrence with codegen'd Column arithmetic and drops every key
+    * whose estimate is already below threshold BEFORE the exact count
+    * shuffle. Count-Min never underestimates, so no true heavy hitter
+    * is dropped and the surviving exact count + exact threshold produce
+    * the exact answer — the oracle is the naive exact formulation. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val bigrams = spread(load(spark, dir, "documents"))
+      .select(explode(call_function("word_ngrams",
+        tokens(col("text")), lit(2))).as("bigram"))
+    val withH = bigrams.withColumn("h", phash(col("bigram")))
+    // one pass computes BOTH fixed-size global summaries: the sketch
+    // and the total occurrence count the φ threshold needs
+    val sketch = withH.agg(Sketches.cmsAgg(col("h")).as("cms"),
+      count(lit(1)).as("total"))
+    withH.join(broadcast(sketch))
+      .filter(Sketches.cmsEstimate(col("h"), col("cms")) * 1000 >= col("total"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"), first(col("total")).as("total"))
+      .filter(col("n_occurrences") * 1000 >= col("total"))
+      .select(col("bigram"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_tfidf_topk" -> tfidfTopK,
+    "q85_heavy_hitters" -> heavyHitters,
     "q26_token_stats" -> tokenStats,
     "q27_quality_score" -> qualityScore,
     "q28_language_id" -> languageId,
@@ -154,6 +216,37 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q82_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id,
+        |               UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, tok, tf, df, score
+        |FROM (SELECT doc_id, tok, tf, df,
+        |        CAST(tf * n_docs AS DOUBLE) / df AS score,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, tok) AS rank
+        |      FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    // exact φ-heavy-hitter formulation: the Spark plan's Count-Min
+    // prune is lossless (no underestimates), so the naive SQL is the
+    // oracle of the sketched plan
+    "q85_heavy_hitters" ->
+      """WITH t AS (SELECT STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |           FROM documents),
+        |bg AS (SELECT UNNEST(LIST_TRANSFORM(
+        |         GENERATE_SERIES(0, GREATEST(LEN(toks)-2, 0)),
+        |         i -> CONCAT_WS(' ', toks[i+1], toks[i+2]))) AS bigram
+        |       FROM t),
+        |tot AS (SELECT COUNT(*) AS total FROM bg)
+        |SELECT bigram, COUNT(*) AS n_occurrences
+        |FROM bg, tot
+        |GROUP BY bigram, tot.total
+        |HAVING COUNT(*) * 1000 >= tot.total
+        |ORDER BY n_occurrences DESC, bigram""".stripMargin,
     "q26_token_stats" ->
       """SELECT doc_id,
         | LENGTH(text) AS n_chars,
