@@ -172,4 +172,41 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted(run("q70_decontaminate"))
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q85 builds the Count-Min sketch with map-side partial aggregation") {
+    val plan = formatted(run("q85_heavy_hitters"))
+    // the fixed-size sketch partials combine before the single-partition
+    // merge — the property that keeps the build pass scan-shaped
+    assert(plan.contains("partial_countminagg"), plan)
+    // the exact count after the prune still aggregates partially
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q81 bloom prune feeds a broadcast exact verify, never a shuffle of the corpus") {
+    val plan = formatted(run("q81_bloom_decontaminate"))
+    assert(plan.contains("partial_bloomagg"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q82 tf-idf top-3 prunes per-group before the window shuffle (WindowGroupLimit)") {
+    val plan = formatted(run("q82_tfidf_topk"))
+    // rank<=3 pushes a partial group-limit below the exchange: only ~3
+    // rows per doc shuffle to the window, not the full (doc, tok) frame
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+  }
+
+  test("q83 z-order audit is one shuffle over a codegen'd interleave") {
+    val df = run("q83_zorder_layout")
+    val plan = formatted(df)
+    // the 20-term Morton interleave stays builtin arithmetic (no UDF
+    // boundary): shift/mask terms visible in the aggregate's grouping
+    assert(plan.contains("shiftright"), plan)
+    val shuffles = countShuffles(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+    // one hash shuffle for the bucket aggregate + one range for ORDER BY
+    assert(shuffles <= 2, s"$shuffles shuffles\n$plan")
+  }
 }
