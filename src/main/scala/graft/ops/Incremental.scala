@@ -51,8 +51,59 @@ object Incremental {
       .orderBy(col("key"))
   }
 
+  /** Incremental view maintenance by partial-aggregate algebra: the
+    * monthly rollup is computed FROM the daily partials — sum of sums,
+    * sum of counts, min of mins, max of maxs — never from the base
+    * table. This is the algebra that lets a 100 TB warehouse maintain
+    * coarse aggregates by merging yesterday's materialized partials
+    * with today's delta partials (O(partials), not O(base)); the
+    * oracle recomputes directly from base, and the two agree exactly
+    * because sum/count/min/max are commutative monoids and the money
+    * arithmetic stays in exact DECIMAL until one final cast. */
+  def rollupMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"), sum(d2(col("o_totalprice"))).as("s"),
+        min(d2(col("o_totalprice"))).as("mn"),
+        max(d2(col("o_totalprice"))).as("mx"))
+    daily
+      .groupBy(date_trunc("month", col("day")).cast("timestamp_ntz")
+        .as("month"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("s")).cast(DoubleType).as("revenue"),
+        min(col("mn")).cast(DoubleType).as("min_price"),
+        max(col("mx")).cast(DoubleType).as("max_price"))
+      .orderBy(col("month"))
+  }
+
+  /** Late-arriving-data reconcile, partition-targeted: a deterministic
+    * slice of orders (key % 50 = 0) arrives late; instead of
+    * recomputing every day's aggregate, recompute ONLY the days the
+    * late batch touches (left-semi join on the late batch's day set)
+    * and emit those corrected rows — the partition-overwrite a backfill
+    * job writes. At 100 TB this is the difference between rescanning
+    * the fact table and rescanning O(affected partitions); the same
+    * day-predicate reaches a date-partitioned store as partition
+    * pruning (q64's pinned mechanics). The oracle recomputes the full
+    * daily aggregate and restricts it to the affected days — identical
+    * because the full-data aggregate of an affected day IS its
+    * corrected value. */
+  def lateRecompute(spark: SparkSession, dir: String): DataFrame = {
+    val orders = load(spark, dir, "orders")
+    val lateDays = orders.filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderdate").as("day")).distinct()
+    orders
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .join(lateDays, Seq("day"), "left_semi")
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q80_merge_upsert" -> mergeUpsert)
+    "q80_merge_upsert" -> mergeUpsert,
+    "q86_rollup_merge" -> rollupMerge,
+    "q87_late_recompute" -> lateRecompute)
 
   val oracles: Map[String, String] = Map(
     "q80_merge_upsert" ->
@@ -75,5 +126,25 @@ object Incremental {
         |  CAST(COALESCE(b.old_bal, 0) + COALESCE(c.delta, 0) AS DOUBLE) AS new_bal,
         |  COALESCE(c.n_orders, 0) AS n_orders
         |FROM base b FULL OUTER JOIN changes c ON b.key = c.key
-        |ORDER BY key""".stripMargin)
+        |ORDER BY key""".stripMargin,
+    // direct-from-base formulation: equals the Spark side's
+    // merge-of-daily-partials by monoid algebra
+    "q86_rollup_merge" ->
+      """SELECT DATE_TRUNC('month', o_orderdate) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q87_late_recompute" ->
+      """WITH late_days AS (SELECT DISTINCT o_orderdate AS day FROM orders
+        |                   WHERE o_orderkey % 50 = 0)
+        |SELECT o_orderdate AS day, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate IN (SELECT day FROM late_days)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin)
 }
