@@ -44,17 +44,9 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filter.forall(_.contains(n)))
-    // Drop blocks a finished query left in the block manager. The
-    // iterative operators (connected components, SCD2, streaming twins)
-    // localCheckpoint per round and those RDDs stay persisted until the
-    // context dies — 79 queries × 2 passes of stale blocks squeeze the
-    // storage pool and late-suite queries pay eviction + GC (observed:
-    // q74 16.8s in the full suite vs 4.9s in isolation). Safe between
-    // queries: every result is fully materialized before the next starts,
-    // so no live plan depends on a truncated lineage.
-    def dropStaleBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+    // Between queries every result is fully materialized, so stale
+    // persisted blocks are safe to drop (rationale: GraftSession.dropStaleBlocks)
+    def dropStaleBlocks(): Unit = GraftSession.dropStaleBlocks(spark)
     names.foreach { n => run(n, SparkEntry.queries(n)); dropStaleBlocks() } // warmup
     // Collect garbage left by the previous query before each measured
     // run: otherwise the pair-heavy joins (q33/q34) fill the old gen

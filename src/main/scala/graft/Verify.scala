@@ -34,9 +34,8 @@ object Verify {
         Some(name -> s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
       }
       // free blocks the finished query persisted/localCheckpoint'ed —
-      // the result is on disk, nothing live depends on them (see Bench)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // the result is on disk, nothing live depends on them
+      GraftSession.dropStaleBlocks(spark)
       r
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -28,20 +28,27 @@ object Incremental {
     * Balance arithmetic is exact DECIMAL with one final cast to double
     * (the [[graft.Tables]] determinism contract). */
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    // side-presence markers classify the action by KEY presence (the
+    // MERGE contract), not by value nullness — a NULL balance or delta
+    // must not flip a matched row to 'insert'
     val base = load(spark, dir, "customer")
-      .select(col("c_custkey").as("key"), d2(col("c_acctbal")).as("old_bal"))
+      .select(col("c_custkey").as("key"), d2(col("c_acctbal")).as("old_bal"),
+        lit(true).as("in_base"))
     val agg = load(spark, dir, "orders")
       .groupBy(col("o_custkey").as("key"))
       .agg(sum(d2(col("o_totalprice"))).as("delta"),
         count(lit(1)).as("n_orders"))
+    // synthetic brand-new entities: negated keys can never collide with
+    // a real (nonnegative) custkey at ANY scale factor
     val inserts = agg.filter(col("key") % 100 === 0)
-      .select((col("key") + 10000000L).as("key"), col("delta"),
+      .select((-col("key") - 1).as("key"), col("delta"),
         col("n_orders"))
     val changes = agg.unionByName(inserts)
+      .withColumn("in_ch", lit(true))
     base.join(changes, Seq("key"), "full_outer")
       .select(col("key"),
-        when(col("old_bal").isNotNull && col("delta").isNotNull, "update")
-          .when(col("delta").isNull, "keep")
+        when(col("in_base").isNotNull && col("in_ch").isNotNull, "update")
+          .when(col("in_ch").isNull, "keep")
           .otherwise("insert").as("action"),
         col("old_bal").cast(DoubleType).as("old_bal"),
         (coalesce(col("old_bal"), lit(0).cast(DecimalType(18, 2))) +
@@ -116,7 +123,7 @@ object Incremental {
         |        FROM orders GROUP BY 1),
         |changes AS (SELECT * FROM agg
         |            UNION ALL
-        |            SELECT key + 10000000, delta, n_orders
+        |            SELECT -key - 1, delta, n_orders
         |            FROM agg WHERE key % 100 = 0)
         |SELECT COALESCE(b.key, c.key) AS key,
         |  CASE WHEN b.key IS NOT NULL AND c.key IS NOT NULL THEN 'update'

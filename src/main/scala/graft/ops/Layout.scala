@@ -44,10 +44,15 @@ object Layout {
     * concern, not a schema one. */
   def clusterByZorder(df: DataFrame, x: Column, y: Column,
       numFiles: Int): DataFrame = {
-    val z = df.withColumn("__z", zorder(x, y))
-    z.repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    // collision-proof scratch column: withColumn REPLACES an existing
+    // column of the same name, which on a caller frame that already
+    // carries "__z" would silently destroy caller data on drop
+    val zc = Iterator.from(0).map(i => s"__z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, zorder(x, y))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
   }
 
   /** Z-order layout audit over events (x = user_id mod 1024, y =

@@ -178,8 +178,10 @@ class PlanSpec extends AnyFunSuite {
     // the fixed-size sketch partials combine before the single-partition
     // merge — the property that keeps the build pass scan-shaped
     assert(plan.contains("partial_countminagg"), plan)
-    // the exact count after the prune still aggregates partially
-    assert(plan.contains("partial_count"), plan)
+    // the exact count after the prune still aggregates partially —
+    // "partial_count(1)" exactly: bare "partial_count" would match the
+    // "partial_countminagg" substring asserted above and pin nothing
+    assert(plan.contains("partial_count(1)"), plan)
   }
 
   test("q81 bloom prune feeds a broadcast exact verify, never a shuffle of the corpus") {
