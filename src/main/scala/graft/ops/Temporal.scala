@@ -194,7 +194,35 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Trailing-7-day DISTINCT user count per day (rolling actives — the
+    * DAU/WAU primitive). COUNT(DISTINCT) is not window-able, and the
+    * naive day×events range self-join rescans the event log per day.
+    * The scale shape used here: shrink once to distinct (day, user)
+    * pairs, then EXPLODE each pair to the <=7 future days it can serve
+    * — the classic remap that turns a sliding-window distinct into a
+    * plain partial-aggregable groupBy. Shuffle volume is bounded by
+    * 7 × daily-distinct pairs (tiny vs raw events at any scale), and
+    * the final count-distinct shuffles (target_day, user) partials
+    * only. A left-semi join restricts output to days that exist in the
+    * data (the explode overshoots past the last day). */
+  def slidingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = events(spark, dir)
+      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("user_id"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+    du.withColumn("target_day",
+        explode(sequence(col("day"), col("day") + expr("interval 6 days"),
+          expr("interval 1 day"))))
+      .join(days.withColumnRenamed("day", "target_day"), Seq("target_day"),
+        "left_semi")
+      .groupBy(col("target_day").as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_sliding_distinct" -> slidingDistinctUsers,
     "q84_funnel_stages" -> funnelStages,
     "q37_asof_join" -> asofJoin,
     "q38_range_join" -> rangeJoin,
@@ -210,6 +238,16 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // naive range-join formulation — the explode-remap plan must agree
+    "q89_sliding_distinct" ->
+      """WITH du AS (SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day AS day, COUNT(DISTINCT u.user_id) AS n_users_7d
+        |FROM days d JOIN du u
+        |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q84_funnel_stages" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

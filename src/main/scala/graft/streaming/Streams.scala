@@ -105,6 +105,38 @@ object Streams {
     spark.table(name).orderBy(col("event_type"))
   }
 
+  /** Stream–static enrichment join: the unbounded event stream joins
+    * the (bounded, slowly-changing) nation dimension — the remaining
+    * §2.10 join regime after stream–stream q73. The static side needs
+    * NO watermark and holds no join state: Spark re-plans it per
+    * micro-batch as an ordinary broadcast hash join, which is exactly
+    * how a 100 TB/day stream enriches against dimension tables without
+    * any state store growth. Aggregated per nation in complete mode
+    * (bounded: one row per dimension key); == the batch twin oracle. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val dim = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val agg = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("nkey", pmod(col("user_id"), lit(25L)))
+      .join(broadcast(dim), col("nkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val name = "graft_stream_static"
+    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { q.stop(); deleteRecursively(ckpt.toFile) }
+    spark.table(name).orderBy(col("n_name"))
+  }
+
   /** Sessionization through the custom-state API
     * (KeyValueGroupedDataset.flatMapGroupsWithState): per-user sessions
     * with a 30-minute gap, the state machine a production stream runs
@@ -307,12 +339,19 @@ object Streams {
     "q40_stream_hourly" -> streamHourly,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
-    "q73_stream_join" -> streamJoin)
+    "q73_stream_join" -> streamJoin,
+    "q88_stream_static_join" -> streamStaticJoin)
 
   /** q40 is identical to q25's oracle and q42 to q39's: the streaming /
     * custom-state runs must agree with the batch semantics
     * bit-for-bit. */
   val oracles: Map[String, String] = Map(
+    "q88_stream_static_join" ->
+      """SELECT n_name, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "q40_stream_hourly" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
         | COUNT(*) AS n_events,
