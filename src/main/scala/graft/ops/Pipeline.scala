@@ -228,7 +228,36 @@ object Pipeline {
       .orderBy(col("shard"), col("pack_id"))
   }
 
+  /** Corpus-wide percentile rank per document WITHOUT a global sort:
+    * `percent_rank() OVER (ORDER BY x)` forces all rows through one
+    * sorted partition — the classic scale cliff. Instead: build the
+    * value HISTOGRAM (tiny: O(distinct lengths)), cumulative-sum it
+    * (the only unpartitioned window, over the histogram not the
+    * corpus), and broadcast-join the CDF back. Each doc's rank is then
+    * `strictly_below / (n - 1)` — integer-exact operands, one IEEE
+    * division, identical to SQL PERCENT_RANK tie semantics (all ties
+    * share rank = 1 + count-below). The quality-score normalization
+    * step of a corpus filter, at scan speed. */
+  def percentileRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val hist = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cdf = hist.withColumn("below",
+      coalesce(sum(col("c")).over(w), lit(0L)))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.join(broadcast(cdf), col("n_chars") === col("v"))
+      .join(broadcast(n))
+      .select(col("doc_id"), col("n_chars"),
+        (col("below").cast(DoubleType) / (col("n_docs") - 1))
+          .as("pct_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_percentile_rank" -> percentileRank,
     "q77_chunk_docs" -> chunkDocs,
     "q78_pack_sequences" -> packSequences,
     "q75_stratified_sample" -> stratifiedSample,
@@ -243,6 +272,13 @@ object Pipeline {
     s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
 
   val oracles: Map[String, String] = Map(
+    // the window formulation the Spark plan deliberately avoids — same
+    // (rank-1)/(n-1) tie semantics by construction
+    "q90_percentile_rank" ->
+      """SELECT doc_id, n_chars,
+        |  PERCENT_RANK() OVER (ORDER BY n_chars) AS pct_rank
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q77_chunk_docs" ->
       """WITH t AS (SELECT doc_id,
         |             STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
