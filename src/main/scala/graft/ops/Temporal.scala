@@ -221,7 +221,32 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Cohort retention matrix: users grouped by first-activity day
+    * (their cohort), counted distinctly at each day offset 0..7 after
+    * it — the onboarding-retention table every product review reads.
+    *
+    * Scale shape: the user's cohort day is a per-user aggregate (one
+    * shuffle on user_id), the offset join rides the SAME user_id
+    * partitioning, and the final (cohort, k) count-distinct shuffles
+    * only (cohort, k, user) partials — events never self-join on the
+    * time axis. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val du = events(spark, dir)
+      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("user_id"))
+      .distinct()
+    val cohorts = du.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    du.join(cohorts, "user_id")
+      .withColumn("k", datediff(col("day"), col("cohort_day")).cast(LongType))
+      .filter(col("k") <= 7)
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_cohort_retention" -> cohortRetention,
     "q89_sliding_distinct" -> slidingDistinctUsers,
     "q84_funnel_stages" -> funnelStages,
     "q37_asof_join" -> asofJoin,
@@ -238,6 +263,17 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q91_cohort_retention" ->
+      """WITH du AS (SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id
+        |            FROM events),
+        |cohorts AS (SELECT user_id, MIN(day) AS cohort_day
+        |            FROM du GROUP BY 1)
+        |SELECT c.cohort_day, DATE_DIFF('day', c.cohort_day, u.day) AS k,
+        |  COUNT(DISTINCT u.user_id) AS n_users
+        |FROM du u JOIN cohorts c ON u.user_id = c.user_id
+        |WHERE DATE_DIFF('day', c.cohort_day, u.day) <= 7
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // naive range-join formulation — the explode-remap plan must agree
     "q89_sliding_distinct" ->
       """WITH du AS (SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id
