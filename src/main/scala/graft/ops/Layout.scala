@@ -64,8 +64,10 @@ object Layout {
     * ZORDER pass; the write-side counterpart is [[clusterByZorder]].) */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
-      .select(pmod(col("user_id"), lit(1024L)).as("x"),
-        pmod(col("event_id"), lit(1024L)).as("y"))
+      // sign-of-dividend % matches the oracle's %; ids are nonnegative
+      // (zorder requires nonneg inputs either way)
+      .select((col("user_id") % lit(1024L)).as("x"),
+        (col("event_id") % lit(1024L)).as("y"))
       .withColumn("z", zorder(col("x"), col("y")))
       .groupBy(shiftright(col("z"), 12).as("z_bucket"))
       .agg(count(lit(1)).as("n_events"),

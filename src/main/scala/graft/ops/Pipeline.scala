@@ -245,14 +245,21 @@ object Pipeline {
       .agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cdf = hist.withColumn("below",
-      coalesce(sum(col("c")).over(w), lit(0L)))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // the corpus size rides the SAME histogram window pass as the CDF
+    // (full-frame sum over the tiny histogram) — a separate count would
+    // re-scan the corpus through the histogram's lineage
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = hist
+      .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("n_docs", sum(col("c")).over(wAll))
     docs.join(broadcast(cdf), col("n_chars") === col("v"))
-      .join(broadcast(n))
       .select(col("doc_id"), col("n_chars"),
-        (col("below").cast(DoubleType) / (col("n_docs") - 1))
-          .as("pct_rank"))
+        // n = 1 guard: PERCENT_RANK defines the single-row rank as 0,
+        // where below/(n-1) would be 0/0 = NaN
+        when(col("n_docs") > 1,
+          col("below").cast(DoubleType) / (col("n_docs") - 1))
+          .otherwise(lit(0.0)).as("pct_rank"))
       .orderBy(col("doc_id"))
   }
 

@@ -194,6 +194,15 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Distinct (day, user) activity pairs — the shared pre-shrink of the
+    * rolling-actives (q89) and cohort-retention (q91) plans: both
+    * operate on daily-distinct activity, never raw events. */
+  private def dailyUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("user_id"))
+      .distinct()
+
   /** Trailing-7-day DISTINCT user count per day (rolling actives — the
     * DAU/WAU primitive). COUNT(DISTINCT) is not window-able, and the
     * naive day×events range self-join rescans the event log per day.
@@ -206,10 +215,7 @@ object Temporal {
     * only. A left-semi join restricts output to days that exist in the
     * data (the explode overshoots past the last day). */
   def slidingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
-    val du = events(spark, dir)
-      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
-        col("user_id"))
-      .distinct()
+    val du = dailyUsers(spark, dir)
     val days = du.select(col("day")).distinct()
     du.withColumn("target_day",
         explode(sequence(col("day"), col("day") + expr("interval 6 days"),
@@ -231,10 +237,7 @@ object Temporal {
     * only (cohort, k, user) partials — events never self-join on the
     * time axis. */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val du = events(spark, dir)
-      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
-        col("user_id"))
-      .distinct()
+    val du = dailyUsers(spark, dir)
     val cohorts = du.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
     du.join(cohorts, "user_id")

@@ -46,23 +46,7 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-    val name = "graft_stream_hourly"
-    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      q.awaitTermination()
-    } finally {
-      q.stop()
-      deleteRecursively(ckpt.toFile) // Bench reruns each query; don't leak
-    }
-    spark.table(name)
+    runToMemory(spark, agg, "graft_stream_hourly")
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
@@ -72,6 +56,24 @@ object Streams {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Shared memory-sink run protocol for the bounded complete-mode
+    * streaming queries (q40/q43/q88): fresh temp view + temp
+    * checkpoint, AvailableNow to completion, checkpoint deleted so
+    * Bench reruns never resume, result read back from the view. */
+  private def runToMemory(spark: SparkSession, agg: DataFrame,
+      name: String): DataFrame = {
+    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { q.stop(); deleteRecursively(ckpt.toFile) }
+    spark.table(name)
   }
 
   /** Streaming exactly-once dedup + aggregation: dropDuplicates keyed
@@ -92,17 +94,7 @@ object Streams {
       .dropDuplicates("event_id", "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val name = "graft_stream_dedup"
-    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally { q.stop(); deleteRecursively(ckpt.toFile) }
-    spark.table(name).orderBy(col("event_type"))
+    runToMemory(spark, agg, "graft_stream_dedup").orderBy(col("event_type"))
   }
 
   /** Stream–static enrichment join: the unbounded event stream joins
@@ -120,21 +112,13 @@ object Streams {
     val agg = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("nkey", pmod(col("user_id"), lit(25L)))
+      // sign-of-dividend % matches the oracle's % for ALL inputs;
+      // pmod would silently diverge on negative ids
+      .withColumn("nkey", col("user_id") % lit(25L))
       .join(broadcast(dim), col("nkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-    val name = "graft_stream_static"
-    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally { q.stop(); deleteRecursively(ckpt.toFile) }
-    spark.table(name).orderBy(col("n_name"))
+    runToMemory(spark, agg, "graft_stream_static").orderBy(col("n_name"))
   }
 
   /** Sessionization through the custom-state API

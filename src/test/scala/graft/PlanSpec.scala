@@ -198,6 +198,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Partial"), plan)
   }
 
+  test("q89 sliding distinct is explode-remap, never a range self-join") {
+    val plan = formatted(run("q89_sliding_distinct"))
+    // the <=7-day fan-out is a Generate(explode), and no non-equi join
+    // machinery (nested loop) appears anywhere in the plan
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q90 percentile rank scans the corpus twice and joins the broadcast CDF") {
+    val plan = formatted(run("q90_percentile_rank"))
+    // histogram pass + final join pass — NOT a third scan for the count
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 2, plan)
+    // the CDF comes back as a broadcast join, not a corpus-wide window
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q83 z-order audit is one shuffle over a codegen'd interleave") {
     val df = run("q83_zorder_layout")
     val plan = formatted(df)
