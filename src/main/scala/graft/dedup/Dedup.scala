@@ -413,7 +413,34 @@ object Dedup {
     udaf(graft.functions.MinHashMerge,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
 
+  /** Per-node triangle counts over the exact near-dup graph (q33's
+    * edges) — the local clustering signal that separates a tight
+    * duplicate clique from a loose similarity chain before choosing a
+    * canonical doc. Triangle enumeration uses the ORIENTED join: edges
+    * are kept one-directional under the id order (doc_a < doc_b), so
+    * each triangle a<b<c is produced exactly once by joining (a,b)
+    * with (b,c) and semi-checking (a,c) — three bounded equi-joins, no
+    * symmetric-edge blowup. At web scale the same shape runs with
+    * DEGREE ordering instead of id ordering, which provably bounds the
+    * join fan-out on skewed graphs (the standard MapReduce triangle
+    * trick); id order keeps this oracle-checkable. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val p = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val tri = p.alias("ab")
+      .join(p.alias("bc"), col("ab.doc_b") === col("bc.doc_a"))
+      .select(col("ab.doc_a").as("a"), col("ab.doc_b").as("b"),
+        col("bc.doc_b").as("c"))
+      .join(p.alias("ac"),
+        col("a") === col("ac.doc_a") && col("c") === col("ac.doc_b"),
+        "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_triangle_counts" -> triangleCounts,
     "q30_exact_dedup" -> exactDedup,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash" -> simhash,
@@ -473,6 +500,7 @@ object Dedup {
     // the Spark plans differ (full vs prefix-filtered inverted index).
     "q53_ppjoin_jaccard" -> jaccardOracle,
     "q33_ngram_jaccard" -> jaccardOracle,
+    "q92_triangle_counts" -> triangleOracle,
     "q67_dedup_clusters" -> clustersOracle,
     "q74_cluster_minhash" -> clusterMinhashOracle,
     // exact answer: the oracle is the naive all-pairs formulation; only
@@ -513,6 +541,22 @@ object Dedup {
         |FROM common
         |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q92: oriented 3-way self-join over the same threshold pair set. */
+  private lazy val triangleOracle: String =
+      s"""WITH $jaccardCommonCte,
+        |pairs AS (SELECT doc_a, doc_b FROM common
+        |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+        |        FROM pairs ab
+        |        JOIN pairs bc ON ab.doc_b = bc.doc_a
+        |        JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+        |SELECT doc_id, COUNT(*) AS n_triangles
+        |FROM (SELECT a AS doc_id FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
 
   /** Shared CTE chain ending in `lab(doc_id, cluster_id)` — cluster
     * labels via recursive transitive closure + min over the reachable

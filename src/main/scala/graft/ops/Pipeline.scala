@@ -263,6 +263,51 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end training-corpus build — the composition a user of this
+    * library actually runs, chaining the operator families end to end:
+    *
+    *  1. exact dedup:   keep each content group's canonical doc (q30)
+    *  2. near-dup:      keep each similarity cluster's minimum (q67)
+    *  3. decontaminate: drop docs sharing 5-grams with the bench slice,
+    *                    and the bench slice itself (q70)
+    *  4. quality gate:  >= 10 tokens (q27's length rule)
+    *  5. split:         leak-free 8/1/1 by doc-hash (q69)
+    *  6. write:         parquet partitioned by split — downstream
+    *                    trainers read their split's directory only
+    *
+    * Every stage is the already-oracle-gated operator; the composition
+    * itself is spec-gated (survivor accounting, no contaminated/bench
+    * survivor, rerun determinism). One wide pipeline: the dedup/
+    * cluster/contamination verdicts are per-doc_id frames semi/anti
+    * joined against the corpus — at 100 TB each verdict frame is tiny
+    * relative to the corpus and the joins broadcast. Returns the
+    * per-split summary. */
+  def prepareCorpus(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+    val canonical = graft.dedup.Dedup.exactDedup(spark, dir)
+      .filter(col("is_canonical")).select(col("doc_id"))
+    val nearDupLosers = graft.dedup.Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    val contaminated = decontaminate(spark, dir).select(col("doc_id"))
+    val kept = docs
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 20 =!= 0) // the bench slice never trains
+      .filter(size(tokens(col("text"))) >= 10)
+      .withColumn("b", hashBucket(col("doc_id"), 10))
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "val")
+          .otherwise("test"))
+      .drop("b")
+    kept.write.mode("overwrite").partitionBy("split").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_percentile_rank" -> percentileRank,
     "q77_chunk_docs" -> chunkDocs,
