@@ -59,11 +59,7 @@ object Pipeline {
     * refresh). Emits per-split size/char/lang stats; the full split
     * assignment rides the same projection at scale. */
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents")
-      .withColumn("b", hashBucket(col("doc_id"), 10))
-      .withColumn("split",
-        when(col("b") < 8, "train").when(col("b") === 8, "val")
-          .otherwise("test"))
+    withSplit(load(spark, dir, "documents"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
@@ -93,9 +89,9 @@ object Pipeline {
         call_function("phash_array",
           call_function("word_shingles", tokens(col("text")), lit(5)))
           .as("shs"))
-    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val bench = docs.filter(isBench(col("doc_id")))
       .select(col("doc_id").as("bench_id"), explode(col("shs")).as("h"))
-    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val train = docs.filter(!isBench(col("doc_id")))
       .select(col("doc_id"), explode(col("shs")).as("h"))
     (bench, train)
   }
@@ -263,45 +259,74 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  /** End-to-end training-corpus build — the composition a user of this
-    * library actually runs, chaining the operator families end to end:
-    *
-    *  1. exact dedup:   keep each content group's canonical doc (q30)
-    *  2. near-dup:      keep each similarity cluster's minimum (q67)
-    *  3. decontaminate: drop docs sharing 5-grams with the bench slice,
-    *                    and the bench slice itself (q70)
-    *  4. quality gate:  >= 10 tokens (q27's length rule)
-    *  5. split:         leak-free 8/1/1 by doc-hash (q69)
-    *  6. write:         parquet partitioned by split — downstream
-    *                    trainers read their split's directory only
-    *
-    * Every stage is the already-oracle-gated operator; the composition
-    * itself is spec-gated (survivor accounting, no contaminated/bench
-    * survivor, rerun determinism). One wide pipeline: the dedup/
-    * cluster/contamination verdicts are per-doc_id frames semi/anti
-    * joined against the corpus — at 100 TB each verdict frame is tiny
-    * relative to the corpus and the joins broadcast. Returns the
-    * per-split summary. */
-  def prepareCorpus(spark: SparkSession, dir: String,
-      outDir: String): DataFrame = {
-    val docs = spread(load(spark, dir, "documents"))
-    val canonical = graft.dedup.Dedup.exactDedup(spark, dir)
-      .filter(col("is_canonical")).select(col("doc_id"))
-    val nearDupLosers = graft.dedup.Dedup.dedupClusters(spark, dir)
-      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
-    val contaminated = decontaminate(spark, dir).select(col("doc_id"))
-    val kept = docs
-      .join(canonical, Seq("doc_id"), "left_semi")
-      .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .filter(col("doc_id") % 20 =!= 0) // the bench slice never trains
-      .filter(size(tokens(col("text"))) >= 10)
-      .withColumn("b", hashBucket(col("doc_id"), 10))
+  /** The corpus's benchmark slice — ONE definition shared by the
+    * decontamination queries and the end-to-end build. */
+  private[graft] def isBench(docId: Column): Column = docId % 20 === 0
+
+  /** The q69 leak-free 8/1/1 hash-split rule — one definition shared by
+    * the q69 stats query and the end-to-end build. */
+  private def withSplit(df: DataFrame): DataFrame =
+    df.withColumn("b", hashBucket(col("doc_id"), 10))
       .withColumn("split",
         when(col("b") < 8, "train").when(col("b") === 8, "val")
           .otherwise("test"))
       .drop("b")
-    kept.write.mode("overwrite").partitionBy("split").parquet(outDir)
+
+  /** End-to-end training-corpus build — the composition a user of this
+    * library actually runs, chaining the operator families end to end:
+    *
+    *  1. eligibility:   drop the bench slice, contaminated docs (q70's
+    *                    verdict), and low-quality docs (< 10 tokens)
+    *  2. exact dedup:   keep each content group's minimum ELIGIBLE doc
+    *  3. near-dup:      keep each q67 cluster's minimum ELIGIBLE
+    *                    survivor — gates run FIRST so an excluded
+    *                    cluster minimum never drags its clean siblings
+    *                    out of the corpus with it
+    *  4. split:         leak-free 8/1/1 by doc-hash (the q69 rule,
+    *                    shared code)
+    *  5. write:         parquet partitioned by split — downstream
+    *                    trainers read their split's directory only
+    *
+    * Scale shape, stated honestly: the contamination verdict and the
+    * cluster map are tiny per-doc_id frames (near-dup relations are
+    * sparse) and broadcast; the exact-dedup canonical choice is NOT
+    * tiny and therefore runs as an in-line window over the content
+    * key — one wide shuffle of the eligible corpus, the same cost
+    * exactDedup itself pays, not a second scan plus giant semi-join.
+    * Returns the per-split summary; composition contracts are gated in
+    * PipelineSpec. */
+  def prepareCorpus(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+    val contaminated = decontaminate(spark, dir).select(col("doc_id"))
+    val eligible = docs
+      .filter(!isBench(col("doc_id"))) // the bench slice never trains
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(size(tokens(col("text"))) >= 10)
+    // exact dedup among the eligible: min doc_id per normalized content
+    val contentKey =
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast(BinaryType))
+    val wContent = Window.partitionBy(col("ck"))
+    val canonical = eligible.withColumn("ck", contentKey)
+      .withColumn("ck_min", min(col("doc_id")).over(wContent))
+      .filter(col("doc_id") === col("ck_min"))
+      .drop("ck", "ck_min")
+    // near-dup: keep each cluster's minimum surviving member; docs in
+    // no cluster pass through (left join -> null cluster_id)
+    val clusters = graft.dedup.Dedup.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val joined = canonical.join(broadcast(clusters), Seq("doc_id"), "left")
+    // split the frames BEFORE the window: unclustered docs (the vast
+    // majority) would otherwise all share one null window partition
+    val unclustered = joined.filter(col("cluster_id").isNull)
+      .drop("cluster_id")
+    val wCluster = Window.partitionBy(col("cluster_id"))
+    val clusterReps = joined.filter(col("cluster_id").isNotNull)
+      .withColumn("cl_min", min(col("doc_id")).over(wCluster))
+      .filter(col("doc_id") === col("cl_min"))
+      .drop("cluster_id", "cl_min")
+    val kept = unclustered.unionByName(clusterReps)
+    withSplit(kept).write.mode("overwrite").partitionBy("split").parquet(outDir)
     spark.read.parquet(outDir)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))

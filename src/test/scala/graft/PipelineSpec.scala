@@ -12,10 +12,14 @@ class PipelineSpec extends AnyFunSuite {
 
   private lazy val spark = GraftSession.test()
   private val sf = "/root/testdata/sf0.001"
-  private val out = s"${sys.props("java.io.tmpdir")}/graft_corpus_build"
+  // per-run dir: a fixed path could serve a STALE artifact from a
+  // previous run to tests that don't force the build
+  private val out =
+    java.nio.file.Files.createTempDirectory("graft_corpus_build").toString
 
   private lazy val summary = Pipeline.prepareCorpus(spark, sf, out).collect()
-  private lazy val corpus = spark.read.parquet(out)
+  // force the build before any read — every test depends on summary
+  private lazy val corpus = { summary; spark.read.parquet(out) }
 
   test("build emits all three splits with the 8/1/1 hash rule") {
     assert(summary.map(_.getString(0)).toSeq.sorted === Seq("test", "train", "val"))
@@ -38,23 +42,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(corpus.join(contaminated, Seq("doc_id"), "left_semi").count() === 0L)
   }
 
-  test("survivors are canonical and cluster-minimal (dedup contracts hold)") {
-    // no two survivors share normalized content
+  test("survivors are exact-duplicate-free") {
     val key = md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
       .cast("binary"))
     val dupGroups = corpus.select(col("doc_id"), key.as("k"))
       .groupBy(col("k")).count().filter(col("count") > 1)
     assert(dupGroups.count() === 0L)
-    // no survivor is a non-minimal member of a near-dup cluster
-    val losers = graft.dedup.Dedup.dedupClusters(spark, sf)
-      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
-    assert(corpus.join(losers, Seq("doc_id"), "left_semi").count() === 0L)
+  }
+
+  test("each near-dup cluster keeps exactly its minimum ELIGIBLE member") {
+    // recompute eligibility independently: not bench, not contaminated,
+    // >= 10 tokens
+    val contaminated = Pipeline.decontaminate(spark, sf).select(col("doc_id"))
+    val eligible = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 20 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(size(split(trim(col("text")), " +")) >= 10)
+      .select(col("doc_id"))
+    val clusters = graft.dedup.Dedup.dedupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    // expected survivor per cluster: the minimum eligible member (a
+    // cluster with no eligible member keeps nothing) — an excluded
+    // minimum must NOT drag its eligible siblings out of the corpus
+    val expected = clusters.join(eligible, "doc_id")
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val actual = corpus.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left_semi")
+    assert(actual.exceptAll(expected).isEmpty &&
+      expected.exceptAll(actual).isEmpty)
   }
 
   test("rerun writes the identical corpus (deterministic artifact)") {
     val first = corpus.select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq
-    val out2 = s"${out}_rerun"
+    val out2 =
+      java.nio.file.Files.createTempDirectory("graft_corpus_rerun").toString
     Pipeline.prepareCorpus(spark, sf, out2)
     val second = spark.read.parquet(out2).select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq
