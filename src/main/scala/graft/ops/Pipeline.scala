@@ -333,7 +333,44 @@ object Pipeline {
       .orderBy(col("split"))
   }
 
+  /** Deterministic training-order shuffle: every epoch a training run
+    * needs the corpus in a pseudorandom order that is REPRODUCIBLE
+    * (resume mid-epoch, re-run bit-identically) and layout-independent
+    * — so the order is a pure function of (doc_id, epoch seed), never
+    * of partitioning or an RNG.
+    *
+    * The global position assignment is the two-level rank pattern
+    * (how distributed sort-rank works at scale): a global
+    * `row_number() OVER (ORDER BY key)` would sort the corpus in ONE
+    * partition; instead the 56-bit key space is cut into 4096 buckets
+    * by its top bits (bucket order == key order), per-bucket counts
+    * roll into broadcast cumulative offsets (the only unpartitioned
+    * window runs over 4096 rows), and ranks within each bucket run in
+    * parallel. position = bucket offset + in-bucket rank. */
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    val seed = "epoch42"
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("sk",
+        phash(concat(col("doc_id").cast(StringType), lit(":" + seed))))
+      .withColumn("bkt", shiftright(col("sk"), 44))
+    val counts = docs.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wB), lit(0L)))
+      .drop("c")
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("sk"), col("doc_id")) // doc_id tie-break: exact under collision
+    docs.join(broadcast(offsets), "bkt")
+      .withColumn("shuffle_pos",
+        col("off") + row_number().over(wIn).cast(LongType) - 1)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_shuffle_order" -> shuffleOrder,
     "q90_percentile_rank" -> percentileRank,
     "q77_chunk_docs" -> chunkDocs,
     "q78_pack_sequences" -> packSequences,
@@ -349,6 +386,16 @@ object Pipeline {
     s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
 
   val oracles: Map[String, String] = Map(
+    // the single-partition window formulation the Spark plan's
+    // two-level bucket rank deliberately avoids
+    "q93_shuffle_order" ->
+      s"""SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS BIGINT)
+        |    AS shuffle_pos
+        |FROM (SELECT doc_id,
+        |        ${phashSql("CAST(doc_id AS VARCHAR) || ':epoch42'")} AS sk
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // the window formulation the Spark plan deliberately avoids — same
     // (rank-1)/(n-1) tie semantics by construction
     "q90_percentile_rank" ->
