@@ -42,11 +42,18 @@ object Dedup {
   def shingleHashes(c: Column, mod: Boolean): Column =
     call_function(if (mod) "phash_mod_array" else "phash_array", shingles(c))
 
+  /** The library's ONE canonical-content rule: md5 over
+    * whitespace-collapsed, lowercased text — shared by q30, the
+    * end-to-end corpus build, and the specs so the definition can
+    * never silently fork. */
+  def contentKey(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))).cast(BinaryType))
+
   /** Exact duplicate grouping on whitespace/case-normalized content.
     * One shuffle on the md5 key; at scale prefer groupBy+agg over the
     * window when only canonical rows are kept (smaller state). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
-    val key = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast(BinaryType))
+    val key = contentKey(col("text"))
     val w = Window.partitionBy(col("content_key"))
     spread(load(spark, dir, "documents"))
       .select(col("doc_id"), key.as("content_key"))

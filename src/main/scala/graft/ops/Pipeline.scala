@@ -303,11 +303,14 @@ object Pipeline {
       .filter(!isBench(col("doc_id"))) // the bench slice never trains
       .join(contaminated, Seq("doc_id"), "left_anti")
       .filter(size(tokens(col("text"))) >= 10)
-    // exact dedup among the eligible: min doc_id per normalized content
-    val contentKey =
-      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast(BinaryType))
+    // exact dedup among the eligible: min doc_id per normalized
+    // content (the shared Dedup.contentKey rule). NOTE the shuffle here
+    // is corpus-WIDTH — survivors must keep all their columns through
+    // the exchange — unlike exactDedup's narrow (doc_id, key) shuffle;
+    // at the extreme, dedup ids first and semi-join text back.
     val wContent = Window.partitionBy(col("ck"))
-    val canonical = eligible.withColumn("ck", contentKey)
+    val canonical = eligible
+      .withColumn("ck", graft.dedup.Dedup.contentKey(col("text")))
       .withColumn("ck_min", min(col("doc_id")).over(wContent))
       .filter(col("doc_id") === col("ck_min"))
       .drop("ck", "ck_min")
@@ -347,8 +350,8 @@ object Pipeline {
     * roll into broadcast cumulative offsets (the only unpartitioned
     * window runs over 4096 rows), and ranks within each bucket run in
     * parallel. position = bucket offset + in-bucket rank. */
-  def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
-    val seed = "epoch42"
+  def shuffleOrder(spark: SparkSession, dir: String,
+      seed: String = "epoch42"): DataFrame = {
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"))
       .withColumn("sk",
@@ -370,7 +373,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q93_shuffle_order" -> shuffleOrder,
+    "q93_shuffle_order" -> ((s: SparkSession, d: String) => shuffleOrder(s, d)),
     "q90_percentile_rank" -> percentileRank,
     "q77_chunk_docs" -> chunkDocs,
     "q78_pack_sequences" -> packSequences,

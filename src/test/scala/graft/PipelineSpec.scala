@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Pipeline
 
@@ -8,14 +9,24 @@ import graft.ops.Pipeline
   * that no single-query oracle covers — survivor accounting across
   * stages, exclusion guarantees, and rerun determinism of the written
   * artifact. */
-class PipelineSpec extends AnyFunSuite {
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = GraftSession.test()
   private val sf = "/root/testdata/sf0.001"
-  // per-run dir: a fixed path could serve a STALE artifact from a
-  // previous run to tests that don't force the build
+  // per-run dirs: a fixed path could serve a STALE artifact from a
+  // previous run to tests that don't force the build; cleaned afterAll
   private val out =
     java.nio.file.Files.createTempDirectory("graft_corpus_build").toString
+  private val out2 =
+    java.nio.file.Files.createTempDirectory("graft_corpus_rerun").toString
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(out)); rm(new java.io.File(out2))
+  }
 
   private lazy val summary = Pipeline.prepareCorpus(spark, sf, out).collect()
   // force the build before any read — every test depends on summary
@@ -43,28 +54,37 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("survivors are exact-duplicate-free") {
-    val key = md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-      .cast("binary"))
-    val dupGroups = corpus.select(col("doc_id"), key.as("k"))
+    val dupGroups = corpus
+      .select(col("doc_id"), graft.dedup.Dedup.contentKey(col("text")).as("k"))
       .groupBy(col("k")).count().filter(col("count") > 1)
     assert(dupGroups.count() === 0L)
   }
 
-  test("each near-dup cluster keeps exactly its minimum ELIGIBLE member") {
-    // recompute eligibility independently: not bench, not contaminated,
-    // >= 10 tokens
+  test("each near-dup cluster keeps exactly its minimum surviving-stage member") {
+    // independent model of the build's stage order: eligibility gates
+    // (not bench, not contaminated, >= 10 tokens), THEN exact dedup by
+    // the shared content key, THEN per-cluster minimum. Modeling
+    // eligibility alone would be unsound: a normalized-content twin
+    // (case/whitespace variant) can be dropped by exact dedup without
+    // being near-dup-paired, and the cluster then keeps its next
+    // canonical member.
     val contaminated = Pipeline.decontaminate(spark, sf).select(col("doc_id"))
     val eligible = Tables.load(spark, sf, "documents")
       .filter(col("doc_id") % 20 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .filter(size(split(trim(col("text")), " +")) >= 10)
+    val canonical = eligible
+      .withColumn("ck", graft.dedup.Dedup.contentKey(col("text")))
+      .withColumn("mn", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))))
+      .filter(col("doc_id") === col("mn"))
       .select(col("doc_id"))
     val clusters = graft.dedup.Dedup.dedupClusters(spark, sf)
       .select(col("doc_id"), col("cluster_id"))
-    // expected survivor per cluster: the minimum eligible member (a
-    // cluster with no eligible member keeps nothing) — an excluded
-    // minimum must NOT drag its eligible siblings out of the corpus
-    val expected = clusters.join(eligible, "doc_id")
+    // expected survivor per cluster: the minimum canonical member (a
+    // cluster with none keeps nothing) — an excluded minimum must NOT
+    // drag its eligible siblings out of the corpus
+    val expected = clusters.join(canonical, "doc_id")
       .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val actual = corpus.select(col("doc_id"))
@@ -76,8 +96,6 @@ class PipelineSpec extends AnyFunSuite {
   test("rerun writes the identical corpus (deterministic artifact)") {
     val first = corpus.select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq
-    val out2 =
-      java.nio.file.Files.createTempDirectory("graft_corpus_rerun").toString
     Pipeline.prepareCorpus(spark, sf, out2)
     val second = spark.read.parquet(out2).select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq

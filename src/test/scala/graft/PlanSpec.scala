@@ -215,6 +215,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q93 global rank is two-level: bkt-partitioned window + broadcast offsets") {
+    val plan = formatted(run("q93_shuffle_order"))
+    // the corpus row_number window MUST be partitioned by the bucket —
+    // an unpartitioned spec here is the single-partition global sort
+    // this query exists to avoid
+    assert("""row_number\(\) windowspecdefinition\(bkt#\d+L, sk#"""
+      .r.findFirstIn(plan).isDefined, plan)
+    // the cumulative offsets arrive as a broadcast join, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q83 z-order audit is one shuffle over a codegen'd interleave") {
     val df = run("q83_zorder_layout")
     val plan = formatted(df)
