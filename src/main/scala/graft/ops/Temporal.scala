@@ -248,7 +248,37 @@ object Temporal {
       .orderBy(col("cohort_day"), col("k"))
   }
 
+  /** Pure-range interval-overlap aggregation — how many order
+    * fulfillment windows ([order date, order date + keyed duration])
+    * are open in each calendar week. Unlike q38 there is NO equality
+    * key to hang a sort-merge join on; a naive formulation is a full
+    * range theta-join of intervals × weeks. The scale shape used here
+    * is interval BUCKETIZATION: each interval explodes into the
+    * (bounded-length) list of week buckets it overlaps and the result
+    * is a plain partial-aggregable groupBy on the bucket — shuffle
+    * volume is O(rows × avg weeks per interval), never rows × weeks.
+    * The same trick generalizes to any bounded-span pure-range join
+    * (bucket both sides, equi-join on bucket, residual-filter). */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1990-01-01"))
+    val iv = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("d1"))
+      .withColumn("d2",
+        date_add(col("d1"), (col("o_orderkey") % 30).cast(IntegerType)))
+      // integer div (not double-divide-then-truncate): exact floor
+      // semantics matching DuckDB's // on the same nonnegative operands
+      .withColumn("w1",
+        expr("cast(datediff(d1, date'1990-01-01') as bigint) div 7"))
+      .withColumn("w2",
+        expr("cast(datediff(d2, date'1990-01-01') as bigint) div 7"))
+    iv.withColumn("wk", explode(sequence(col("w1"), col("w2"))))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_open"))
+      .orderBy(col("wk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_interval_overlap" -> intervalOverlap,
     "q91_cohort_retention" -> cohortRetention,
     "q89_sliding_distinct" -> slidingDistinctUsers,
     "q84_funnel_stages" -> funnelStages,
@@ -266,6 +296,22 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the naive pure-range formulation (weeks × intervals theta-join)
+    // that the Spark plan's bucketization deliberately avoids
+    "q94_interval_overlap" ->
+      """WITH iv AS (SELECT o_orderkey,
+        |    DATE_DIFF('day', DATE '1990-01-01',
+        |              CAST(o_orderdate AS DATE)) // 7 AS w1,
+        |    DATE_DIFF('day', DATE '1990-01-01',
+        |              CAST(o_orderdate AS DATE)
+        |                + CAST(o_orderkey % 30 AS INTEGER)) // 7 AS w2
+        |  FROM orders),
+        |wk AS (SELECT UNNEST(GENERATE_SERIES((SELECT MIN(w1) FROM iv),
+        |                                     (SELECT MAX(w2) FROM iv))) AS wk)
+        |SELECT wk.wk AS wk, COUNT(*) AS n_open
+        |FROM wk JOIN iv ON wk.wk BETWEEN iv.w1 AND iv.w2
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q91_cohort_retention" ->
       """WITH du AS (SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id
         |            FROM events),
