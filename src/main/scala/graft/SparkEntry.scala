@@ -16,7 +16,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.Relational.argmaxPerDay(spark, "/root/testdata/sf0.001")
 
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
+  private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
     (ops.Relational.queries, ops.Relational.oracles),
     (ops.Windows.queries, ops.Windows.oracles),

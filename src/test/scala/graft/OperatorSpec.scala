@@ -22,6 +22,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("module registries never collide: the merged maps lose no keys") {
+    // Map ++ silently overrides duplicate keys — a copy-pasted query
+    // name in a second module would shadow the first and the shadowed
+    // operator would drop out of the gate without any failure
+    val qTotal = SparkEntry.modules.map(_._1.size).sum
+    assert(qTotal === SparkEntry.queries.size,
+      s"duplicate query names across modules: $qTotal registered, ${SparkEntry.queries.size} merged")
+    val oTotal = SparkEntry.modules.map(_._2.size).sum
+    assert(oTotal === SparkEntry.oracleSql.size,
+      s"duplicate oracle names across modules: $oTotal registered, ${SparkEntry.oracleSql.size} merged")
+  }
+
   test("argmax rows are real input rows (row membership)") {
     val top = run("q09_argmax_per_day")
     val orders = Tables.load(spark, sf, "orders")
