@@ -125,35 +125,34 @@ object Similarity {
   private val IvfK = 32
   private val IvfNProbe = 8
 
-  /** IVF approximate top-10: a fixed-size coarse quantizer (the IvfK
-    * vectors FIRST in deterministic hash order of vec_id — a heap
-    * top-k, corpus-size-independent) assigns every vector to its
-    * nearest centroid once; each query probes its IvfNProbe closest
-    * centroids and searches only those buckets. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir)
-    // TakeOrderedAndProject: fixed-k sample by portable hash order —
-    // the q68 bucket trick made size-exact, O(k) result, no full sort
-    val cent = v.orderBy(phash(col("vec_id").cast(StringType)), col("vec_id"))
+  /** Fixed-k coarse quantizer: the IvfK vectors FIRST in deterministic
+    * hash order of vec_id. TakeOrderedAndProject: fixed-k sample by
+    * portable hash order — the q68 bucket trick made size-exact, O(k)
+    * result, no full sort. */
+  private def hashCentroids(v: DataFrame): DataFrame =
+    v.orderBy(phash(col("vec_id").cast(StringType)), col("vec_id"))
       .limit(IvfK)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("n2").as("cn"))
 
-    // cluster assignment: argmax cosine over the k centroids — O(n·k),
-    // broadcast side is k rows whatever the corpus size
+  /** Cluster assignment: argmax cosine over the k centroids — O(n·k),
+    * broadcast side is k rows whatever the corpus size. */
+  private def assignToCentroids(v: DataFrame, cent: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid").desc)
-    val assign = v.join(broadcast(cent), lit(true))
+    v.join(broadcast(cent), lit(true))
       .withColumn("csim", cosine(dot(col("embedding"), col("ce")),
         col("n2"), col("cn")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cid"))
+  }
 
-    // probe selection: top-nprobe centroids per query
-    val q = v.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("n2").as("qn"))
+  /** Probe path over a (centroid table, bucket assignment) index: each
+    * query ranks the centroids, searches its IvfNProbe best buckets
+    * only, and keeps its top-10. */
+  private def probeIvf(q: DataFrame, cent: DataFrame,
+      assign: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("cid").desc)
     val probes = q.join(broadcast(cent), lit(true))
@@ -162,8 +161,6 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= IvfNProbe)
       .select(col("query_id"), col("qe"), col("qn"), col("cid"))
-
-    // bucket-restricted search
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(probes).join(assign, "cid")
@@ -174,6 +171,43 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank).cast(LongType))
       .filter(col("rank") <= 10)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def queryVecs(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("n2").as("qn"))
+
+  /** IVF approximate top-10, index built inline: quantize, assign every
+    * vector to its nearest centroid once, probe the best buckets. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cent = hashCentroids(v)
+    probeIvf(queryVecs(v), cent, assignToCentroids(v, cent))
+  }
+
+  /** Materialize the IVF index — build once, probe many: the centroid
+    * table and the bucket assignment land as parquet under `indexDir`
+    * (`centroids/`, `assign/`). At scale the assignment write is the
+    * one O(n) pass; every subsequent query batch skips both the
+    * quantizer and the assignment entirely, which is the economics
+    * that make IVF an INDEX rather than a per-query plan. */
+  def saveIvfIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val v = vecs(spark, dir)
+    val cent = hashCentroids(v)
+    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignToCentroids(v, cent)
+      .write.mode("overwrite").parquet(s"$indexDir/assign")
+  }
+
+  /** Probe a previously-saved IVF index: byte-identical results to
+    * [[annIvf]] (same centroid rule, same assignment, same probe path)
+    * without rebuilding either — spec-pinned in OperatorSpec. */
+  def annIvfFromIndex(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val assign = spark.read.parquet(s"$indexDir/assign")
+    probeIvf(queryVecs(vecs(spark, dir)), cent, assign)
   }
 
   /** Spherical k-means training for the IVF coarse quantizer — the

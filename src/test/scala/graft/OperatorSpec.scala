@@ -96,6 +96,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=8 of k=32 lists
   }
 
+  test("persisted IVF index probes byte-identically to the inline build") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    try {
+      graft.sim.Similarity.saveIvfIndex(spark, sf, idx)
+      // the index covers every corpus vector exactly once
+      val assigned = spark.read.parquet(s"$idx/assign")
+      assert(assigned.count() === Tables.load(spark, sf, "embeddings").count())
+      assert(assigned.groupBy("vec_id").count()
+        .filter(col("count") > 1).count() === 0)
+      val fromIndex = graft.sim.Similarity.annIvfFromIndex(spark, sf, idx)
+        .collect().toSeq
+      val inline = run("q36_ann_ivf").collect().toSeq
+      assert(fromIndex === inline)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("Lloyd training monotonically improves the quantizer objective") {
     val k = 16
     val c0 = sim.Similarity.trainIvfCentroids(spark, sf, k, iters = 0)
