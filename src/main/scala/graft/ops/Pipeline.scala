@@ -372,7 +372,37 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language percentile rank — q90's CDF trick in its GROUPED
+    * form, which is the one that scales furthest: every window here is
+    * PARTITIONED by the group key (no unpartitioned window at all, not
+    * even over the histogram), so the whole plan is embarrassingly
+    * parallel across groups; the histogram shrink happens within each
+    * group and the CDF broadcasts back. The normalization step of a
+    * per-language quality gate. */
+  def groupPercentileRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val hist = docs.groupBy(col("lang"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCdf = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = hist
+      .withColumn("below", coalesce(sum(col("c")).over(wCdf), lit(0L)))
+      .withColumn("n_grp", sum(col("c")).over(wTot))
+      .withColumnRenamed("lang", "cdf_lang")
+    docs.join(broadcast(cdf),
+        col("lang") === col("cdf_lang") && col("n_chars") === col("v"))
+      .select(docs("doc_id"), docs("lang"), docs("n_chars"),
+        when(col("n_grp") > 1,
+          col("below").cast(DoubleType) / (col("n_grp") - 1))
+          .otherwise(lit(0.0)).as("pct_in_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_group_percentile" -> groupPercentileRank,
     "q93_shuffle_order" -> ((s: SparkSession, d: String) => shuffleOrder(s, d)),
     "q90_percentile_rank" -> percentileRank,
     "q77_chunk_docs" -> chunkDocs,
@@ -389,6 +419,12 @@ object Pipeline {
     s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
 
   val oracles: Map[String, String] = Map(
+    "q95_group_percentile" ->
+      """SELECT doc_id, lang, n_chars,
+        |  PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars)
+        |    AS pct_in_lang
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // the single-partition window formulation the Spark plan's
     // two-level bucket rank deliberately avoids
     "q93_shuffle_order" ->
