@@ -249,7 +249,11 @@ object Pipeline {
     val cdf = hist
       .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
       .withColumn("n_docs", sum(col("c")).over(wAll))
-    docs.join(broadcast(cdf), col("n_chars") === col("v"))
+    // null-safe join: a NULL metric row must stay present (dropping it
+    // would silently diverge from the window oracle's row count);
+    // fixture metrics are non-null, and NULL ordering semantics are
+    // out of contract either way
+    docs.join(broadcast(cdf), col("n_chars") <=> col("v"))
       .select(col("doc_id"), col("n_chars"),
         // n = 1 guard: PERCENT_RANK defines the single-row rank as 0,
         // where below/(n-1) would be 0/0 = NaN
@@ -392,8 +396,10 @@ object Pipeline {
       .withColumn("below", coalesce(sum(col("c")).over(wCdf), lit(0L)))
       .withColumn("n_grp", sum(col("c")).over(wTot))
       .withColumnRenamed("lang", "cdf_lang")
+    // null-safe join keys: see q90 — NULL group/metric rows must not
+    // silently drop relative to the PARTITION BY oracle
     docs.join(broadcast(cdf),
-        col("lang") === col("cdf_lang") && col("n_chars") === col("v"))
+        col("lang") <=> col("cdf_lang") && col("n_chars") <=> col("v"))
       .select(docs("doc_id"), docs("lang"), docs("n_chars"),
         when(col("n_grp") > 1,
           col("below").cast(DoubleType) / (col("n_grp") - 1))

@@ -260,7 +260,8 @@ object Temporal {
     * The same trick generalizes to any bounded-span pure-range join
     * (bucket both sides, equi-join on bucket, residual-filter). */
   def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val epoch = to_date(lit("1990-01-01"))
+    // epoch lives in the expr strings below (date'1990-01-01') and the
+    // oracle's DATE '1990-01-01' — keep the four literals in step
     val iv = load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("d1"))
       .withColumn("d2",

@@ -102,9 +102,7 @@ object Similarity {
     * measured against. */
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
-    val q = v.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("n2").as("qn"))
+    val q = queryVecs(v)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(q).join(v, col("vec_id") =!= col("query_id"))
@@ -129,9 +127,9 @@ object Similarity {
     * hash order of vec_id. TakeOrderedAndProject: fixed-k sample by
     * portable hash order — the q68 bucket trick made size-exact, O(k)
     * result, no full sort. */
-  private def hashCentroids(v: DataFrame): DataFrame =
+  private def hashCentroids(v: DataFrame, k: Int = IvfK): DataFrame =
     v.orderBy(phash(col("vec_id").cast(StringType)), col("vec_id"))
-      .limit(IvfK)
+      .limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("n2").as("cn"))
 
@@ -194,8 +192,11 @@ object Similarity {
     * that make IVF an INDEX rather than a per-query plan. */
   def saveIvfIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
     val v = vecs(spark, dir)
-    val cent = hashCentroids(v)
-    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    hashCentroids(v).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // assign from the WRITTEN centroids: skips a second quantizer-sample
+    // corpus scan, and the saved assignment is provably derived from
+    // the saved centroid table rather than a recomputation
+    val cent = spark.read.parquet(s"$indexDir/centroids")
     assignToCentroids(v, cent)
       .write.mode("overwrite").parquet(s"$indexDir/assign")
   }
@@ -233,11 +234,9 @@ object Similarity {
   def trainIvfCentroids(spark: SparkSession, dir: String,
       k: Int = IvfK, iters: Int = 3): DataFrame = {
     val v = vecs(spark, dir)
-    var cent = v.orderBy(phash(col("vec_id").cast(StringType)), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("n2").as("cn"))
-      .localCheckpoint()
+    // the SAME deterministic init as annIvf's quantizer — shared code,
+    // not a copy that could fork
+    var cent = hashCentroids(v, k).localCheckpoint()
     for (_ <- 1 to iters) {
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("csim").desc, col("cid").desc)
