@@ -278,7 +278,23 @@ object Temporal {
       .orderBy(col("wk"))
   }
 
+  /** Current-state snapshot FROM the SCD2 history: the open interval
+    * (is_current) of q76 is definitionally each entity's latest state —
+    * the consistency every history-keeping warehouse relies on when it
+    * serves "current" reads from the dimension's open rows instead of
+    * re-deriving them from the change log. The oracle goes the OTHER
+    * way (keep-last over the raw log), so the gate proves the duality,
+    * not just the plumbing. Scale: q76's single entity-key shuffle plus
+    * a filter — the snapshot is free once the history exists. */
+  def scd2Current(spark: SparkSession, dir: String): DataFrame =
+    scd2History(spark, dir)
+      .filter(col("is_current"))
+      .select(col("o_custkey"), col("status").as("current_status"),
+        col("anchor_orderkey"), col("valid_from"))
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
     "q91_cohort_retention" -> cohortRetention,
     "q89_sliding_distinct" -> slidingDistinctUsers,
@@ -297,6 +313,23 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // keep-LAST over the change log — the independent derivation of the
+    // same current state q96 reads from the SCD2 open intervals
+    "q96_scd2_current" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    LAG(o_orderstatus) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |chg AS (SELECT * FROM ordered
+        |        WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus AS current_status,
+        |  o_orderkey AS anchor_orderkey, o_orderdate AS valid_from
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM chg)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
     // the naive pure-range formulation (weeks × intervals theta-join)
     // that the Spark plan's bucketization deliberately avoids
     "q94_interval_overlap" ->
