@@ -44,6 +44,13 @@ object Sketches {
 
   @inline private def gOf(h: Long): Long = (h >>> 17) | 1L
 
+  /** Column twin of [[gOf]] — the probe-side derivation of the
+    * double-hash increment, defined ONCE so the JVM aggregate and the
+    * Column probe can never desync on the shift constant. h is the
+    * 56-bit nonnegative phash, so arithmetic >> equals logical >>>. */
+  private def gOf(h: Column): Column =
+    shiftright(h, 17).bitwiseOR(lit(1L))
+
   /** Mergeable Bloom filter over 56-bit keys: zero = empty bitset,
     * reduce = set K probe bits, merge = bitwise OR (union of key sets —
     * Bloom filters of disjoint partial inputs OR into exactly the
@@ -104,7 +111,7 @@ object Sketches {
     * builtins over the broadcast bitset array. True for every inserted
     * key (no false negatives); rarely true for others. */
   def bloomMightContain(h: Column, bloom: Column): Column = {
-    val g = shiftright(h, 17).bitwiseOR(lit(1L)) // h is 56-bit nonneg: >> == >>>
+    val g = gOf(h)
     (0 until BLOOM_K).map { i =>
       val pos = (h + lit(i.toLong) * g) % lit(M_BITS)
       val word = element_at(bloom, shiftright(pos, 6).cast(IntegerType) + lit(1))
@@ -116,7 +123,7 @@ object Sketches {
   /** Column-side Count-Min frequency estimate (min over the D row
     * counters) — never below the key's true count. */
   def cmsEstimate(h: Column, cms: Column): Column = {
-    val g = shiftright(h, 17).bitwiseOR(lit(1L))
+    val g = gOf(h)
     least((0 until CMS_D).map { r =>
       val idx = lit(r * CMS_W) + (h + lit(r.toLong) * g) % lit(CMS_W.toLong)
       element_at(cms, idx.cast(IntegerType) + lit(1))

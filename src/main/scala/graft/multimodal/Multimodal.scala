@@ -10,18 +10,23 @@ import graft.Tables._
   * columns with typed metadata alongside; decode/feature-extraction
   * runs partition-batched over a typed Dataset.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in
-  * this container): it deterministically fakes "pixels" from the
-  * payload bytes. Everything around it — the binary column, the typed
-  * schema, the partition-batched iterator shape (the JVM analogue of a
-  * batched pandas UDF), the feature schema — is real and tested
-  * (MultimodalSpec).
+  * The decode step is REAL for images: `javax.imageio` ships PNG, JPEG,
+  * BMP and GIF codecs inside every JDK, so [[decodeImage]] turns actual
+  * image bytes into actual pixels (true dimensions + per-channel
+  * stats) with no external dependency. Payloads that are not a
+  * decodable image — e.g. the UTF-8 text stand-ins the `documents`
+  * table provides — fall back to a deterministic byte-fake
+  * ([[decodeFallback]]) so the pipeline stays total; the features row
+  * carries a `real_decode` flag distinguishing the two.
   *
   * Scale notes: payloads never pass through a shuffle here (narrow
   * pipeline); at 100 TB you partition by content size so decode
   * batches stay memory-bounded, and push metadata-only predicates
   * (format, dimensions) to the parquet scan so undecodable/oversized
-  * payloads are pruned before a single byte is fetched.
+  * payloads are pruned before a single byte is fetched. ImageIO's
+  * disk cache is disabled once per executor JVM — a codec that spills
+  * every payload to local tmp files would turn decode into an IO
+  * bench.
   */
 object Multimodal {
 
@@ -29,20 +34,74 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String,
     width: Int, height: Int)
 
-  /** Per-media extracted features. */
+  /** Per-media extracted features. `img_w`/`img_h` and the channel
+    * means come from DECODED pixels when `real_decode` is true; on the
+    * byte-fallback path they echo the metadata claim and the
+    * single-channel mean. */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, n_pixels: Long,
-    mean_pixel: Double)
+    mean_pixel: Double, img_w: Int, img_h: Int, mean_r: Double,
+    mean_g: Double, mean_b: Double, real_decode: Boolean)
 
   /** Decode batch size: bounds peak decoded-buffer memory per task. */
   val DecodeBatch = 32
 
-  /** STUB — a real deployment decodes `payload` with an image/audio
-    * codec here; this container has none, so the decoded "pixels" are
-    * deterministically faked from the payload bytes themselves. The
-    * signature (bytes + metadata in, fixed-size buffer out) is the real
-    * contract a codec drops into. */
-  def decodeStub(payload: Array[Byte], width: Int, height: Int): Array[Int] =
+  /** A decoded image: true dimensions, per-pixel luminance, and
+    * per-channel means. */
+  case class Decoded(w: Int, h: Int, gray: Array[Int], meanR: Double,
+    meanG: Double, meanB: Double)
+
+  // One-time per-JVM ImageIO setup (runs on each executor at first
+  // decode): no AWT display needed, no tmp-file cache per payload.
+  private lazy val imageIoReady: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** REAL image decode via the JDK's bundled codecs (PNG/JPEG/BMP/GIF).
+    * Returns None for payloads no installed reader recognizes — the
+    * caller falls back to [[decodeFallback]]. Luminance is the integer
+    * channel average (deterministic across JVMs; no float rounding). */
+  def decodeImage(payload: Array[Byte]): Option[Decoded] = {
+    imageIoReady
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        val gray = new Array[Int](w * h)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < argb.length) {
+          val p = argb(i)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          sr += r; sg += g; sb += b
+          gray(i) = (r + g + b) / 3
+          i += 1
+        }
+        val n = math.max(argb.length, 1).toDouble
+        Some(Decoded(w, h, gray, sr / n, sg / n, sb / n))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Fallback for non-image payloads (text stand-ins, video frames):
+    * deterministic "pixels" from the payload bytes themselves. Keeps
+    * the pipeline total over mixed corpora where only some rows carry
+    * decodable media. */
+  def decodeFallback(payload: Array[Byte]): Array[Int] =
     payload.map(b => b & 0xff)
+
+  /** Total decode: real codec first, byte-fake otherwise. Returns the
+    * pixel buffer, the TRUE dimensions (decoded, or the metadata claim
+    * on fallback), and whether a real codec ran. */
+  def decodePixels(r: MediaRecord): (Array[Int], Int, Int, Boolean) =
+    decodeImage(r.payload) match {
+      case Some(d) => (d.gray, d.w, d.h, true)
+      case None    => (decodeFallback(r.payload), r.width, r.height, false)
+    }
 
   /** The documents table lifted into a media table: text bytes stand in
     * for an image payload; metadata (format, dimensions, content hash)
@@ -76,17 +135,31 @@ object Multimodal {
 
   /** Partition-batched decode + feature extraction: the mapPartitions
     * iterator is consumed in DecodeBatch-sized groups, mirroring the
-    * batch shape a vectorized (Arrow/pandas-style) UDF would see. */
+    * batch shape a vectorized (Arrow/pandas-style) UDF would see. Rows
+    * whose payload is a real image get true decoded dimensions and
+    * per-channel means; the rest get the deterministic byte-fallback
+    * (and echo the metadata dimensions). */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap { batch =>
         batch.map { r =>
-          val px = decodeStub(r.payload, r.width, r.height)
-          val mean =
-            if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
-          MediaFeatures(r.doc_id, r.payload.length.toLong, px.length.toLong,
-            mean)
+          decodeImage(r.payload) match {
+            case Some(d) =>
+              val mean = if (d.gray.isEmpty) 0.0
+                else d.gray.map(_.toLong).sum.toDouble / d.gray.length
+              MediaFeatures(r.doc_id, r.payload.length.toLong,
+                d.gray.length.toLong, mean, d.w, d.h, d.meanR, d.meanG,
+                d.meanB, real_decode = true)
+            case None =>
+              val px = decodeFallback(r.payload)
+              val mean =
+                if (px.isEmpty) 0.0
+                else px.map(_.toLong).sum.toDouble / px.length
+              MediaFeatures(r.doc_id, r.payload.length.toLong,
+                px.length.toLong, mean, r.width, r.height, mean, mean, mean,
+                real_decode = false)
+          }
         }
       }
     }
@@ -100,12 +173,11 @@ object Multimodal {
   case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Long,
     mean_pixel: Double)
 
-  /** Nearest-neighbor resize over the (stub-)decoded pixel buffer. The
-    * index math is the real kernel a codec-backed deployment keeps;
-    * only the pixel source is the stub. Out-of-range source indices
-    * clamp (the stub's buffer length is the payload length, not
-    * necessarily w*h). */
-  def resizeStub(px: Array[Int], w: Int, h: Int, ow: Int, oh: Int): Array[Int] = {
+  /** Nearest-neighbor resize over the decoded pixel buffer. Out-of-range
+    * source indices clamp (the fallback buffer length is the payload
+    * length, not necessarily w*h; a real decode always has exactly
+    * w*h). */
+  def resizeKernel(px: Array[Int], w: Int, h: Int, ow: Int, oh: Int): Array[Int] = {
     val out = new Array[Int](ow * oh)
     if (px.nonEmpty) {
       var y = 0
@@ -130,9 +202,9 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap(_.map { r =>
-        val px = decodeStub(r.payload, r.width, r.height)
+        val (px, w, h, _) = decodePixels(r)
         ResizedMedia(r.doc_id, ow, oh,
-          resizeStub(px, math.max(r.width, 1), math.max(r.height, 1), ow, oh))
+          resizeKernel(px, math.max(w, 1), math.max(h, 1), ow, oh))
       })
     }
   }
@@ -150,7 +222,9 @@ object Multimodal {
       (0 until nFrames by every).map { f =>
         val frame = r.payload.slice(f * frameBytes,
           math.min((f + 1) * frameBytes, r.payload.length))
-        val px = decodeStub(frame, r.width, r.height)
+        // a raw frame slice is never a self-contained image container;
+        // frame decode goes straight to the byte path
+        val px = decodeFallback(frame)
         val mean =
           if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
         FrameSample(r.doc_id, f, frame.length.toLong, mean)

@@ -22,7 +22,8 @@ object Incremental {
 
   /** CDC merge of an order-derived change batch into the customer
     * snapshot. Changes = per-customer order totals; change keys
-    * divisible by 100 also appear offset by 10^7 as brand-new entities,
+    * divisible by 100 also appear with negated keys (-key-1) as
+    * brand-new entities,
     * so all three MERGE actions occur: matched -> 'update' (balance +=
     * delta), unmatched-change -> 'insert', untouched-base -> 'keep'.
     * Balance arithmetic is exact DECIMAL with one final cast to double

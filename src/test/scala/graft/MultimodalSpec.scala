@@ -5,14 +5,68 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.{MediaFeatures, MediaRecord}
 
-/** Specs for the multimodal plumbing: the decode step is a stub (no
-  * codecs in this container) but the schema, batching, and feature
-  * math around it are real. */
+/** Specs for the multimodal pipeline: REAL image decode through the
+  * JDK's javax.imageio codecs (PNG/BMP/JPEG fixtures generated
+  * in-test), plus the deterministic byte-fallback for non-image
+  * payloads. */
 class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = GraftSession.test()
 
-  test("extractFeatures computes byte/pixel counts and mean over batches") {
+  /** Encode a tiny known image through the JDK codec under test. */
+  private def imageBytes(fmt: String, w: Int, h: Int,
+      rgb: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.zipWithIndex.foreach { case ((r, g, b), i) =>
+      img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  private val fixturePx = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255),
+    (255, 255, 255), (0, 0, 0), (128, 128, 128), (10, 20, 30), (200, 100, 50))
+
+  test("real decode: PNG and BMP fixtures yield exact pixel stats") {
+    import spark.implicits._
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes = imageBytes(fmt, 4, 2, fixturePx)
+      // metadata claims 99x99 — decoded dims must come from the pixels
+      val ds = Seq(MediaRecord(1L, bytes, s"img/$fmt", 99, 99)).toDS()
+      val f = Multimodal.extractFeatures(ds).collect().head
+      assert(f.real_decode, s"$fmt should decode")
+      assert(f.img_w === 4 && f.img_h === 2, s"$fmt dims from pixels")
+      assert(f.n_pixels === 8)
+      assert(f.n_bytes === bytes.length)
+      assert(f.mean_r === 848.0 / 8, fmt)
+      assert(f.mean_g === 758.0 / 8, fmt)
+      assert(f.mean_b === 718.0 / 8, fmt)
+      // integer luminance (r+g+b)/3 per pixel: 85,85,85,255,0,128,20,116
+      assert(f.mean_pixel === 774.0 / 8, fmt)
+    }
+  }
+
+  test("real decode: JPEG fixture decodes with true dimensions") {
+    // JPEG is lossy — pin shape, not exact channel values
+    val bytes = imageBytes("jpg", 4, 2, fixturePx)
+    val d = Multimodal.decodeImage(bytes).get
+    assert(d.w === 4 && d.h === 2)
+    assert(d.gray.length === 8)
+    assert(d.gray.forall(p => p >= 0 && p <= 255))
+  }
+
+  test("real decode: resize samples decoded (not metadata) geometry") {
+    import spark.implicits._
+    val bytes = imageBytes("png", 4, 2, fixturePx)
+    val ds = Seq(MediaRecord(3L, bytes, "img/png", 77, 77)).toDS()
+    val out = Multimodal.resize(ds, 2, 1).collect().head
+    // NN over the TRUE 4x2 grid: rows y=0, cols x∈{0,2} → gray 85, 85
+    assert(out.pixels.toSeq === Seq(85, 85))
+  }
+
+  test("extractFeatures falls back to byte decode for non-image payloads") {
     import spark.implicits._
     val recs = (0 until 100).map { i =>
       MediaRecord(i.toLong, Array.tabulate[Byte](i + 1)(j => (j % 7).toByte),
@@ -23,8 +77,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length === 100)
     out.foreach { f: MediaFeatures =>
       val n = f.doc_id.toInt + 1
+      assert(!f.real_decode) // raw bytes are not an image container
       assert(f.n_bytes === n)
-      assert(f.n_pixels === n) // stub: 1 "pixel" per byte
+      assert(f.n_pixels === n) // fallback: 1 "pixel" per byte
+      assert(f.img_w === 10 && f.img_h === 10) // echoes metadata claim
       val expectMean = (0 until n).map(_ % 7).sum.toDouble / n
       assert(math.abs(f.mean_pixel - expectMean) < 1e-12)
     }

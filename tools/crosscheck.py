@@ -46,11 +46,26 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame):
     # a float on the other (e.g. DuckDB HUGEINT from SUM(BIGINT) -> pandas
     # float64) hash-mismatches even when values compare equal ("0" vs
     # "0.0"). Mirror that strictness: numeric KIND must agree per column.
+    def kind(s: pd.Series) -> str:
+        if pd.api.types.is_integer_dtype(s): return "int"
+        if pd.api.types.is_float_dtype(s): return "float"
+        if s.dtype == object:
+            # DuckDB surfaces DECIMAL as object(decimal.Decimal); the
+            # driver renders those differently from a float64 ("0.00"
+            # vs "0.0"), so an object-numeric column is its own kind.
+            import decimal
+            for v in s:
+                if v is None or (isinstance(v, float) and math.isnan(v)): continue
+                if isinstance(v, decimal.Decimal): return "objnum"
+                if isinstance(v, (int, float)): return "objnum"
+                return "other"
+        return "other"
     for c in mine.columns:
-        mi, oi = pd.api.types.is_integer_dtype(mine[c]), pd.api.types.is_integer_dtype(oracle[c])
-        mf, of = pd.api.types.is_float_dtype(mine[c]), pd.api.types.is_float_dtype(oracle[c])
-        if (mi and of) or (mf and oi):
-            return (f"DTYPE col={c}: mine={mine[c].dtype} oracle={oracle[c].dtype}"
+        km, ko = kind(mine[c]), kind(oracle[c])
+        numeric = {"int", "float", "objnum"}
+        if km in numeric and ko in numeric and km != ko:
+            return (f"DTYPE col={c}: mine={mine[c].dtype}({km}) oracle="
+                    f"{oracle[c].dtype}({ko})"
                     " (cast the oracle aggregate to BIGINT/DOUBLE explicitly)")
     if len(mine) != len(oracle):
         return f"ROWS mine={len(mine)} oracle={len(oracle)}"
