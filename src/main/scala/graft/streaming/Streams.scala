@@ -79,9 +79,9 @@ object Streams {
   /** Streaming exactly-once dedup + aggregation: dropDuplicates keyed
     * on event_id holds seen-key state across micro-batches (the
     * streaming form of the MinIO last-write-wins upsert, SURVEY §2.2
-    * K3), then a complete-mode count per type. Unbounded key state is
-    * bounded in production with dropDuplicatesWithinWatermark; here the
-    * AvailableNow run is finite by construction. */
+    * K3), then a complete-mode count per type. The key state here is
+    * UNBOUNDED (exact dedup over all history); the watermark-bounded
+    * production form is [[streamDedupBounded]] (q97). */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val agg = spark.readStream.schema(schema)
@@ -95,6 +95,64 @@ object Streams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     runToMemory(spark, agg, "graft_stream_dedup").orderBy(col("event_type"))
+  }
+
+  /** Deterministic sink/checkpoint locations for the bounded-state
+    * dedup, keyed by dataset dir and wiped per call (same convention as
+    * [[streamJoinPaths]]). */
+  private[graft] def dedupBoundedPaths(dir: String): (String, String) = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    (s"${sys.props("java.io.tmpdir")}/graft_stream_dedup_wm$safe",
+      s"${sys.props("java.io.tmpdir")}/graft_stream_dedup_wm_ckpt$safe")
+  }
+
+  /** The streaming dedup: the event stream, watermarked, deduplicated
+    * by (event_id, event_type) with WATERMARK-BOUNDED state. Exposed
+    * separately so the spec can pin the state-bounded operator in the
+    * plan. */
+  private[graft] def dedupBoundedStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id", "event_type")
+      .select(col("event_id"), col("event_type"))
+  }
+
+  /** STATE-BOUNDED streaming dedup — the form an unbounded 100 TB/day
+    * stream actually runs. [[streamDedup]]'s plain dropDuplicates keeps
+    * every seen key forever; dropDuplicatesWithinWatermark evicts a
+    * key's state once the watermark passes its event time + delay, so
+    * state holds ~1 hour of keys instead of the stream's full history.
+    * The tradeoff is the guarantee: duplicates farther apart than the
+    * watermark gap may BOTH survive — the events fixture has no
+    * cross-watermark duplicate (all data lands in one AvailableNow
+    * micro-batch, and the watermark only advances between batches), so
+    * the answer here equals q43's exact DISTINCT oracle.
+    *
+    * The deduped stream lands in a checkpointed parquet FILE sink in
+    * append mode (executor → files; dedup emits each first-seen row
+    * immediately, and the O(events) pre-aggregation stream must never
+    * reside on the driver), then the per-type rollup runs as a batch
+    * query over the committed files — the same two-stage shape as
+    * [[streamJoin]]. */
+  def streamDedupBounded(spark: SparkSession, dir: String): DataFrame = {
+    val (out, ckpt) = dedupBoundedPaths(dir)
+    deleteRecursively(new java.io.File(out))
+    deleteRecursively(new java.io.File(ckpt))
+    val q = dedupBoundedStream(spark, dir).writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
   }
 
   /** Stream–static enrichment join: the unbounded event stream joins
@@ -324,6 +382,7 @@ object Streams {
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
+    "q97_stream_dedup_bounded" -> streamDedupBounded,
     "q88_stream_static_join" -> streamStaticJoin)
 
   /** q40 is identical to q25's oracle and q42 to q39's: the streaming /
@@ -362,6 +421,13 @@ object Streams {
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "q43_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_events
+        |FROM (SELECT DISTINCT event_id, event_type FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // within one AvailableNow micro-batch the watermark never advances,
+    // so the bounded-state dedup is exact == the DISTINCT oracle
+    "q97_stream_dedup_bounded" ->
       """SELECT event_type, COUNT(*) AS n_events
         |FROM (SELECT DISTINCT event_id, event_type FROM events)
         |GROUP BY event_type

@@ -321,4 +321,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(sunk === nMatches && sunk > 0,
       s"file sink holds $sunk rows, expected $nMatches")
   }
+
+  test("watermark-bounded dedup uses state-bounded operator and matches exact dedup") {
+    // the plan must carry DeduplicateWithinWatermark (state evicted as
+    // the watermark advances), NOT the unbounded Deduplicate of q43
+    val stream = streaming.Streams.dedupBoundedStream(spark, sf)
+    val plan = stream.queryExecution.analyzed.toString
+    assert(plan.contains("DeduplicateWithinWatermark"),
+      s"expected state-bounded dedup operator in plan:\n$plan")
+    // fixture has no cross-watermark duplicate -> equals the exact form
+    val bounded = run("q97_stream_dedup_bounded").collect().toSeq
+    val exact = run("q43_stream_dedup").collect().toSeq
+    assert(bounded === exact)
+  }
 }
