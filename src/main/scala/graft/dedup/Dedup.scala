@@ -420,31 +420,60 @@ object Dedup {
     udaf(graft.functions.MinHashMerge,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
 
-  /** Per-node triangle counts over the exact near-dup graph (q33's
-    * edges) — the local clustering signal that separates a tight
-    * duplicate clique from a loose similarity chain before choosing a
-    * canonical doc. Triangle enumeration uses the ORIENTED join: edges
-    * are kept one-directional under the id order (doc_a < doc_b), so
-    * each triangle a<b<c is produced exactly once by joining (a,b)
-    * with (b,c) and semi-checking (a,c) — three bounded equi-joins, no
-    * symmetric-edge blowup. At web scale the same shape runs with
-    * DEGREE ordering instead of id ordering, which provably bounds the
-    * join fan-out on skewed graphs (the standard MapReduce triangle
-    * trick); id order keeps this oracle-checkable. */
-  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    val p = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+  /** Orient an undirected edge set (doc_a, doc_b) by DEGREE order:
+    * each edge points from its lower-(degree, id) endpoint to the
+    * higher one. A total order makes the orientation acyclic, so every
+    * triangle has exactly one (smallest → middle → largest) form and is
+    * enumerated once; choosing DEGREE (id as tie-break) as the order is
+    * what bounds the oriented out-degree — a node of degree d keeps
+    * only its ≥-degree neighbors as out-edges, giving out-degree
+    * O(√m) on any graph (Schank/Wagner; the standard MapReduce
+    * triangle trick). Under id order a high-degree hub with a small id
+    * keeps ALL its edges outgoing and anchors a quadratic
+    * (a,b)⋈(b,c) fan-out; under degree order the hub is every edge's
+    * HEAD and anchors none. */
+  private[graft] def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("doc_a").as("v"))
+      .unionByName(edges.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // doc_a < doc_b in the canonical undirected form, so a degree tie
+    // resolves to the id order
+    val aFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
+    edges
+      .join(deg.select(col("v").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("v").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+      .select(when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"))
+  }
+
+  /** Per-node triangle counts over an undirected edge set: orient by
+    * degree, join (a→b) with (b→c), semi-check (a→c) — three bounded
+    * equi-joins, no symmetric-edge blowup, skew-proof fan-out (see
+    * [[orientByDegree]]). */
+  private[graft] def triangleCountsFrom(edges: DataFrame): DataFrame = {
+    val p = orientByDegree(edges)
     val tri = p.alias("ab")
-      .join(p.alias("bc"), col("ab.doc_b") === col("bc.doc_a"))
-      .select(col("ab.doc_a").as("a"), col("ab.doc_b").as("b"),
-        col("bc.doc_b").as("c"))
+      .join(p.alias("bc"), col("ab.dst") === col("bc.src"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"),
+        col("bc.dst").as("c"))
       .join(p.alias("ac"),
-        col("a") === col("ac.doc_a") && col("c") === col("ac.doc_b"),
+        col("a") === col("ac.src") && col("c") === col("ac.dst"),
         "left_semi")
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Per-node triangle counts over the exact near-dup graph (q33's
+    * edges) — the local clustering signal that separates a tight
+    * duplicate clique from a loose similarity chain before choosing a
+    * canonical doc. The triangle set is orientation-independent, so the
+    * oracle (which enumerates id-ordered triples) is unchanged by the
+    * degree ordering. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsFrom(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_triangle_counts" -> triangleCounts,

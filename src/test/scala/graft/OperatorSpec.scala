@@ -322,6 +322,25 @@ class OperatorSpec extends AnyFunSuite {
       s"file sink holds $sunk rows, expected $nMatches")
   }
 
+  test("degree-ordered triangle orientation: the hub anchors no join fan-out") {
+    import spark.implicits._
+    // star: hub 0 with 60 leaves, plus leaf-leaf edges forming triangles
+    val edges = ((1 to 60).map(i => (0L, i.toLong)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L))).toDF("doc_a", "doc_b")
+    val oriented = dedup.Dedup.orientByDegree(edges)
+    // the hub has max degree, so EVERY star edge points INTO it: id
+    // order would give the hub 60 out-edges and a 60x59 (a,b)x(b,c)
+    // fan-out; degree order gives it zero
+    assert(oriented.filter(col("src") === 0L).count() === 0L)
+    val maxOut = oriented.groupBy(col("src")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxOut <= 3, s"oriented out-degree must stay O(sqrt(m)), got $maxOut")
+    // triangle multiset unchanged by orientation: (0,1,2),(0,1,3),(0,2,3),(1,2,3)
+    val tc = dedup.Dedup.triangleCountsFrom(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("watermark-bounded dedup uses state-bounded operator and matches exact dedup") {
     // the plan must carry DeduplicateWithinWatermark (state evicted as
     // the watermark advances), NOT the unbounded Deduplicate of q43
