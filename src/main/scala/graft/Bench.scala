@@ -66,7 +66,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nFail = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // Also land the JSON in a file: log-pipeline truncation must never
+    // cost the per-query numbers (r6 lost q01–q38 to a truncated tail).
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    val parent = outFile.toAbsolutePath.getParent
+    if (parent != null) java.nio.file.Files.createDirectories(parent)
+    java.nio.file.Files.write(outFile,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -180,12 +180,25 @@ object GasPrices {
     * table formats (Delta/Iceberg) exist to make this transactional
     * in place. */
   def compactStore(spark: SparkSession, inPath: String, outPath: String,
-      targetPartitions: Int): Unit = {
+      targetPartitions: Int): Unit =
+    compactStore(spark, inPath, outPath, targetPartitions, "date",
+      Seq("station"))
+
+  /** General form: compact ANY partitioned parquet store —
+    * `partitionCol` keeps the directory layout, `keyCols` order the
+    * range-clustering and in-file sort so row-group min/max stats
+    * support predicate skipping on the serving keys. Used by the
+    * gas-prices store (date, station) and the corpus store (split,
+    * doc_id) alike — one maintenance rule, not one per dataset. */
+  def compactStore(spark: SparkSession, inPath: String, outPath: String,
+      targetPartitions: Int, partitionCol: String,
+      keyCols: Seq[String]): Unit = {
+    val keys = (partitionCol +: keyCols).map(col)
     spark.read.parquet(inPath)
-      .repartitionByRange(targetPartitions, col("date"), col("station"))
-      .sortWithinPartitions(col("date"), col("station"))
+      .repartitionByRange(targetPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .write.mode("overwrite")
-      .partitionBy("date")
+      .partitionBy(partitionCol)
       .parquet(outPath)
   }
 
@@ -201,7 +214,23 @@ object GasPrices {
     * transactional — raw parquet callers expire from oldest forward so
     * any interruption leaves a contiguous retained range. */
   def expirePartitions(spark: SparkSession, path: String,
-      keepFrom: LocalDate): Long = {
+      keepFrom: LocalDate): Long =
+    dropPartitions(spark, path, "date", { name =>
+      // non-date partition dirs (e.g. a null-date sentinel) are kept
+      val day = try Some(LocalDate.parse(name)) catch {
+        case _: java.time.format.DateTimeParseException => None
+      }
+      day.exists(_.isBefore(keepFrom))
+    })
+
+  /** General form of partition retention: drop the partitions of
+    * `partitionCol` whose VALUE satisfies `dropIf`, by directory
+    * delete — O(dropped), never a rewrite of kept data. Shared by
+    * date-based expiry above and any other partitioned store (e.g.
+    * retiring a split from a built corpus). Returns the number of
+    * partitions actually removed. */
+  def dropPartitions(spark: SparkSession, path: String, partitionCol: String,
+      dropIf: String => Boolean): Long = {
     // Hadoop FS, not java.io: the same call works on hdfs://, s3a://,
     // and local paths (everything else in this store layer goes
     // through Spark's Hadoop filesystem too)
@@ -209,17 +238,13 @@ object GasPrices {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0L
     fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
       .sortBy(_.getPath.getName)
       .count { d =>
-        val name = d.getPath.getName.stripPrefix("date=")
-        // non-date partition dirs (e.g. a null-date sentinel) are kept
-        val day = try Some(LocalDate.parse(name)) catch {
-          case _: java.time.format.DateTimeParseException => None
-        }
+        val name = d.getPath.getName.stripPrefix(s"$partitionCol=")
         // count only deletes that actually succeeded — a partition the
         // FS refuses to remove must not be reported as expired
-        day.exists(_.isBefore(keepFrom)) && fs.delete(d.getPath, true)
+        dropIf(name) && fs.delete(d.getPath, true)
       }.toLong
   }
 

@@ -189,10 +189,25 @@ object Similarity {
     * (`centroids/`, `assign/`). At scale the assignment write is the
     * one O(n) pass; every subsequent query batch skips both the
     * quantizer and the assignment entirely, which is the economics
-    * that make IVF an INDEX rather than a per-query plan. */
-  def saveIvfIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    * that make IVF an INDEX rather than a per-query plan.
+    *
+    * `trained = true` builds the quantizer with [[trainIvfCentroids]]
+    * (spherical k-means from the same hash-sample init) instead of the
+    * raw hash sample — the production default when recall matters:
+    * Lloyd rounds are a one-time index-build cost and every probe
+    * thereafter searches tighter lists. Recall(trained) ≥
+    * recall(hash-sample) is pinned in OperatorSpec; q36's oracle keeps
+    * the untrained quantizer so the exact-match gate stays
+    * engine-portable (float-mean op order differs across engines). */
+  def saveIvfIndex(spark: SparkSession, dir: String, indexDir: String,
+      trained: Boolean = false, trainIters: Int = 3): Unit = {
     val v = vecs(spark, dir)
-    hashCentroids(v).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val quantizer =
+      if (trained)
+        trainIvfCentroids(spark, dir, IvfK, trainIters)
+          .select(col("cid"), col("centroid").as("ce"), col("norm2").as("cn"))
+      else hashCentroids(v)
+    quantizer.write.mode("overwrite").parquet(s"$indexDir/centroids")
     // assign from the WRITTEN centroids: skips a second quantizer-sample
     // corpus scan, and the saved assignment is provably derived from
     // the saved centroid table rather than a recomputation

@@ -118,6 +118,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("trained IVF index recall is at least the hash-sample index recall") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_tr").toString
+    try {
+      val bf = run("q35_knn_bruteforce").select("query_id", "neighbor_id")
+      val nBf = bf.count().toDouble
+      def recallOf(idx: String): Double = {
+        val ann = graft.sim.Similarity.annIvfFromIndex(spark, sf, idx)
+          .select("query_id", "neighbor_id")
+        bf.intersect(ann).count().toDouble / nBf
+      }
+      graft.sim.Similarity.saveIvfIndex(spark, sf, s"$base/hash")
+      graft.sim.Similarity.saveIvfIndex(spark, sf, s"$base/trained",
+        trained = true, trainIters = 2)
+      val rHash = recallOf(s"$base/hash")
+      val rTrained = recallOf(s"$base/trained")
+      assert(rTrained >= rHash,
+        s"trained quantizer recall $rTrained < hash-sample recall $rHash")
+      assert(rTrained > 0.0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("Lloyd training monotonically improves the quantizer objective") {
     val k = 16
     val c0 = sim.Similarity.trainIvfCentroids(spark, sf, k, iters = 0)

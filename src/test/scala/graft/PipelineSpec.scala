@@ -93,6 +93,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       expected.exceptAll(actual).isEmpty)
   }
 
+  test("layout maintenance chains onto the built corpus: compact then retire") {
+    import graft.ingest.GasPrices
+    val compacted =
+      java.nio.file.Files.createTempDirectory("graft_corpus_compact").toString
+    try {
+      def parquetFiles(p: String): Int = {
+        def walk(f: java.io.File): Int = {
+          val kids = f.listFiles()
+          if (kids == null) 0
+          else kids.map(k => if (k.isDirectory) walk(k)
+            else if (k.getName.endsWith(".parquet")) 1 else 0).sum
+        }
+        walk(new java.io.File(p))
+      }
+      val nBefore = parquetFiles(out)
+      assert(nBefore > 3, s"fixture corpus should be fragmented, got $nBefore files")
+      // one maintenance rule for any partitioned store: corpus layout is
+      // (split, doc_id) where the gas-prices store is (date, station)
+      GasPrices.compactStore(spark, out, compacted, 1, "split", Seq("doc_id"))
+      val nAfter = parquetFiles(compacted)
+      assert(nAfter < nBefore, s"compaction must shrink files: $nBefore -> $nAfter")
+      // row multiset preserved bit-for-bit
+      val before = corpus.select(col("doc_id"), col("text"), col("split"))
+      val after = spark.read.parquet(compacted)
+        .select(col("doc_id"), col("text"), col("split"))
+      assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+      // retention: retiring one split is an O(dropped) directory drop
+      val dropped = GasPrices.dropPartitions(spark, compacted, "split", _ == "test")
+      assert(dropped === 1L)
+      val remaining = spark.read.parquet(compacted)
+      assert(remaining.select(col("split")).distinct().collect()
+        .map(_.getString(0)).sorted.toSeq === Seq("train", "val"))
+      // kept rows untouched by the drop
+      assert(remaining.count() ===
+        before.filter(col("split") =!= "test").count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(compacted))
+    }
+  }
+
   test("rerun writes the identical corpus (deterministic artifact)") {
     val first = corpus.select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq

@@ -239,4 +239,43 @@ class PlanSpec extends AnyFunSuite {
     // one hash shuffle for the bucket aggregate + one range for ORDER BY
     assert(shuffles <= 2, s"$shuffles shuffles\n$plan")
   }
+
+  test("AQE splits a skewed partition on the unsalted join (q50's recommended twin)") {
+    import org.apache.spark.sql.functions.{col, when}
+    // q50 demonstrates MANUAL salting; the engine's recommended path for
+    // skew is AQE's runtime skew-join split. Pin that it actually fires:
+    // a hot-key sort-merge join re-plans with skew=true partitions.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // local-scale thresholds: the default 256 MB gate is sized for a
+      // cluster; the MECHANISM under test is scale-independent
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      // hot key 0 carries 50k of 60k left rows; right side is uniform
+      val left = spark.range(60000).select(
+        when(col("id") < 50000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(60000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // materialize through THIS DataFrame's QueryExecution (a write
+      // would spawn a fresh one and leave this plan un-adapted)
+      assert(joined.queryExecution.toRdd.count() === 60000L)
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
