@@ -71,12 +71,18 @@ object Bench {
     println(json)
     // Also land the JSON in a file: log-pipeline truncation must never
     // cost the per-query numbers (r6 lost q01–q38 to a truncated tail).
-    val outFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
-    val parent = outFile.toAbsolutePath.getParent
-    if (parent != null) java.nio.file.Files.createDirectories(parent)
-    java.nio.file.Files.write(outFile,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Redundancy only — an unwritable path must not fail a bench run
+    // whose primary output (the stdout line) already succeeded.
+    try {
+      val outFile = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      val parent = outFile.toAbsolutePath.getParent
+      if (parent != null) java.nio.file.Files.createDirectories(parent)
+      java.nio.file.Files.write(outFile,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench artifact write failed (stdout JSON is primary): $e")
+    }
     spark.stop()
   }
 }

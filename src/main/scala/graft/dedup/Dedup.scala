@@ -452,7 +452,12 @@ object Dedup {
     * equi-joins, no symmetric-edge blowup, skew-proof fan-out (see
     * [[orientByDegree]]). */
   private[graft] def triangleCountsFrom(edges: DataFrame): DataFrame = {
-    val p = orientByDegree(edges)
+    // the edge subtree (for q92: the whole LSH/inverted-index join) is
+    // referenced 3x by orientByDegree and the oriented set 3x below —
+    // materialize each ONCE (the q67 localCheckpoint pattern) instead
+    // of relying on exchange reuse to dedupe up to 9 recomputations
+    val e = edges.localCheckpoint()
+    val p = orientByDegree(e).localCheckpoint()
     val tri = p.alias("ab")
       .join(p.alias("bc"), col("ab.dst") === col("bc.src"))
       .select(col("ab.src").as("a"), col("ab.dst").as("b"),

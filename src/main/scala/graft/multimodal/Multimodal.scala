@@ -84,7 +84,13 @@ object Multimodal {
         val n = math.max(argb.length, 1).toDouble
         Some(Decoded(w, h, gray, sr / n, sg / n, sb / n))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NOT just IOException: ImageIO readers throw RuntimeExceptions
+      // (CMMException, ArrayIndexOutOfBounds…) on payloads whose magic
+      // number matches but whose body is corrupt — one bad row must
+      // fall back, not kill the task (the pipeline-stays-total contract)
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Fallback for non-image payloads (text stand-ins, video frames):
@@ -94,14 +100,28 @@ object Multimodal {
   def decodeFallback(payload: Array[Byte]): Array[Int] =
     payload.map(b => b & 0xff)
 
-  /** Total decode: real codec first, byte-fake otherwise. Returns the
-    * pixel buffer, the TRUE dimensions (decoded, or the metadata claim
-    * on fallback), and whether a real codec ran. */
-  def decodePixels(r: MediaRecord): (Array[Int], Int, Int, Boolean) =
+  private def meanOf(px: Array[Int]): Double =
+    if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
+
+  /** Total decode — THE one decode dispatch (real codec first, byte
+    * fallback otherwise), shared by every pipeline stage so fallback
+    * semantics can never fork: returns the [[Decoded]] (true dims on a
+    * real decode; metadata dims + single-channel means on fallback)
+    * plus whether a real codec ran. */
+  def decodeTotal(r: MediaRecord): (Decoded, Boolean) =
     decodeImage(r.payload) match {
-      case Some(d) => (d.gray, d.w, d.h, true)
-      case None    => (decodeFallback(r.payload), r.width, r.height, false)
+      case Some(d) => (d, true)
+      case None =>
+        val px = decodeFallback(r.payload)
+        val m = meanOf(px)
+        (Decoded(r.width, r.height, px, m, m, m), false)
     }
+
+  /** Pixel-buffer view of [[decodeTotal]]. */
+  def decodePixels(r: MediaRecord): (Array[Int], Int, Int, Boolean) = {
+    val (d, real) = decodeTotal(r)
+    (d.gray, d.w, d.h, real)
+  }
 
   /** The documents table lifted into a media table: text bytes stand in
     * for an image payload; metadata (format, dimensions, content hash)
@@ -144,22 +164,10 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap { batch =>
         batch.map { r =>
-          decodeImage(r.payload) match {
-            case Some(d) =>
-              val mean = if (d.gray.isEmpty) 0.0
-                else d.gray.map(_.toLong).sum.toDouble / d.gray.length
-              MediaFeatures(r.doc_id, r.payload.length.toLong,
-                d.gray.length.toLong, mean, d.w, d.h, d.meanR, d.meanG,
-                d.meanB, real_decode = true)
-            case None =>
-              val px = decodeFallback(r.payload)
-              val mean =
-                if (px.isEmpty) 0.0
-                else px.map(_.toLong).sum.toDouble / px.length
-              MediaFeatures(r.doc_id, r.payload.length.toLong,
-                px.length.toLong, mean, r.width, r.height, mean, mean, mean,
-                real_decode = false)
-          }
+          val (d, real) = decodeTotal(r)
+          MediaFeatures(r.doc_id, r.payload.length.toLong,
+            d.gray.length.toLong, meanOf(d.gray), d.w, d.h,
+            d.meanR, d.meanG, d.meanB, real_decode = real)
         }
       }
     }
@@ -225,9 +233,7 @@ object Multimodal {
         // a raw frame slice is never a self-contained image container;
         // frame decode goes straight to the byte path
         val px = decodeFallback(frame)
-        val mean =
-          if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
-        FrameSample(r.doc_id, f, frame.length.toLong, mean)
+        FrameSample(r.doc_id, f, frame.length.toLong, meanOf(px))
       }
     }
   }

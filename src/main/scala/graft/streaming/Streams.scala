@@ -97,14 +97,20 @@ object Streams {
     runToMemory(spark, agg, "graft_stream_dedup").orderBy(col("event_type"))
   }
 
-  /** Deterministic sink/checkpoint locations for the bounded-state
-    * dedup, keyed by dataset dir and wiped per call (same convention as
-    * [[streamJoinPaths]]). */
-  private[graft] def dedupBoundedPaths(dir: String): (String, String) = {
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    (s"${sys.props("java.io.tmpdir")}/graft_stream_dedup_wm$safe",
-      s"${sys.props("java.io.tmpdir")}/graft_stream_dedup_wm_ckpt$safe")
+  /** Deterministic (sink, checkpoint) tmp locations keyed by query
+    * prefix + dataset dir — one rule for every file-sink streaming
+    * query. The dir's hash disambiguates paths whose sanitized forms
+    * collide (e.g. `/x/sf0.1` vs `/x/sf0_1`). */
+  private def streamPaths(prefix: String, dir: String): (String, String) = {
+    val safe =
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Integer.toHexString(dir.hashCode)
+    (s"${sys.props("java.io.tmpdir")}/$prefix$safe",
+      s"${sys.props("java.io.tmpdir")}/${prefix}_ckpt$safe")
   }
+
+  /** Bounded-state dedup sink/checkpoint locations (wiped per call). */
+  private[graft] def dedupBoundedPaths(dir: String): (String, String) =
+    streamPaths("graft_stream_dedup_wm", dir)
 
   /** The streaming dedup: the event stream, watermarked, deduplicated
     * by (event_id, event_type) with WATERMARK-BOUNDED state. Exposed
@@ -256,11 +262,8 @@ object Streams {
     * dir (the roundtrip-tmp-path convention): wiped at the start of
     * each call so Bench reruns price the full computation and never
     * resume a previous run's checkpoint. */
-  private[graft] def streamJoinPaths(dir: String): (String, String) = {
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    (s"${sys.props("java.io.tmpdir")}/graft_stream_join$safe",
-      s"${sys.props("java.io.tmpdir")}/graft_stream_join_ckpt$safe")
-  }
+  private[graft] def streamJoinPaths(dir: String): (String, String) =
+    streamPaths("graft_stream_join", dir)
 
   /** Stream-stream inner join with event-time bounds: click→purchase
     * attribution within 4 hours, per user. Both sides carry watermarks
@@ -385,6 +388,12 @@ object Streams {
     "q97_stream_dedup_bounded" -> streamDedupBounded,
     "q88_stream_static_join" -> streamStaticJoin)
 
+  private val dedupOracle =
+    """SELECT event_type, COUNT(*) AS n_events
+      |FROM (SELECT DISTINCT event_id, event_type FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** q40 is identical to q25's oracle and q42 to q39's: the streaming /
     * custom-state runs must agree with the batch semantics
     * bit-for-bit. */
@@ -420,18 +429,11 @@ object Streams {
         |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
-    "q43_stream_dedup" ->
-      """SELECT event_type, COUNT(*) AS n_events
-        |FROM (SELECT DISTINCT event_id, event_type FROM events)
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+    "q43_stream_dedup" -> dedupOracle,
     // within one AvailableNow micro-batch the watermark never advances,
-    // so the bounded-state dedup is exact == the DISTINCT oracle
-    "q97_stream_dedup_bounded" ->
-      """SELECT event_type, COUNT(*) AS n_events
-        |FROM (SELECT DISTINCT event_id, event_type FROM events)
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+    // so the bounded-state dedup is exact == the SAME DISTINCT oracle
+    // (one shared string: the q43==q97 contract is also spec-asserted)
+    "q97_stream_dedup_bounded" -> dedupOracle,
     "q73_stream_join" ->
       """SELECT a.user_id AS user_id, COUNT(*) AS n_attributed,
         | CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -133,6 +133,7 @@ class OperatorSpec extends AnyFunSuite {
         trained = true, trainIters = 2)
       val rHash = recallOf(s"$base/hash")
       val rTrained = recallOf(s"$base/trained")
+      info(f"recall: hash-sample $rHash%.3f, trained $rTrained%.3f")
       assert(rTrained >= rHash,
         s"trained quantizer recall $rTrained < hash-sample recall $rHash")
       assert(rTrained > 0.0)

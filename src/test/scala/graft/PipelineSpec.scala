@@ -98,6 +98,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val compacted =
       java.nio.file.Files.createTempDirectory("graft_corpus_compact").toString
     try {
+      corpus // force the lazy build before counting its files
       def parquetFiles(p: String): Int = {
         def walk(f: java.io.File): Int = {
           val kids = f.listFiles()
