@@ -29,6 +29,7 @@ object SparkEntry {
     (ops.Incremental.queries, ops.Incremental.oracles),
     (ops.Layout.queries, ops.Layout.oracles),
     (ops.Pipeline.queries, ops.Pipeline.oracles),
+    (ops.Validate.queries, ops.Validate.oracles),
     (streaming.Streams.queries, streaming.Streams.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles))
 

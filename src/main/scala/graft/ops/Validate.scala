@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Data-validation operators — the checks a 100 TB pipeline runs
+  * around every load, migration, and replication step (the reference's
+  * only validation is row-count prints in its DAG logs; these are the
+  * set-based forms that scale).
+  *
+  * Scale design: every check is a single aggregation pass over the
+  * table — order-INDEPENDENT by construction (XOR and modular sums of
+  * per-row hashes, never float accumulation), so two clusters can
+  * checksum the same logical table under different partitionings /
+  * row orders and compare one tiny result row per table.
+  */
+object Validate {
+
+  /** The per-table canonical row serialization + its stable column
+    * subset: integer and string columns only (float/timestamp
+    * RENDERING differs across engines; a production deployment pins a
+    * byte-level codec instead). The rule must only be IDENTICAL on
+    * both sides of a comparison — collisions from '|' in free text
+    * would have to align across the whole row to mask a diff. */
+  private val checksumCols: Seq[(String, Seq[String])] = Seq(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_returnflag", "l_linestatus"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+    "documents" -> Seq("doc_id", "text", "source"),
+    "events" -> Seq("event_id", "user_id", "event_type"))
+
+  private def rowKey(cols: Seq[String]): Column =
+    phash(concat_ws("|", cols.map(c => col(c).cast(StringType)): _*))
+
+  /** Order-independent table fingerprints: one row per table with
+    * (n_rows, xor of row hashes, modular sum of row hashes). XOR
+    * catches any single-row difference; the Z_p sum catches the
+    * classes XOR misses (a row duplicated an even number of times);
+    * the count catches cardinality drift. All three are commutative
+    * monoids → partial-aggregable, shuffle of ONE row per table, and
+    * two sides of a migration compare equal iff they (almost surely)
+    * hold the same row multiset. */
+  def tableChecksums(spark: SparkSession, dir: String): DataFrame =
+    checksumCols.map { case (t, cols) =>
+      load(spark, dir, t)
+        .select(rowKey(cols).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          // phash is 56-bit so XOR stays nonnegative in both engines
+          expr("bit_xor(h)").as("xor_hash"),
+          sum(col("h") % P).as("sum_hash"))
+        .select(lit(t).as("table_name"), col("n_rows"), col("xor_hash"),
+          col("sum_hash"))
+    }.reduce(_ unionByName _).orderBy(col("table_name"))
+
+  /** Profiled columns of the documents table (the corpus-facing
+    * table): null count, distinct count, and the min/max rendered
+    * length per column — the completeness/cardinality profile that
+    * gates a corpus refresh before anything downstream runs. One
+    * aggregation pass computes every metric; `stack` unpivots to one
+    * row per column. */
+  private val profiled = Seq("doc_id", "text", "source")
+
+  def profileDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(load(spark, dir, "documents"))
+    val aggs = profiled.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(length(col(c).cast(StringType))).as(s"${c}__minlen"),
+        max(length(col(c).cast(StringType))).as(s"${c}__maxlen"))
+    }
+    d.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${profiled.length}, " +
+        profiled.map(c =>
+          s"'$c', ${c}__nulls, ${c}__distinct, ${c}__minlen, ${c}__maxlen")
+          .mkString(", ") +
+        ") AS (column_name, n_nulls, n_distinct, min_len, max_len)"))
+      .orderBy(col("column_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_table_checksums" -> tableChecksums,
+    "q100_profile_documents" -> profileDocuments)
+
+  private def rowKeySql(cols: Seq[String]): String =
+    phashSql("CONCAT_WS('|', " +
+      cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")")
+
+  val oracles: Map[String, String] = Map(
+    "q98_table_checksums" -> checksumCols.map { case (t, cols) =>
+      s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  BIT_XOR(${rowKeySql(cols)}) AS xor_hash,
+         |  CAST(SUM(${rowKeySql(cols)} % ${P}) AS BIGINT) AS sum_hash
+         |FROM $t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name"),
+    "q100_profile_documents" -> profiled.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  MIN(LENGTH(CAST($c AS VARCHAR))) AS min_len,
+         |  MAX(LENGTH(CAST($c AS VARCHAR))) AS max_len
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+}

@@ -184,6 +184,30 @@ object Similarity {
     probeIvf(queryVecs(v), cent, assignToCentroids(v, cent))
   }
 
+  /** IVF-bucket-BLOCKED embedding near-dup pairs — the approximate
+    * scale path next to q34's exact tiled join: candidates are only
+    * same-bucket pairs, so the quadratic work drops from n² to
+    * Σ|bucket|² ≈ n²/k (and each bucket's pairs co-locate in one
+    * equi-join task — no tiling machinery needed). The price is
+    * recall: a pair straddling two buckets is never scored. q34 keeps
+    * the exact contract; this is the form that runs first at 100 TB,
+    * with the exact pass reserved for the flagged remainder. Every
+    * emitted pair is exact-scored (precision 1 by construction —
+    * spec-pinned as a subset of q34). */
+  def semanticNearDupIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val asg = assignToCentroids(v, hashCentroids(v))
+    asg.alias("a")
+      .join(asg.alias("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", cosine(dot(col("a.embedding"), col("b.embedding")),
+        col("a.n2"), col("b.n2")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Materialize the IVF index — build once, probe many: the centroid
     * table and the bucket assignment land as parquet under `indexDir`
     * (`centroids/`, `assign/`). At scale the assignment write is the
@@ -303,7 +327,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embedding_neardup" -> embeddingNearDup,
     "q35_knn_bruteforce" -> knnBruteForce,
-    "q36_ann_ivf" -> annIvf)
+    "q36_ann_ivf" -> annIvf,
+    "q99_semantic_neardup_ivf" -> semanticNearDupIvf)
 
   /** SQL fragment: strict left-fold dot product of two vector
     * expressions — the same op order as VecDotFloat's codegen loop. */
@@ -319,7 +344,28 @@ object Similarity {
   private def cosSql(d: String, n2a: String, n2b: String): String =
     s"$d / SQRT($n2a * $n2b)"
 
+  /** Shared CTE prefix: the deterministic IVF quantizer + bucket
+    * assignment (one definition serves q36's probe and q99's blocked
+    * pair join — the two must never fork). */
+  private lazy val ivfAsgCtes =
+    s"""WITH v AS ($vSql),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn FROM v
+       |         ORDER BY ${phashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT ${IvfK}),
+       |asg0 AS (SELECT v.vec_id, v.embedding, v.n2, cent.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${cosSql(dotSql("v.embedding", "ce"), "v.n2", "cn")} DESC, cid DESC) AS arn
+       |         FROM v, cent),
+       |asg AS (SELECT vec_id, embedding, n2, cid FROM asg0 WHERE arn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q99_semantic_neardup_ivf" ->
+      s"""$ivfAsgCtes,
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        ${cosSql(dotSql("a.embedding", "b.embedding"), "a.n2", "b.n2")} AS cosine
+        |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM p
+        |WHERE cosine >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
     // exact answer — the oracle stays the naive all-pairs formulation;
     // only the Spark-side physical plan is tiled
     "q34_embedding_neardup" ->
@@ -342,14 +388,7 @@ object Similarity {
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     "q36_ann_ivf" ->
-      s"""WITH v AS ($vSql),
-        |cent AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn FROM v
-        |         ORDER BY ${phashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT ${IvfK}),
-        |asg0 AS (SELECT v.vec_id, v.embedding, v.n2, cent.cid,
-        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-        |             ${cosSql(dotSql("v.embedding", "ce"), "v.n2", "cn")} DESC, cid DESC) AS arn
-        |         FROM v, cent),
-        |asg AS (SELECT vec_id, embedding, n2, cid FROM asg0 WHERE arn = 1),
+      s"""$ivfAsgCtes,
         |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn FROM v WHERE vec_id < 5),
         |pr0 AS (SELECT query_id, qe, qn, cent.cid,
         |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY

@@ -350,6 +350,46 @@ class OperatorSpec extends AnyFunSuite {
       s"file sink holds $sunk rows, expected $nMatches")
   }
 
+  test("bucket-blocked near-dup pairs are a subset of the exact pairs (precision 1)") {
+    val exact = run("q34_embedding_neardup").select("vec_a", "vec_b")
+    val blocked = run("q99_semantic_neardup_ivf").select("vec_a", "vec_b")
+    // blocking prunes candidates but never misSCORES one: every emitted
+    // pair must exist in the exact answer
+    assert(blocked.exceptAll(exact).isEmpty)
+    val nExact = exact.count().toDouble
+    val recall = blocked.intersect(exact).count() / nExact
+    info(f"blocked recall vs exact: $recall%.3f (${blocked.count()}/${exact.count()})")
+    assert(recall > 0.0) // same-bucket near-dups exist in the fixture
+  }
+
+  test("table checksums detect a one-row difference and are order-independent") {
+    import spark.implicits._
+    val base = run("q98_table_checksums").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(base.keySet === Set("lineitem", "orders", "customer", "documents",
+      "events"))
+    // order independence: reshuffled scan yields identical fingerprints
+    // (XOR/mod-sum are commutative monoids — this is the property that
+    // lets two differently-partitioned replicas compare)
+    val again = run("q98_table_checksums").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again === base)
+    // sensitivity: recompute the documents checksum with one doc's text
+    // perturbed — all three of (count-same, xor, sum) must move
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("text", when(col("doc_id") === 1L,
+        concat(col("text"), lit("X"))).otherwise(col("text")))
+    val h = Tables.phash(concat_ws("|",
+      col("doc_id").cast("string"), col("text"), col("source")))
+    val perturbed = docs.select(h.as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+        sum(col("h") % Tables.P).as("s")).head()
+    val (n0, x0, s0) = base("documents")
+    assert(perturbed.getLong(0) === n0) // same cardinality...
+    assert(perturbed.getLong(1) !== x0) // ...but both fingerprints move
+    assert(perturbed.getLong(2) !== s0)
+  }
+
   test("degree-ordered triangle orientation: the hub anchors no join fan-out") {
     import spark.implicits._
     // star: hub 0 with 60 leaves, plus leaf-leaf edges forming triangles
