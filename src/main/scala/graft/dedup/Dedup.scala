@@ -455,9 +455,12 @@ object Dedup {
     // the edge subtree (for q92: the whole LSH/inverted-index join) is
     // referenced 3x by orientByDegree and the oriented set 3x below —
     // materialize each ONCE (the q67 localCheckpoint pattern) instead
-    // of relying on exchange reuse to dedupe up to 9 recomputations
-    val e = edges.localCheckpoint()
-    val p = orientByDegree(e).localCheckpoint()
+    // of relying on exchange reuse to dedupe up to 9 recomputations.
+    // eager = false: plan CONSTRUCTION must not run Spark jobs (a
+    // caller composing/inspecting the query pays nothing until the
+    // first action)
+    val e = edges.localCheckpoint(eager = false)
+    val p = orientByDegree(e).localCheckpoint(eager = false)
     val tri = p.alias("ab")
       .join(p.alias("bc"), col("ab.dst") === col("bc.src"))
       .select(col("ab.src").as("a"), col("ab.dst").as("b"),

@@ -100,8 +100,12 @@ object Multimodal {
   def decodeFallback(payload: Array[Byte]): Array[Int] =
     payload.map(b => b & 0xff)
 
-  private def meanOf(px: Array[Int]): Double =
-    if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
+  private def meanOf(px: Array[Int]): Double = {
+    if (px.isEmpty) return 0.0
+    var s = 0L; var i = 0
+    while (i < px.length) { s += px(i); i += 1 }
+    s.toDouble / px.length
+  }
 
   /** Total decode — THE one decode dispatch (real codec first, byte
     * fallback otherwise), shared by every pipeline stage so fallback
@@ -165,8 +169,11 @@ object Multimodal {
       it.grouped(DecodeBatch).flatMap { batch =>
         batch.map { r =>
           val (d, real) = decodeTotal(r)
+          // fallback Decoded already holds the byte mean in every
+          // channel (single-channel payload) — no second pass
+          val mp = if (real) meanOf(d.gray) else d.meanR
           MediaFeatures(r.doc_id, r.payload.length.toLong,
-            d.gray.length.toLong, meanOf(d.gray), d.w, d.h,
+            d.gray.length.toLong, mp, d.w, d.h,
             d.meanR, d.meanG, d.meanB, real_decode = real)
         }
       }

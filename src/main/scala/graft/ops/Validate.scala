@@ -21,9 +21,12 @@ object Validate {
   /** The per-table canonical row serialization + its stable column
     * subset: integer and string columns only (float/timestamp
     * RENDERING differs across engines; a production deployment pins a
-    * byte-level codec instead). The rule must only be IDENTICAL on
-    * both sides of a comparison — collisions from '|' in free text
-    * would have to align across the whole row to mask a diff. */
+    * byte-level codec instead). NULL gets an explicit sentinel
+    * (CONCAT_WS silently SKIPS nulls in both engines, which would make
+    * (NULL,'x') collide with ('x',NULL) — exactly the shifted-field
+    * corruption a migration check exists to catch), and the separator
+    * is the ASCII unit separator, not a printable character free text
+    * could contain. */
   private val checksumCols: Seq[(String, Seq[String])] = Seq(
     "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
       "l_linenumber", "l_returnflag", "l_linestatus"),
@@ -33,8 +36,13 @@ object Validate {
     "documents" -> Seq("doc_id", "text", "source"),
     "events" -> Seq("event_id", "user_id", "event_type"))
 
-  private def rowKey(cols: Seq[String]): Column =
-    phash(concat_ws("|", cols.map(c => col(c).cast(StringType)): _*))
+  private val Sep = "\u001f" // ASCII unit separator
+  private val NullMark = "\u0002"
+
+  // private[graft]: specs must reuse THE serialization rule, not copy it
+  private[graft] def rowKey(cols: Seq[String]): Column =
+    phash(concat_ws(Sep,
+      cols.map(c => coalesce(col(c).cast(StringType), lit(NullMark))): _*))
 
   /** Order-independent table fingerprints: one row per table with
     * (n_rows, xor of row hashes, modular sum of row hashes). XOR
@@ -46,7 +54,9 @@ object Validate {
     * hold the same row multiset. */
   def tableChecksums(spark: SparkSession, dir: String): DataFrame =
     checksumCols.map { case (t, cols) =>
-      load(spark, dir, t)
+      // spread(): the corpus tables are single-file parquet, and per-row
+      // md5 is exactly the compute-heavy scan that must not run one-core
+      spread(load(spark, dir, t))
         .select(rowKey(cols).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           // phash is 56-bit so XOR stays nonnegative in both engines
@@ -87,8 +97,8 @@ object Validate {
     "q100_profile_documents" -> profileDocuments)
 
   private def rowKeySql(cols: Seq[String]): String =
-    phashSql("CONCAT_WS('|', " +
-      cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")")
+    phashSql("CONCAT_WS(CHR(31), " +
+      cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
   val oracles: Map[String, String] = Map(
     "q98_table_checksums" -> checksumCols.map { case (t, cols) =>

@@ -351,14 +351,17 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("bucket-blocked near-dup pairs are a subset of the exact pairs (precision 1)") {
-    val exact = run("q34_embedding_neardup").select("vec_a", "vec_b")
-    val blocked = run("q99_semantic_neardup_ivf").select("vec_a", "vec_b")
+    // collect each small pair set ONCE (both plans hold quadratic joins)
+    def pairs(q: String): Set[(Long, Long)] =
+      run(q).select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q34_embedding_neardup")
+    val blocked = pairs("q99_semantic_neardup_ivf")
     // blocking prunes candidates but never misSCORES one: every emitted
     // pair must exist in the exact answer
-    assert(blocked.exceptAll(exact).isEmpty)
-    val nExact = exact.count().toDouble
-    val recall = blocked.intersect(exact).count() / nExact
-    info(f"blocked recall vs exact: $recall%.3f (${blocked.count()}/${exact.count()})")
+    assert((blocked -- exact).isEmpty)
+    val recall = blocked.size.toDouble / exact.size
+    info(f"blocked recall vs exact: $recall%.3f (${blocked.size}/${exact.size})")
     assert(recall > 0.0) // same-bucket near-dups exist in the fixture
   }
 
@@ -368,20 +371,23 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(base.keySet === Set("lineitem", "orders", "customer", "documents",
       "events"))
-    // order independence: reshuffled scan yields identical fingerprints
-    // (XOR/mod-sum are commutative monoids — this is the property that
-    // lets two differently-partitioned replicas compare)
-    val again = run("q98_table_checksums").collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(again === base)
+    // order independence: a DIFFERENTLY-partitioned, reverse-sorted
+    // replica of documents must fingerprint identically (XOR/mod-sum
+    // are commutative monoids — re-running the same plan would only
+    // test determinism, not this property)
+    val docCols = Seq("doc_id", "text", "source")
+    val replica = Tables.load(spark, sf, "documents")
+      .repartition(7, col("source"))
+      .sortWithinPartitions(col("doc_id").desc)
+    val rep = replica.select(ops.Validate.rowKey(docCols).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)"), sum(col("h") % Tables.P)).head()
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2)) === base("documents"))
     // sensitivity: recompute the documents checksum with one doc's text
     // perturbed — all three of (count-same, xor, sum) must move
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("text", when(col("doc_id") === 1L,
         concat(col("text"), lit("X"))).otherwise(col("text")))
-    val h = Tables.phash(concat_ws("|",
-      col("doc_id").cast("string"), col("text"), col("source")))
-    val perturbed = docs.select(h.as("h"))
+    val perturbed = docs.select(ops.Validate.rowKey(docCols).as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
         sum(col("h") % Tables.P).as("s")).head()
     val (n0, x0, s0) = base("documents")
