@@ -250,6 +250,38 @@ object Similarity {
     probeIvf(queryVecs(vecs(spark, dir)), cent, assign)
   }
 
+  /** INT8 scalar quantization of the embedding column — the 4×
+    * memory/bandwidth cut that keeps a 100 TB embedding store
+    * searchable: per-vector symmetric scale (127 / max|x|), codes in
+    * [-127, 127], and the exact reconstruction-error bound alongside
+    * so downstream search can reason about the quality loss. All
+    * arithmetic is element-wise double IEEE ops inside codegen'd
+    * higher-order functions — no shuffle, no UDF, and `floor(x + 0.5)`
+    * instead of `round` (round-half modes differ across engines;
+    * floor/add are bit-identical everywhere).
+    *
+    * The emitted `codes` string is the canonical comma-joined form so
+    * the oracle compare stays scalar (same convention as q74's
+    * signature). */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    // all-zero guard: 1e-30 floor keeps the division finite
+    val maxAbs =
+      greatest(array_max(transform(col("e"), x => abs(x))), lit(1e-30))
+    spread(load(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+      .withColumn("scale", lit(127.0) / maxAbs)
+      .withColumn("codes",
+        transform(col("e"), x => floor(x * col("scale") + lit(0.5)).cast(LongType)))
+      .withColumn("max_err",
+        array_max(zip_with(col("e"), col("codes"),
+          (x, c) => abs(x - c.cast(DoubleType) / col("scale")))))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", col("codes").cast(ArrayType(StringType))).as("codes"),
+        col("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Spherical k-means training for the IVF coarse quantizer — the
     * quality upgrade over [[annIvf]]'s hash-order sample when recall
     * matters: initialize with the same deterministic fixed-k hash
@@ -328,7 +360,8 @@ object Similarity {
     "q34_embedding_neardup" -> embeddingNearDup,
     "q35_knn_bruteforce" -> knnBruteForce,
     "q36_ann_ivf" -> annIvf,
-    "q99_semantic_neardup_ivf" -> semanticNearDupIvf)
+    "q99_semantic_neardup_ivf" -> semanticNearDupIvf,
+    "q101_quantize_int8" -> quantizeInt8)
 
   /** SQL fragment: strict left-fold dot product of two vector
     * expressions — the same op order as VecDotFloat's codegen loop. */
@@ -358,6 +391,22 @@ object Similarity {
        |asg AS (SELECT vec_id, embedding, n2, cid FROM asg0 WHERE arn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q101_quantize_int8" ->
+      """WITH e0 AS (SELECT vec_id,
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |    127.0 / GREATEST(LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))), 1e-30) AS scale
+        |  FROM e0),
+        |c AS (SELECT vec_id, e, scale,
+        |    LIST_TRANSFORM(e, x -> CAST(FLOOR(x * scale + 0.5) AS BIGINT)) AS codes
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  ARRAY_TO_STRING(codes, ',') AS codes,
+        |  LIST_MAX(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e)), i ->
+        |    ABS(e[i] - CAST(codes[i] AS DOUBLE) / scale))) AS max_err
+        |FROM c
+        |ORDER BY vec_id""".stripMargin,
     "q99_semantic_neardup_ivf" ->
       s"""$ivfAsgCtes,
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

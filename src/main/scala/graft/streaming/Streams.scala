@@ -161,6 +161,46 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** SLIDING event-time windows (2-hour width, 1-hour slide) as a
+    * stream — each event contributes to two overlapping windows, the
+    * standard trending-metrics shape. Spark expands the window
+    * assignment map-side (no self-join); the watermark bounds state to
+    * the open windows. Oracle: the batch equivalence that each event
+    * lands in windows starting at trunc(ts)-1h and trunc(ts). */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val agg = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    runToMemory(spark, agg, "graft_stream_sliding")
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Streaming top-k: complete-mode ranking of the heaviest keys —
+    * the live leaderboard over an unbounded stream. State is the
+    * per-key aggregate (bounded by key cardinality); the sort+limit
+    * runs on the tiny aggregated result each trigger, never on raw
+    * events. Deterministic tie-break by user_id keeps it
+    * oracle-exact. */
+  def streamTopK(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val agg = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(10)
+    runToMemory(spark, agg, "graft_stream_topk")
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
   /** Stream–static enrichment join: the unbounded event stream joins
     * the (bounded, slowly-changing) nation dimension — the remaining
     * §2.10 join regime after stream–stream q73. The static side needs
@@ -386,6 +426,8 @@ object Streams {
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
     "q97_stream_dedup_bounded" -> streamDedupBounded,
+    "q102_stream_sliding" -> streamSliding,
+    "q103_stream_topk" -> streamTopK,
     "q88_stream_static_join" -> streamStaticJoin)
 
   private val dedupOracle =
@@ -434,6 +476,23 @@ object Streams {
     // so the bounded-state dedup is exact == the SAME DISTINCT oracle
     // (one shared string: the q43==q97 contract is also spec-asserted)
     "q97_stream_dedup_bounded" -> dedupOracle,
+    "q102_stream_sliding" ->
+      """SELECT win_start, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR AS win_start,
+        |         event_type, value FROM events
+        |  UNION ALL
+        |  SELECT DATE_TRUNC('hour', ts) AS win_start,
+        |         event_type, value FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q103_stream_topk" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY n_events DESC, user_id
+        |LIMIT 10""".stripMargin,
     "q73_stream_join" ->
       """SELECT a.user_id AS user_id, COUNT(*) AS n_attributed,
         | CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -365,6 +365,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall > 0.0) // same-bucket near-dups exist in the fixture
   }
 
+  test("int8 quantization: codes bounded, error within half a quantization step") {
+    val q = run("q101_quantize_int8")
+      .withColumn("code_arr",
+        split(col("codes"), ",").cast("array<long>"))
+    // symmetric int8 range — never -128, the asymmetric edge
+    val outOfRange = q.filter(exists(col("code_arr"),
+      c => c > 127L || c < -127L))
+    assert(outOfRange.count() === 0)
+    // reconstruction error bound: |x - c/s| <= 0.5/s (+1 ulp headroom)
+    val bad = q.filter(col("max_err") > (lit(0.5) / col("scale")) * 1.0000001)
+    assert(bad.count() === 0)
+    assert(q.filter(col("scale") <= 0.0).count() === 0)
+  }
+
   test("table checksums detect a one-row difference and are order-independent") {
     import spark.implicits._
     val base = run("q98_table_checksums").collect()
