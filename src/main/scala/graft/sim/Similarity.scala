@@ -255,10 +255,12 @@ object Similarity {
     * searchable: per-vector symmetric scale (127 / max|x|), codes in
     * [-127, 127], and the exact reconstruction-error bound alongside
     * so downstream search can reason about the quality loss. All
-    * arithmetic is element-wise double IEEE ops inside codegen'd
-    * higher-order functions — no shuffle, no UDF, and `floor(x + 0.5)`
-    * instead of `round` (round-half modes differ across engines;
-    * floor/add are bit-identical everywhere).
+    * arithmetic is element-wise double IEEE ops inside native
+    * higher-order functions (transform/zip_with/array_max evaluate as
+    * Catalyst expressions — no UDF boundary, no shuffle; a narrow
+    * one-pass projection), and `floor(x + 0.5)` replaces `round`
+    * (round-half modes differ across engines; floor/add are
+    * bit-identical everywhere).
     *
     * The emitted `codes` string is the canonical comma-joined form so
     * the oracle compare stays scalar (same convention as q74's
