@@ -240,6 +240,35 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"$shuffles shuffles\n$plan")
   }
 
+  test("q98 checksums aggregate partially: each table shuffles ONE row, not raw rows") {
+    val df = run("q98_table_checksums")
+    val plan = formatted(df)
+    // map-side combine: partial bit_xor/sum/count before each exchange
+    assert(plan.contains("partial_bit_xor") || plan.contains("bit_xor"), plan)
+    val shuffles = countShuffles(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+    // per table: ONE single-row aggregate exchange, plus the spread()
+    // round-robin that exists only because fixture tables are
+    // single-file parquet (a real multi-split table scans parallel and
+    // drops that exchange) — and nothing for the union
+    assert(shuffles <= 10, s"$shuffles shuffles\n$plan")
+  }
+
+  test("q101 quantization is one narrow pass: no shuffle, no UDF boundary") {
+    val df = run("q101_quantize_int8")
+    val plan = formatted(df)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    val shuffles = countShuffles(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+    // spread()'s repartition + the final ORDER BY range exchange only;
+    // the quantization itself never exchanges data
+    assert(shuffles <= 2, s"$shuffles shuffles\n$plan")
+  }
+
   test("AQE splits a skewed partition on the unsalted join (q50's recommended twin)") {
     import org.apache.spark.sql.functions.{col, when}
     // q50 demonstrates MANUAL salting; the engine's recommended path for
