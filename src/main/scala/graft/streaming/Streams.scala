@@ -27,6 +27,23 @@ import graft.Tables._
   */
 object Streams {
 
+  /** THE events stream source (one definition for every query here):
+    * the corpus stores each table as a single parquet file and Spark's
+    * file stream source monitors a directory, so the stream reads the
+    * containing dir with a glob pinned to the events file — the shape
+    * a production job uses to tail a landing directory. `withTs = true`
+    * additionally surfaces the int64-nanos `ts` as a true TIMESTAMP
+    * (session TZ pinned UTC), the form watermarks require. */
+  private def eventsStream(spark: SparkSession, dir: String,
+      withTs: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (withTs) src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else src
+  }
+
   /** Event-time tumbling 1-hour aggregation executed as a stream
     * (AvailableNow), materialized through the memory sink.
     *
@@ -36,13 +53,7 @@ object Streams {
     * events file — the same shape a production job uses to tail a
     * landing directory. */
   def streamHourly(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema // int64 nanos
-    // watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
-    // so the wall-clock values match the NTZ batch path exactly.
-    val agg = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = eventsStream(spark, dir, withTs = true)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
@@ -59,7 +70,7 @@ object Streams {
   }
 
   /** Shared memory-sink run protocol for the bounded complete-mode
-    * streaming queries (q40/q43/q88): fresh temp view + temp
+    * streaming queries (q40/q43/q88/q102/q103): fresh temp view + temp
     * checkpoint, AvailableNow to completion, checkpoint deleted so
     * Bench reruns never resume, result read back from the view. */
   private def runToMemory(spark: SparkSession, agg: DataFrame,
@@ -83,10 +94,7 @@ object Streams {
     * UNBOUNDED (exact dedup over all history); the watermark-bounded
     * production form is [[streamDedupBounded]] (q97). */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val agg = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val agg = eventsStream(spark, dir)
       // key on (event_id, event_type): keyed on event_id alone the
       // survivor's type would be arrival-order-dependent whenever an
       // id repeated under two types, diverging from the DISTINCT
@@ -117,11 +125,7 @@ object Streams {
     * separately so the spec can pin the state-bounded operator in the
     * plan. */
   private[graft] def dedupBoundedStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsStream(spark, dir, withTs = true)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id", "event_type")
       .select(col("event_id"), col("event_type"))
@@ -164,15 +168,16 @@ object Streams {
   /** SLIDING event-time windows (2-hour width, 1-hour slide) as a
     * stream — each event contributes to two overlapping windows, the
     * standard trending-metrics shape. Spark expands the window
-    * assignment map-side (no self-join); the watermark bounds state to
-    * the open windows. Oracle: the batch equivalence that each event
-    * lands in windows starting at trunc(ts)-1h and trunc(ts). */
+    * assignment map-side (no self-join). NOTE on state: this entry
+    * point runs COMPLETE mode through the memory sink so the finite
+    * oracle can check every window — complete mode evicts nothing, the
+    * watermark is inert. The unbounded production form is the same
+    * plan in append/update mode, where the 2h watermark drops each
+    * window's state once it closes (the q97/q43 distinction, again).
+    * Oracle: the batch equivalence that each event lands in windows
+    * starting at trunc(ts)-1h and trunc(ts). */
   def streamSliding(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val agg = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = eventsStream(spark, dir, withTs = true)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
@@ -189,10 +194,7 @@ object Streams {
     * events. Deterministic tie-break by user_id keeps it
     * oracle-exact. */
   def streamTopK(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val agg = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val agg = eventsStream(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("n_events").desc, col("user_id"))
@@ -210,12 +212,9 @@ object Streams {
     * any state store growth. Aggregated per nation in complete mode
     * (bounded: one row per dimension key); == the batch twin oracle. */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val dim = spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey"), col("n_name"))
-    val agg = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val agg = eventsStream(spark, dir)
       // sign-of-dividend % matches the oracle's % for ALL inputs;
       // pmod would silently diverge on negative ids
       .withColumn("nkey", col("user_id") % lit(25L))
@@ -326,11 +325,7 @@ object Streams {
     * checkpoint dir for restart; this entry point wipes it per call so
     * reruns are self-contained. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src = eventsStream(spark, dir, withTs = true)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -375,10 +370,7 @@ object Streams {
     * committed. */
   def streamFanOut(spark: SparkSession, dir: String,
       parquetPath: String, jsonPath: String, ckpt: String): Long = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
     var batches = 0L
     val q = src.writeStream

@@ -243,8 +243,10 @@ class PlanSpec extends AnyFunSuite {
   test("q98 checksums aggregate partially: each table shuffles ONE row, not raw rows") {
     val df = run("q98_table_checksums")
     val plan = formatted(df)
-    // map-side combine: partial bit_xor/sum/count before each exchange
-    assert(plan.contains("partial_bit_xor") || plan.contains("bit_xor"), plan)
+    // map-side combine: PARTIAL bit_xor before each exchange (the
+    // substring "bit_xor" alone would also match the final-mode
+    // aggregate and never fail)
+    assert(plan.contains("partial_bit_xor"), plan)
     val shuffles = countShuffles(df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
