@@ -70,7 +70,7 @@ object Streams {
   }
 
   /** Shared memory-sink run protocol for the bounded complete-mode
-    * streaming queries (q40/q43/q88/q102/q103): fresh temp view + temp
+    * streaming queries (q40/q43/q88/q102/q103/q104): fresh temp view + temp
     * checkpoint, AvailableNow to completion, checkpoint deleted so
     * Bench reruns never resume, result read back from the view. */
   private def runToMemory(spark: SparkSession, agg: DataFrame,
@@ -201,6 +201,30 @@ object Streams {
       .limit(10)
     runToMemory(spark, agg, "graft_stream_topk")
       .orderBy(col("n_events").desc, col("user_id"))
+  }
+
+  /** NATIVE streaming session windows — the merge-based form of q39
+    * run as a stream: session_window holds one mergeable open-session
+    * aggregate per (user, session) — never raw events, the
+    * bounded-state contrast to q42's flatMapGroupsWithState buffer.
+    * COMPLETE mode: Spark 4 supports session aggregation in append
+    * (emit on watermark close) and complete (emit all merged state
+    * each trigger; update is rejected — sessions could merge later).
+    * On the fixture's single AvailableNow micro-batch, append would
+    * emit only watermark-closed sessions (losing each user's tail),
+    * while complete emits every merged session and equals the q39
+    * batch oracle bit-for-bit. */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir, withTs = true)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    runToMemory(spark, agg, "graft_stream_sessions")
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   /** Stream–static enrichment join: the unbounded event stream joins
@@ -420,6 +444,7 @@ object Streams {
     "q97_stream_dedup_bounded" -> streamDedupBounded,
     "q102_stream_sliding" -> streamSliding,
     "q103_stream_topk" -> streamTopK,
+    "q104_stream_sessions" -> streamSessions,
     "q88_stream_static_join" -> streamStaticJoin)
 
   private val dedupOracle =
@@ -428,10 +453,13 @@ object Streams {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** q40 is identical to q25's oracle and q42 to q39's: the streaming /
-    * custom-state runs must agree with the batch semantics
-    * bit-for-bit. */
+  /** q40 is identical to q25's oracle, and q42/q104 to q39's: the
+    * streaming / custom-state runs must agree with the batch semantics
+    * bit-for-bit (q104 reuses q39's oracle STRING so they can never
+    * fork). */
   val oracles: Map[String, String] = Map(
+    "q104_stream_sessions" ->
+      graft.ops.Temporal.oracles("q39_session_window"),
     "q88_stream_static_join" ->
       """SELECT n_name, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
