@@ -284,6 +284,65 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** PQ geometry — config constants like [[IvfK]]: 64-dim embeddings
+    * split into M=8 subspaces of 8 dims, K=16 codewords per subspace
+    * (production uses K=256 = one byte per code; 16 keeps the fixture
+    * codebook deterministic and small). Codes per vector: M small ints
+    * ≈ 8 bytes instead of 256 — a 32× compression, the form a 100 TB
+    * store keeps RESIDENT while raw vectors stay on disk. */
+  private val PqM = 8
+  private val PqDsub = 8
+  private val PqK = 16
+
+  /** Product-quantization encoding of the embedding store: per
+    * subspace, each vector takes the id of its nearest codeword
+    * (L2, deterministic tie-break), emitting the M-code word plus the
+    * exact reconstruction error so downstream ADC search can reason
+    * about quality. The codebook is the deterministic hash-order
+    * sample (same rule as [[hashCentroids]]); production trains it
+    * with k-means per subspace — training changes the codebook, not
+    * this encode shape.
+    *
+    * Scale: one O(n·M·K) pass against a BROADCAST codebook (K·M
+    * subvectors — corpus-size-independent), distances as strict
+    * in-order folds of (x-c)*(x-c) (no pow — pow(x,2) is not
+    * correctly-rounded-guaranteed across engines; multiply is), and
+    * the per-vector rollup re-sorts by subspace before a left-to-right
+    * error sum so partial-agg arrival order can't perturb the double. */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val v = spread(load(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+    val cw = v.orderBy(phash(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(PqK)
+      .select(col("vec_id").as("code_id"), col("e").as("cw"))
+    val dist = aggregate(sequence(lit(1), lit(PqDsub)), lit(0.0),
+      (acc, i) => {
+        val d = try_element_at(col("e"), (col("m") * PqDsub + i).cast(IntegerType)) -
+          try_element_at(col("cw"), (col("m") * PqDsub + i).cast(IntegerType))
+        acc + d * d
+      })
+    val wMin = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("code_id"))
+    val assigned = v
+      .select(col("vec_id"), col("e"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .join(broadcast(cw), lit(true))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+    assigned.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code_id"),
+        col("dist")))).as("a"))
+      .select(col("vec_id"),
+        concat_ws(",",
+          transform(col("a"), s => s.getField("code_id").cast(StringType)))
+          .as("codes"),
+        aggregate(col("a"), lit(0.0),
+          (acc, s) => acc + s.getField("dist")).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Spherical k-means training for the IVF coarse quantizer — the
     * quality upgrade over [[annIvf]]'s hash-order sample when recall
     * matters: initialize with the same deterministic fixed-k hash
@@ -363,7 +422,8 @@ object Similarity {
     "q35_knn_bruteforce" -> knnBruteForce,
     "q36_ann_ivf" -> annIvf,
     "q99_semantic_neardup_ivf" -> semanticNearDupIvf,
-    "q101_quantize_int8" -> quantizeInt8)
+    "q101_quantize_int8" -> quantizeInt8,
+    "q105_pq_encode" -> pqEncode)
 
   /** SQL fragment: strict left-fold dot product of two vector
     * expressions — the same op order as VecDotFloat's codegen loop. */
@@ -393,6 +453,30 @@ object Similarity {
        |asg AS (SELECT vec_id, embedding, n2, cid FROM asg0 WHERE arn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q105_pq_encode" ->
+      s"""WITH v AS (SELECT vec_id,
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cw AS (SELECT vec_id AS code_id, e AS cw FROM v
+        |       ORDER BY ${phashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT ${PqK}),
+        |sub AS (SELECT vec_id, e, m FROM v
+        |        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${PqM - 1})) AS m)),
+        |d AS (SELECT s.vec_id, s.m, c.code_id,
+        |        LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+        |          LIST_TRANSFORM(GENERATE_SERIES(1, ${PqDsub}), i ->
+        |            (s.e[s.m*${PqDsub}+i] - c.cw[s.m*${PqDsub}+i]) *
+        |            (s.e[s.m*${PqDsub}+i] - c.cw[s.m*${PqDsub}+i]))),
+        |          (x, y) -> x + y) AS dist
+        |      FROM sub s, cw c),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |        ORDER BY dist, code_id) AS rn FROM d)
+        |SELECT vec_id,
+        |  ARRAY_TO_STRING(LIST(code_id ORDER BY m), ',') AS codes,
+        |  LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST(dist ORDER BY m)),
+        |    (x, y) -> x + y) AS recon_err
+        |FROM r WHERE rn = 1
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
     "q101_quantize_int8" ->
       """WITH e0 AS (SELECT vec_id,
         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e

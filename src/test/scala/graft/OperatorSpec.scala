@@ -379,6 +379,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(q.filter(col("scale") <= 0.0).count() === 0)
   }
 
+  test("pq encoding: M codes per vector, codebook-source vectors reconstruct exactly") {
+    val q = run("q105_pq_encode")
+      .withColumn("code_arr", split(col("codes"), ",").cast("array<long>"))
+    // every vector carries exactly M=8 codes
+    assert(q.filter(size(col("code_arr")) =!= 8).count() === 0)
+    assert(q.filter(col("recon_err") < 0.0).count() === 0)
+    // a vector whose subvectors ARE codewords (the 16 hash-order sample
+    // vectors) must encode losslessly: its own codeword wins each
+    // subspace with distance 0
+    val zeroErr = q.filter(col("recon_err") === 0.0).count()
+    assert(zeroErr >= 16, s"expected the 16 codebook sources lossless, got $zeroErr")
+    // and most non-sample vectors should NOT be lossless (quantization
+    // is lossy by nature)
+    assert(q.filter(col("recon_err") > 0.0).count() > 0)
+  }
+
   test("table checksums detect a one-row difference and are order-independent") {
     import spark.implicits._
     val base = run("q98_table_checksums").collect()
