@@ -294,44 +294,64 @@ object Similarity {
   private val PqDsub = 8
   private val PqK = 16
 
+  /** Embeddings as exact-double arrays — the element type every PQ
+    * distance below folds over (shared by q105's encode and q106's
+    * ADC search so the two can never disagree on the input view). */
+  private def pqVecs(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+
+  /** Deterministic PQ codebook: the PqK vectors first in portable hash
+    * order (same fixed-k sample rule as [[hashCentroids]]). */
+  private def pqCodebook(v: DataFrame): DataFrame =
+    v.orderBy(phash(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(PqK)
+      .select(col("vec_id").as("code_id"), col("e").as("cw"))
+
+  /** Subspace-m squared L2 between vector expressions `a` and `b`:
+    * a strict in-order fold of (x-c)*(x-c) over the PqDsub dims (no
+    * pow — pow(x,2) is not correctly-rounded-guaranteed across
+    * engines; multiply is). */
+  private def pqSubDist(a: Column, b: Column, m: Column): Column =
+    aggregate(sequence(lit(1), lit(PqDsub)), lit(0.0),
+      (acc, i) => {
+        val d = try_element_at(a, (m * PqDsub + i).cast(IntegerType)) -
+          try_element_at(b, (m * PqDsub + i).cast(IntegerType))
+        acc + d * d
+      })
+
+  /** Per-(vector, subspace) nearest-codeword assignment — (vec_id, m,
+    * code_id, dist) with deterministic (dist, code_id) tie-break. ONE
+    * definition serves q105's encode and q106's search (they must
+    * never fork): an O(n·M·K) pass against the broadcast codebook. */
+  private def pqAssign(v: DataFrame, cw: DataFrame): DataFrame = {
+    val wMin = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("code_id"))
+    v.select(col("vec_id"), col("e"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .join(broadcast(cw), lit(true))
+      .withColumn("dist", pqSubDist(col("e"), col("cw"), col("m")))
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+  }
+
   /** Product-quantization encoding of the embedding store: per
     * subspace, each vector takes the id of its nearest codeword
     * (L2, deterministic tie-break), emitting the M-code word plus the
-    * exact reconstruction error so downstream ADC search can reason
-    * about quality. The codebook is the deterministic hash-order
-    * sample (same rule as [[hashCentroids]]); production trains it
-    * with k-means per subspace — training changes the codebook, not
-    * this encode shape.
+    * exact reconstruction error so downstream ADC search ([[pqAdcSearch]])
+    * can reason about quality. The codebook is the deterministic
+    * hash-order sample (same rule as [[hashCentroids]]); production
+    * trains it with k-means per subspace — training changes the
+    * codebook, not this encode shape.
     *
     * Scale: one O(n·M·K) pass against a BROADCAST codebook (K·M
-    * subvectors — corpus-size-independent), distances as strict
-    * in-order folds of (x-c)*(x-c) (no pow — pow(x,2) is not
-    * correctly-rounded-guaranteed across engines; multiply is), and
-    * the per-vector rollup re-sorts by subspace before a left-to-right
-    * error sum so partial-agg arrival order can't perturb the double. */
+    * subvectors — corpus-size-independent), and the per-vector rollup
+    * re-sorts by subspace before a left-to-right error sum so
+    * partial-agg arrival order can't perturb the double. */
   def pqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val v = spread(load(spark, dir, "embeddings"))
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
-    val cw = v.orderBy(phash(col("vec_id").cast(StringType)), col("vec_id"))
-      .limit(PqK)
-      .select(col("vec_id").as("code_id"), col("e").as("cw"))
-    val dist = aggregate(sequence(lit(1), lit(PqDsub)), lit(0.0),
-      (acc, i) => {
-        val d = try_element_at(col("e"), (col("m") * PqDsub + i).cast(IntegerType)) -
-          try_element_at(col("cw"), (col("m") * PqDsub + i).cast(IntegerType))
-        acc + d * d
-      })
-    val wMin = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist"), col("code_id"))
-    val assigned = v
-      .select(col("vec_id"), col("e"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
-      .join(broadcast(cw), lit(true))
-      .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(wMin))
-      .filter(col("rn") === 1)
-    assigned.groupBy(col("vec_id"))
+    val v = pqVecs(spark, dir)
+    pqAssign(v, pqCodebook(v)).groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("code_id"),
         col("dist")))).as("a"))
       .select(col("vec_id"),
@@ -341,6 +361,76 @@ object Similarity {
         aggregate(col("a"), lit(0.0),
           (acc, s) => acc + s.getField("dist")).as("recon_err"))
       .orderBy(col("vec_id"))
+  }
+
+  /** PQ ASYMMETRIC-distance (ADC) top-10 search over the encoded
+    * store — the query side of q105 (Jégou/Douze/Schmid, TPAMI'11
+    * "Product Quantization for Nearest Neighbor Search"): each query
+    * precomputes one M×K distance TABLE against the broadcast
+    * codebook (O(M·K·Dsub) — corpus-size-independent), and every
+    * corpus vector is then scored by M table LOOKUPS over its stored
+    * codes, never touching raw floats. That is the economics of PQ at
+    * 100 TB: the 8-byte code word is the only per-row data the scan
+    * reads (32× less I/O), and scoring is O(M) adds per row instead
+    * of O(D) multiplies.
+    *
+    * Plan shape: the corpus side is the grouped code table (same
+    * [[pqAssign]] as the q105 encode — one definition, never forks);
+    * the query side collapses to ONE broadcast row per query carrying
+    * the dense M×K matrix; scoring is a broadcast nested-product over
+    * 5 query rows (bounded: queries × corpus, same shape as q35's
+    * brute force but over codes, not vectors). The ADC sum folds
+    * subspaces in ascending-m order from 0.0 so the double is
+    * order-independent of partial-agg arrival.
+    *
+    * Approximate by design (distances to reconstructions, not
+    * originals) — but deterministic, so the oracle runs the identical
+    * computation; recall vs q35's exact answer is pinned in
+    * OperatorSpec. */
+  def pqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    val v = pqVecs(spark, dir)
+    val cw = pqCodebook(v)
+    // dense 1..K codeword index in deterministic hash order, aligning
+    // the matrix columns with the stored code arrays (16-row window)
+    val wCw = Window.orderBy(phash(col("code_id").cast(StringType)),
+      col("code_id"))
+    val cwIdx = cw.withColumn("cidx", row_number().over(wCw))
+    // corpus codes as one dense array per vector, ordered by subspace
+    val codes = pqAssign(v, cw)
+      .join(broadcast(cwIdx.select(col("code_id"), col("cidx"))), "code_id")
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cidx")))).as("a"))
+      .select(col("vec_id"),
+        transform(col("a"), s => s.getField("cidx")).as("codes"))
+    // per-query distance table: subspace-m distance to every codeword,
+    // reshaped into a dense M×K matrix (one row per query)
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val qmat = q.join(broadcast(cwIdx), lit(true))
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .withColumn("d", pqSubDist(col("qe"), col("cw"), col("m")))
+      .groupBy(col("query_id"), col("m"))
+      .agg(array_sort(collect_list(struct(col("cidx"), col("d")))).as("row"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("m"),
+        transform(col("row"), s => s.getField("d")).as("ds")))).as("rows"))
+      .select(col("query_id"),
+        transform(col("rows"), s => s.getField("ds")).as("mat"))
+    // ADC score: M table lookups per (query, vector), folded in
+    // ascending-m order — no vector arithmetic in the scan
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (acc, m) => acc + element_at(
+        element_at(col("mat"), (m + 1).cast(IntegerType)),
+        element_at(col("codes"), (m + 1).cast(IntegerType))))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    broadcast(qmat).join(codes, col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", adc)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Spherical k-means training for the IVF coarse quantizer — the
@@ -423,7 +513,8 @@ object Similarity {
     "q36_ann_ivf" -> annIvf,
     "q99_semantic_neardup_ivf" -> semanticNearDupIvf,
     "q101_quantize_int8" -> quantizeInt8,
-    "q105_pq_encode" -> pqEncode)
+    "q105_pq_encode" -> pqEncode,
+    "q106_pq_adc_search" -> pqAdcSearch)
 
   /** SQL fragment: strict left-fold dot product of two vector
     * expressions — the same op order as VecDotFloat's codegen loop. */
@@ -452,24 +543,55 @@ object Similarity {
        |         FROM v, cent),
        |asg AS (SELECT vec_id, embedding, n2, cid FROM asg0 WHERE arn = 1)""".stripMargin
 
+  /** Shared CTE prefix for the PQ family: doubles view, deterministic
+    * codebook, per-(vector, subspace) distances, and the rn=1 nearest-
+    * codeword assignment — one definition serves q105's encode and
+    * q106's ADC search (the two must never fork). */
+  private lazy val pqCtes =
+    s"""WITH v AS (SELECT vec_id,
+      |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |cw AS (SELECT vec_id AS code_id, e AS cw FROM v
+      |       ORDER BY ${phashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT ${PqK}),
+      |sub AS (SELECT vec_id, e, m FROM v
+      |        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${PqM - 1})) AS m)),
+      |d AS (SELECT s.vec_id, s.m, c.code_id,
+      |        LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+      |          LIST_TRANSFORM(GENERATE_SERIES(1, ${PqDsub}), i ->
+      |            (s.e[s.m*${PqDsub}+i] - c.cw[s.m*${PqDsub}+i]) *
+      |            (s.e[s.m*${PqDsub}+i] - c.cw[s.m*${PqDsub}+i]))),
+      |          (x, y) -> x + y) AS dist
+      |      FROM sub s, cw c),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+      |        ORDER BY dist, code_id) AS rn FROM d)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q105_pq_encode" ->
-      s"""WITH v AS (SELECT vec_id,
-        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
-        |cw AS (SELECT vec_id AS code_id, e AS cw FROM v
-        |       ORDER BY ${phashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT ${PqK}),
-        |sub AS (SELECT vec_id, e, m FROM v
-        |        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${PqM - 1})) AS m)),
-        |d AS (SELECT s.vec_id, s.m, c.code_id,
+    "q106_pq_adc_search" ->
+      s"""$pqCtes,
+        |codes AS (SELECT vec_id, m, code_id FROM r WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+        |qm AS (SELECT query_id, qe, m FROM q
+        |       CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${PqM - 1})) AS m)),
+        |dtab AS (SELECT query_id, qm.m, c.code_id,
         |        LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
         |          LIST_TRANSFORM(GENERATE_SERIES(1, ${PqDsub}), i ->
-        |            (s.e[s.m*${PqDsub}+i] - c.cw[s.m*${PqDsub}+i]) *
-        |            (s.e[s.m*${PqDsub}+i] - c.cw[s.m*${PqDsub}+i]))),
-        |          (x, y) -> x + y) AS dist
-        |      FROM sub s, cw c),
-        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-        |        ORDER BY dist, code_id) AS rn FROM d)
+        |            (qm.qe[qm.m*${PqDsub}+i] - c.cw[qm.m*${PqDsub}+i]) *
+        |            (qm.qe[qm.m*${PqDsub}+i] - c.cw[qm.m*${PqDsub}+i]))),
+        |          (x, y) -> x + y) AS d
+        |      FROM qm, cw c),
+        |adc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+        |          LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+        |            LIST(t.d ORDER BY t.m)), (x, y) -> x + y) AS adc_dist
+        |        FROM codes c JOIN dtab t ON t.m = c.m AND t.code_id = c.code_id
+        |        WHERE c.vec_id <> t.query_id
+        |        GROUP BY t.query_id, c.vec_id),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, adc_dist, rank FROM rk
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "q105_pq_encode" ->
+      s"""$pqCtes
         |SELECT vec_id,
         |  ARRAY_TO_STRING(LIST(code_id ORDER BY m), ',') AS codes,
         |  LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST(dist ORDER BY m)),

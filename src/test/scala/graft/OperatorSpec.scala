@@ -13,6 +13,7 @@ class OperatorSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+  private def run2(name: String, dir: String) = SparkEntry.queries(name)(spark, dir)
 
   test("every registered query has an oracle and returns rows") {
     val qs = SparkEntry.queries
@@ -94,6 +95,47 @@ class OperatorSpec extends AnyFunSuite {
     val hit = bf.intersect(ann).count().toDouble
     assert(nBf > 0)
     assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=8 of k=32 lists
+  }
+
+  test("pq adc search: valid rank structure, no self-matches, fair recall") {
+    val adc = run("q106_pq_adc_search")
+    assert(adc.filter(col("neighbor_id") === col("query_id")).count() === 0)
+    val ranks = adc.groupBy("query_id").agg(
+      min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("n"))
+    assert(ranks.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() === 0)
+    // ADC distances are squared-L2 to reconstructions: never negative
+    assert(adc.filter(col("adc_dist") < 0.0).count() === 0)
+    // ADC approximates exact L2 (distances to reconstructions), so the
+    // recall baseline is the exact-L2 top-10 — NOT q35's cosine ranking,
+    // which orders differently on unnormalized vectors by design.
+    // Measured at sf0.01: at sf0.001, 16 of the 50 corpus vectors ARE
+    // codewords (self-quantization error 0), which distorts ranks into
+    // small-sample noise; at 500 vectors the random-overlap baseline is
+    // ~0.02 and measured recall is ~0.2 — 10x above chance.
+    val sfR = "/root/testdata/sf0.01"
+    val adcR = run2("q106_pq_adc_search", sfR)
+    val v = Tables.load(spark, sfR, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("l2"), col("vec_id"))
+    val exact = broadcast(q).join(v, col("vec_id") =!= col("query_id"))
+      .withColumn("l2", aggregate(zip_with(col("qe"), col("e"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, b) => a + b))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val nExact = exact.count().toDouble
+    val hit = exact.intersect(adcR.select("query_id", "neighbor_id"))
+      .count().toDouble
+    info(f"pq-adc recall vs exact L2 at sf0.01: ${hit / nExact}%.3f")
+    assert(nExact > 0)
+    // untrained K=16 codebook is coarse by design — the pin is that PQ
+    // codes carry real neighborhood signal against the metric they
+    // actually approximate (vs ~0.02 random overlap at this corpus size)
+    assert(hit / nExact >= 0.1, s"pq-adc recall ${hit / nExact}")
   }
 
   test("persisted IVF index probes byte-identically to the inline build") {
