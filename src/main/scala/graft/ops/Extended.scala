@@ -227,6 +227,47 @@ object Extended {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Edit-distance ≤ 1 fuzzy JOIN via deletion-neighborhood blocking
+    * (the SymSpell scheme, Garbe 2012 — public): every name emits
+    * itself plus its L single-character-deletion variants, candidates
+    * are pairs sharing a variant, and survivors are verified with the
+    * exact Levenshtein filter.
+    *
+    * LOSSLESS for distance ≤ 1: dist 0 shares the identity variant;
+    * a one-char insert/delete pair shares the shorter string itself;
+    * a one-char substitution pair shares the deletion at the
+    * substituted position. So blocking only prunes, never drops — the
+    * oracle stays the naive all-pairs formulation.
+    *
+    * Scale: q60's theta-join is Θ(n²) comparisons — fine for 25
+    * nations, fatal for 10⁹ names. Here the join is an EQUI-join on
+    * an 8-byte hashed variant key: ×(L+1) replication on each side,
+    * then only true near-miss candidates meet in a shuffle task. Hash
+    * collisions are harmless (exact verify), and distance-d wants the
+    * d-deletion neighborhood — same shape, ×C(L,d) keys. */
+  def editDistanceJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = spread(load(spark, dir, "supplier")).select(col("s_name").as("name"))
+    // i = 0 keeps the string itself; i >= 1 deletes character i
+    val variants = s
+      .select(col("name"), explode(sequence(lit(0), length(col("name")))).as("i"))
+      .select(col("name"), phash(
+        when(col("i") === 0, col("name"))
+          .otherwise(concat(
+            col("name").substr(lit(1), col("i") - 1),
+            col("name").substr(col("i") + 1, length(col("name")) - col("i")))))
+        .as("vk"))
+    val a = variants.select(col("name").as("name_a"), col("vk"))
+    val b = variants.select(col("name").as("name_b"), col("vk"))
+    a.join(b, Seq("vk"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("dist") <= 1)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** GROUPING SETS: one pass computing the (flag, status) cube slice,
     * the per-flag margin, and the grand total, with grouping_id
     * disambiguating levels. Spark expands the sets inside a single
@@ -267,6 +308,7 @@ object Extended {
     "q72_orc_roundtrip" -> orcRoundtrip,
     "q64_partition_pruning" -> partitionPruning,
     "q60_levenshtein" -> levenshteinPairs,
+    "q107_edit_distance_join" -> editDistanceJoin,
     "q56_array_agg" -> arrayAgg,
     "q57_unpivot" -> unpivotMeasures,
     "q44_pivot" -> pivotOrders,
@@ -303,6 +345,12 @@ object Extended {
         |      (SELECT MIN(DATE_TRUNC('day', ts)) FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q107_edit_distance_join" ->
+      """SELECT a.s_name AS name_a, b.s_name AS name_b,
+        | CAST(LEVENSHTEIN(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_name < b.s_name
+        |WHERE LEVENSHTEIN(a.s_name, b.s_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     "q60_levenshtein" ->
       """SELECT a.n_name AS name_a, b.n_name AS name_b,
         | CAST(LEVENSHTEIN(a.n_name, b.n_name) AS BIGINT) AS dist

@@ -97,6 +97,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=8 of k=32 lists
   }
 
+  test("deletion-neighborhood blocking loses no edit-distance-1 pairs") {
+    // q107's equi-join on deletion variants must equal the naive
+    // theta-join it replaces — the SymSpell losslessness guarantee
+    val blocked = run("q107_edit_distance_join").collect().toSeq
+    val s = Tables.load(spark, sf, "supplier").select(col("s_name"))
+    val naive = s.select(col("s_name").as("name_a"))
+      .join(s.select(col("s_name").as("name_b")),
+        col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy(col("name_a"), col("name_b"))
+      .collect().toSeq
+    assert(naive.nonEmpty)
+    assert(blocked === naive)
+  }
+
   test("pq adc search: valid rank structure, no self-matches, fair recall") {
     val adc = run("q106_pq_adc_search")
     assert(adc.filter(col("neighbor_id") === col("query_id")).count() === 0)
