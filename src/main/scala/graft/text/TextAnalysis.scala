@@ -117,6 +117,41 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("word"))
       .limit(20)
 
+  /** Conjunctive-search query terms — config constants (the shape is
+    * parameterized by the term list; three mid-frequency vocabulary
+    * words exercise lists of different lengths). */
+  private val SearchTerms = Seq("join", "vector", "stream")
+
+  /** Conjunctive keyword search (terms ANDed) via an inverted index:
+    * documents containing ALL query terms, with each term's frequency.
+    * The engine-side form of full-text AND search — the posting list
+    * (term, doc_id, tf) is the index primitive, and a query touches
+    * only its own terms' lists.
+    *
+    * Scale: the term predicate is applied to the exploded token stream
+    * BEFORE any shuffle (Catalyst pushes the IN filter below the
+    * aggregation), so only the query terms' postings — a vanishing
+    * fraction of the corpus — ever leave the scan stage. At 100 TB the
+    * posting table is materialized once, partitioned/bucketed BY TERM
+    * (same layout idea as q64's date partitions: a query prunes to its
+    * terms' files), and intersection starts from the shortest list;
+    * the one-wide-row-per-doc pivot below is that intersection as a
+    * single partial-aggregable pass, no join chain. */
+  def invertedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val postings = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(SearchTerms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val wide = postings.groupBy(col("doc_id")).agg(
+      max(when(col("tok") === SearchTerms.head, col("tf"))).as(s"tf_${SearchTerms.head}"),
+      SearchTerms.tail.map(t =>
+        max(when(col("tok") === t, col("tf"))).as(s"tf_$t")): _*)
+    SearchTerms.foldLeft(wide: DataFrame) { (df, t) =>
+      df.filter(col(s"tf_$t").isNotNull)
+    }.orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al. — "rolling hash" local
     * fingerprinting): minima of an 8-wide window sliding over the
     * token-bigram hash sequence, deduped into the document's
@@ -207,7 +242,8 @@ object TextAnalysis {
     "q28_language_id" -> languageId,
     "q29_fingerprint" -> fingerprint,
     "q45_word_topk" -> wordTopK,
-    "q59_winnow_fingerprint" -> winnowFingerprint)
+    "q59_winnow_fingerprint" -> winnowFingerprint,
+    "q108_inverted_search" -> invertedSearch)
 
   /** Every query here is oracle-checked. Determinism notes: ratios are a
     * single IEEE double division of integer-derived doubles (identical in
@@ -216,6 +252,21 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q108_inverted_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |               UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
+        |             FROM documents),
+        |p AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+        |      WHERE tok IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+        |g AS (SELECT doc_id,
+        |        MAX(CASE WHEN tok = 'join' THEN tf END) AS tf_join,
+        |        MAX(CASE WHEN tok = 'vector' THEN tf END) AS tf_vector,
+        |        MAX(CASE WHEN tok = 'stream' THEN tf END) AS tf_stream
+        |      FROM p GROUP BY doc_id)
+        |SELECT doc_id, tf_join, tf_vector, tf_stream FROM g
+        |WHERE tf_join IS NOT NULL AND tf_vector IS NOT NULL
+        |  AND tf_stream IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "q82_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id,
         |               UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
