@@ -305,7 +305,51 @@ object Temporal {
     "q58_full_outer_join" -> fullOuterDaily,
     "q61_gapfill_days" -> gapFillDays,
     "q62_moving_average" -> movingAverage,
-    "q76_scd2_history" -> scd2History)
+    "q76_scd2_history" -> scd2History,
+    "q109_trend_regression" -> trendRegression)
+
+  /** Per-group least-squares TREND (slope + intercept of value over
+    * time) — the drift detector of metric pipelines: one
+    * partial-aggregable pass collecting the five classic sufficient
+    * statistics (n, Σx, Σx², Σy, Σxy), then the closed-form solution
+    * per group. x is the epoch day; y is the event value.
+    *
+    * Determinism: Σy and Σxy accumulate in EXACT decimal (x is an
+    * integer, y is a 2-dp measure — products stay decimal-exact), Σx
+    * and Σx² in int64; each sum is cast to double ONCE and the
+    * closed form is then the identical IEEE expression in both
+    * engines. No float summation order anywhere.
+    *
+    * Scale: sufficient statistics are commutative monoids — map-side
+    * combine reduces each partition to 5 numbers per group, the only
+    * shuffle is one row per (group × partition). This is the pattern
+    * for ANY moment-based statistic at 100 TB (variance, covariance,
+    * correlation, higher moments): never sort, never window, just
+    * partial-agg the moments. */
+  def trendRegression(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("x",
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast(LongType))
+    val g = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(d2(col("value"))).as("sy"),
+      sum(d2(col("value")) * col("x")).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    val sxD = col("sx").cast(DoubleType)
+    val sxxD = col("sxx").cast(DoubleType)
+    val syD = col("sy").cast(DoubleType)
+    val sxyD = col("sxy").cast(DoubleType)
+    val denom = nD * sxxD - sxD * sxD
+    val slope = (nD * sxyD - sxD * syD) / denom
+    g.filter(col("n") >= 2 && denom =!= 0.0)
+      .select(col("event_type"), col("n"),
+        slope.as("slope"),
+        ((syD - slope * sxD) / nD).as("intercept"))
+      .orderBy(col("event_type"))
+  }
 
   private val dailySql =
     """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
@@ -313,6 +357,30 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q109_trend_regression" ->
+      """WITH e AS (SELECT event_type, value,
+        |    DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x
+        |  FROM events),
+        |g AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(x*x) AS sxx,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * x) AS sxy
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        |FROM g
+        |WHERE n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+        |ORDER BY event_type""".stripMargin,
     // keep-LAST over the change log — the independent derivation of the
     // same current state q96 reads from the SCD2 open intervals
     "q96_scd2_current" ->
