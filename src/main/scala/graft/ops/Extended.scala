@@ -268,6 +268,42 @@ object Extended {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** BLOOM-pruned selective join: revenue per supplier for ONE
+    * nation's suppliers. The dim filter keeps ~4% of suppliers; the
+    * interesting regime at 100 TB is a dim that is SELECTIVE but too
+    * big to broadcast — a plain shuffle join then moves the ENTIRE
+    * fact table for a join where 96% of rows find no partner. The
+    * scale shape: build a fixed-size Bloom filter over the filtered
+    * dim keys (128 KiB regardless of dim cardinality — always
+    * broadcastable, unlike the dim itself), semi-prune the fact
+    * BEFORE its shuffle, then run the exact equi-join on the
+    * survivors. False positives only cost a few extra shuffled rows;
+    * no false negatives means the result is exactly the plain join's
+    * (the oracle stays the naive formulation; a spec pins equality).
+    * This is the manual form of Spark's runtime
+    * `injectRuntimeFilter` bloom — expressed with the engine's own
+    * mergeable [[graft.functions.Sketches.BloomAgg]] so the prune is
+    * portable to any plan, not only where the optimizer infers it. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val dim = load(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 3)
+      .select(col("s_suppkey"), col("s_name"))
+    val bloom = dim
+      .select(phash(col("s_suppkey").cast(StringType)).as("h"))
+      .agg(Sketches.bloomAgg(col("h")).as("bf"))
+    val fact = load(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"))
+      .withColumn("h", phash(col("l_suppkey").cast(StringType)))
+    val pruned = fact.join(broadcast(bloom))
+      .filter(Sketches.bloomMightContain(col("h"), col("bf")))
+      .drop("bf", "h")
+    pruned.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("s_name"))
+  }
+
   /** GROUPING SETS: one pass computing the (flag, status) cube slice,
     * the per-flag margin, and the grand total, with grouping_id
     * disambiguating levels. Spark expands the sets inside a single
@@ -309,6 +345,7 @@ object Extended {
     "q64_partition_pruning" -> partitionPruning,
     "q60_levenshtein" -> levenshteinPairs,
     "q107_edit_distance_join" -> editDistanceJoin,
+    "q110_bloom_pruned_join" -> bloomPrunedJoin,
     "q56_array_agg" -> arrayAgg,
     "q57_unpivot" -> unpivotMeasures,
     "q44_pivot" -> pivotOrders,
@@ -345,6 +382,15 @@ object Extended {
         |      (SELECT MIN(DATE_TRUNC('day', ts)) FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // the Bloom prune is lossless for the join (no false negatives and
+    // an exact join after), so the oracle is the plain formulation
+    "q110_bloom_pruned_join" ->
+      """SELECT s.s_name, COUNT(*) AS n,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_nationkey = 3
+        |GROUP BY s.s_name
+        |ORDER BY s.s_name""".stripMargin,
     "q107_edit_distance_join" ->
       """SELECT a.s_name AS name_a, b.s_name AS name_b,
         | CAST(LEVENSHTEIN(a.s_name, b.s_name) AS BIGINT) AS dist

@@ -97,6 +97,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=8 of k=32 lists
   }
 
+  test("bloom prune is lossless: q110 equals the plain join") {
+    val pruned = run("q110_bloom_pruned_join").collect().toSeq
+    val dim = Tables.load(spark, sf, "supplier")
+      .filter(col("s_nationkey") === 3).select(col("s_suppkey"), col("s_name"))
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n"),
+        Tables.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("s_name"))
+      .collect().toSeq
+    assert(plain.nonEmpty)
+    assert(pruned === plain)
+  }
+
   test("deletion-neighborhood blocking loses no edit-distance-1 pairs") {
     // q107's equi-join on deletion variants must equal the naive
     // theta-join it replaces — the SymSpell losslessness guarantee
