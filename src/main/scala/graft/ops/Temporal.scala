@@ -306,7 +306,8 @@ object Temporal {
     "q61_gapfill_days" -> gapFillDays,
     "q62_moving_average" -> movingAverage,
     "q76_scd2_history" -> scd2History,
-    "q109_trend_regression" -> trendRegression)
+    "q109_trend_regression" -> trendRegression,
+    "q111_anomaly_days" -> anomalyDays)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -351,12 +352,73 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Metric ANOMALY detection: days whose per-type daily total
+    * deviates ≥ 2σ from that type's mean daily total — the alerting
+    * primitive over any pipeline metric stream, built on the same
+    * sufficient-statistics shape as [[trendRegression]].
+    *
+    * Determinism: the daily totals stay EXACT DECIMAL through both
+    * aggregation levels (the squares are DECIMAL(18,2)² = DECIMAL(37,4)
+    * — inside both engines' 38-digit cap, so no precision-loss
+    * rounding); each per-type moment is cast to double ONCE and
+    * mean/variance/z are then identical IEEE expressions. The
+    * variance guard (> 0) keeps sqrt off the NaN path in both
+    * engines.
+    *
+    * Scale: two partial-aggregable passes (day rollup, then moment
+    * rollup over ~days-per-type rows), one broadcast-sized stats
+    * table joined back — the fact stream is scanned once and never
+    * re-shuffled. */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(d2(col("value"))).cast(DecimalType(18, 2)).as("ds"))
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("ds")).as("s1"),
+      sum(col("ds") * col("ds")).as("s2"))
+    val nD = col("n_days").cast(DoubleType)
+    val s1D = col("s1").cast(DoubleType)
+    val s2D = col("s2").cast(DoubleType)
+    val mean = s1D / nD
+    val variance = (s2D - s1D * s1D / nD) / nD
+    val z = (col("ds").cast(DoubleType) - col("mean")) / sqrt(col("variance"))
+    daily.join(
+        stats.filter(col("n_days") >= 2)
+          .select(col("event_type"), mean.as("mean"), variance.as("variance"))
+          .filter(col("variance") > 0.0),
+        "event_type")
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= 2.0)
+      .select(col("event_type"), col("day"),
+        col("ds").cast(DoubleType).as("daily_sum"), col("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   private val dailySql =
     """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q111_anomaly_days" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ds
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, COUNT(*) AS n_days,
+        |    SUM(ds) AS s1, SUM(ds * ds) AS s2
+        |  FROM daily GROUP BY 1),
+        |st AS (SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |       / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE) AS variance
+        |  FROM stats WHERE n_days >= 2)
+        |SELECT d.event_type, d.day, CAST(d.ds AS DOUBLE) AS daily_sum,
+        |  (CAST(d.ds AS DOUBLE) - st.mean) / SQRT(st.variance) AS z
+        |FROM daily d JOIN st USING (event_type)
+        |WHERE st.variance > 0
+        |  AND ABS((CAST(d.ds AS DOUBLE) - st.mean) / SQRT(st.variance)) >= 2
+        |ORDER BY event_type, day""".stripMargin,
     "q109_trend_regression" ->
       """WITH e AS (SELECT event_type, value,
         |    DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x
