@@ -152,6 +152,44 @@ object TextAnalysis {
     }.orderBy(col("doc_id"))
   }
 
+  /** COLLOCATION detection: bigrams whose observed frequency beats
+    * the independence expectation — lift = P(ab) / (P(a)·P(b)) — the
+    * multiword-expression / phrase-mining primitive (PMI without the
+    * log: a pure ratio of integer-derived doubles stays bit-portable
+    * across engines, and log is monotone so the RANKING is the same).
+    *
+    * Scale: three partial-aggregable count passes over narrow
+    * exploded streams (bigrams, unigrams, totals), then the join runs
+    * on the aggregated vocabulary — corpus-cardinality-independent.
+    * The n_ab ≥ 5 support floor is applied before the unigram joins,
+    * so only frequent candidates join at all (the Apriori prune). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spread(load(spark, dir, "documents"))
+      .select(tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("word"))
+    val bg = toks.select(explode(
+      call_function("word_ngrams", col("toks"), lit(2))).as("bigram"))
+    val na = uni.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val nab = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    val tot = uni.agg(count(lit(1)).as("t_tok"))
+      .crossJoin(bg.agg(count(lit(1)).as("t_bg")))
+    val lift = (col("n_ab").cast(DoubleType) * col("t_tok").cast(DoubleType)
+        * col("t_tok").cast(DoubleType)) /
+      (col("t_bg").cast(DoubleType) * col("n_a").cast(DoubleType)
+        * col("n_b").cast(DoubleType))
+    nab.crossJoin(broadcast(tot))
+      .join(na.select(col("word"), col("n").as("n_a")),
+        split(col("bigram"), " ").getItem(0) === col("word"))
+      .drop("word")
+      .join(na.select(col("word"), col("n").as("n_b")),
+        split(col("bigram"), " ").getItem(1) === col("word"))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        lift.as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** Winnowing fingerprint (Schleimer et al. — "rolling hash" local
     * fingerprinting): minima of an 8-wide window sliding over the
     * token-bigram hash sequence, deduped into the document's
@@ -243,7 +281,8 @@ object TextAnalysis {
     "q29_fingerprint" -> fingerprint,
     "q45_word_topk" -> wordTopK,
     "q59_winnow_fingerprint" -> winnowFingerprint,
-    "q108_inverted_search" -> invertedSearch)
+    "q108_inverted_search" -> invertedSearch,
+    "q112_collocations" -> collocations)
 
   /** Every query here is oracle-checked. Determinism notes: ratios are a
     * single IEEE double division of integer-derived doubles (identical in
@@ -252,6 +291,32 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    // same clipped-tail bigram generation as q85; degenerate 1-token
+    // grams carry no space, so the two unigram joins drop them on both
+    // engines identically
+    "q112_collocations" ->
+      """WITH t AS (SELECT STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |           FROM documents),
+        |uni AS (SELECT UNNEST(toks) AS word FROM t),
+        |bg AS (SELECT UNNEST(LIST_TRANSFORM(
+        |         GENERATE_SERIES(0, GREATEST(LEN(toks)-2, 0)),
+        |         i -> CONCAT_WS(' ', toks[i+1], toks[i+2]))) AS bigram
+        |       FROM t),
+        |na AS (SELECT word, COUNT(*) AS n FROM uni GROUP BY 1),
+        |nab AS (SELECT bigram, COUNT(*) AS n_ab FROM bg
+        |        GROUP BY 1 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT (SELECT COUNT(*) FROM uni) AS t_tok,
+        |               (SELECT COUNT(*) FROM bg) AS t_bg)
+        |SELECT bigram, n_ab, a.n AS n_a, b.n AS n_b,
+        |  (CAST(n_ab AS DOUBLE) * CAST(t_tok AS DOUBLE)
+        |     * CAST(t_tok AS DOUBLE))
+        |   / (CAST(t_bg AS DOUBLE) * CAST(a.n AS DOUBLE)
+        |     * CAST(b.n AS DOUBLE)) AS lift
+        |FROM nab CROSS JOIN tot
+        |JOIN na a ON a.word = STRING_SPLIT(bigram, ' ')[1]
+        |JOIN na b ON b.word = STRING_SPLIT(bigram, ' ')[2]
+        |ORDER BY lift DESC, bigram
+        |LIMIT 20""".stripMargin,
     "q108_inverted_search" ->
       """WITH tok AS (SELECT doc_id,
         |               UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
