@@ -304,6 +304,37 @@ object Extended {
       .orderBy(col("s_name"))
   }
 
+  /** FREQUENT-PAIR mining over order baskets (market-basket /
+    * co-occurrence): part pairs appearing together in ≥ 3 orders.
+    * The APRIORI prune makes this tractable at scale: a pair can only
+    * reach support s if BOTH items individually do, so baskets are
+    * first semi-joined down to frequent items — on heavy-tailed real
+    * catalogs that cuts the quadratic per-basket pair explosion to
+    * the frequent-item subset. The pair join is an equi-join on the
+    * basket key (self-join co-located by one shuffle), id-ordered so
+    * each pair counts once. Basket skew (one giant order) is the
+    * residual risk at 100 TB — the standard cap is dropping baskets
+    * above a size bound, which changes semantics and is left to the
+    * caller. */
+  def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val MinSupport = 3
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freqItems = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= MinSupport)
+      .select(col("l_partkey"))
+    val pruned = li.join(freqItems, "l_partkey")
+    val a = pruned.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = pruned.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= MinSupport)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+  }
+
   /** GROUPING SETS: one pass computing the (flag, status) cube slice,
     * the per-flag margin, and the grand total, with grouping_id
     * disambiguating levels. Spark expands the sets inside a single
@@ -346,6 +377,7 @@ object Extended {
     "q60_levenshtein" -> levenshteinPairs,
     "q107_edit_distance_join" -> editDistanceJoin,
     "q110_bloom_pruned_join" -> bloomPrunedJoin,
+    "q113_frequent_pairs" -> frequentPairs,
     "q56_array_agg" -> arrayAgg,
     "q57_unpivot" -> unpivotMeasures,
     "q44_pivot" -> pivotOrders,
@@ -391,6 +423,17 @@ object Extended {
         |WHERE s.s_nationkey = 3
         |GROUP BY s.s_name
         |ORDER BY s.s_name""".stripMargin,
+    // the Apriori item prune is lossless at the pair-support floor, so
+    // the oracle is the naive pair count
+    "q113_frequent_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  COUNT(*) AS n_orders
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 3
+        |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
     "q107_edit_distance_join" ->
       """SELECT a.s_name AS name_a, b.s_name AS name_b,
         | CAST(LEVENSHTEIN(a.s_name, b.s_name) AS BIGINT) AS dist

@@ -307,7 +307,8 @@ object Temporal {
     "q62_moving_average" -> movingAverage,
     "q76_scd2_history" -> scd2History,
     "q109_trend_regression" -> trendRegression,
-    "q111_anomaly_days" -> anomalyDays)
+    "q111_anomaly_days" -> anomalyDays,
+    "q114_group_correlation" -> groupCorrelation)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -350,6 +351,36 @@ object Temporal {
         slope.as("slope"),
         ((syD - slope * sxD) / nD).as("intercept"))
       .orderBy(col("event_type"))
+  }
+
+  /** Per-group Pearson CORRELATION between two measures (quantity vs
+    * price per return flag) — the third member of the moment-statistic
+    * family with [[trendRegression]] and [[anomalyDays]]: one
+    * partial-aggregable pass over six sufficient statistics, exact
+    * decimal sums, one cast each to double, then the closed form as an
+    * identical IEEE expression in both engines (sqrt is
+    * correctly-rounded IEEE everywhere). */
+  def groupCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val g = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(d2(col("l_quantity"))).as("sx"),
+      sum((d2(col("l_quantity")) * d2(col("l_quantity")))
+        .cast(DecimalType(38, 4))).as("sxx"),
+      sum(d2(col("l_extendedprice"))).as("sy"),
+      sum((d2(col("l_extendedprice")) * d2(col("l_extendedprice")))
+        .cast(DecimalType(38, 4))).as("syy"),
+      sum((d2(col("l_quantity")) * d2(col("l_extendedprice")))
+        .cast(DecimalType(38, 4))).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    def d(c: String) = col(c).cast(DoubleType)
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val vx = nD * d("sxx") - d("sx") * d("sx")
+    val vy = nD * d("syy") - d("sy") * d("sy")
+    g.filter(col("n") >= 2)
+      .select(col("l_returnflag"), col("n"),
+        (cov / sqrt(vx * vy)).as("corr"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** Metric ANOMALY detection: days whose per-type daily total
@@ -401,6 +432,26 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q114_group_correlation" ->
+      """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+        |FROM g WHERE n >= 2
+        |ORDER BY l_returnflag""".stripMargin,
     "q111_anomaly_days" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ds
