@@ -271,6 +271,46 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"$shuffles shuffles\n$plan")
   }
 
+  test("q107 edit-distance candidates meet in an equi-join, never a theta join") {
+    val plan = formatted(run("q107_edit_distance_join"))
+    // the whole point of deletion-neighborhood blocking: the Theta(n^2)
+    // nested-loop q60 runs is replaced by a hash/merge equi-join on the
+    // variant key
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q110 bloom prune filters the fact below the dim equi-join") {
+    val plan = formatted(run("q110_bloom_pruned_join"))
+    // the prune is a Filter over the one-row broadcast bitset join —
+    // no shuffle of unpruned fact rows, and the exact join stays equi
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("shiftrightunsigned"), plan) // the probe bits
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val probeIdx = plan.indexOf("shiftrightunsigned")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe not below the equi-join\n$plan")
+  }
+
+  test("q109/q111/q114 moment statistics aggregate partially (map-side combine)") {
+    for (q <- Seq("q109_trend_regression", "q111_anomaly_days",
+        "q114_group_correlation")) {
+      val plan = formatted(run(q))
+      // sufficient statistics are monoids: a partial sum/count must
+      // appear below the group exchange
+      assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+        s"$q lacks partial aggregation\n$plan")
+    }
+  }
+
+  test("q113 basket self-join is equi on the order key, not nested-loop") {
+    val plan = formatted(run("q113_frequent_pairs"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("AQE splits a skewed partition on the unsalted join (q50's recommended twin)") {
     import org.apache.spark.sql.functions.{col, when}
     // q50 demonstrates MANUAL salting; the engine's recommended path for
