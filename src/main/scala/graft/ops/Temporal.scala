@@ -308,7 +308,9 @@ object Temporal {
     "q76_scd2_history" -> scd2History,
     "q109_trend_regression" -> trendRegression,
     "q111_anomaly_days" -> anomalyDays,
-    "q114_group_correlation" -> groupCorrelation)
+    "q114_group_correlation" -> groupCorrelation,
+    "q115_ohlc_bars" -> ohlcBars,
+    "q116_twap" -> twap)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -351,6 +353,61 @@ object Temporal {
         slope.as("slope"),
         ((syD - slope * sxD) / nD).as("intercept"))
       .orderBy(col("event_type"))
+  }
+
+  /** OHLC RESAMPLING: open/high/low/close/volume bars per (type, day)
+    * — the time-series downsampling primitive (metrics, finance, any
+    * tick stream). Open/close are the q09 argmax pattern (min/max of a
+    * (ts, id, value) struct — partially aggregable, NO window sort),
+    * so the whole bar is ONE map-side-combinable aggregate pass: at
+    * 100 TB each partition reduces to one candidate row per bar before
+    * the shuffle, the exact shape a tick store needs. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+    ev.groupBy(col("event_type"), col("day"))
+      .agg(
+        min(struct(col("ts").as("t"), col("event_id").as("id"),
+          col("value").as("v"))).getField("v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts").as("t"), col("event_id").as("id"),
+          col("value").as("v"))).getField("v").as("close"),
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("volume"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** TIME-WEIGHTED average (TWAP) per (type, day): each observation
+    * weighted by its holding time until the next observation — the
+    * correct mean for irregularly-sampled series (a plain avg
+    * over-weights bursts). Last observation of a bar carries no
+    * forward duration and drops out (span-interior TWAP).
+    *
+    * Determinism: durations are EXACT integer microseconds (both
+    * engines store micros after the ns→us read truncation), weights
+    * multiply 2-dp decimals → exact decimal numerator, int64
+    * denominator, ONE double division at the end.
+    *
+    * Scale: one (type, day)-partitioned window for the lead (the same
+    * single shuffle the bar rollup needs anyway — Catalyst reuses the
+    * partitioning), then a partial-aggregable sum. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dur_us", expr("timestampdiff(MICROSECOND, ts, next_ts)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(d2(col("value")) * col("dur_us")).as("num"),
+        sum(col("dur_us")).as("den"))
+      .filter(col("den") > 0L)
+      .select(col("event_type"), col("day"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("twap"),
+        col("den").as("span_us"))
+      .orderBy(col("event_type"), col("day"))
   }
 
   /** Per-group Pearson CORRELATION between two measures (quantity vs
@@ -432,6 +489,48 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // open/close via ROW_NUMBER asc/desc — the q09 argmax duality of the
+    // Spark side's min/max(struct)
+    "q115_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        |             event_id, value
+        |           FROM events),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, day
+        |          ORDER BY ts, event_id) AS rn_a,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, day
+        |          ORDER BY ts DESC, event_id DESC) AS rn_z
+        |      FROM e),
+        |agg AS (SELECT event_type, day, MAX(value) AS high,
+        |          MIN(value) AS low, COUNT(*) AS n,
+        |          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |        FROM e GROUP BY 1, 2)
+        |SELECT a.event_type, a.day, op.value AS open, a.high, a.low,
+        |  cl.value AS close, a.n, a.volume
+        |FROM agg a
+        |JOIN r op ON op.event_type = a.event_type AND op.day = a.day
+        |  AND op.rn_a = 1
+        |JOIN r cl ON cl.event_type = a.event_type AND cl.day = a.day
+        |  AND cl.rn_z = 1
+        |ORDER BY a.event_type, a.day""".stripMargin,
+    "q116_twap" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        |             event_id, value
+        |           FROM events),
+        |l AS (SELECT *, LEAD(ts) OVER (PARTITION BY event_type, day
+        |        ORDER BY ts, event_id) AS next_ts FROM e),
+        |d AS (SELECT event_type, day, value,
+        |        DATE_DIFF('microseconds', ts, next_ts) AS dur_us
+        |      FROM l WHERE next_ts IS NOT NULL),
+        |g AS (SELECT event_type, day,
+        |        SUM(CAST(value AS DECIMAL(18,2)) * dur_us) AS num,
+        |        CAST(SUM(dur_us) AS BIGINT) AS den
+        |      FROM d GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twap,
+        |  den AS span_us
+        |FROM g WHERE den > 0
+        |ORDER BY event_type, day""".stripMargin,
     "q114_group_correlation" ->
       """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
