@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -304,6 +305,35 @@ object Extended {
       .orderBy(col("s_name"))
   }
 
+  /** WINSORIZED robust mean per event type: values clipped to the
+    * [p05, p95] range before averaging — the outlier-resistant
+    * aggregate metric pipelines want when a few bad points poison a
+    * plain mean. Thresholds come from the exact cumulative histogram
+    * (the q90 CDF shape: the only window runs over the per-type VALUE
+    * HISTOGRAM, never the raw rows), with integer-exact rank cutoffs
+    * (ceil(n/20) = (n+19) div 20 — no float percentile semantics to
+    * disagree on across engines). Clipping a 2-dp measure keeps it
+    * 2-dp, so the mean is the exact-decimal davg. */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val hist = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val th = cum.join(tot, "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 19) div 20"), col("value"))).as("lo"),
+        min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("value"))).as("hi"))
+    ev.join(broadcast(th), "event_type")
+      .groupBy(col("event_type"), col("n"), col("lo"), col("hi"))
+      .agg(davg(greatest(col("lo"), least(col("value"), col("hi"))))
+        .as("wmean"))
+      .orderBy(col("event_type"))
+  }
+
   /** FREQUENT-PAIR mining over order baskets (market-basket /
     * co-occurrence): part pairs appearing together in ≥ 3 orders.
     * The APRIORI prune makes this tractable at scale: a pair can only
@@ -378,6 +408,7 @@ object Extended {
     "q107_edit_distance_join" -> editDistanceJoin,
     "q110_bloom_pruned_join" -> bloomPrunedJoin,
     "q113_frequent_pairs" -> frequentPairs,
+    "q118_winsorized_mean" -> winsorizedMean,
     "q56_array_agg" -> arrayAgg,
     "q57_unpivot" -> unpivotMeasures,
     "q44_pivot" -> pivotOrders,
@@ -423,6 +454,22 @@ object Extended {
         |WHERE s.s_nationkey = 3
         |GROUP BY s.s_name
         |ORDER BY s.s_name""".stripMargin,
+    "q118_winsorized_mean" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |h AS (SELECT event_type, value, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cum AS (SELECT *, SUM(c) OVER (PARTITION BY event_type
+        |          ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |tot AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+        |th AS (SELECT c.event_type, t.n,
+        |    MIN(CASE WHEN c.cum >= (t.n + 19) // 20 THEN c.value END) AS lo,
+        |    MIN(CASE WHEN c.cum >= (19 * t.n + 19) // 20 THEN c.value END) AS hi
+        |  FROM cum c JOIN tot t USING (event_type) GROUP BY 1, 2)
+        |SELECT e.event_type, th.n, th.lo, th.hi,
+        |  CAST(SUM(CAST(GREATEST(th.lo, LEAST(e.value, th.hi))
+        |    AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS wmean
+        |FROM e JOIN th USING (event_type)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY e.event_type""".stripMargin,
     // the Apriori item prune is lossless at the pair-support floor, so
     // the oracle is the naive pair count
     "q113_frequent_pairs" ->

@@ -175,6 +175,35 @@ object Pipeline {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** WEIGHTED deterministic sampling via replication min-hash
+    * (integer-weight minwise sampling — the Broder minwise family;
+    * pairwise P(i outranks j) = wᵢ/(wᵢ+wⱼ), the weighted-priority
+    * property of Efraimidis-Spirakis keys, but in pure INTEGER hash
+    * arithmetic: no pow/log, so the ordering is bit-identical across
+    * engines, unlike u^(1/w) float keys). Each doc draws w hash
+    * priorities (w = size-derived weight, capped) and keeps the
+    * minimum; the global top-50 by (priority, doc_id) is the sample.
+    * Same refresh-stability as q68: a doc's priority is a pure
+    * function of its id, so re-sampling a grown corpus never reshuffles
+    * survivors' priorities.
+    *
+    * Scale: the explode is ×w (bounded by the cap), collapsed by a
+    * partial-aggregable min before any shuffle; the top-k is a
+    * TakeOrderedAndProject heap, never a global sort. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val MaxW = 8
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        least(expr("n_chars div 200") + 1, lit(MaxW)).as("w"))
+      .withColumn("j", explode(sequence(lit(1), col("w"))))
+      .withColumn("p", phash(concat(col("doc_id").cast(StringType),
+        lit(":"), col("j").cast(StringType))))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(min(col("p")).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(50)
+  }
+
   /** Sliding-window document chunking — the context-window preparation
     * step of a training/embedding pipeline: split each document into
     * CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE (overlap
@@ -419,7 +448,8 @@ object Pipeline {
     "q69_train_split" -> trainSplit,
     "q70_decontaminate" -> decontaminate,
     "q71_rep_signals" -> repSignals,
-    "q81_bloom_decontaminate" -> bloomDecontaminate)
+    "q81_bloom_decontaminate" -> bloomDecontaminate,
+    "q117_weighted_sample" -> weightedSample)
 
   private def bucketSql(key: String, n: Int): String =
     s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
@@ -490,6 +520,16 @@ object Pipeline {
         | ${phashSql("c_name")} AS pseudonym_key
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q117_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, LEAST(n_chars // 200 + 1, 8) AS w
+        |           FROM documents),
+        |v AS (SELECT doc_id, w, UNNEST(GENERATE_SERIES(1, w)) AS j FROM d),
+        |p AS (SELECT doc_id, w,
+        |        MIN(${phashSql("CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}) AS priority
+        |      FROM v GROUP BY 1, 2)
+        |SELECT doc_id, w, priority FROM p
+        |ORDER BY priority, doc_id
+        |LIMIT 50""".stripMargin,
     "q68_hash_sample" ->
       s"""SELECT doc_id, lang, n_chars
         |FROM documents

@@ -97,6 +97,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=8 of k=32 lists
   }
 
+  test("weighted sample overrepresents heavy docs vs the corpus") {
+    val sample = run("q117_weighted_sample")
+    val meanSampleW = sample.agg(avg(col("w"))).head().getDouble(0)
+    val corpus = Tables.load(spark, sf, "documents")
+      .select(least(expr("n_chars div 200") + 1, lit(8)).as("w"))
+    val meanCorpusW = corpus.agg(avg(col("w"))).head().getDouble(0)
+    info(f"mean weight: sample $meanSampleW%.2f corpus $meanCorpusW%.2f")
+    // selection probability rises with w (pairwise w_i/(w_i+w_j)), so
+    // the sampled mean weight must exceed the corpus mean on this
+    // frozen fixture
+    assert(meanSampleW > meanCorpusW)
+    // and priorities are true minima: deterministic, re-run identical
+    assert(sample.collect().toSeq === run("q117_weighted_sample").collect().toSeq)
+  }
+
   test("bloom prune is lossless: q110 equals the plain join") {
     val pruned = run("q110_bloom_pruned_join").collect().toSeq
     val dim = Tables.load(spark, sf, "supplier")
