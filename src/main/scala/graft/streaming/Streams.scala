@@ -328,6 +328,60 @@ object Streams {
   private[graft] def streamJoinPaths(dir: String): (String, String) =
     streamPaths("graft_stream_join", dir)
 
+  private[graft] def streamOuterJoinPaths(dir: String): (String, String) =
+    streamPaths("graft_stream_ojoin", dir)
+
+  /** Stream-stream LEFT OUTER join with event-time bounds — the
+    * capability inner joins can't cover: clicks that NEVER convert
+    * must still emit (with a null purchase side) so downstream sees
+    * the full denominator. Semantics on an unbounded stream: a match
+    * emits immediately; an unmatched click emits null-extended ONLY
+    * once the GLOBAL watermark (min over both streams of max event
+    * time minus the 1h delay) passes the end of its 4h match window —
+    * before that, a match could still arrive. Unmatched clicks inside
+    * the final watermark horizon are therefore (correctly) never
+    * emitted on a finite run, and the batch oracle encodes exactly
+    * that rule: matches unconditionally, unmatched only where
+    * click_ts + 4h < min(max(click_ts), max(buy_ts)) - 1h.
+    *
+    * Same exactly-once checkpointed parquet file sink + two-stage
+    * rollup as [[streamJoin]] (append-mode joins can't chain an agg);
+    * the no-data final micro-batch AvailableNow schedules is what
+    * advances the watermark and flushes the expired outer rows. State
+    * stays bounded by the same watermark the emission rule uses. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    def src = eventsStream(spark, dir, withTs = true)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+        col("value"))
+      .withWatermark("buy_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""click_user = buy_user AND
+              buy_ts >= click_ts AND
+              buy_ts <= click_ts + interval 4 hours"""),
+      "left_outer")
+    val (out, ckpt) = streamOuterJoinPaths(dir)
+    deleteRecursively(new java.io.File(out))
+    deleteRecursively(new java.io.File(ckpt))
+    val q = joined.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out)
+      .groupBy(col("click_user").as("user_id"))
+      .agg(count(lit(1)).as("n_emitted"),
+        count(col("value")).as("n_matched"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Stream-stream inner join with event-time bounds: click→purchase
     * attribution within 4 hours, per user. Both sides carry watermarks
     * and the join condition carries the time bound — exactly what lets
@@ -441,6 +495,7 @@ object Streams {
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
+    "q119_stream_outer_join" -> streamOuterJoin,
     "q97_stream_dedup_bounded" -> streamDedupBounded,
     "q102_stream_sliding" -> streamSliding,
     "q103_stream_topk" -> streamTopK,
@@ -513,6 +568,33 @@ object Streams {
         |GROUP BY user_id
         |ORDER BY n_events DESC, user_id
         |LIMIT 10""".stripMargin,
+    // matches emit unconditionally; unmatched clicks emit only past the
+    // global-watermark horizon (see streamOuterJoin scaladoc) — the
+    // oracle encodes the same rule in batch
+    "q119_stream_outer_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id AS click_user,
+        |             ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS buy_user, ts AS buy_ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT LEAST((SELECT MAX(click_ts) FROM c),
+        |                    (SELECT MAX(buy_ts) FROM p))
+        |         - INTERVAL 1 HOUR AS w),
+        |m AS (SELECT c.click_id, c.click_user, p.value
+        |      FROM c JOIN p ON c.click_user = p.buy_user
+        |        AND p.buy_ts >= c.click_ts
+        |        AND p.buy_ts <= c.click_ts + INTERVAL 4 HOUR),
+        |u AS (SELECT c.click_id, c.click_user, CAST(NULL AS DOUBLE) AS value
+        |      FROM c, wm
+        |      WHERE c.click_id NOT IN (SELECT click_id FROM m)
+        |        AND c.click_ts + INTERVAL 4 HOUR < wm.w),
+        |allr AS (SELECT * FROM m UNION ALL SELECT * FROM u)
+        |SELECT click_user AS user_id, COUNT(*) AS n_emitted,
+        |  COUNT(value) AS n_matched,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM allr
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q73_stream_join" ->
       """SELECT a.user_id AS user_id, COUNT(*) AS n_attributed,
         | CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
