@@ -334,6 +334,70 @@ object Extended {
       .orderBy(col("event_type"))
   }
 
+  /** PARETO-frontier (skyline) filter per brand: parts for which no
+    * other same-brand part is both smaller and at-least-as-expensive —
+    * the multi-objective shortlist (maximize price, minimize size)
+    * that no single ORDER BY can express. Window formulation, no
+    * quadratic dominance join: sorted by size, a row survives iff it
+    * beats the running max price over STRICTLY smaller sizes (RANGE
+    * ... 1 PRECEDING) and holds the max price within its own size.
+    * All comparisons are raw column values (no arithmetic), so
+    * cross-engine determinism is free.
+    *
+    * Scale: one window shuffle per brand partition — the standard
+    * sort-filter skyline; a 100 TB variant pre-prunes with a coarse
+    * grid (each cell keeps its local frontier, exact pass on the
+    * survivors), same two-phase shape as q34/q99. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy(col("p_brand"), col("p_size"))
+    load(spark, dir, "part")
+      .select(col("p_brand"), col("p_size"), col("p_partkey"),
+        col("p_retailprice"))
+      .withColumn("best_smaller", max(col("p_retailprice")).over(wPrev))
+      .withColumn("best_same", max(col("p_retailprice")).over(wSame))
+      .filter((col("best_smaller").isNull ||
+          col("best_smaller") < col("p_retailprice")) &&
+        col("p_retailprice") === col("best_same"))
+      .select(col("p_brand"), col("p_size"), col("p_partkey"),
+        col("p_retailprice"))
+      .orderBy(col("p_brand"), col("p_size"), col("p_partkey"))
+  }
+
+  /** MEDIAN + MAD (median absolute deviation) per event type — the
+    * robust center/scale pair ([[winsorizedMean]]'s sibling): both
+    * medians come from the exact cumulative VALUE HISTOGRAM with the
+    * integer lower-median rank (n+1) div 2 — no float percentile
+    * semantics, no global sort of raw rows — and |x − median| of 2-dp
+    * values stays 2-dp exact, so the second histogram is as
+    * deterministic as the first. */
+  def medianMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), d2(col("value")).as("v"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val hist = df.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      hist.withColumn("cum", sum(col("c")).over(wCum))
+        .join(tot, "event_type")
+        .groupBy(col("event_type"), col("n"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(valueCol)))
+          .as(out))
+    }
+    val med = lowerMedian(ev, "v", "median_dec")
+    val dev = ev.join(broadcast(med.select(col("event_type"), col("median_dec"))),
+        "event_type")
+      .select(col("event_type"), abs(col("v") - col("median_dec")).as("d"))
+    val mad = lowerMedian(dev, "d", "mad_dec")
+    med.join(mad.select(col("event_type"), col("mad_dec")), "event_type")
+      .select(col("event_type"), col("n"),
+        col("median_dec").cast(DoubleType).as("median"),
+        col("mad_dec").cast(DoubleType).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
   /** FREQUENT-PAIR mining over order baskets (market-basket /
     * co-occurrence): part pairs appearing together in ≥ 3 orders.
     * The APRIORI prune makes this tractable at scale: a pair can only
@@ -409,6 +473,8 @@ object Extended {
     "q110_bloom_pruned_join" -> bloomPrunedJoin,
     "q113_frequent_pairs" -> frequentPairs,
     "q118_winsorized_mean" -> winsorizedMean,
+    "q120_pareto_frontier" -> paretoFrontier,
+    "q122_median_mad" -> medianMad,
     "q56_array_agg" -> arrayAgg,
     "q57_unpivot" -> unpivotMeasures,
     "q44_pivot" -> pivotOrders,
@@ -454,6 +520,42 @@ object Extended {
         |WHERE s.s_nationkey = 3
         |GROUP BY s.s_name
         |ORDER BY s.s_name""".stripMargin,
+    "q120_pareto_frontier" ->
+      """WITH w AS (SELECT p_brand, p_size, p_partkey, p_retailprice,
+        |    MAX(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_size
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS best_smaller,
+        |    MAX(p_retailprice) OVER (PARTITION BY p_brand, p_size)
+        |      AS best_same
+        |  FROM part)
+        |SELECT p_brand, p_size, p_partkey, p_retailprice
+        |FROM w
+        |WHERE (best_smaller IS NULL OR best_smaller < p_retailprice)
+        |  AND p_retailprice = best_same
+        |ORDER BY p_brand, p_size, p_partkey""".stripMargin,
+    "q122_median_mad" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |           FROM events),
+        |tot AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+        |h1 AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |c1 AS (SELECT *, SUM(c) OVER (PARTITION BY event_type
+        |         ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM h1),
+        |med AS (SELECT c1.event_type, t.n,
+        |    MIN(CASE WHEN c1.cum >= (t.n + 1) // 2 THEN c1.v END) AS median_dec
+        |  FROM c1 JOIN tot t USING (event_type) GROUP BY 1, 2),
+        |d AS (SELECT e.event_type, ABS(e.v - m.median_dec) AS dv
+        |      FROM e JOIN med m USING (event_type)),
+        |h2 AS (SELECT event_type, dv, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT *, SUM(c) OVER (PARTITION BY event_type
+        |         ORDER BY dv ROWS UNBOUNDED PRECEDING) AS cum FROM h2),
+        |mad AS (SELECT c2.event_type,
+        |    MIN(CASE WHEN c2.cum >= (t.n + 1) // 2 THEN c2.dv END) AS mad_dec
+        |  FROM c2 JOIN tot t USING (event_type) GROUP BY 1)
+        |SELECT m.event_type, m.n,
+        |  CAST(m.median_dec AS DOUBLE) AS median,
+        |  CAST(a.mad_dec AS DOUBLE) AS mad
+        |FROM med m JOIN mad a USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
     "q118_winsorized_mean" ->
       """WITH e AS (SELECT event_type, value FROM events),
         |h AS (SELECT event_type, value, COUNT(*) AS c FROM e GROUP BY 1, 2),

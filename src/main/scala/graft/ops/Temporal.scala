@@ -310,7 +310,8 @@ object Temporal {
     "q111_anomaly_days" -> anomalyDays,
     "q114_group_correlation" -> groupCorrelation,
     "q115_ohlc_bars" -> ohlcBars,
-    "q116_twap" -> twap)
+    "q116_twap" -> twap,
+    "q121_cusum_changepoint" -> cusumChangepoint)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -410,6 +411,43 @@ object Temporal {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** CUSUM CHANGEPOINT estimate per event type: the day where the
+    * cumulative deviation of the daily total from its overall mean
+    * peaks — the classic offline CUSUM location estimator (Page 1954)
+    * for "when did this metric's level shift?".
+    *
+    * Determinism trick: the textbook cusum_t = Σ_{i≤t}(x_i − x̄)
+    * mixes a float mean into a running float sum — and engines
+    * disagree on window-sum accumulation order (DuckDB's segment tree
+    * vs a left fold), so float cusums drift. Scaling by n removes the
+    * division: n·cusum_t = Σ_{i≤t}(n·x_i − S₁) is EXACT decimal
+    * arithmetic end to end — any summation tree gives the same
+    * decimal — and /n happens once, after the argmax, for display.
+    *
+    * Scale: day-level rollup first (partial-aggregable), windows only
+    * over the tiny per-type day series — the q90 histogram principle
+    * again. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(d2(col("value"))).cast(DecimalType(18, 2)).as("ds"))
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("ds")).as("s1"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeak = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("ncusum")).desc, col("day"))
+    daily.join(stats, "event_type")
+      .withColumn("ncusum",
+        sum(col("n") * col("ds") - col("s1")).over(wRun))
+      .withColumn("rn", row_number().over(wPeak))
+      .filter(col("rn") === 1 && col("n") >= 2)
+      .select(col("event_type"), col("day").as("change_day"),
+        (col("ncusum").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("peak_cusum"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-group Pearson CORRELATION between two measures (quantity vs
     * price per return flag) — the third member of the moment-statistic
     * family with [[trendRegression]] and [[anomalyDays]]: one
@@ -489,6 +527,24 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // n-scaled cusum keeps the running sum exact-decimal (see the
+    // cusumChangepoint scaladoc); the one /n lands after the argmax
+    "q121_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ds
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, COUNT(*) AS n, SUM(ds) AS s1
+        |          FROM daily GROUP BY 1),
+        |c AS (SELECT d.event_type, d.day, s.n,
+        |    SUM(s.n * d.ds - s.s1) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS ncusum
+        |  FROM daily d JOIN stats s USING (event_type)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY ABS(ncusum) DESC, day) AS rn FROM c)
+        |SELECT event_type, day AS change_day,
+        |  CAST(ncusum AS DOUBLE) / CAST(n AS DOUBLE) AS peak_cusum
+        |FROM r WHERE rn = 1 AND n >= 2
+        |ORDER BY event_type""".stripMargin,
     // open/close via ROW_NUMBER asc/desc — the q09 argmax duality of the
     // Spark side's min/max(struct)
     "q115_ohlc_bars" ->
