@@ -483,8 +483,33 @@ object Dedup {
     triangleCountsFrom(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
+  /** TWO-HOP neighborhood sizes over the near-dup graph (q33's edge
+    * set): per node, how many distinct docs sit within ≤ 2 hops — the
+    * "how big is this near-dup blob really" signal that one-hop degree
+    * understates (transitive duplicates reach each other through an
+    * intermediate rewrite). One self-join of the symmetrized edge list
+    * (the friend-of-friend shape): fan-out is Σ deg² — fine on the
+    * near-dup graph's bounded degrees; a hubby graph caps hop-through
+    * degree first (the q92 orientation lesson, same mitigation). */
+  def twoHopNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false)
+    val sym = e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    val h2 = sym.alias("x").join(sym.alias("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val one = sym.groupBy(col("src")).agg(count(lit(1)).as("n_1hop"))
+    sym.union(h2).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("n_2hop"))
+      .join(one, "src")
+      .select(col("src").as("doc_id"), col("n_1hop"), col("n_2hop"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_triangle_counts" -> triangleCounts,
+    "q124_two_hop_neighbors" -> twoHopNeighbors,
     "q30_exact_dedup" -> exactDedup,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash" -> simhash,
@@ -545,6 +570,7 @@ object Dedup {
     "q53_ppjoin_jaccard" -> jaccardOracle,
     "q33_ngram_jaccard" -> jaccardOracle,
     "q92_triangle_counts" -> triangleOracle,
+    "q124_two_hop_neighbors" -> twoHopOracle,
     "q67_dedup_clusters" -> clustersOracle,
     "q74_cluster_minhash" -> clusterMinhashOracle,
     // exact answer: the oracle is the naive all-pairs formulation; only
@@ -585,6 +611,23 @@ object Dedup {
         |FROM common
         |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q124: friend-of-friend reach over the same threshold pair set. */
+  private lazy val twoHopOracle: String =
+      s"""WITH $jaccardCommonCte,
+        |pairs AS (SELECT doc_a, doc_b FROM common
+        |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |h2 AS (SELECT x.src, y.dst FROM sym x JOIN sym y ON x.dst = y.src
+        |       WHERE x.src <> y.dst),
+        |reach AS (SELECT DISTINCT src, dst FROM
+        |          (SELECT * FROM sym UNION ALL SELECT * FROM h2)),
+        |one AS (SELECT src, COUNT(*) AS n_1hop FROM sym GROUP BY 1)
+        |SELECT r.src AS doc_id, o.n_1hop, COUNT(*) AS n_2hop
+        |FROM reach r JOIN one o ON o.src = r.src
+        |GROUP BY 1, 2
+        |ORDER BY 1""".stripMargin
 
   /** q92: oriented 3-way self-join over the same threshold pair set. */
   private lazy val triangleOracle: String =

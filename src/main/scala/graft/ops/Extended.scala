@@ -334,6 +334,30 @@ object Extended {
       .orderBy(col("event_type"))
   }
 
+  /** PERCENT-OF-TOTAL contribution: each nation's share of global
+    * order revenue — the BI staple that tempts a window-over-
+    * everything (`SUM() OVER ()` forces a single partition at scale).
+    * The scale shape: one partial-aggregable rollup, then the
+    * one-row grand total BROADCAST back (cross join of an aggregate,
+    * never a global window). Shares divide two exactly-summed
+    * decimals cast to double once each. */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val byNation = load(spark, dir, "orders")
+      .join(load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(d2(col("o_totalprice"))).as("rev_dec"))
+    val total = byNation.agg(sum(col("rev_dec")).as("tot_dec"))
+    byNation.crossJoin(broadcast(total))
+      .select(col("n_name"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        (col("rev_dec").cast(DoubleType) / col("tot_dec").cast(DoubleType))
+          .as("share"))
+      .orderBy(col("n_name"))
+  }
+
   /** PARETO-frontier (skyline) filter per brand: parts for which no
     * other same-brand part is both smaller and at-least-as-expensive —
     * the multi-objective shortlist (maximize price, minimize size)
@@ -474,6 +498,7 @@ object Extended {
     "q113_frequent_pairs" -> frequentPairs,
     "q118_winsorized_mean" -> winsorizedMean,
     "q120_pareto_frontier" -> paretoFrontier,
+    "q123_revenue_share" -> revenueShare,
     "q122_median_mad" -> medianMad,
     "q56_array_agg" -> arrayAgg,
     "q57_unpivot" -> unpivotMeasures,
@@ -520,6 +545,18 @@ object Extended {
         |WHERE s.s_nationkey = 3
         |GROUP BY s.s_name
         |ORDER BY s.s_name""".stripMargin,
+    "q123_revenue_share" ->
+      """WITH bn AS (SELECT n.n_name,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(rev_dec) AS tot_dec FROM bn)
+        |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS share
+        |FROM bn CROSS JOIN tot
+        |ORDER BY n_name""".stripMargin,
     "q120_pareto_frontier" ->
       """WITH w AS (SELECT p_brand, p_size, p_partkey, p_retailprice,
         |    MAX(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_size
