@@ -311,7 +311,8 @@ object Temporal {
     "q114_group_correlation" -> groupCorrelation,
     "q115_ohlc_bars" -> ohlcBars,
     "q116_twap" -> twap,
-    "q121_cusum_changepoint" -> cusumChangepoint)
+    "q121_cusum_changepoint" -> cusumChangepoint,
+    "q125_clean_conversions" -> cleanConversions)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -409,6 +410,36 @@ object Temporal {
         (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("twap"),
         col("den").as("span_us"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** SEQUENCE-PATTERN detection: clicks converting to a purchase
+    * within 4h with NO error event in between — the negative-condition
+    * funnel (fraud rules, clean-conversion attribution) that q84's
+    * plain ordered funnel can't express. Formulated as two
+    * forward-looking window minima per event (next purchase ts, next
+    * error ts over ROWS 1 FOLLOWING..UNBOUNDED): a click converts
+    * cleanly iff its next purchase lands inside the horizon and
+    * strictly precedes its next error. ONE user-key shuffle and sort
+    * serves both minima — no per-pattern self-joins, which is what
+    * keeps arbitrary A→B-without-C rules linear at 100 TB. Timestamp
+    * comparisons only, no arithmetic to drift. */
+  def cleanConversions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.withColumn("next_p",
+        min(when(col("event_type") === "purchase", col("ts"))).over(wF))
+      .withColumn("next_e",
+        min(when(col("event_type") === "error", col("ts"))).over(wF))
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(col("next_p").isNotNull &&
+            col("next_p") <= col("ts") + expr("interval 4 hours") &&
+            (col("next_e").isNull || col("next_e") > col("next_p")), 1L)
+          .otherwise(0L)).as("n_clean_conversions"))
+      .orderBy(col("user_id"))
   }
 
   /** CUSUM CHANGEPOINT estimate per event type: the day where the
@@ -527,6 +558,23 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q125_clean_conversions" ->
+      """WITH w AS (SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p,
+        |    MIN(CASE WHEN event_type = 'error' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_e
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_clicks,
+        |  CAST(SUM(CASE WHEN next_p IS NOT NULL
+        |        AND next_p <= ts + INTERVAL 4 HOUR
+        |        AND (next_e IS NULL OR next_e > next_p)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_conversions
+        |FROM w WHERE event_type = 'click'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // n-scaled cusum keeps the running sum exact-decimal (see the
     // cusumChangepoint scaladoc); the one /n lands after the argmax
     "q121_cusum_changepoint" ->

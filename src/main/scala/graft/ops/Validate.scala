@@ -92,15 +92,116 @@ object Validate {
       .orderBy(col("column_name"))
   }
 
+  /** EXPECTATION suite over lineitem (the Deequ/Great-Expectations
+    * shape): declarative value-domain rules evaluated in ONE
+    * conditional-aggregation pass — no per-rule scans, no collect; at
+    * 100 TB adding a rule costs one more partial-agg column, not a
+    * pass. Emits per rule the checked count, violation count, and the
+    * pass verdict (violations = 0), unpivoted to one row per rule. */
+  private val expectations: Seq[(String, Column)] = Seq(
+    "quantity_in_range" -> (col("l_quantity") >= 0 && col("l_quantity") <= 100),
+    "price_positive" -> (col("l_extendedprice") > 0),
+    "discount_in_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.5),
+    "shipdate_present" -> col("l_shipdate").isNotNull,
+    "flag_in_domain" -> col("l_returnflag").isin("A", "N", "R"))
+
+  def expectationSuite(spark: SparkSession, dir: String): DataFrame = {
+    val li = spread(load(spark, dir, "lineitem"))
+    val aggs = expectations.flatMap { case (name, pred) =>
+      Seq(count(lit(1)).as(s"${name}__n"),
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L))
+          .as(s"${name}__bad"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${expectations.length}, " +
+        expectations.map { case (name, _) =>
+          s"'$name', ${name}__n, ${name}__bad" }.mkString(", ") +
+        ") AS (rule, n_checked, n_violations)"))
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("rule"))
+  }
+
+  /** REFERENTIAL-INTEGRITY audit: orphaned foreign keys across the
+    * star schema, each as a LEFT ANTI join count — the set-based form
+    * of "every fact row has its dimensions" that replaces per-row
+    * lookup validation. Anti joins broadcast (dim side) or shuffle on
+    * the key; either way one pass per edge, zero when healthy. */
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+        edge: String): DataFrame =
+      fact.select(col(fk)).join(dim.select(col(pk)),
+          col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(edge).as("fk_edge"), col("n_orphans"))
+    val li = load(spark, dir, "lineitem")
+    Seq(
+      orphans(li, "l_orderkey", load(spark, dir, "orders"), "o_orderkey",
+        "lineitem.orderkey->orders"),
+      orphans(li, "l_partkey", load(spark, dir, "part"), "p_partkey",
+        "lineitem.partkey->part"),
+      orphans(li, "l_suppkey", load(spark, dir, "supplier"), "s_suppkey",
+        "lineitem.suppkey->supplier"),
+      orphans(load(spark, dir, "orders"), "o_custkey",
+        load(spark, dir, "customer"), "c_custkey",
+        "orders.custkey->customer"))
+      .reduce(_ unionByName _)
+      .orderBy(col("fk_edge"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_table_checksums" -> tableChecksums,
-    "q100_profile_documents" -> profileDocuments)
+    "q100_profile_documents" -> profileDocuments,
+    "q126_expectation_suite" -> expectationSuite,
+    "q127_referential_integrity" -> referentialIntegrity)
 
   private def rowKeySql(cols: Seq[String]): String =
     phashSql("CONCAT_WS(CHR(31), " +
       cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
   val oracles: Map[String, String] = Map(
+    "q126_expectation_suite" ->
+      """WITH a AS (SELECT
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(l_quantity >= 0 AND l_quantity <= 100,
+        |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0,
+        |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 0.5,
+        |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bad_ship,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'),
+        |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag
+        |  FROM lineitem)
+        |SELECT rule, n AS n_checked, n_violations, n_violations = 0 AS passed
+        |FROM (SELECT n, 'quantity_in_range' AS rule, bad_qty AS n_violations FROM a
+        |      UNION ALL SELECT n, 'price_positive', bad_price FROM a
+        |      UNION ALL SELECT n, 'discount_in_range', bad_disc FROM a
+        |      UNION ALL SELECT n, 'shipdate_present', bad_ship FROM a
+        |      UNION ALL SELECT n, 'flag_in_domain', bad_flag FROM a)
+        |ORDER BY rule""".stripMargin,
+    "q127_referential_integrity" ->
+      """SELECT 'lineitem.orderkey->orders' AS fk_edge,
+        |  CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT) AS n_orphans
+        |FROM lineitem l
+        |UNION ALL
+        |SELECT 'lineitem.partkey->part',
+        |  CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+        |FROM lineitem l
+        |UNION ALL
+        |SELECT 'lineitem.suppkey->supplier',
+        |  CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+        |FROM lineitem l
+        |UNION ALL
+        |SELECT 'orders.custkey->customer',
+        |  CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |FROM orders o
+        |ORDER BY fk_edge""".stripMargin,
     "q98_table_checksums" -> checksumCols.map { case (t, cols) =>
       s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  BIT_XOR(${rowKeySql(cols)}) AS xor_hash,
