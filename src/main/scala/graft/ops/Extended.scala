@@ -488,6 +488,49 @@ object Extended {
       .orderBy(col("p_brand"))
   }
 
+  /** XML sink + source round-trip (Spark 4's built-in XML data
+    * source — SPARK-44265 folded spark-xml into core): same contract
+    * as the CSV/JSON/ORC round-trips, the aggregate over the re-read
+    * XML must equal the direct parquet path bit-for-bit. Schema is
+    * pinned on read (no inference job at scale), numeric fidelity
+    * rides the explicit DecimalType so the XML text form can't lose
+    * double precision. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_xml_roundtrip$safe"
+    load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        d2(col("p_retailprice")).as("p_retailprice"))
+      .write.mode("overwrite").option("rowTag", "part").xml(out)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_brand", StringType),
+        StructField("p_retailprice", DecimalType(18, 2)))))
+      .option("rowTag", "part").xml(out)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsumExpr(col("p_retailprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Plain-text sink + source round-trip (`spark.read.text` — the
+    * rawest corpus interchange format: one document per line). The
+    * doc text is written as lines and re-read; the aggregate (line
+    * count + total token count) must equal the direct parquet path.
+    * Works because the corpus guarantees newline-free docs — the
+    * check that guards exactly that assumption is part of the
+    * round-trip (a doc with a newline would split and shift counts). */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_text_roundtrip$safe"
+    load(spark, dir, "documents").select(col("text"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(size(split(trim(col("value")), " +")).cast(LongType))
+          .as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_grouping_sets" -> groupingSetsAgg,
     "q72_orc_roundtrip" -> orcRoundtrip,
@@ -499,6 +542,8 @@ object Extended {
     "q118_winsorized_mean" -> winsorizedMean,
     "q120_pareto_frontier" -> paretoFrontier,
     "q123_revenue_share" -> revenueShare,
+    "q128_xml_roundtrip" -> xmlRoundtrip,
+    "q129_text_roundtrip" -> textRoundtrip,
     "q122_median_mad" -> medianMad,
     "q56_array_agg" -> arrayAgg,
     "q57_unpivot" -> unpivotMeasures,
@@ -545,6 +590,19 @@ object Extended {
         |WHERE s.s_nationkey = 3
         |GROUP BY s.s_name
         |ORDER BY s.s_name""".stripMargin,
+    // round-trip oracles run on the direct parquet path: equality IS
+    // the fidelity check
+    "q128_xml_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q129_text_roundtrip" ->
+      """SELECT COUNT(*) AS n_lines,
+        | CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +'))) AS BIGINT)
+        |   AS n_tokens
+        |FROM documents""".stripMargin,
     "q123_revenue_share" ->
       """WITH bn AS (SELECT n.n_name,
         |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
