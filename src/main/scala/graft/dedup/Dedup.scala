@@ -483,6 +483,29 @@ object Dedup {
     triangleCountsFrom(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
+  /** QUALITY-canonical dedup: within each exact-duplicate group, keep
+    * the doc a curator would keep — highest token count, id as
+    * tie-break — instead of q30's min-id rule. The composition every
+    * real corpus build runs (dedup grouping × quality signal): group
+    * on the SAME [[contentKey]] (the rule never forks), rank inside
+    * each group by the quality metric. One content-key shuffle; group
+    * sizes bound the window state. */
+  def qualityDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_key"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val wG = Window.partitionBy(col("content_key"))
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), contentKey(col("text")).as("content_key"),
+        size(split(trim(col("text")), " +")).cast(LongType).as("n_tokens"))
+      .withColumn("dup_group", min(col("doc_id")).over(wG))
+      .withColumn("group_size", count(lit(1)).over(wG))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dup_group"), col("doc_id").as("canonical_doc_id"),
+        col("n_tokens"), col("group_size"))
+      .orderBy(col("dup_group"))
+  }
+
   /** TWO-HOP neighborhood sizes over the near-dup graph (q33's edge
     * set): per node, how many distinct docs sit within ≤ 2 hops — the
     * "how big is this near-dup blob really" signal that one-hop degree
@@ -510,6 +533,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_triangle_counts" -> triangleCounts,
     "q124_two_hop_neighbors" -> twoHopNeighbors,
+    "q130_quality_dedup" -> qualityDedup,
     "q30_exact_dedup" -> exactDedup,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash" -> simhash,
@@ -571,6 +595,21 @@ object Dedup {
     "q33_ngram_jaccard" -> jaccardOracle,
     "q92_triangle_counts" -> triangleOracle,
     "q124_two_hop_neighbors" -> twoHopOracle,
+    "q130_quality_dedup" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS ck,
+        |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |g AS (SELECT *,
+        |    MIN(doc_id) OVER (PARTITION BY ck) AS dup_group,
+        |    COUNT(*) OVER (PARTITION BY ck) AS group_size,
+        |    ROW_NUMBER() OVER (PARTITION BY ck
+        |      ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM k)
+        |SELECT dup_group, doc_id AS canonical_doc_id, n_tokens, group_size
+        |FROM g WHERE rn = 1
+        |ORDER BY dup_group""".stripMargin,
     "q67_dedup_clusters" -> clustersOracle,
     "q74_cluster_minhash" -> clusterMinhashOracle,
     // exact answer: the oracle is the naive all-pairs formulation; only

@@ -488,6 +488,23 @@ object Extended {
       .orderBy(col("p_brand"))
   }
 
+  /** JOIN-KEY SKEW profiler: the top-10 heaviest values of a join key
+    * with their share of the table — the diagnostic you run BEFORE
+    * choosing q50's salting factor or trusting AQE's skew split. Two
+    * partial-aggregable passes (per-key counts, then a heap top-k) and
+    * a broadcast one-row total; never a sort of the key histogram. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem").select(col("l_suppkey"))
+    val counts = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+    val total = li.agg(count(lit(1)).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("l_suppkey"), col("n_rows"),
+        (col("n_rows").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("share"))
+      .orderBy(col("n_rows").desc, col("l_suppkey"))
+      .limit(10)
+  }
+
   /** XML sink + source round-trip (Spark 4's built-in XML data
     * source — SPARK-44265 folded spark-xml into core): same contract
     * as the CSV/JSON/ORC round-trips, the aggregate over the re-read
@@ -543,6 +560,7 @@ object Extended {
     "q120_pareto_frontier" -> paretoFrontier,
     "q123_revenue_share" -> revenueShare,
     "q128_xml_roundtrip" -> xmlRoundtrip,
+    "q131_skew_profile" -> skewProfile,
     "q129_text_roundtrip" -> textRoundtrip,
     "q122_median_mad" -> medianMad,
     "q56_array_agg" -> arrayAgg,
@@ -590,6 +608,15 @@ object Extended {
         |WHERE s.s_nationkey = 3
         |GROUP BY s.s_name
         |ORDER BY s.s_name""".stripMargin,
+    "q131_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem
+        |           GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_total FROM lineitem)
+        |SELECT l_suppkey, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY n_rows DESC, l_suppkey
+        |LIMIT 10""".stripMargin,
     // round-trip oracles run on the direct parquet path: equality IS
     // the fidelity check
     "q128_xml_roundtrip" ->
