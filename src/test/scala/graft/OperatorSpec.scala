@@ -97,6 +97,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=8 of k=32 lists
   }
 
+  test("pareto frontier: no survivor is dominated, no dominator excluded") {
+    val front = run("q120_pareto_frontier")
+      .select("p_brand", "p_size", "p_partkey", "p_retailprice")
+    val all = Tables.load(spark, sf, "part")
+      .select(col("p_brand"), col("p_size"), col("p_partkey"),
+        col("p_retailprice"))
+    // naive quadratic dominance check — the definition, not the plan
+    val dominated = all.alias("p").join(all.alias("q"),
+      col("p.p_brand") === col("q.p_brand") &&
+        col("q.p_partkey") =!= col("p.p_partkey") &&
+        ((col("q.p_size") < col("p.p_size") &&
+          col("q.p_retailprice") >= col("p.p_retailprice")) ||
+         (col("q.p_size") <= col("p.p_size") &&
+          col("q.p_retailprice") > col("p.p_retailprice"))),
+      "left_semi")
+    val naive = all.exceptAll(dominated)
+      .orderBy(col("p_brand"), col("p_size"), col("p_partkey"))
+      .collect().toSeq
+    assert(naive.nonEmpty)
+    assert(front.collect().toSeq === naive)
+  }
+
   test("weighted sample overrepresents heavy docs vs the corpus") {
     val sample = run("q117_weighted_sample")
     val meanSampleW = sample.agg(avg(col("w"))).head().getDouble(0)

@@ -311,6 +311,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q115 OHLC bars are one partial-aggregable pass (no window operator)") {
+    val plan = formatted(run("q115_ohlc_bars"))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_max"), plan)
+  }
+
+  test("q123/q131 broadcast the one-row total instead of a global window") {
+    for (q <- Seq("q123_revenue_share", "q131_skew_profile")) {
+      val plan = formatted(run(q))
+      // the anti-pattern would be SUM() OVER () — a single-partition
+      // Window; the shape here must be a broadcast join of an aggregate
+      assert(!plan.contains("Window"), s"$q uses a window\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"), s"$q total not broadcast\n$plan")
+    }
+  }
+
+  test("q127 integrity audit plans anti joins, never except/distinct blowups") {
+    val plan = formatted(run("q127_referential_integrity"))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("AQE splits a skewed partition on the unsalted join (q50's recommended twin)") {
     import org.apache.spark.sql.functions.{col, when}
     // q50 demonstrates MANUAL salting; the engine's recommended path for
