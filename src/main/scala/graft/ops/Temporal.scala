@@ -312,7 +312,8 @@ object Temporal {
     "q115_ohlc_bars" -> ohlcBars,
     "q116_twap" -> twap,
     "q121_cusum_changepoint" -> cusumChangepoint,
-    "q125_clean_conversions" -> cleanConversions)
+    "q125_clean_conversions" -> cleanConversions,
+    "q132_rolling_correlation" -> rollingCorrelation)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -410,6 +411,51 @@ object Temporal {
         (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("twap"),
         col("den").as("span_us"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** ROLLING 14-day correlation between two daily series (click vs
+    * purchase totals) — the co-movement monitor built by composing
+    * [[groupCorrelation]]'s moment algebra with a sliding frame: all
+    * six sufficient statistics are WINDOW sums of exact decimals
+    * (decimal addition is associative-exact, so DuckDB's segment-tree
+    * window accumulation and Spark's sliding-frame updates cannot
+    * diverge — the float version would), and the closed form is one
+    * IEEE expression per row. Emitted only for full 14-day frames
+    * with nonzero variance on both sides.
+    *
+    * Scale: the window runs over the DAY-level rollup (≤ one row per
+    * day), not raw events — the q90 histogram principle; the raw
+    * stream contributes one partial-aggregable pass. */
+  def rollingCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val W = 14
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "click", d2(col("value")))),
+          lit(0).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase", d2(col("value")))),
+          lit(0).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-(W - 1), 0)
+    val rolled = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx",
+        sum((col("x") * col("x")).cast(DecimalType(38, 4))).over(w))
+      .withColumn("syy",
+        sum((col("y") * col("y")).cast(DecimalType(38, 4))).over(w))
+      .withColumn("sxy",
+        sum((col("x") * col("y")).cast(DecimalType(38, 4))).over(w))
+    val nD = col("n").cast(DoubleType)
+    def d(c: String) = col(c).cast(DoubleType)
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val vx = nD * d("sxx") - d("sx") * d("sx")
+    val vy = nD * d("syy") - d("sy") * d("sy")
+    rolled.filter(col("n") === W)
+      .withColumn("vx", vx).withColumn("vy", vy)
+      .filter(col("vx") > 0.0 && col("vy") > 0.0)
+      .select(col("day"), (cov / sqrt(col("vx") * col("vy"))).as("corr"))
+      .orderBy(col("day"))
   }
 
   /** SEQUENCE-PATTERN detection: clicks converting to a purchase
@@ -558,6 +604,32 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q132_rolling_correlation" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT day,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |    SUM(CAST(x * x AS DECIMAL(38,4))) OVER w AS sxx,
+        |    SUM(CAST(y * y AS DECIMAL(38,4))) OVER w AS syy,
+        |    SUM(CAST(x * y AS DECIMAL(38,4))) OVER w AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT day, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM r)
+        |SELECT day, cov / SQRT(vx * vy) AS corr
+        |FROM f WHERE n = 14 AND vx > 0 AND vy > 0
+        |ORDER BY day""".stripMargin,
     "q125_clean_conversions" ->
       """WITH w AS (SELECT user_id, ts, event_type,
         |    MIN(CASE WHEN event_type = 'purchase' THEN ts END)
