@@ -16,6 +16,25 @@ import graft.Tables._
   */
 object Windows {
 
+  /** NTILE quartile assignment: customers bucketed into balance
+    * quartiles within their market segment, rolled up to per-bucket
+    * counts and exact-decimal average balance — the
+    * equal-frequency-binning window (cohort tiers, spend bands). The
+    * ORDER BY carries the custkey tie-break, making bucket boundaries
+    * total-order deterministic; NTILE's floor/ceil split of n into 4
+    * is the same standard-SQL rule in both engines. One segment-key
+    * shuffle, then a partial-aggregable rollup. */
+  def balanceQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    load(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
   /** Top-3 orders per customer by price — ranking window + filter. */
   def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -108,9 +127,21 @@ object Windows {
     "q18_window_analytics" -> orderHistoryAnalytics,
     "q19_keep_last_dedup" -> keepLastEvent,
     "q54_window_range_frame" -> rangeFrameCumulative,
-    "q55_window_distribution" -> balanceDistribution)
+    "q55_window_distribution" -> balanceDistribution,
+    "q133_balance_quartiles" -> balanceQuartiles)
 
   val oracles: Map[String, String] = Map(
+    "q133_balance_quartiles" ->
+      """WITH q AS (SELECT c_mktsegment, c_acctbal,
+        |    CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |  FROM customer)
+        |SELECT c_mktsegment, quartile, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    AS avg_bal
+        |FROM q
+        |GROUP BY 1, 2
+        |ORDER BY c_mktsegment, quartile""".stripMargin,
     "q16_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

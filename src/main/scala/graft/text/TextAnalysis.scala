@@ -137,12 +137,17 @@ object TextAnalysis {
     * terms' files), and intersection starts from the shortest list;
     * the one-wide-row-per-doc pivot below is that intersection as a
     * single partial-aggregable pass, no join chain. */
-  def invertedSearch(spark: SparkSession, dir: String): DataFrame = {
-    val postings = spread(load(spark, dir, "documents"))
+  def invertedSearch(spark: SparkSession, dir: String): DataFrame =
+    conjunctivePivot(spread(load(spark, dir, "documents"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .filter(col("tok").isin(SearchTerms: _*))
       .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
+
+  /** Shared intersection pivot over a (doc_id, tok, tf) posting set —
+    * ONE definition serves the inline q108 scan and the persisted-
+    * index probe (the two must never fork). */
+  private def conjunctivePivot(postings: DataFrame): DataFrame = {
     val wide = postings.groupBy(col("doc_id")).agg(
       max(when(col("tok") === SearchTerms.head, col("tf"))).as(s"tf_${SearchTerms.head}"),
       SearchTerms.tail.map(t =>
@@ -189,6 +194,30 @@ object TextAnalysis {
       .orderBy(col("lift").desc, col("bigram"))
       .limit(20)
   }
+
+  /** Materialize the inverted index — build once, probe many (the
+    * text twin of `Similarity.saveIvfIndex`): the full posting table
+    * (tok, doc_id, tf) lands as parquet PARTITIONED BY TERM, so a
+    * conjunctive query's scan prunes to its own terms' directories
+    * (PartitionFilters — pinned in spec) and never touches the rest
+    * of the vocabulary. This fixture's vocabulary is small enough to
+    * partition per-term; a web-scale vocabulary hash-buckets terms
+    * (`pmod(phash(tok), B)`) to bound directory count — same layout
+    * rule, coarser key. */
+  def saveTextIndex(spark: SparkSession, dir: String, indexDir: String): Unit =
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").partitionBy("tok").parquet(indexDir)
+
+  /** Conjunctive search over a previously-saved index: byte-identical
+    * results to [[invertedSearch]] (spec-pinned) without re-scanning
+    * any document text — the read side touches only the query terms'
+    * partitions. */
+  def searchFromIndex(spark: SparkSession, indexDir: String): DataFrame =
+    conjunctivePivot(spark.read.parquet(indexDir)
+      .filter(col("tok").isin(SearchTerms: _*)))
 
   /** Winnowing fingerprint (Schleimer et al. — "rolling hash" local
     * fingerprinting): minima of an 8-wide window sliding over the

@@ -97,6 +97,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(hit / nBf >= 0.5, s"recall ${hit / nBf}") // nprobe=8 of k=32 lists
   }
 
+  test("persisted text index probes byte-identically and prunes to query terms") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_text_idx").toString
+    try {
+      graft.text.TextAnalysis.saveTextIndex(spark, sf, idx)
+      val fromIdx = graft.text.TextAnalysis.searchFromIndex(spark, idx)
+      // the probe must reach only the query terms' partitions — a
+      // partition filter on tok, not a data filter over the vocabulary
+      val plan = fromIdx.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("PartitionFilters") && plan.contains("tok"), plan)
+      assert(!plan.contains("PushedFilters: [In(tok"), plan)
+      assert(fromIdx.collect().toSeq ===
+        run("q108_inverted_search").collect().toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("pareto frontier: no survivor is dominated, no dominator excluded") {
     val front = run("q120_pareto_frontier")
       .select("p_brand", "p_size", "p_partkey", "p_retailprice")
