@@ -488,6 +488,32 @@ object Extended {
       .orderBy(col("p_brand"))
   }
 
+  /** EQUI-DEPTH histogram (10 buckets) of event values per type — the
+    * column statistic CBOs and data-skipping layers build: every
+    * bucket holds ~n/10 rows, bucket bounds adapt to the data.
+    * Assignment is integer-exact off the cumulative VALUE histogram
+    * (bucket = ceil(cum·10/n), all duplicates of a value land
+    * together), so there are no float quantile semantics to diverge.
+    * Window over the per-type value histogram only (the q90
+    * principle); a 100 TB build swaps in the q93 two-level rank when
+    * even the histogram outgrows one partition. */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val B = 10
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val hist = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    hist.withColumn("cum", sum(col("c")).over(wCum))
+      .join(tot, "event_type")
+      .withColumn("bucket", expr(s"(cum * $B + n - 1) div n"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("c")).as("n_rows"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** JOIN-KEY SKEW profiler: the top-10 heaviest values of a join key
     * with their share of the table — the diagnostic you run BEFORE
     * choosing q50's salting factor or trusting AQE's skew split. Two
@@ -561,6 +587,7 @@ object Extended {
     "q123_revenue_share" -> revenueShare,
     "q128_xml_roundtrip" -> xmlRoundtrip,
     "q131_skew_profile" -> skewProfile,
+    "q134_equidepth_histogram" -> equidepthHistogram,
     "q129_text_roundtrip" -> textRoundtrip,
     "q122_median_mad" -> medianMad,
     "q56_array_agg" -> arrayAgg,
@@ -608,6 +635,19 @@ object Extended {
         |WHERE s.s_nationkey = 3
         |GROUP BY s.s_name
         |ORDER BY s.s_name""".stripMargin,
+    "q134_equidepth_histogram" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |h AS (SELECT event_type, value, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cum AS (SELECT *, SUM(c) OVER (PARTITION BY event_type
+        |          ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |tot AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1)
+        |SELECT c.event_type,
+        |  CAST((c.cum * 10 + t.n - 1) // t.n AS BIGINT) AS bucket,
+        |  CAST(SUM(c.c) AS BIGINT) AS n_rows,
+        |  MIN(c.value) AS lo, MAX(c.value) AS hi
+        |FROM cum c JOIN tot t USING (event_type)
+        |GROUP BY 1, 2
+        |ORDER BY c.event_type, bucket""".stripMargin,
     "q131_skew_profile" ->
       """WITH c AS (SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem
         |           GROUP BY 1),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -313,7 +313,8 @@ object Temporal {
     "q116_twap" -> twap,
     "q121_cusum_changepoint" -> cusumChangepoint,
     "q125_clean_conversions" -> cleanConversions,
-    "q132_rolling_correlation" -> rollingCorrelation)
+    "q132_rolling_correlation" -> rollingCorrelation,
+    "q135_golden_record" -> goldenRecord)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -411,6 +412,30 @@ object Temporal {
         (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("twap"),
         col("den").as("span_us"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** GOLDEN-RECORD survivorship: one consolidated row per user with
+    * each field taken from that field's OWN latest occurrence — the
+    * entity-resolution merge rule (MDM "most recent non-null wins")
+    * that q19's whole-row keep-last can't express: a user's latest
+    * click value and latest purchase value come from different rows.
+    * Each field is an independent max(struct(ts, id, value)) argmax,
+    * so the whole record is ONE partial-aggregable pass — no N-way
+    * self-join of per-field keep-lasts. */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def latest(eventType: String, field: Column, out: String) =
+      max(when(col("event_type") === eventType,
+        struct(col("ts").as("t"), col("event_id").as("id"),
+          field.as("v")))).getField("v").as(out)
+    ev.groupBy(col("user_id"))
+      .agg(
+        latest("click", col("value"), "last_click_value"),
+        latest("purchase", col("value"), "last_purchase_value"),
+        max(when(col("event_type") === "signup", col("ts")))
+          .as("last_signup_ts"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
   }
 
   /** ROLLING 14-day correlation between two daily series (click vs
@@ -604,6 +629,25 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-field argmax via ROW_NUMBER per type — the q09 duality again
+    "q135_golden_record" ->
+      """WITH r AS (SELECT user_id, event_type, ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |l AS (SELECT * FROM r WHERE rn = 1),
+        |cnt AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+        |SELECT c.user_id,
+        |  MAX(CASE WHEN l.event_type = 'click' THEN l.value END)
+        |    AS last_click_value,
+        |  MAX(CASE WHEN l.event_type = 'purchase' THEN l.value END)
+        |    AS last_purchase_value,
+        |  MAX(CASE WHEN l.event_type = 'signup' THEN l.ts END)
+        |    AS last_signup_ts,
+        |  c.n_events
+        |FROM cnt c LEFT JOIN l ON l.user_id = c.user_id
+        |GROUP BY c.user_id, c.n_events
+        |ORDER BY c.user_id""".stripMargin,
     "q132_rolling_correlation" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
