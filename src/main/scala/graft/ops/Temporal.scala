@@ -751,6 +751,12 @@ object Temporal {
         |  den AS span_us
         |FROM g WHERE den > 0
         |ORDER BY event_type, day""".stripMargin,
+    // NOTE the CAST(CAST(x AS VARCHAR) AS DOUBLE) detour on the wide
+    // sums: DuckDB's direct DECIMAL->DOUBLE double-rounds (int128 to
+    // double, then divide by 10^scale), losing the low bits once the
+    // unscaled value exceeds 2^53 — the squared sums here do. The
+    // string path is correctly rounded, matching Spark's
+    // BigDecimal.doubleValue exactly.
     "q114_group_correlation" ->
       """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
@@ -763,12 +769,15 @@ object Temporal {
         |        * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |   / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |       * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |   / SQRT((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS corr
         |FROM g WHERE n >= 2
         |ORDER BY l_returnflag""".stripMargin,
     "q111_anomaly_days" ->
