@@ -246,8 +246,14 @@ object Extended {
     * then only true near-miss candidates meet in a shuffle task. Hash
     * collisions are harmless (exact verify), and distance-d wants the
     * d-deletion neighborhood — same shape, ×C(L,d) keys. */
-  def editDistanceJoin(spark: SparkSession, dir: String): DataFrame = {
-    val s = spread(load(spark, dir, "supplier")).select(col("s_name").as("name"))
+  def editDistanceJoin(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairs(
+      spread(load(spark, dir, "supplier")).select(col("s_name").as("name")))
+
+  /** Core of [[editDistanceJoin]] over any one-column `name` frame —
+    * factored out so the losslessness property test can drive it with
+    * adversarial synthetic edits. */
+  private[graft] def editDistancePairs(s: DataFrame): DataFrame = {
     // i = 0 keeps the string itself; i >= 1 deletes character i
     val variants = s
       .select(col("name"), explode(sequence(lit(0), length(col("name")))).as("i"))
@@ -428,25 +434,32 @@ object Extended {
     * reach support s if BOTH items individually do, so baskets are
     * first semi-joined down to frequent items — on heavy-tailed real
     * catalogs that cuts the quadratic per-basket pair explosion to
-    * the frequent-item subset. The pair join is an equi-join on the
-    * basket key (self-join co-located by one shuffle), id-ordered so
-    * each pair counts once. Basket skew (one giant order) is the
-    * residual risk at 100 TB — the standard cap is dropping baskets
-    * above a size bound, which changes semantics and is left to the
-    * caller. */
+    * the frequent-item subset. Pairs are then enumerated INSIDE each
+    * basket (sorted item array → ordered 2-combinations via nested
+    * array HOFs, codegen'd): two shuffles total (basket rollup, pair
+    * count) — a basket self-join would pay five (distinct, item
+    * count, prune join, the join itself, pair count). Basket skew
+    * (one giant order) is the residual risk at 100 TB — quadratic
+    * inside its task; the standard cap is dropping baskets above a
+    * size bound, which changes semantics and is left to the caller. */
   def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
     val MinSupport = 3
     val li = load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
     val freqItems = li.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("n_item"))
+      .agg(countDistinct(col("l_orderkey")).as("n_item"))
       .filter(col("n_item") >= MinSupport)
       .select(col("l_partkey"))
-    val pruned = li.join(freqItems, "l_partkey")
-    val a = pruned.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = pruned.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
+    val baskets = li.join(freqItems, "l_partkey")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    // ordered 2-combinations of the sorted, deduped item array:
+    // pair (parts[i], y) for every y after position i
+    val pairsCol = flatten(transform(col("parts"), (x, i) =>
+      transform(slice(col("parts"), i + 2, size(col("parts")) - i - 1),
+        y => struct(x.as("part_a"), y.as("part_b")))))
+    baskets.select(explode(pairsCol).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= MinSupport)

@@ -188,6 +188,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(blocked === naive)
   }
 
+  test("deletion-neighborhood blocking: property test over random single edits") {
+    // adversarial generator: strings + one random edit each
+    // (insert / delete / substitute at a random position) — every such
+    // pair has distance <= 1 and MUST be found by the blocked join
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefgh"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = (1 to 40).map { i =>
+      val base = s"w$i" + randStr(3 + rnd.nextInt(8))
+      val pos = rnd.nextInt(base.length)
+      val edited = rnd.nextInt(3) match {
+        case 0 => base.substring(0, pos) + alpha(rnd.nextInt(alpha.length)) +
+          base.substring(pos) // insert
+        case 1 => base.substring(0, pos) + base.substring(pos + 1) // delete
+        case _ => base.substring(0, pos) + alpha(rnd.nextInt(alpha.length)) +
+          base.substring(pos + 1) // substitute
+      }
+      (base, edited)
+    }
+    import spark.implicits._
+    val names = pairs.flatMap(p => Seq(p._1, p._2)).distinct.toDF("name")
+    val found = graft.ops.Extended.editDistancePairs(names)
+      .select("name_a", "name_b").collect()
+      .map(r => Set(r.getString(0), r.getString(1))).toSet
+    val expected = pairs.filter(p => p._1 != p._2)
+      .map(p => Set(p._1, p._2)).toSet
+    val missed = expected -- found
+    assert(missed.isEmpty, s"blocking missed true pairs: $missed")
+  }
+
   test("pq adc search: valid rank structure, no self-matches, fair recall") {
     val adc = run("q106_pq_adc_search")
     assert(adc.filter(col("neighbor_id") === col("query_id")).count() === 0)
