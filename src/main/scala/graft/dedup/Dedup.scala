@@ -483,6 +483,17 @@ object Dedup {
     triangleCountsFrom(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
+  /** Duplicate-CLUSTER size distribution — the corpus-health report
+    * derived from q67's connected components: how many near-dup blobs
+    * of each size exist (a long tail of pairs is normal; one giant
+    * cluster usually means boilerplate contamination). Costs one extra
+    * rollup over the component labels. */
+  def clusterSizeDistribution(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** QUALITY-canonical dedup: within each exact-duplicate group, keep
     * the doc a curator would keep — highest token count, id as
     * tie-break — instead of q30's min-id rule. The composition every
@@ -534,6 +545,7 @@ object Dedup {
     "q92_triangle_counts" -> triangleCounts,
     "q124_two_hop_neighbors" -> twoHopNeighbors,
     "q130_quality_dedup" -> qualityDedup,
+    "q137_cluster_sizes" -> clusterSizeDistribution,
     "q30_exact_dedup" -> exactDedup,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash" -> simhash,
@@ -595,6 +607,7 @@ object Dedup {
     "q33_ngram_jaccard" -> jaccardOracle,
     "q92_triangle_counts" -> triangleOracle,
     "q124_two_hop_neighbors" -> twoHopOracle,
+    "q137_cluster_sizes" -> clusterSizesOracle,
     "q130_quality_dedup" ->
       """WITH k AS (SELECT doc_id,
         |    md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS ck,
@@ -667,6 +680,16 @@ object Dedup {
         |FROM reach r JOIN one o ON o.src = r.src
         |GROUP BY 1, 2
         |ORDER BY 1""".stripMargin
+
+  /** q137: size histogram over the same recursive component labels. */
+  private lazy val clusterSizesOracle: String =
+      s"""WITH RECURSIVE $clusterLabCte,
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+        |       FROM lab GROUP BY 1)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM cs
+        |GROUP BY 1
+        |ORDER BY cluster_size""".stripMargin
 
   /** q92: oriented 3-way self-join over the same threshold pair set. */
   private lazy val triangleOracle: String =

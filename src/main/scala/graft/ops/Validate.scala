@@ -148,17 +148,57 @@ object Validate {
       .orderBy(col("fk_edge"))
   }
 
+  /** Primary keys audited by [[duplicateKeys]] — lineitem's composite
+    * key shows the general (multi-column) form. */
+  private val primaryKeys: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_orderkey"),
+    "customer" -> Seq("c_custkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "documents" -> Seq("doc_id"),
+    "events" -> Seq("event_id"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"))
+
+  /** UNIQUE-key violation detector: per declared primary key, how many
+    * key values occur more than once and how many rows they cover —
+    * the dedup-health audit every load gate runs (a healthy corpus
+    * reports zeros; the zeros ARE the assertion). One partial-
+    * aggregable key rollup per table, then a one-row conditional
+    * aggregate — key histograms never leave their task unaggregated. */
+  def duplicateKeys(spark: SparkSession, dir: String): DataFrame =
+    primaryKeys.map { case (t, keyCols) =>
+      load(spark, dir, t)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_rows"))
+        .select(lit(t).as("table_name"), col("n_keys"),
+          col("n_dup_keys"), col("n_dup_rows"))
+    }.reduce(_ unionByName _).orderBy(col("table_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_table_checksums" -> tableChecksums,
     "q100_profile_documents" -> profileDocuments,
     "q126_expectation_suite" -> expectationSuite,
-    "q127_referential_integrity" -> referentialIntegrity)
+    "q127_referential_integrity" -> referentialIntegrity,
+    "q136_duplicate_keys" -> duplicateKeys)
 
   private def rowKeySql(cols: Seq[String]): String =
     phashSql("CONCAT_WS(CHR(31), " +
       cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
   val oracles: Map[String, String] = Map(
+    "q136_duplicate_keys" -> primaryKeys.map { case (t, keyCols) =>
+      val keys = keyCols.mkString(", ")
+      s"""SELECT '$t' AS table_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_keys,
+         |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         |    AS n_dup_rows
+         |FROM (SELECT $keys, COUNT(*) AS c FROM $t GROUP BY $keys)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name"),
     "q126_expectation_suite" ->
       """WITH a AS (SELECT
         |    COUNT(*) AS n,

@@ -305,7 +305,7 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q113 basket self-join is equi on the order key, not nested-loop") {
+  test("q113 pair enumeration plans no nested-loop or cartesian operator") {
     val plan = formatted(run("q113_frequent_pairs"))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
