@@ -433,6 +433,78 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Composed IVF-PQ search — the production ANN architecture
+    * (Jégou et al. TPAMI'11; the FAISS IVFPQ index): the IVF coarse
+    * quantizer restricts each query to its IvfNProbe best buckets
+    * (q36's probe), and candidates inside those buckets are scored by
+    * PQ ASYMMETRIC distance over their stored codes (q106's table
+    * lookups) — so the scan cost per query is (nprobe/k)·n rows × M
+    * byte-code lookups, never a full-corpus float pass. Both stages
+    * reuse the exact q36/q105/q106 machinery (one definition each;
+    * the stages must never fork).
+    *
+    * Metric note: the coarse probe ranks buckets by cosine (the q36
+    * quantizer), the fine stage by L2-to-reconstruction (the PQ
+    * metric); production trains both on one metric — the composition
+    * shape is what this pins, and it is deterministic end to end, so
+    * the oracle runs the identical computation. */
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cent = hashCentroids(v)
+    val asg = assignToCentroids(v, cent)
+      .select(col("vec_id"), col("cid"))
+    // coarse stage: each query's nprobe best buckets (q36's probe rule)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("cid").desc)
+    val probes = queryVecs(v).join(broadcast(cent), lit(true))
+      .withColumn("psim", cosine(dot(col("qe"), col("ce")),
+        col("qn"), col("cn")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= IvfNProbe)
+      .select(col("query_id"), col("cid"))
+    // fine stage: ADC codes + per-query distance matrices (q106's)
+    val vd = pqVecs(spark, dir)
+    val cw = pqCodebook(vd)
+    val wCw = Window.orderBy(phash(col("code_id").cast(StringType)),
+      col("code_id"))
+    val cwIdx = cw.withColumn("cidx", row_number().over(wCw))
+    val codes = pqAssign(vd, cw)
+      .join(broadcast(cwIdx.select(col("code_id"), col("cidx"))), "code_id")
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cidx")))).as("a"))
+      .select(col("vec_id"),
+        transform(col("a"), s => s.getField("cidx")).as("codes"))
+    val qmat = vd.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      .join(broadcast(cwIdx), lit(true))
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .withColumn("d", pqSubDist(col("qe"), col("cw"), col("m")))
+      .groupBy(col("query_id"), col("m"))
+      .agg(array_sort(collect_list(struct(col("cidx"), col("d")))).as("row"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("m"),
+        transform(col("row"), s => s.getField("d")).as("ds")))).as("rows"))
+      .select(col("query_id"),
+        transform(col("rows"), s => s.getField("ds")).as("mat"))
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (acc, m) => acc + element_at(
+        element_at(col("mat"), (m + 1).cast(IntegerType)),
+        element_at(col("codes"), (m + 1).cast(IntegerType))))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    // candidates = probed buckets' members only — the IVF restriction
+    broadcast(probes.join(qmat, "query_id"))
+      .join(asg, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, "vec_id")
+      .withColumn("adc_dist", adc)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Spherical k-means training for the IVF coarse quantizer — the
     * quality upgrade over [[annIvf]]'s hash-order sample when recall
     * matters: initialize with the same deterministic fixed-k hash
@@ -514,7 +586,8 @@ object Similarity {
     "q99_semantic_neardup_ivf" -> semanticNearDupIvf,
     "q101_quantize_int8" -> quantizeInt8,
     "q105_pq_encode" -> pqEncode,
-    "q106_pq_adc_search" -> pqAdcSearch)
+    "q106_pq_adc_search" -> pqAdcSearch,
+    "q138_ivfpq_search" -> ivfPqSearch)
 
   /** SQL fragment: strict left-fold dot product of two vector
     * expressions — the same op order as VecDotFloat's codegen loop. */
@@ -543,17 +616,20 @@ object Similarity {
        |         FROM v, cent),
        |asg AS (SELECT vec_id, embedding, n2, cid FROM asg0 WHERE arn = 1)""".stripMargin
 
-  /** Shared CTE prefix for the PQ family: doubles view, deterministic
+  /** Shared CTE body for the PQ family (no leading WITH, so it can
+    * compose after [[ivfAsgCtes]] — the doubles view is `vd` to avoid
+    * colliding with the IVF `v`): doubles view, deterministic
     * codebook, per-(vector, subspace) distances, and the rn=1 nearest-
-    * codeword assignment — one definition serves q105's encode and
-    * q106's ADC search (the two must never fork). */
-  private lazy val pqCtes =
-    s"""WITH v AS (SELECT vec_id,
+    * codeword assignment — one definition serves q105's encode,
+    * q106's ADC search, and q138's composed IVF-PQ (they must never
+    * fork). */
+  private lazy val pqCtesBody =
+    s"""vd AS (SELECT vec_id,
       |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings),
-      |cw AS (SELECT vec_id AS code_id, e AS cw FROM v
+      |cw AS (SELECT vec_id AS code_id, e AS cw FROM vd
       |       ORDER BY ${phashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT ${PqK}),
-      |sub AS (SELECT vec_id, e, m FROM v
+      |sub AS (SELECT vec_id, e, m FROM vd
       |        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${PqM - 1})) AS m)),
       |d AS (SELECT s.vec_id, s.m, c.code_id,
       |        LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
@@ -565,11 +641,53 @@ object Similarity {
       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
       |        ORDER BY dist, code_id) AS rn FROM d)""".stripMargin
 
+  private lazy val pqCtes = s"WITH $pqCtesBody"
+
   val oracles: Map[String, String] = Map(
+    // the IVF CTEs (v/cent/asg) and the PQ CTEs (vd/cw/sub/d/r) compose
+    // side by side — each stage is the SAME text q36 and q105/q106 run
+    "q138_ivfpq_search" ->
+      s"""$ivfAsgCtes,
+        |$pqCtesBody,
+        |codes AS (SELECT vec_id, m, code_id FROM r WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn
+        |      FROM v WHERE vec_id < 5),
+        |probes AS (SELECT query_id, cid FROM (
+        |    SELECT q.query_id, cent.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        ${cosSql(dotSql("q.qe", "ce"), "q.qn", "cn")} DESC, cid DESC)
+        |        AS prn
+        |    FROM q, cent) WHERE prn <= ${IvfNProbe}),
+        |qd AS (SELECT vec_id AS query_id, e AS qe FROM vd WHERE vec_id < 5),
+        |qm AS (SELECT query_id, qe, m FROM qd
+        |       CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${PqM - 1})) AS m)),
+        |dtab AS (SELECT query_id, qm.m, c.code_id,
+        |        LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+        |          LIST_TRANSFORM(GENERATE_SERIES(1, ${PqDsub}), i ->
+        |            (qm.qe[qm.m*${PqDsub}+i] - c.cw[qm.m*${PqDsub}+i]) *
+        |            (qm.qe[qm.m*${PqDsub}+i] - c.cw[qm.m*${PqDsub}+i]))),
+        |          (x, y) -> x + y) AS d
+        |      FROM qm, cw c),
+        |cand AS (SELECT p.query_id, a.vec_id FROM probes p
+        |         JOIN asg a ON a.cid = p.cid
+        |         WHERE a.vec_id <> p.query_id),
+        |adc AS (SELECT cn.query_id, cn.vec_id AS neighbor_id,
+        |          LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+        |            LIST(t.d ORDER BY t.m)), (x, y) -> x + y) AS adc_dist
+        |        FROM cand cn
+        |        JOIN codes co ON co.vec_id = cn.vec_id
+        |        JOIN dtab t ON t.query_id = cn.query_id
+        |          AND t.m = co.m AND t.code_id = co.code_id
+        |        GROUP BY cn.query_id, cn.vec_id),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, adc_dist, rank FROM rk
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "q106_pq_adc_search" ->
       s"""$pqCtes,
         |codes AS (SELECT vec_id, m, code_id FROM r WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM vd WHERE vec_id < 5),
         |qm AS (SELECT query_id, qe, m FROM q
         |       CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${PqM - 1})) AS m)),
         |dtab AS (SELECT query_id, qm.m, c.code_id,
