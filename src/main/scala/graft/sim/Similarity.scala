@@ -387,26 +387,30 @@ object Similarity {
     * originals) — but deterministic, so the oracle runs the identical
     * computation; recall vs q35's exact answer is pinned in
     * OperatorSpec. */
-  def pqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
-    val v = pqVecs(spark, dir)
-    val cw = pqCodebook(v)
-    // dense 1..K codeword index in deterministic hash order, aligning
-    // the matrix columns with the stored code arrays (16-row window)
+  /** Dense 1..K codeword index in deterministic hash order, aligning
+    * ADC matrix columns with stored code arrays (K-row window). */
+  private def pqCodebookIndexed(cw: DataFrame): DataFrame = {
     val wCw = Window.orderBy(phash(col("code_id").cast(StringType)),
       col("code_id"))
-    val cwIdx = cw.withColumn("cidx", row_number().over(wCw))
-    // corpus codes as one dense array per vector, ordered by subspace
-    val codes = pqAssign(v, cw)
+    cw.withColumn("cidx", row_number().over(wCw))
+  }
+
+  /** Corpus codes as one dense array per vector, ordered by subspace —
+    * shared by q106's full-corpus ADC and q138's IVF-restricted ADC. */
+  private def pqCodesDense(vd: DataFrame, cwIdx: DataFrame): DataFrame =
+    pqAssign(vd, cwIdx.select(col("code_id"), col("cw")))
       .join(broadcast(cwIdx.select(col("code_id"), col("cidx"))), "code_id")
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("cidx")))).as("a"))
       .select(col("vec_id"),
         transform(col("a"), s => s.getField("cidx")).as("codes"))
-    // per-query distance table: subspace-m distance to every codeword,
-    // reshaped into a dense M×K matrix (one row per query)
-    val q = v.filter(col("vec_id") < 5)
+
+  /** Per-query ADC distance table: subspace-m distance to every
+    * codeword, reshaped into a dense M×K matrix (one row per query). */
+  private def pqQueryMatrix(vd: DataFrame, cwIdx: DataFrame): DataFrame =
+    vd.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val qmat = q.join(broadcast(cwIdx), lit(true))
+      .join(broadcast(cwIdx), lit(true))
       .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
       .withColumn("d", pqSubDist(col("qe"), col("cw"), col("m")))
       .groupBy(col("query_id"), col("m"))
@@ -416,21 +420,36 @@ object Similarity {
         transform(col("row"), s => s.getField("d")).as("ds")))).as("rows"))
       .select(col("query_id"),
         transform(col("rows"), s => s.getField("ds")).as("mat"))
-    // ADC score: M table lookups per (query, vector), folded in
-    // ascending-m order — no vector arithmetic in the scan
-    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+
+  /** ADC score: M table lookups per (query, vector), folded in
+    * ascending-m order — no vector arithmetic in the scan. Expects
+    * `mat` (the query matrix) and `codes` (the vector's dense code
+    * array) in scope. */
+  private def adcScore: Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
       (acc, m) => acc + element_at(
         element_at(col("mat"), (m + 1).cast(IntegerType)),
         element_at(col("codes"), (m + 1).cast(IntegerType))))
+
+  /** Rank candidates per query by ADC ascending, keep the top 10. */
+  private def adcTop10(cands: DataFrame): DataFrame = {
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
-    broadcast(qmat).join(codes, col("vec_id") =!= col("query_id"))
-      .withColumn("adc_dist", adc)
+    cands.withColumn("adc_dist", adcScore)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adc_dist"))
       .withColumn("rank", row_number().over(wRank).cast(LongType))
       .filter(col("rank") <= 10)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def pqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    val vd = pqVecs(spark, dir)
+    val cwIdx = pqCodebookIndexed(pqCodebook(vd))
+    val codes = pqCodesDense(vd, cwIdx)
+    val qmat = pqQueryMatrix(vd, cwIdx)
+    adcTop10(broadcast(qmat)
+      .join(codes, col("vec_id") =!= col("query_id")))
   }
 
   /** Composed IVF-PQ search — the production ANN architecture
@@ -462,47 +481,17 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= IvfNProbe)
       .select(col("query_id"), col("cid"))
-    // fine stage: ADC codes + per-query distance matrices (q106's)
+    // fine stage: ADC codes + per-query distance matrices — the SAME
+    // helpers q106 runs
     val vd = pqVecs(spark, dir)
-    val cw = pqCodebook(vd)
-    val wCw = Window.orderBy(phash(col("code_id").cast(StringType)),
-      col("code_id"))
-    val cwIdx = cw.withColumn("cidx", row_number().over(wCw))
-    val codes = pqAssign(vd, cw)
-      .join(broadcast(cwIdx.select(col("code_id"), col("cidx"))), "code_id")
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("m"), col("cidx")))).as("a"))
-      .select(col("vec_id"),
-        transform(col("a"), s => s.getField("cidx")).as("codes"))
-    val qmat = vd.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
-      .join(broadcast(cwIdx), lit(true))
-      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
-      .withColumn("d", pqSubDist(col("qe"), col("cw"), col("m")))
-      .groupBy(col("query_id"), col("m"))
-      .agg(array_sort(collect_list(struct(col("cidx"), col("d")))).as("row"))
-      .groupBy(col("query_id"))
-      .agg(array_sort(collect_list(struct(col("m"),
-        transform(col("row"), s => s.getField("d")).as("ds")))).as("rows"))
-      .select(col("query_id"),
-        transform(col("rows"), s => s.getField("ds")).as("mat"))
-    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-      (acc, m) => acc + element_at(
-        element_at(col("mat"), (m + 1).cast(IntegerType)),
-        element_at(col("codes"), (m + 1).cast(IntegerType))))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val cwIdx = pqCodebookIndexed(pqCodebook(vd))
+    val codes = pqCodesDense(vd, cwIdx)
+    val qmat = pqQueryMatrix(vd, cwIdx)
     // candidates = probed buckets' members only — the IVF restriction
-    broadcast(probes.join(qmat, "query_id"))
+    adcTop10(broadcast(probes.join(qmat, "query_id"))
       .join(asg, "cid")
       .filter(col("vec_id") =!= col("query_id"))
-      .join(codes, "vec_id")
-      .withColumn("adc_dist", adc)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adc_dist"))
-      .withColumn("rank", row_number().over(wRank).cast(LongType))
-      .filter(col("rank") <= 10)
-      .orderBy(col("query_id"), col("rank"))
+      .join(codes, "vec_id"))
   }
 
   /** Spherical k-means training for the IVF coarse quantizer — the
