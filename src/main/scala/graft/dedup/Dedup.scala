@@ -486,8 +486,9 @@ object Dedup {
   /** Duplicate-CLUSTER size distribution — the corpus-health report
     * derived from q67's connected components: how many near-dup blobs
     * of each size exist (a long tail of pairs is normal; one giant
-    * cluster usually means boilerplate contamination). Costs one extra
-    * rollup over the component labels. */
+    * cluster usually means boilerplate contamination). Standalone it
+    * re-runs the component computation (bench shows q67's cost again);
+    * a pipeline computes labels once and adds only the rollup. */
   def clusterSizeDistribution(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(spark, dir)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))

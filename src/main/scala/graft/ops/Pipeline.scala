@@ -263,6 +263,44 @@ object Pipeline {
     * division, identical to SQL PERCENT_RANK tie semantics (all ties
     * share rank = 1 + count-below). The quality-score normalization
     * step of a corpus filter, at scan speed. */
+  /** EXACT order-statistic SELECTION without a global sort: the lower
+    * median of lineitem's price column via two-level bucket selection
+    * (the distributed quickselect shape): (1) one partial-aggregable
+    * pass counts rows per 4096-cent bucket; (2) the cumulative walk
+    * over the TINY bucket histogram locates the bucket containing rank
+    * k = (n+1)/2 and the residual in-bucket rank; (3) only THAT
+    * bucket's rows — n/buckets of the data — are ranked. A global
+    * ORDER BY would shuffle-sort everything for one row; this sorts
+    * ~0.02% of it. Cents are exact (decimal ×100 → int64), so bucket
+    * boundaries cannot ride a float.
+    *
+    * Generalizes to any k-th order statistic / multi-quantile batch
+    * (one bucket pass serves all quantiles); q52 keeps the per-group
+    * small-domain form, q90/q95 the full-CDF forms. */
+  def medianSelection(spark: SparkSession, dir: String): DataFrame = {
+    val BucketCents = 4096L
+    val s = load(spark, dir, "lineitem")
+      .select((d2(col("l_extendedprice")) * 100).cast(LongType).as("cents"))
+      .withColumn("bkt", expr(s"cents div $BucketCents"))
+    val hist = s.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = s.agg(count(lit(1)).as("n"))
+    // the one-row target: bucket holding rank k, plus the in-bucket rank
+    val target = hist.withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("k", expr("(n + 1) div 2"))
+      .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+      .select(col("bkt"), (col("k") - (col("cum") - col("c"))).as("r"),
+        col("n"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("cents"))
+    s.join(broadcast(target), "bkt")
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === col("r"))
+      .select(col("n"),
+        (col("cents").cast(DoubleType) / 100.0).as("median"))
+  }
+
   def percentileRank(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
@@ -440,6 +478,7 @@ object Pipeline {
     "q95_group_percentile" -> groupPercentileRank,
     "q93_shuffle_order" -> ((s: SparkSession, d: String) => shuffleOrder(s, d)),
     "q90_percentile_rank" -> percentileRank,
+    "q139_median_selection" -> medianSelection,
     "q77_chunk_docs" -> chunkDocs,
     "q78_pack_sequences" -> packSequences,
     "q75_stratified_sample" -> stratifiedSample,
@@ -473,6 +512,15 @@ object Pipeline {
         |ORDER BY doc_id""".stripMargin,
     // the window formulation the Spark plan deliberately avoids — same
     // (rank-1)/(n-1) tie semantics by construction
+    // the oracle ranks everything (fine at oracle scale); only the
+    // Spark plan uses the selection shape
+    "q139_median_selection" ->
+      """WITH s AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT) AS cents FROM lineitem),
+        |n AS (SELECT COUNT(*) AS n FROM s),
+        |r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM s)
+        |SELECT n.n, CAST(r.cents AS DOUBLE) / 100.0 AS median
+        |FROM r, n WHERE r.rn = (n.n + 1) // 2""".stripMargin,
     "q90_percentile_rank" ->
       """SELECT doc_id, n_chars,
         |  PERCENT_RANK() OVER (ORDER BY n_chars) AS pct_rank
