@@ -334,6 +334,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q139 median selection never range-partitions (no global sort)") {
+    val plan = formatted(run("q139_median_selection"))
+    // the whole point of two-level selection: the only sorts are the
+    // bucket-local window sorts — a global ORDER BY would show a
+    // rangepartitioning exchange
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
+  test("q116/q125/q132 reuse one partitioning across window and rollup") {
+    // lead/forward-min/rolling-moment windows must not add an exchange
+    // beyond their key shuffle + the presentation orderBy
+    for ((q, maxShuffles) <- Seq("q116_twap" -> 3, "q125_clean_conversions" -> 3,
+        "q132_rolling_correlation" -> 3)) {
+      val df = run(q)
+      val n = countShuffles(df.queryExecution.sparkPlan)
+      assert(n <= maxShuffles, s"$q: $n shuffles\n${df.queryExecution.sparkPlan}")
+    }
+  }
+
   test("AQE splits a skewed partition on the unsalted join (q50's recommended twin)") {
     import org.apache.spark.sql.functions.{col, when}
     // q50 demonstrates MANUAL salting; the engine's recommended path for
