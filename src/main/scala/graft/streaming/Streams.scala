@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables._
@@ -328,6 +328,32 @@ object Streams {
   private[graft] def streamJoinPaths(dir: String): (String, String) =
     streamPaths("graft_stream_join", dir)
 
+  /** Streaming LATEST-STATE materialized view — q135's golden record
+    * kept continuously current over the event stream: every per-field
+    * latest-wins max(struct) argmax is a mergeable aggregate, so the
+    * state store holds ONE consolidated row per user (never raw
+    * events) and each micro-batch merges in place. Complete mode here
+    * for the finite oracle (== the q135 batch twin's shape); the
+    * unbounded serving form is update mode emitting only changed
+    * users per batch. */
+  def streamGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    def latest(eventType: String, field: Column, out: String) =
+      max(when(col("event_type") === eventType,
+        struct(col("ts").as("t"), col("event_id").as("id"),
+          field.as("v")))).getField("v").as(out)
+    val agg = eventsStream(spark, dir, withTs = true)
+      .groupBy(col("user_id"))
+      .agg(
+        latest("click", col("value"), "last_click_value"),
+        latest("purchase", col("value"), "last_purchase_value"),
+        // the stream source's ts is TZ-aware (watermark form); the
+        // batch twin emits ntz — align on output like streamHourly
+        max(when(col("event_type") === "signup", col("ts")))
+          .cast("timestamp_ntz").as("last_signup_ts"),
+        count(lit(1)).as("n_events"))
+    runToMemory(spark, agg, "graft_stream_golden").orderBy(col("user_id"))
+  }
+
   private[graft] def streamOuterJoinPaths(dir: String): (String, String) =
     streamPaths("graft_stream_ojoin", dir)
 
@@ -496,6 +522,7 @@ object Streams {
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
     "q119_stream_outer_join" -> streamOuterJoin,
+    "q140_stream_golden_record" -> streamGoldenRecord,
     "q97_stream_dedup_bounded" -> streamDedupBounded,
     "q102_stream_sliding" -> streamSliding,
     "q103_stream_topk" -> streamTopK,
@@ -515,6 +542,10 @@ object Streams {
   val oracles: Map[String, String] = Map(
     "q104_stream_sessions" ->
       graft.ops.Temporal.oracles("q39_session_window"),
+    // q140 == q135's batch twin: same oracle STRING, so the streaming
+    // materialized view and the batch consolidation can never fork
+    "q140_stream_golden_record" ->
+      graft.ops.Temporal.oracles("q135_golden_record"),
     "q88_stream_static_join" ->
       """SELECT n_name, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
