@@ -311,6 +311,20 @@ object Extended {
       .orderBy(col("s_name"))
   }
 
+  /** Per-type cumulative VALUE-histogram scaffold shared by the
+    * histogram-rank family (q118 winsorize, q122 median/MAD, q134
+    * equi-depth): returns (histogram rows with a running `cum` count,
+    * one `n` total per type). One definition — the integer-exact rank
+    * cutoffs all three queries lean on must never fork. */
+  private def cumHistogram(df: DataFrame, valueCol: String): (DataFrame, DataFrame) = {
+    val hist = df.groupBy(col("event_type"), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    (hist.withColumn("cum", sum(col("c")).over(wCum)), tot)
+  }
+
   /** WINSORIZED robust mean per event type: values clipped to the
     * [p05, p95] range before averaging — the outlier-resistant
     * aggregate metric pipelines want when a few bad points poison a
@@ -322,12 +336,7 @@ object Extended {
     * 2-dp, so the mean is the exact-decimal davg. */
   def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select(col("event_type"), col("value"))
-    val hist = ev.groupBy(col("event_type"), col("value"))
-      .agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
-    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val (cum, tot) = cumHistogram(ev, "value")
     val th = cum.join(tot, "event_type")
       .groupBy(col("event_type"), col("n"))
       .agg(
@@ -405,13 +414,8 @@ object Extended {
   def medianMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select(col("event_type"), d2(col("value")).as("v"))
     def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
-      val hist = df.groupBy(col("event_type"), col(valueCol))
-        .agg(count(lit(1)).as("c"))
-      val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      hist.withColumn("cum", sum(col("c")).over(wCum))
-        .join(tot, "event_type")
+      val (cum, tot) = cumHistogram(df, valueCol)
+      cum.join(tot, "event_type")
         .groupBy(col("event_type"), col("n"))
         .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(valueCol)))
           .as(out))
@@ -513,13 +517,8 @@ object Extended {
   def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     val B = 10
     val ev = events(spark, dir).select(col("event_type"), col("value"))
-    val hist = ev.groupBy(col("event_type"), col("value"))
-      .agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    hist.withColumn("cum", sum(col("c")).over(wCum))
-      .join(tot, "event_type")
+    val (cum, tot) = cumHistogram(ev, "value")
+    cum.join(tot, "event_type")
       .withColumn("bucket", expr(s"(cum * $B + n - 1) div n"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(sum(col("c")).as("n_rows"),

@@ -253,16 +253,6 @@ object Pipeline {
       .orderBy(col("shard"), col("pack_id"))
   }
 
-  /** Corpus-wide percentile rank per document WITHOUT a global sort:
-    * `percent_rank() OVER (ORDER BY x)` forces all rows through one
-    * sorted partition — the classic scale cliff. Instead: build the
-    * value HISTOGRAM (tiny: O(distinct lengths)), cumulative-sum it
-    * (the only unpartitioned window, over the histogram not the
-    * corpus), and broadcast-join the CDF back. Each doc's rank is then
-    * `strictly_below / (n - 1)` — integer-exact operands, one IEEE
-    * division, identical to SQL PERCENT_RANK tie semantics (all ties
-    * share rank = 1 + count-below). The quality-score normalization
-    * step of a corpus filter, at scan speed. */
   /** EXACT order-statistic SELECTION without a global sort: the lower
     * median of lineitem's price column via two-level bucket selection
     * (the distributed quickselect shape): (1) one partial-aggregable
@@ -301,6 +291,16 @@ object Pipeline {
         (col("cents").cast(DoubleType) / 100.0).as("median"))
   }
 
+  /** Corpus-wide percentile rank per document WITHOUT a global sort:
+    * `percent_rank() OVER (ORDER BY x)` forces all rows through one
+    * sorted partition — the classic scale cliff. Instead: build the
+    * value HISTOGRAM (tiny: O(distinct lengths)), cumulative-sum it
+    * (the only unpartitioned window, over the histogram not the
+    * corpus), and broadcast-join the CDF back. Each doc's rank is then
+    * `strictly_below / (n - 1)` — integer-exact operands, one IEEE
+    * division, identical to SQL PERCENT_RANK tie semantics (all ties
+    * share rank = 1 + count-below). The quality-score normalization
+    * step of a corpus filter, at scan speed. */
   def percentileRank(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))

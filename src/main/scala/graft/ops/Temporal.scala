@@ -422,16 +422,21 @@ object Temporal {
     * Each field is an independent max(struct(ts, id, value)) argmax,
     * so the whole record is ONE partial-aggregable pass — no N-way
     * self-join of per-field keep-lasts. */
+  /** Per-field latest-wins argmax over (ts, event_id) — the ONE
+    * survivorship rule shared by the batch golden record (q135) and
+    * its streaming twin (q140); the two must never fork. */
+  private[graft] def latestBy(eventType: String, field: Column,
+      out: String): Column =
+    max(when(col("event_type") === eventType,
+      struct(col("ts").as("t"), col("event_id").as("id"),
+        field.as("v")))).getField("v").as(out)
+
   def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-    def latest(eventType: String, field: Column, out: String) =
-      max(when(col("event_type") === eventType,
-        struct(col("ts").as("t"), col("event_id").as("id"),
-          field.as("v")))).getField("v").as(out)
     ev.groupBy(col("user_id"))
       .agg(
-        latest("click", col("value"), "last_click_value"),
-        latest("purchase", col("value"), "last_purchase_value"),
+        latestBy("click", col("value"), "last_click_value"),
+        latestBy("purchase", col("value"), "last_purchase_value"),
         max(when(col("event_type") === "signup", col("ts")))
           .as("last_signup_ts"),
         count(lit(1)).as("n_events"))
@@ -664,12 +669,15 @@ object Temporal {
         |  FROM daily
         |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
         |f AS (SELECT day, n,
-        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
-        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
-        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |    CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS vy
         |  FROM r)
         |SELECT day, cov / SQRT(vx * vy) AS corr
         |FROM f WHERE n = 14 AND vx > 0 AND vy > 0
@@ -747,7 +755,7 @@ object Temporal {
         |        CAST(SUM(dur_us) AS BIGINT) AS den
         |      FROM d GROUP BY 1, 2)
         |SELECT event_type, day,
-        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twap,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE) AS twap,
         |  den AS span_us
         |FROM g WHERE den > 0
         |ORDER BY event_type, day""".stripMargin,
@@ -788,8 +796,10 @@ object Temporal {
         |    SUM(ds) AS s1, SUM(ds * ds) AS s2
         |  FROM daily GROUP BY 1),
         |st AS (SELECT event_type,
-        |    CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
-        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |    (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
         |       / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE) AS variance
         |  FROM stats WHERE n_days >= 2)
         |SELECT d.event_type, d.day, CAST(d.ds AS DOUBLE) AS daily_sum,
@@ -808,13 +818,13 @@ object Temporal {
         |    SUM(CAST(value AS DECIMAL(18,2)) * x) AS sxy
         |  FROM e GROUP BY event_type)
         |SELECT event_type, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
         |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-        |  (CAST(sy AS DOUBLE)
-        |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
         |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
         |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept

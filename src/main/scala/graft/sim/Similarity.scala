@@ -146,19 +146,26 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("n2"), col("cid"))
   }
 
-  /** Probe path over a (centroid table, bucket assignment) index: each
-    * query ranks the centroids, searches its IvfNProbe best buckets
-    * only, and keeps its top-10. */
-  private def probeIvf(q: DataFrame, cent: DataFrame,
-      assign: DataFrame): DataFrame = {
+  /** Coarse probe shared by q36's IVF search and q138's IVF-PQ: each
+    * query's IvfNProbe best buckets by centroid cosine (one rule —
+    * the two must never fork). */
+  private def probeBuckets(q: DataFrame, cent: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("cid").desc)
-    val probes = q.join(broadcast(cent), lit(true))
+    q.join(broadcast(cent), lit(true))
       .withColumn("psim", cosine(dot(col("qe"), col("ce")),
         col("qn"), col("cn")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= IvfNProbe)
       .select(col("query_id"), col("qe"), col("qn"), col("cid"))
+  }
+
+  /** Probe path over a (centroid table, bucket assignment) index: each
+    * query ranks the centroids, searches its IvfNProbe best buckets
+    * only, and keeps its top-10. */
+  private def probeIvf(q: DataFrame, cent: DataFrame,
+      assign: DataFrame): DataFrame = {
+    val probes = probeBuckets(q, cent)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(probes).join(assign, "cid")
@@ -472,14 +479,9 @@ object Similarity {
     val cent = hashCentroids(v)
     val asg = assignToCentroids(v, cent)
       .select(col("vec_id"), col("cid"))
-    // coarse stage: each query's nprobe best buckets (q36's probe rule)
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("psim").desc, col("cid").desc)
-    val probes = queryVecs(v).join(broadcast(cent), lit(true))
-      .withColumn("psim", cosine(dot(col("qe"), col("ce")),
-        col("qn"), col("cn")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= IvfNProbe)
+    // coarse stage: each query's nprobe best buckets — the SAME
+    // probeBuckets rule q36 runs
+    val probes = probeBuckets(queryVecs(v), cent)
       .select(col("query_id"), col("cid"))
     // fine stage: ADC codes + per-query distance matrices — the SAME
     // helpers q106 runs

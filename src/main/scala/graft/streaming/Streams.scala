@@ -337,15 +337,12 @@ object Streams {
     * unbounded serving form is update mode emitting only changed
     * users per batch. */
   def streamGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
-    def latest(eventType: String, field: Column, out: String) =
-      max(when(col("event_type") === eventType,
-        struct(col("ts").as("t"), col("event_id").as("id"),
-          field.as("v")))).getField("v").as(out)
+    import graft.ops.Temporal.latestBy
     val agg = eventsStream(spark, dir, withTs = true)
       .groupBy(col("user_id"))
       .agg(
-        latest("click", col("value"), "last_click_value"),
-        latest("purchase", col("value"), "last_purchase_value"),
+        latestBy("click", col("value"), "last_click_value"),
+        latestBy("purchase", col("value"), "last_purchase_value"),
         // the stream source's ts is TZ-aware (watermark form); the
         // batch twin emits ntz — align on output like streamHourly
         max(when(col("event_type") === "signup", col("ts")))

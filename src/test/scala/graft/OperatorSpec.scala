@@ -15,6 +15,11 @@ class OperatorSpec extends AnyFunSuite {
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
   private def run2(name: String, dir: String) = SparkEntry.queries(name)(spark, dir)
 
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+    f.delete(): Unit
+  }
+
   test("every registered query has an oracle and returns rows") {
     val qs = SparkEntry.queries
     val missing = qs.keySet -- SparkEntry.oracleSql.keySet
@@ -110,13 +115,7 @@ class OperatorSpec extends AnyFunSuite {
       assert(!plan.contains("PushedFilters: [In(tok"), plan)
       assert(fromIdx.collect().toSeq ===
         run("q108_inverted_search").collect().toSeq)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(idx))
-    }
+    } finally rmTree(new java.io.File(idx))
   }
 
   test("pareto frontier: no survivor is dominated, no dominator excluded") {
@@ -272,13 +271,7 @@ class OperatorSpec extends AnyFunSuite {
         .collect().toSeq
       val inline = run("q36_ann_ivf").collect().toSeq
       assert(fromIndex === inline)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(idx))
-    }
+    } finally rmTree(new java.io.File(idx))
   }
 
   test("trained IVF index recall is at least the hash-sample index recall") {
@@ -300,13 +293,7 @@ class OperatorSpec extends AnyFunSuite {
       assert(rTrained >= rHash,
         s"trained quantizer recall $rTrained < hash-sample recall $rHash")
       assert(rTrained > 0.0)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(base))
-    }
+    } finally rmTree(new java.io.File(base))
   }
 
   test("Lloyd training monotonically improves the quantizer objective") {
