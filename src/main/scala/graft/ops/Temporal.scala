@@ -314,7 +314,8 @@ object Temporal {
     "q121_cusum_changepoint" -> cusumChangepoint,
     "q125_clean_conversions" -> cleanConversions,
     "q132_rolling_correlation" -> rollingCorrelation,
-    "q135_golden_record" -> goldenRecord)
+    "q135_golden_record" -> goldenRecord,
+    "q141_transition_matrix" -> transitionMatrix)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -412,6 +413,30 @@ object Temporal {
         (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("twap"),
         col("den").as("span_us"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Markov TRANSITION matrix of user behavior: counts and conditional
+    * probabilities of (event_type → next event_type) within each
+    * user's timeline — the session-flow / next-action model behind
+    * funnels and anomaly rules. One user-key shuffle for the lead
+    * window, then a partial-aggregable pair count; probabilities
+    * divide two exact integers once. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(fromTotals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType)).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
   }
 
   /** GOLDEN-RECORD survivorship: one consolidated row per user with
@@ -634,6 +659,20 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q141_transition_matrix" ->
+      """WITH l AS (SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, next_type AS to_type,
+        |        COUNT(*) AS n
+        |      FROM l WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY p.from_type, p.to_type""".stripMargin,
     // per-field argmax via ROW_NUMBER per type — the q09 duality again
     "q135_golden_record" ->
       """WITH r AS (SELECT user_id, event_type, ts, value,
