@@ -108,12 +108,67 @@ object Incremental {
       .orderBy(col("day"))
   }
 
+  /** SNAPSHOT DIFF — CDC *extract*, the inverse of q80's MERGE apply:
+    * given two snapshots of the customer table, emit the minimal change
+    * feed (insert/update/delete) that transforms A into B. Snapshot B
+    * is derived in-query so the diff is self-checking: keys % 97 = 0
+    * dropped (deletes), % 100 = 0 get balance+10 (updates) plus a
+    * negated-key twin (inserts; can never collide with a real
+    * nonnegative custkey). Scale shape: ONE full-outer shuffle join on
+    * the key and a codegen'd classify projection — the same no-per-row-
+    * lookup contract as the merge; unchanged rows are filtered before
+    * the sink so the feed is O(changes), not O(snapshot). Balances
+    * compare in exact DECIMAL and cast to double once. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val a = cust.select(col("c_custkey").as("key"),
+      d2(col("c_acctbal")).as("bal_a"), lit(true).as("in_a"))
+    val kept = cust.filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey").as("key"),
+        when(col("c_custkey") % 100 === 0,
+          d2(col("c_acctbal")) + lit(10).cast(DecimalType(18, 2)))
+          .otherwise(d2(col("c_acctbal"))).as("bal_b"))
+    val inserted = cust.filter(col("c_custkey") % 100 === 0)
+      .select((-col("c_custkey") - 1).as("key"), d2(col("c_acctbal")).as("bal_b"))
+    val b = kept.unionByName(inserted).withColumn("in_b", lit(true))
+    a.join(b, Seq("key"), "full_outer")
+      .withColumn("action",
+        when(col("in_a").isNull, "insert")
+          .when(col("in_b").isNull, "delete")
+          .when(col("bal_a") =!= col("bal_b"), "update"))
+      .filter(col("action").isNotNull)
+      .select(col("key"), col("action"),
+        col("bal_a").cast(DoubleType).as("old_bal"),
+        col("bal_b").cast(DoubleType).as("new_bal"))
+      .orderBy(col("key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_merge_upsert" -> mergeUpsert,
     "q86_rollup_merge" -> rollupMerge,
-    "q87_late_recompute" -> lateRecompute)
+    "q87_late_recompute" -> lateRecompute,
+    "q143_snapshot_diff" -> snapshotDiff)
 
   val oracles: Map[String, String] = Map(
+    "q143_snapshot_diff" ->
+      """WITH a AS (SELECT c_custkey AS key,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal_a FROM customer),
+        |b AS (SELECT c_custkey AS key,
+        |    CASE WHEN c_custkey % 100 = 0
+        |      THEN CAST(c_acctbal AS DECIMAL(18,2)) + CAST(10 AS DECIMAL(18,2))
+        |      ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal_b
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT -c_custkey - 1, CAST(c_acctbal AS DECIMAL(18,2))
+        |  FROM customer WHERE c_custkey % 100 = 0),
+        |d AS (SELECT COALESCE(a.key, b.key) AS key,
+        |    CASE WHEN a.key IS NULL THEN 'insert'
+        |      WHEN b.key IS NULL THEN 'delete'
+        |      WHEN a.bal_a <> b.bal_b THEN 'update' END AS action,
+        |    CAST(a.bal_a AS DOUBLE) AS old_bal,
+        |    CAST(b.bal_b AS DOUBLE) AS new_bal
+        |  FROM a FULL OUTER JOIN b ON a.key = b.key)
+        |SELECT * FROM d WHERE action IS NOT NULL ORDER BY key""".stripMargin,
     "q80_merge_upsert" ->
       """WITH base AS (SELECT c_custkey AS key,
         |                CAST(c_acctbal AS DECIMAL(18,2)) AS old_bal

@@ -315,7 +315,8 @@ object Temporal {
     "q125_clean_conversions" -> cleanConversions,
     "q132_rolling_correlation" -> rollingCorrelation,
     "q135_golden_record" -> goldenRecord,
-    "q141_transition_matrix" -> transitionMatrix)
+    "q141_transition_matrix" -> transitionMatrix,
+    "q142_last_touch_attribution" -> lastTouchAttribution)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -437,6 +438,35 @@ object Temporal {
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast(DoubleType) / col("n_from").cast(DoubleType)).as("p"))
       .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** LAST-TOUCH ATTRIBUTION: credit each purchase to the user's most
+    * recent preceding touch (click/view) within a 7-day lookback, else
+    * 'direct' — the marketing-attribution primitive. Scale shape: the
+    * as-of semantics ride ONE user-key shuffle + per-partition sort
+    * (`last(ignoreNulls)` over an unbounded-preceding frame), never a
+    * purchase×touch range probe; the two `last` calls pick their values
+    * off the same row because both markers are null on exactly the
+    * non-touch rows. Revenue is exact DECIMAL, cast once. */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    ev.withColumn("last_touch",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_ts",
+        last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_touch_ts").isNotNull &&
+          col("last_touch_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+          col("last_touch")).otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+      .orderBy(col("channel"))
   }
 
   /** GOLDEN-RECORD survivorship: one consolidated row per user with
@@ -659,6 +689,24 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q142_last_touch_attribution" ->
+      """WITH ev AS (SELECT * FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |a AS (SELECT event_type, ts, value,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS) OVER w AS last_touch,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |        THEN ts END IGNORE NULLS) OVER w AS last_touch_ts
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN last_touch_ts IS NOT NULL
+        |    AND last_touch_ts >= ts - INTERVAL 7 DAY
+        |    THEN last_touch ELSE 'direct' END AS channel,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q141_transition_matrix" ->
       """WITH l AS (SELECT event_type,
         |    LEAD(event_type) OVER (PARTITION BY user_id
