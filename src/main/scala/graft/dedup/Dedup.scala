@@ -542,9 +542,39 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-source BFS: hop distance from every graph node to its
+    * NEAREST seed (seeds = doc_id % 10 = 0), capped at 4 hops — the
+    * "distance to labeled example" annotation a semi-supervised corpus
+    * pass wants. Scale shape: classic superstep BFS — each level is one
+    * frontier⋈edges shuffle join + an anti-join against the visited
+    * set, so total work is O(levels × frontier-edges), never the
+    * all-pairs transitive closure; the edge list is localCheckpointed
+    * once and re-probed per level. The DuckDB oracle walks ALL paths
+    * (recursive CTE) and takes MIN(d) — exponential in the oracle,
+    * linear here, same answer: BFS's first visit IS the min distance. */
+  def bfsSeedDistance(spark: SparkSession, dir: String): DataFrame = {
+    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(eager = false)
+    val seeds = sym.select(col("src").as("doc_id")).distinct()
+      .filter(col("doc_id") % 10 === 0)
+    var visited = seeds.withColumn("dist", lit(0))
+    var frontier = visited.select(col("doc_id"))
+    for (k <- 1 to 4) {
+      val next = frontier.join(sym, frontier("doc_id") === sym("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = false)
+      visited = visited.unionByName(next.withColumn("dist", lit(k)))
+      frontier = next
+    }
+    visited.orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_triangle_counts" -> triangleCounts,
     "q124_two_hop_neighbors" -> twoHopNeighbors,
+    "q144_bfs_seed_distance" -> bfsSeedDistance,
     "q130_quality_dedup" -> qualityDedup,
     "q137_cluster_sizes" -> clusterSizeDistribution,
     "q30_exact_dedup" -> exactDedup,
@@ -608,6 +638,7 @@ object Dedup {
     "q33_ngram_jaccard" -> jaccardOracle,
     "q92_triangle_counts" -> triangleOracle,
     "q124_two_hop_neighbors" -> twoHopOracle,
+    "q144_bfs_seed_distance" -> bfsOracle,
     "q137_cluster_sizes" -> clusterSizesOracle,
     "q130_quality_dedup" ->
       """WITH k AS (SELECT doc_id,
@@ -681,6 +712,22 @@ object Dedup {
         |FROM reach r JOIN one o ON o.src = r.src
         |GROUP BY 1, 2
         |ORDER BY 1""".stripMargin
+
+  /** q144: all-paths walk + MIN(d) over the same threshold pair set —
+    * equals BFS first-visit distance. */
+  private lazy val bfsOracle: String =
+      s"""WITH RECURSIVE $jaccardCommonCte,
+        |pairs AS (SELECT doc_a, doc_b FROM common
+        |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 10 = 0),
+        |walk(node, d) AS (SELECT node, 0 FROM seeds
+        |                  UNION ALL
+        |                  SELECT s.dst, w.d + 1 FROM walk w
+        |                  JOIN sym s ON s.src = w.node WHERE w.d < 4)
+        |SELECT node AS doc_id, MIN(d) AS dist
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q137: size histogram over the same recursive component labels. */
   private lazy val clusterSizesOracle: String =

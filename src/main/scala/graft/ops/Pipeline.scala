@@ -474,7 +474,36 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** LARGEST-REMAINDER apportionment (Hamilton's method): split a fixed
+    * budget of 1000 sample slots across languages proportional to doc
+    * counts, integer-exactly — quotas sum to the budget bit-for-bit,
+    * no float shares. base = ⌊B·n/T⌋ per group; the B−Σbase leftover
+    * slots go to the largest remainders (rem DESC, lang tie-break).
+    * This is how q75-style stratified quotas should be SIZED when the
+    * strata don't divide the budget evenly. Scale shape: one count
+    * aggregation over the corpus; everything after runs on O(groups)
+    * rows (two broadcast scalars, one tiny window) — the 100 TB cost
+    * is the count, which is partial-aggregated. */
+  def apportionQuota(spark: SparkSession, dir: String): DataFrame = {
+    val budget = lit(1000L)
+    val counts = load(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("t"))
+    val based = counts.crossJoin(broadcast(total))
+      .withColumn("base", expr("(1000 * n) DIV t"))
+      .withColumn("rem", (budget * col("n")) % col("t"))
+    val leftover = based.agg((budget - sum(col("base"))).as("l"))
+    val w = Window.orderBy(col("rem").desc, col("lang"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rn", row_number().over(w))
+      .select(col("lang"), col("n"),
+        (col("base") + when(col("rn") <= col("l"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_apportion_quota" -> apportionQuota,
     "q95_group_percentile" -> groupPercentileRank,
     "q93_shuffle_order" -> ((s: SparkSession, d: String) => shuffleOrder(s, d)),
     "q90_percentile_rank" -> percentileRank,
@@ -494,6 +523,18 @@ object Pipeline {
     s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
 
   val oracles: Map[String, String] = Map(
+    "q146_apportion_quota" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
+        |b AS (SELECT lang, n, (1000 * n) // t.t AS base,
+        |        (1000 * n) % t.t AS rem FROM c, t),
+        |l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS l FROM b),
+        |r AS (SELECT lang, n, base,
+        |        ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn FROM b)
+        |SELECT r.lang, r.n,
+        |  CAST(r.base + CASE WHEN r.rn <= l.l THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r, l ORDER BY r.lang""".stripMargin,
     "q95_group_percentile" ->
       """SELECT doc_id, lang, n_chars,
         |  PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars)

@@ -570,7 +570,32 @@ object Similarity {
       .agg(avg(col("best"))).head().getDouble(0)
   }
 
+  /** Per-vector PROFILE via higher-order array functions — norm, argmax
+    * dim, positive-dim count, mean — the embedding-health pass a corpus
+    * audit runs before indexing. Everything is a codegen'd projection
+    * over the array column (aggregate/filter/array_max — zero UDFs,
+    * zero shuffles, zero explodes): at 100 TB this scans and never
+    * repartitions. Doubles come from strict left-folds with the same
+    * IEEE op order as the DuckDB list_reduce oracle; argmax ties break
+    * to the first occurrence in both engines. */
+  def vectorProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sumSq = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+    val sumD = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType))
+    load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        sqrt(sumSq).as("l2_norm"),
+        array_position(col("embedding"), array_max(col("embedding")))
+          .as("argmax_dim"),
+        size(filter(col("embedding"), x => x > lit(0f))).cast(LongType)
+          .as("n_pos"),
+        (sumD / size(col("embedding")).cast(DoubleType)).as("mean_dim"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_vector_profile" -> vectorProfile,
     "q34_embedding_neardup" -> embeddingNearDup,
     "q35_knn_bruteforce" -> knnBruteForce,
     "q36_ann_ivf" -> annIvf,
@@ -635,6 +660,18 @@ object Similarity {
   private lazy val pqCtes = s"WITH $pqCtesBody"
 
   val oracles: Map[String, String] = Map(
+    "q145_vector_profile" ->
+      """SELECT vec_id,
+        |  SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) AS l2_norm,
+        |  CAST(LIST_POSITION(embedding, LIST_MAX(embedding)) AS BIGINT)
+        |    AS argmax_dim,
+        |  CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b) / CAST(LEN(embedding) AS DOUBLE) AS mean_dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     // the IVF CTEs (v/cent/asg) and the PQ CTEs (vd/cw/sub/d/r) compose
     // side by side — each stage is the SAME text q36 and q105/q106 run
     "q138_ivfpq_search" ->
