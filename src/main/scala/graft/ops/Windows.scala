@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -33,6 +33,70 @@ object Windows {
       .groupBy(col("c_mktsegment"), col("quartile"))
       .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
       .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
+  /** GLOBAL NTILE without a global sort — the q93/q139 two-level rank
+    * pattern generalized: bucket by `value div width` (bucket order ==
+    * value order), roll per-bucket counts into broadcast cumulative
+    * offsets (the only unpartitioned window runs over O(buckets)
+    * rows), rank within buckets in parallel, then map the exact global
+    * rank through standard NTILE's integer split (first n%k tiles get
+    * ⌈n/k⌉ rows). `value` must be a LongType whose ascending order is
+    * the wanted tile order (negate for DESC); `tie` makes the order
+    * total. Appends `out` and leaves the input columns untouched. */
+  private def ntileNoGlobalSort(df: DataFrame, value: Column, tie: Column,
+      k: Int, bucketWidth: Long, out: String): DataFrame = {
+    val b = df.withColumn("_v", value).withColumn("_t", tie)
+      .withColumn("_bkt",
+        floor(col("_v").cast(DoubleType) / bucketWidth).cast(LongType))
+    val counts = b.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+    val wOff = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = counts
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(wAll)).drop("_c")
+    val wIn = Window.partitionBy(col("_bkt")).orderBy(col("_v"), col("_t"))
+    b.join(broadcast(offs), "_bkt")
+      .withColumn("_rank", col("_off") + row_number().over(wIn))
+      .withColumn(out, expr(
+        s"""CASE WHEN _rank <= (_n % $k) * ((_n DIV $k) + 1)
+           |  THEN (_rank - 1) DIV ((_n DIV $k) + 1) + 1
+           |  ELSE (_n % $k) +
+           |    (_rank - (_n % $k) * ((_n DIV $k) + 1) - 1) DIV (_n DIV $k) + 1
+           |END""".stripMargin))
+      .drop("_v", "_t", "_bkt", "_off", "_n", "_rank")
+  }
+
+  /** RFM SEGMENTATION: customers scored 1–4 on Recency (days since
+    * last order), Frequency (order count) and Monetary (lifetime
+    * spend), rolled up to segment sizes + revenue — the classic CRM
+    * cohorting pass. Each score is an equal-frequency quartile over
+    * ALL customers computed via [[ntileNoGlobalSort]], so unlike a
+    * naive `NTILE(4) OVER (ORDER BY …)` nothing ever funnels through
+    * one partition; the oracle states exactly that naive window and
+    * matches because the two-level rank is the same total order.
+    * Money stays exact DECIMAL (cents) until the final cast. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1990-01-01"))
+    val m = load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"))
+      .agg(max(col("o_orderdate")).as("last_dt"),
+        count(lit(1)).as("freq"),
+        sum(d2(col("o_totalprice"))).as("money"))
+      .withColumn("cents", (col("money") * 100).cast(LongType))
+    val scored = Seq[(String, DataFrame => Column, Long)](
+      ("r_score", d => -datediff(d("last_dt"), epoch).cast(LongType), 64L),
+      ("f_score", d => -d("freq"), 1L),
+      ("m_score", d => -d("cents"), 1L << 20))
+      .foldLeft(m) { case (df, (name, v, width)) =>
+        ntileNoGlobalSort(df, v(df), df("key"), 4, width, name)
+      }
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("money")).cast(DoubleType).as("revenue"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
   /** Top-3 orders per customer by price — ranking window + filter. */
@@ -128,9 +192,28 @@ object Windows {
     "q19_keep_last_dedup" -> keepLastEvent,
     "q54_window_range_frame" -> rangeFrameCumulative,
     "q55_window_distribution" -> balanceDistribution,
-    "q133_balance_quartiles" -> balanceQuartiles)
+    "q133_balance_quartiles" -> balanceQuartiles,
+    "q147_rfm_segments" -> rfmSegments)
 
   val oracles: Map[String, String] = Map(
+    // the naive single-partition form of the same total orders — the
+    // two-level rank must reproduce it exactly
+    "q147_rfm_segments" ->
+      """WITH m AS (SELECT o_custkey AS key, MAX(o_orderdate) AS last_dt,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS money
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT key, money,
+        |    CAST(NTILE(4) OVER (ORDER BY last_dt DESC, key) AS BIGINT)
+        |      AS r_score,
+        |    CAST(NTILE(4) OVER (ORDER BY freq DESC, key) AS BIGINT)
+        |      AS f_score,
+        |    CAST(NTILE(4) OVER (ORDER BY money DESC, key) AS BIGINT)
+        |      AS m_score
+        |  FROM m)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+        |  CAST(SUM(money) AS DOUBLE) AS revenue
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q133_balance_quartiles" ->
       """WITH q AS (SELECT c_mktsegment, c_acctbal,
         |    CAST(NTILE(4) OVER (PARTITION BY c_mktsegment

@@ -343,6 +343,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
   }
 
+  test("q147 RFM quartiles never global-sort the customer set") {
+    val plan = formatted(run("q147_rfm_segments"))
+    // the naive NTILE() OVER (ORDER BY metric) would rangepartition on a
+    // raw metric column; only the ≤64-row segment presentation sort may
+    for (bad <- Seq("rangepartitioning(_v", "rangepartitioning(last_dt",
+        "rangepartitioning(freq", "rangepartitioning(cents",
+        "rangepartitioning(money"))
+      assert(!plan.contains(bad), plan)
+    assert(plan.contains("rangepartitioning(r_score"), plan)
+  }
+
+  test("q145 vector profile stays scan-side (no explode, presentation sort only)") {
+    val df = run("q145_vector_profile")
+    val n = countShuffles(df.queryExecution.sparkPlan)
+    assert(n <= 1, s"$n shuffles\n${df.queryExecution.sparkPlan}")
+    assert(!formatted(df).contains("Generate"), formatted(df))
+  }
+
+  test("q141 transition matrix broadcasts the per-source totals") {
+    val plan = formatted(run("q141_transition_matrix"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // one user-key shuffle for the lead window + the pair/total aggs;
+    // the totals join must NOT be a shuffle join
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q116/q125/q132 reuse one partitioning across window and rollup") {
     // lead/forward-min/rolling-moment windows must not add an exchange
     // beyond their key shuffle + the presentation orderBy
