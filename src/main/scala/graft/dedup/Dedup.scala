@@ -586,7 +586,9 @@ object Dedup {
     "q74_cluster_minhash" -> clusterMinhash,
     "q79_simhash_neardup" -> simhashNearDup)
 
-  private val shinglesSql =
+  /** Shared with q148's pure-SQL oracle: one definition of the DuckDB
+    * trigram-shingle semantics, matching [[graft.functions.WordNGrams]]. */
+  private[graft] val shinglesSql =
     """LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks)-2, 1)),
       |      i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin
   private val toksSql =

@@ -291,6 +291,44 @@ object Pipeline {
         (col("cents").cast(DoubleType) / 100.0).as("median"))
   }
 
+  /** WEIGHTED median — q139's two-level bucket selection generalized to
+    * weights: the median UNIT price across all quantity units (each row
+    * counts l_quantity times) without materializing the expansion and
+    * without a global sort. Level 1: per-bucket weight totals + one
+    * cumulative window over O(buckets) rows finds the bucket holding
+    * weighted rank k=(W+1)/2 and the residual rank r inside it. Level
+    * 2: only that bucket's per-value weight histogram is cumulated.
+    * All ranks/weights are exact int64; the value rides cents. The
+    * weighted form is what price indices / effort-weighted SLO
+    * percentiles need — an unweighted median of line items would
+    * over-count small orders. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val BucketCents = 4096L
+    val s = load(spark, dir, "lineitem")
+      .select((d2(col("l_extendedprice")) * 100).cast(LongType).as("cents"),
+        col("l_quantity").cast(LongType).as("w"))
+      .withColumn("bkt", expr(s"cents div $BucketCents"))
+    val hist = s.groupBy(col("bkt")).agg(sum(col("w")).as("wc"))
+    val wCum = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = s.agg(sum(col("w")).as("tw"))
+    val target = hist.withColumn("cum", sum(col("wc")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("k", expr("(tw + 1) div 2"))
+      .filter(col("cum") >= col("k") && col("cum") - col("wc") < col("k"))
+      .select(col("bkt"), (col("k") - (col("cum") - col("wc"))).as("r"),
+        col("tw"))
+    val inBucket = s.join(broadcast(target), "bkt")
+      .groupBy(col("bkt"), col("r"), col("tw"), col("cents"))
+      .agg(sum(col("w")).as("wc2"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inBucket.withColumn("cum2", sum(col("wc2")).over(wIn))
+      .filter(col("cum2") >= col("r") && col("cum2") - col("wc2") < col("r"))
+      .select(col("tw").as("total_weight"),
+        (col("cents").cast(DoubleType) / 100.0).as("weighted_median"))
+  }
+
   /** Corpus-wide percentile rank per document WITHOUT a global sort:
     * `percent_rank() OVER (ORDER BY x)` forces all rows through one
     * sorted partition — the classic scale cliff. Instead: build the
@@ -504,6 +542,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_apportion_quota" -> apportionQuota,
+    "q149_weighted_median" -> weightedMedian,
     "q95_group_percentile" -> groupPercentileRank,
     "q93_shuffle_order" -> ((s: SparkSession, d: String) => shuffleOrder(s, d)),
     "q90_percentile_rank" -> percentileRank,
@@ -523,6 +562,23 @@ object Pipeline {
     s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
 
   val oracles: Map[String, String] = Map(
+    // the direct formulation: cumulative weights over the full sorted
+    // value histogram; the boundary row where cum first reaches
+    // k=(W+1)/2 IS the weighted median
+    "q149_weighted_median" ->
+      """WITH s AS (SELECT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
+        |h AS (SELECT cents, CAST(SUM(w) AS BIGINT) AS wc
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT cents, wc, SUM(wc) OVER (ORDER BY cents) AS cum
+        |      FROM h)
+        |SELECT t.tw AS total_weight,
+        |  CAST(cents AS DOUBLE) / 100 AS weighted_median
+        |FROM c, t
+        |WHERE cum >= (tw + 1) // 2 AND cum - wc < (tw + 1) // 2""".stripMargin,
     "q146_apportion_quota" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),

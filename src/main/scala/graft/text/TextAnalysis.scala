@@ -301,7 +301,28 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("bigram"))
   }
 
+  /** Pure-SQL entry through the [[graft.GraftExtensions]] function
+    * registry: per-language shingle statistics written as SQL TEXT
+    * calling the native `word_shingles` Catalyst expression — the
+    * SQL-only-caller story (a BI tool or `spark-sql` shell sees graft's
+    * expressions as first-class functions; no Scala imports, no UDF
+    * registration). The plan is identical to the DataFrame form: codegen
+    * projection, partial aggregation, one lang shuffle. */
+  def sqlShingleStats(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "documents").createOrReplaceTempView("graft_docs_sql")
+    spark.sql(
+      """WITH s AS (SELECT lang,
+        |    word_shingles(split(trim(text), ' +'), 3) AS sh
+        |  FROM graft_docs_sql)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(size(sh)) AS n_shingles,
+        |  MIN(size(sh)) AS min_shingles,
+        |  MAX(size(sh)) AS max_shingles
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_sql_shingle_stats" -> sqlShingleStats,
     "q82_tfidf_topk" -> tfidfTopK,
     "q85_heavy_hitters" -> heavyHitters,
     "q26_token_stats" -> tokenStats,
@@ -320,6 +341,15 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q148_sql_shingle_stats" ->
+      s"""WITH t AS (SELECT lang,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |s AS (SELECT lang, ${graft.dedup.Dedup.shinglesSql} AS sh FROM t)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEN(sh)) AS BIGINT) AS n_shingles,
+        |  CAST(MIN(LEN(sh)) AS BIGINT) AS min_shingles,
+        |  CAST(MAX(LEN(sh)) AS BIGINT) AS max_shingles
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     // same clipped-tail bigram generation as q85; degenerate 1-token
     // grams carry no space, so the two unigram joins drop them on both
     // engines identically
