@@ -177,7 +177,38 @@ object Validate {
           col("n_dup_keys"), col("n_dup_rows"))
     }.reduce(_ unionByName _).orderBy(col("table_name"))
 
+  /** CHI-SQUARE independence audit: the event_type × ISO-weekday
+    * contingency table with expected counts and per-cell χ²
+    * contributions — the drift detector for "did the traffic mix
+    * change by day of week?". All counts are exact int64; expected and
+    * χ² are computed by ONE fixed IEEE op sequence per cell
+    * (rt·ct exact in int64 → one divide, one subtract, one multiply,
+    * one divide) so both engines render identical doubles — there is
+    * deliberately no χ² *sum* (a float total would be fold-order-
+    * dependent; a consumer sums the 35 cells driver-side). Scale
+    * shape: one groupBy over the stream, then everything runs on
+    * O(types × 7) rows with broadcast margins. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .groupBy(col("event_type"), (weekday(col("ts")) + 1).as("isodow"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("observed")).as("rt"))
+    val colTot = cells.groupBy(col("isodow")).agg(sum(col("observed")).as("ct"))
+    val tot = cells.agg(sum(col("observed")).as("n"))
+    val e = (col("rt") * col("ct")).cast(DoubleType) / col("n").cast(DoubleType)
+    val d = col("observed").cast(DoubleType) - col("expected")
+    cells.join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "isodow")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", e)
+      .withColumn("chi2_cell", d * d / col("expected"))
+      .select(col("event_type"), col("isodow"), col("observed"),
+        col("expected"), col("chi2_cell"))
+      .orderBy(col("event_type"), col("isodow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_chi_square" -> chiSquare,
     "q98_table_checksums" -> tableChecksums,
     "q100_profile_documents" -> profileDocuments,
     "q126_expectation_suite" -> expectationSuite,
@@ -189,6 +220,26 @@ object Validate {
       cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
   val oracles: Map[String, String] = Map(
+    "q150_chi_square" ->
+      """WITH cells AS (SELECT event_type, ISODOW(ts) AS isodow,
+        |    COUNT(*) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT isodow, CAST(SUM(observed) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+        |SELECT c.event_type, c.isodow, c.observed,
+        |  CAST(rt.rt * ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE) AS expected,
+        |  (CAST(c.observed AS DOUBLE)
+        |     - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |  * (CAST(c.observed AS DOUBLE)
+        |     - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |  / (CAST(rt.rt * ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    AS chi2_cell
+        |FROM cells c
+        |JOIN rt USING (event_type) JOIN ct USING (isodow), t
+        |ORDER BY c.event_type, c.isodow""".stripMargin,
     "q136_duplicate_keys" -> primaryKeys.map { case (t, keyCols) =>
       val keys = keyCols.mkString(", ")
       s"""SELECT '$t' AS table_name,
