@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -470,6 +470,55 @@ object Extended {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
   }
 
+  /** ASSOCIATION RULES from the q113 frequent pairs: both directions
+    * A→B and B→A scored with support, confidence and lift — the
+    * market-basket step after pair mining. All three metrics divide
+    * exact int64 counts in one fixed IEEE op sequence (lift multiplies
+    * numerator and denominator pairs before its single divide), so the
+    * doubles are bit-portable. Scale shape: reuses the two-shuffle pair
+    * count; the item-support joins are keyed shuffles (item counts are
+    * NOT assumed broadcastable at 100 TB) and the one-row basket total
+    * is the only broadcast. */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    val MinSupport = 3
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val itemN = li.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_item"))
+    val freqItems = itemN.filter(col("n_item") >= MinSupport)
+      .select(col("l_partkey"))
+    val baskets = li.join(freqItems, "l_partkey")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    val pairsCol = flatten(transform(col("parts"), (x, i) =>
+      transform(slice(col("parts"), i + 2, size(col("parts")) - i - 1),
+        y => struct(x.as("part_a"), y.as("part_b")))))
+    val pairCounts = baskets.select(explode(pairsCol).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinSupport)
+    val nOrders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val rules = pairCounts
+      .select(col("part_a").as("antecedent"), col("part_b").as("consequent"),
+        col("n_ab"))
+      .unionByName(pairCounts.select(col("part_b").as("antecedent"),
+        col("part_a").as("consequent"), col("n_ab")))
+    val d = (c: Column) => c.cast(DoubleType)
+    rules
+      .join(itemN.select(col("l_partkey").as("antecedent"),
+        col("n_item").as("n_ant")), "antecedent")
+      .join(itemN.select(col("l_partkey").as("consequent"),
+        col("n_item").as("n_con")), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        (d(col("n_ab")) / d(col("n_orders"))).as("support"),
+        (d(col("n_ab")) / d(col("n_ant"))).as("confidence"),
+        (d(col("n_ab")) * d(col("n_orders")) /
+          (d(col("n_ant")) * d(col("n_con")))).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** GROUPING SETS: one pass computing the (flag, status) cube slice,
     * the per-flag margin, and the grand total, with grouping_id
     * disambiguating levels. Spark expands the sets inside a single
@@ -594,6 +643,7 @@ object Extended {
     "q107_edit_distance_join" -> editDistanceJoin,
     "q110_bloom_pruned_join" -> bloomPrunedJoin,
     "q113_frequent_pairs" -> frequentPairs,
+    "q151_association_rules" -> associationRules,
     "q118_winsorized_mean" -> winsorizedMean,
     "q120_pareto_frontier" -> paretoFrontier,
     "q123_revenue_share" -> revenueShare,
@@ -748,6 +798,27 @@ object Extended {
         |ORDER BY e.event_type""".stripMargin,
     // the Apriori item prune is lossless at the pair-support floor, so
     // the oracle is the naive pair count
+    "q151_association_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |items AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+        |          FROM li GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |      FROM li),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |        CAST(COUNT(*) AS BIGINT) AS n_ab
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |r AS (SELECT pa AS antecedent, pb AS consequent, n_ab FROM p
+        |      UNION ALL SELECT pb, pa, n_ab FROM p)
+        |SELECT r.antecedent, r.consequent, r.n_ab,
+        |  CAST(r.n_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+        |  CAST(r.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+        |  CAST(r.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+        |    / (CAST(ia.n_item AS DOUBLE) * CAST(ic.n_item AS DOUBLE)) AS lift
+        |FROM r JOIN items ia ON ia.l_partkey = r.antecedent
+        |       JOIN items ic ON ic.l_partkey = r.consequent, n
+        |ORDER BY r.antecedent, r.consequent""".stripMargin,
     "q113_frequent_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

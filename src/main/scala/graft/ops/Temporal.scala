@@ -316,7 +316,8 @@ object Temporal {
     "q132_rolling_correlation" -> rollingCorrelation,
     "q135_golden_record" -> goldenRecord,
     "q141_transition_matrix" -> transitionMatrix,
-    "q142_last_touch_attribution" -> lastTouchAttribution)
+    "q142_last_touch_attribution" -> lastTouchAttribution,
+    "q152_period_growth" -> periodGrowth)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -467,6 +468,31 @@ object Temporal {
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
       .orderBy(col("channel"))
+  }
+
+  /** PERIOD-OVER-PERIOD growth: monthly revenue with MoM and YoY
+    * deltas — the first chart of every revenue dashboard. The fact
+    * scan partial-aggregates to O(months) rows; the lag windows run
+    * over that tiny aggregate (the single-partition window is
+    * O(months), the q146/q90 smallness argument). Growth = exact
+    * DECIMAL difference, then ONE double division — both engines see
+    * identical operands, so the doubles match bit-for-bit. */
+  def periodGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = load(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+        .as("month"))
+      .agg(sum(d2(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("month"))
+    def growth(lagN: Int): Column = {
+      val prev = lag(col("rev"), lagN).over(w)
+      (col("rev") - prev).cast(DoubleType) / prev.cast(DoubleType)
+    }
+    monthly
+      .withColumn("mom_growth", growth(1))
+      .withColumn("yoy_growth", growth(12))
+      .select(col("month"), col("rev").cast(DoubleType).as("revenue"),
+        col("mom_growth"), col("yoy_growth"))
+      .orderBy(col("month"))
   }
 
   /** GOLDEN-RECORD survivorship: one consolidated row per user with
@@ -689,6 +715,18 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q152_period_growth" ->
+      """WITH m AS (SELECT DATE_TRUNC('month', o_orderdate) AS month,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT month, rev,
+        |    LAG(rev, 1) OVER (ORDER BY month) AS prev1,
+        |    LAG(rev, 12) OVER (ORDER BY month) AS prev12
+        |  FROM m)
+        |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev - prev1 AS DOUBLE) / CAST(prev1 AS DOUBLE) AS mom_growth,
+        |  CAST(rev - prev12 AS DOUBLE) / CAST(prev12 AS DOUBLE) AS yoy_growth
+        |FROM l ORDER BY month""".stripMargin,
     "q142_last_touch_attribution" ->
       """WITH ev AS (SELECT * FROM events
         |  WHERE event_type IN ('click', 'view', 'purchase')),

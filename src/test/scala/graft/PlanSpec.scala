@@ -369,6 +369,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q149 weighted median never range-partitions (no global sort)") {
+    val plan = formatted(run("q149_weighted_median"))
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("q144 BFS frontier joins are never nested-loop") {
+    val plan = formatted(run("q144_bfs_seed_distance"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q150 chi-square margins come back as broadcast joins") {
+    val plan = formatted(run("q150_chi_square"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q116/q125/q132 reuse one partitioning across window and rollup") {
     // lead/forward-min/rolling-moment windows must not add an exchange
     // beyond their key shuffle + the presentation orderBy
