@@ -207,8 +207,89 @@ object Validate {
       .orderBy(col("event_type"), col("isodow"))
   }
 
+  /** BITMAP-rollup exact distinct: daily active users counted from
+    * 64-bit word bitmaps instead of shuffling raw (day, user) rows —
+    * each partition ORs its users into (day, word-index) bitmap words
+    * (bit_or is a commutative monoid, so the aggregate partial-merges
+    * map-side), and popcounts sum per day. The shuffle carries one row
+    * per (day, occupied word) ≈ active-range/64 — the roaring-bitmap
+    * idea in columnar form, and the backbone of COUNT(DISTINCT)
+    * rollups over dense integer keys at 100 TB. Exact, not a sketch:
+    * == COUNT(DISTINCT) oracle. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    ev.groupBy(col("day"), expr("user_id DIV 64").as("word_idx"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(user_id % 64 AS INT))"))
+        .as("word"))
+      .groupBy(col("day"))
+      .agg(sum(bit_count(col("word")).cast(LongType)).as("n_users"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("day"))
+  }
+
+  /** Benford first-digit audit of order totals — the fraud/synthetic-
+    * data screen: observed share of each leading digit vs Benford's
+    * log10(1+1/d). The expected probabilities are Scala-computed
+    * doubles interpolated as LITERALS into both the plan and the
+    * oracle SQL (shortest-repr round-trip), so no engine evaluates a
+    * transcendental at query time — counts are exact, share and delta
+    * are one division and one subtraction each. One partial-aggregable
+    * digit rollup; everything after runs on 9 rows. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = benfordP.toDF("digit", "benford_p")
+    val digits = load(spark, dir, "orders")
+      .select(substring(d2(col("o_totalprice")).cast(StringType), 1, 1)
+        .cast(LongType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    digits.join(broadcast(expected), "digit")
+      .crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n").cast(DoubleType) / col("total").cast(DoubleType))
+      .select(col("digit"), col("n"), col("share"), col("benford_p"),
+        (col("share") - col("benford_p")).as("delta"))
+      .orderBy(col("digit"))
+  }
+
+  private[graft] val benfordP: Seq[(Long, Double)] =
+    (1L to 9L).map(d => (d, math.log10(1 + 1.0 / d)))
+
+  /** GINI concentration of customer lifetime revenue — the inequality
+    * metric that tells you whether 1% of keys carry 50% of the table
+    * (the q131 skew profile condensed to one number). Needs every
+    * customer's global revenue rank; [[Windows.globalRankNoSort]]
+    * supplies it via two-level bucket ranking — no single-partition
+    * window over the customer set. The rank-weighted sum Σ rk·xᵢ stays
+    * exact DECIMAL(38) (int64 would overflow at ~10²⁰), and Gini =
+    * 2·S1/(n·S0) − (n+1)/n is evaluated in the same IEEE op order in
+    * both engines (the oracle routes its int128 sums through VARCHAR
+    * so DuckDB's cast is correctly rounded too). */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val rev = load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"))
+      .agg(sum(d2(col("o_totalprice"))).as("money"))
+      .select(col("key"), (col("money") * 100).cast(LongType).as("cents"))
+    val ranked = Windows.globalRankNoSort(rev, col("cents"), col("key"),
+      1L << 20, "rk", "n")
+    val d38 = DecimalType(38, 0)
+    ranked
+      .agg(max(col("n")).as("n"),
+        sum(col("cents").cast(d38)).as("s0"),
+        sum(col("rk").cast(d38) * col("cents").cast(d38)).as("s1"))
+      .select(col("n"),
+        ((col("s1") * 2).cast(DoubleType) /
+          (col("n").cast(d38) * col("s0")).cast(DoubleType) -
+          (col("n") + 1).cast(DoubleType) / col("n").cast(DoubleType))
+          .as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_chi_square" -> chiSquare,
+    "q153_bitmap_distinct" -> bitmapDistinct,
+    "q154_benford_digits" -> benfordDigits,
+    "q155_gini_concentration" -> giniConcentration,
     "q98_table_checksums" -> tableChecksums,
     "q100_profile_documents" -> profileDocuments,
     "q126_expectation_suite" -> expectationSuite,
@@ -220,6 +301,41 @@ object Validate {
       cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
   val oracles: Map[String, String] = Map(
+    "q153_bitmap_distinct" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT user_id // 64) AS BIGINT) AS n_words
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the benford_p literals are the SAME Scala doubles the plan uses
+    "q154_benford_digits" ->
+      s"""WITH d AS (SELECT CAST(SUBSTRING(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |e(digit, benford_p) AS (VALUES ${benfordP.map { case (d, p) =>
+          // E-notation forces DuckDB to parse the literal as DOUBLE
+          // directly; a plain decimal literal would round-trip through
+          // DECIMAL and double-round off by one ulp
+          s"(CAST($d AS BIGINT), CAST(${p}e0 AS DOUBLE))" }.mkString(",\n|  ")})
+        |SELECT c.digit, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        |  e.benford_p,
+        |  CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) - e.benford_p AS delta
+        |FROM c JOIN e USING (digit), t ORDER BY c.digit""".stripMargin,
+    "q155_gini_concentration" ->
+      """WITH rev AS (SELECT o_custkey AS key,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT key, cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, key) AS rk FROM rev)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(2 * SUM(CAST(rk AS HUGEINT) * cents) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(COUNT(*) * SUM(CAST(cents AS HUGEINT)) AS VARCHAR)
+        |        AS DOUBLE)
+        |  - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gini
+        |FROM r""".stripMargin,
     "q150_chi_square" ->
       """WITH cells AS (SELECT event_type, ISODOW(ts) AS isodow,
         |    COUNT(*) AS observed

@@ -35,17 +35,19 @@ object Windows {
       .orderBy(col("c_mktsegment"), col("quartile"))
   }
 
-  /** GLOBAL NTILE without a global sort — the q93/q139 two-level rank
-    * pattern generalized: bucket by `value div width` (bucket order ==
-    * value order), roll per-bucket counts into broadcast cumulative
-    * offsets (the only unpartitioned window runs over O(buckets)
-    * rows), rank within buckets in parallel, then map the exact global
-    * rank through standard NTILE's integer split (first n%k tiles get
-    * ⌈n/k⌉ rows). `value` must be a LongType whose ascending order is
-    * the wanted tile order (negate for DESC); `tie` makes the order
-    * total. Appends `out` and leaves the input columns untouched. */
-  private def ntileNoGlobalSort(df: DataFrame, value: Column, tie: Column,
-      k: Int, bucketWidth: Long, out: String): DataFrame = {
+  /** GLOBAL ROW_NUMBER without a global sort — the q93/q139 two-level
+    * rank pattern generalized to any ordering: bucket by `value div
+    * width` (bucket order == value order), roll per-bucket counts into
+    * broadcast cumulative offsets (the only unpartitioned window runs
+    * over O(buckets) rows), rank within buckets in parallel; global
+    * rank = offset + in-bucket row_number. `value` must be a LongType
+    * whose ascending order is the wanted rank order (negate for DESC);
+    * `tie` makes the order total. Appends `rankOut` and `nOut` (the
+    * total row count) and leaves the input columns untouched. Serves
+    * q147's NTILE and q155's Gini rank-weighted sum. */
+  private[graft] def globalRankNoSort(df: DataFrame, value: Column,
+      tie: Column, bucketWidth: Long, rankOut: String, nOut: String)
+      : DataFrame = {
     val b = df.withColumn("_v", value).withColumn("_t", tie)
       .withColumn("_bkt",
         floor(col("_v").cast(DoubleType) / bucketWidth).cast(LongType))
@@ -59,15 +61,24 @@ object Windows {
       .withColumn("_n", sum(col("_c")).over(wAll)).drop("_c")
     val wIn = Window.partitionBy(col("_bkt")).orderBy(col("_v"), col("_t"))
     b.join(broadcast(offs), "_bkt")
-      .withColumn("_rank", col("_off") + row_number().over(wIn))
-      .withColumn(out, expr(
-        s"""CASE WHEN _rank <= (_n % $k) * ((_n DIV $k) + 1)
-           |  THEN (_rank - 1) DIV ((_n DIV $k) + 1) + 1
-           |  ELSE (_n % $k) +
-           |    (_rank - (_n % $k) * ((_n DIV $k) + 1) - 1) DIV (_n DIV $k) + 1
-           |END""".stripMargin))
-      .drop("_v", "_t", "_bkt", "_off", "_n", "_rank")
+      .withColumn(rankOut, col("_off") + row_number().over(wIn))
+      .withColumn(nOut, col("_n"))
+      .drop("_v", "_t", "_bkt", "_off", "_n")
   }
+
+  /** GLOBAL NTILE on top of [[globalRankNoSort]]: the exact rank mapped
+    * through standard NTILE's integer split (first n%k tiles get ⌈n/k⌉
+    * rows). Appends `out`, input columns untouched. */
+  private def ntileNoGlobalSort(df: DataFrame, value: Column, tie: Column,
+      k: Int, bucketWidth: Long, out: String): DataFrame =
+    globalRankNoSort(df, value, tie, bucketWidth, "_rank", "_nt")
+      .withColumn(out, expr(
+        s"""CASE WHEN _rank <= (_nt % $k) * ((_nt DIV $k) + 1)
+           |  THEN (_rank - 1) DIV ((_nt DIV $k) + 1) + 1
+           |  ELSE (_nt % $k) +
+           |    (_rank - (_nt % $k) * ((_nt DIV $k) + 1) - 1) DIV (_nt DIV $k) + 1
+           |END""".stripMargin))
+      .drop("_rank", "_nt")
 
   /** RFM SEGMENTATION: customers scored 1–4 on Recency (days since
     * last order), Frequency (order count) and Monetary (lifetime
