@@ -519,6 +519,46 @@ object Extended {
       .orderBy(col("antecedent"), col("consequent"))
   }
 
+  /** TEMPORAL CO-OCCURRENCE: event-type pairs that fire within the
+    * same (user, hour) window, with lift — q113's basket mining where
+    * the basket is a TIME window instead of an order (the
+    * "error spikes when deploys happen" detector). Baskets are
+    * distinct (user, hour, type) triples rolled to sorted type arrays;
+    * pairs enumerate inside each basket via the same codegen'd HOF
+    * combination trick (no basket self-join); lift divides exact
+    * int64s in one fixed sequence. The type vocabulary is tiny but
+    * the machinery is the general one — baskets stream through two
+    * shuffles regardless of window count. */
+  def temporalCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .distinct()
+    val nWindows = ev.select(col("user_id"), col("hr")).distinct()
+      .agg(count(lit(1)).as("n_win"))
+    val typeN = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    val baskets = ev.groupBy(col("user_id"), col("hr"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"))
+    val pairsCol = flatten(transform(col("types"), (x, i) =>
+      transform(slice(col("types"), i + 2, size(col("types")) - i - 1),
+        y => struct(x.as("type_a"), y.as("type_b")))))
+    val d = (c: Column) => c.cast(DoubleType)
+    baskets.select(explode(pairsCol).as("p"))
+      .select(col("p.type_a"), col("p.type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(typeN.select(col("event_type").as("type_a"),
+        col("n_type").as("n_a"))), "type_a")
+      .join(broadcast(typeN.select(col("event_type").as("type_b"),
+        col("n_type").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nWindows))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        (d(col("n_ab")) * d(col("n_win")) /
+          (d(col("n_a")) * d(col("n_b")))).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** GROUPING SETS: one pass computing the (flag, status) cube slice,
     * the per-flag margin, and the grand total, with grouping_id
     * disambiguating levels. Spark expands the sets inside a single
@@ -644,6 +684,7 @@ object Extended {
     "q110_bloom_pruned_join" -> bloomPrunedJoin,
     "q113_frequent_pairs" -> frequentPairs,
     "q151_association_rules" -> associationRules,
+    "q158_temporal_cooccurrence" -> temporalCooccurrence,
     "q118_winsorized_mean" -> winsorizedMean,
     "q120_pareto_frontier" -> paretoFrontier,
     "q123_revenue_share" -> revenueShare,
@@ -798,6 +839,25 @@ object Extended {
         |ORDER BY e.event_type""".stripMargin,
     // the Apriori item prune is lossless at the pair-support floor, so
     // the oracle is the naive pair count
+    "q158_temporal_cooccurrence" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    DATE_TRUNC('hour', ts) AS hr, event_type FROM events),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_win
+        |      FROM (SELECT DISTINCT user_id, hr FROM ev)),
+        |tn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+        |       FROM ev GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_ab
+        |      FROM ev a JOIN ev b
+        |        ON a.user_id = b.user_id AND a.hr = b.hr
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_ab,
+        |  CAST(p.n_ab AS DOUBLE) * CAST(n.n_win AS DOUBLE)
+        |    / (CAST(ta.n_type AS DOUBLE) * CAST(tb.n_type AS DOUBLE)) AS lift
+        |FROM p JOIN tn ta ON ta.event_type = p.type_a
+        |       JOIN tn tb ON tb.event_type = p.type_b, n
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
     "q151_association_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |items AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item

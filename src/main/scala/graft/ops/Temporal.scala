@@ -317,7 +317,8 @@ object Temporal {
     "q135_golden_record" -> goldenRecord,
     "q141_transition_matrix" -> transitionMatrix,
     "q142_last_touch_attribution" -> lastTouchAttribution,
-    "q152_period_growth" -> periodGrowth)
+    "q152_period_growth" -> periodGrowth,
+    "q156_funnel_latency" -> funnelLatency)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -493,6 +494,43 @@ object Temporal {
       .select(col("month"), col("rev").cast(DoubleType).as("revenue"),
         col("mom_growth"), col("yoy_growth"))
       .orderBy(col("month"))
+  }
+
+  /** FUNNEL LATENCY percentiles: per signup-month cohort, the median
+    * and p90 time from a user's first signup to their first subsequent
+    * purchase — the activation-latency SLA chart. Lags are exact int64
+    * microseconds; the percentiles are integer RANK CUTOFFS
+    * (k50=(n+1)/2, k90=⌈9n/10⌉ — the float-free percentile rule) read
+    * off a window PARTITIONED by cohort, so every window is keyed and
+    * the plan stays parallel across cohorts. One user-key shuffle to
+    * pair the firsts, one cohort shuffle for the ranks. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(signups, "user_id")
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy(col("user_id"), col("s_ts")).agg(min(col("ts")).as("p_ts"))
+    val lagged = firstBuy
+      .select(date_trunc("month", col("s_ts")).cast("timestamp_ntz")
+        .as("cohort_month"), col("user_id"),
+        expr("timestampdiff(MICROSECOND, s_ts, p_ts)").as("lag_us"))
+    val w = Window.partitionBy(col("cohort_month"))
+      .orderBy(col("lag_us"), col("user_id"))
+    val wN = Window.partitionBy(col("cohort_month"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lagged
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy(col("cohort_month"))
+      .agg(max(col("n")).as("n_converted"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("lag_us")))
+          .as("p50_us"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("lag_us")))
+          .as("p90_us"))
+      .orderBy(col("cohort_month"))
   }
 
   /** GOLDEN-RECORD survivorship: one consolidated row per user with
@@ -715,6 +753,24 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q156_funnel_latency" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, s.s_ts, MIN(e.ts) AS p_ts
+        |      FROM events e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+        |      GROUP BY 1, 2),
+        |l AS (SELECT DATE_TRUNC('month', s_ts) AS cohort_month, user_id,
+        |        EPOCH_US(p_ts) - EPOCH_US(s_ts) AS lag_us FROM p),
+        |r AS (SELECT cohort_month, lag_us,
+        |        ROW_NUMBER() OVER (PARTITION BY cohort_month
+        |          ORDER BY lag_us, user_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY cohort_month) AS n
+        |      FROM l)
+        |SELECT cohort_month, CAST(MAX(n) AS BIGINT) AS n_converted,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_us END) AS p50_us,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_us END) AS p90_us
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q152_period_growth" ->
       """WITH m AS (SELECT DATE_TRUNC('month', o_orderdate) AS month,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

@@ -285,9 +285,48 @@ object Validate {
           .as("gini"))
   }
 
+  /** JOIN FAN-OUT profiler: before running an n:m join, estimate its
+    * per-key output EXACTLY as n_left(k) × n_right(k) and surface the
+    * heaviest keys — the q131 skew profile specialized to the join
+    * about to run (here q73's clicks ⋈ purchases per user). Two
+    * partial-aggregated key counts, one keyed join of the COUNT tables
+    * (never the fact tables), a heap top-k — the diagnostic costs two
+    * scans, the blind join it guards against can cost the cluster. */
+  def joinFanoutProfile(spark: SparkSession, dir: String): DataFrame = {
+    def sideCount(t: String, out: String) = events(spark, dir)
+      .filter(col("event_type") === t)
+      .groupBy(col("user_id")).agg(count(lit(1)).as(out))
+    sideCount("click", "n_left").join(sideCount("purchase", "n_right"),
+        "user_id")
+      .select(col("user_id"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("fanout"))
+      .orderBy(col("fanout").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** GINI-SIMPSON diversity of each source's language mix — the
+    * corpus-composition balance audit (is a source monolingual?).
+    * 1 − Σpᵢ² computed as (N² − Σnᵢ²)/N²: numerator and denominator
+    * are exact int64 (NO float sum across language rows — that fold
+    * order would be engine-dependent), then ONE division. */
+  def diversityIndex(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_i"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_i")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("n_i") * col("n_i")).as("sum_sq"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        ((col("n_docs") * col("n_docs") - col("sum_sq")).cast(DoubleType) /
+          (col("n_docs") * col("n_docs")).cast(DoubleType))
+          .as("simpson_diversity"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_chi_square" -> chiSquare,
     "q153_bitmap_distinct" -> bitmapDistinct,
+    "q157_join_fanout_profile" -> joinFanoutProfile,
+    "q159_diversity_index" -> diversityIndex,
     "q154_benford_digits" -> benfordDigits,
     "q155_gini_concentration" -> giniConcentration,
     "q98_table_checksums" -> tableChecksums,
@@ -301,6 +340,26 @@ object Validate {
       cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
   val oracles: Map[String, String] = Map(
+    "q157_join_fanout_profile" ->
+      """WITH l AS (SELECT user_id, COUNT(*) AS n_left FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |r AS (SELECT user_id, COUNT(*) AS n_right FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT l.user_id, l.n_left, r.n_right,
+        |  l.n_left * r.n_right AS fanout
+        |FROM l JOIN r USING (user_id)
+        |ORDER BY fanout DESC, user_id LIMIT 20""".stripMargin,
+    "q159_diversity_index" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n_i
+        |  FROM documents GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(SUM(n_i) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |    CAST(SUM(n_i * n_i) AS BIGINT) AS sum_sq
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_docs, n_langs,
+        |  CAST(n_docs * n_docs - sum_sq AS DOUBLE)
+        |    / CAST(n_docs * n_docs AS DOUBLE) AS simpson_diversity
+        |FROM a ORDER BY source""".stripMargin,
     "q153_bitmap_distinct" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
