@@ -318,7 +318,8 @@ object Temporal {
     "q141_transition_matrix" -> transitionMatrix,
     "q142_last_touch_attribution" -> lastTouchAttribution,
     "q152_period_growth" -> periodGrowth,
-    "q156_funnel_latency" -> funnelLatency)
+    "q156_funnel_latency" -> funnelLatency,
+    "q160_cumulative_uniques" -> cumulativeUniques)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -531,6 +532,24 @@ object Temporal {
         max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("lag_us")))
           .as("p90_us"))
       .orderBy(col("cohort_month"))
+  }
+
+  /** CUMULATIVE UNIQUES: total distinct users ever seen, by day — the
+    * registered-users growth curve. COUNT(DISTINCT) OVER (ORDER BY
+    * day) is unwindowable and a running self-join is quadratic; the
+    * scale form is first-seen reduction: min(day) per user (one keyed
+    * shuffle, partial-aggregable), roll to a per-day first-seen
+    * histogram, then ONE cumulative window over O(days) rows. */
+  def cumulativeUniques(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("n_total", sum(col("n_new")).over(wCum))
+      .orderBy(col("day"))
   }
 
   /** GOLDEN-RECORD survivorship: one consolidated row per user with
@@ -753,6 +772,16 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the naive form: per-day distinct over the growing prefix
+    "q160_cumulative_uniques" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY 1)
+        |SELECT day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_total
+        |FROM h ORDER BY day""".stripMargin,
     "q156_funnel_latency" ->
       """WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),

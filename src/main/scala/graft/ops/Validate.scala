@@ -322,8 +322,45 @@ object Validate {
       .orderBy(col("source"))
   }
 
+  /** A/B-TEST readout: users hash-split 50/50 (the q69 assignment
+    * rule — deterministic, layout-independent), per-variant conversion
+    * (purchase-heavy user: purchases exceed 20% of the user's events,
+    * an integer-exact 5·n_purch > n_events test — absolute thresholds
+    * like "ever purchased" saturate at 100% on a dense fixture, and a
+    * rate of exactly 0 or 1 makes z undefined), and the
+    * two-proportion z-score, NULL-guarded for degenerate pooled rates. Counts are exact int64; the rates and z
+    * ride one fixed scalar IEEE sequence (sqrt is correctly rounded),
+    * so the doubles are bit-portable. Scale shape: two
+    * partial-aggregated passes over events (user rollup, then variant
+    * rollup) and a 2-row broadcast join — raw events shuffle once. */
+  def abTestReadout(spark: SparkSession, dir: String): DataFrame = {
+    val users = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        * 5 > count(lit(1))).cast(LongType).as("converted"))
+      .withColumn("variant", (phash(col("user_id").cast(StringType)) % 2)
+        .cast(IntegerType))
+    val arms = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val d = (c: Column) => c.cast(DoubleType)
+    val wide = arms.filter(col("variant") === 0)
+      .select(col("n_users").as("n0"), col("n_conv").as("c0"))
+      .crossJoin(broadcast(arms.filter(col("variant") === 1)
+        .select(col("n_users").as("n1"), col("n_conv").as("c1"))))
+    val p0 = d(col("c0")) / d(col("n0"))
+    val p1 = d(col("c1")) / d(col("n1"))
+    val pp = d(col("c0") + col("c1")) / d(col("n0") + col("n1"))
+    wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      p0.as("rate_control"), p1.as("rate_treatment"),
+      when(pp > 0 && pp < 1,
+        (p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / d(col("n0")) + lit(1.0) / d(col("n1")))))
+        .as("z_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_chi_square" -> chiSquare,
+    "q161_ab_test_readout" -> abTestReadout,
     "q153_bitmap_distinct" -> bitmapDistinct,
     "q157_join_fanout_profile" -> joinFanoutProfile,
     "q159_diversity_index" -> diversityIndex,
@@ -340,6 +377,34 @@ object Validate {
       cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
   val oracles: Map[String, String] = Map(
+    "q161_ab_test_readout" ->
+      s"""WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      * 5 > COUNT(*) AS BIGINT) AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT ${phashSql("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+        |        converted FROM u),
+        |a AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |        CAST(SUM(converted) AS BIGINT) AS n_conv FROM v GROUP BY 1)
+        |SELECT a0.n_users AS n0, a0.n_conv AS c0,
+        |  a1.n_users AS n1, a1.n_conv AS c1,
+        |  CAST(a0.n_conv AS DOUBLE) / CAST(a0.n_users AS DOUBLE)
+        |    AS rate_control,
+        |  CAST(a1.n_conv AS DOUBLE) / CAST(a1.n_users AS DOUBLE)
+        |    AS rate_treatment,
+        |  CASE WHEN a0.n_conv + a1.n_conv > 0
+        |        AND a0.n_conv + a1.n_conv < a0.n_users + a1.n_users THEN
+        |  (CAST(a1.n_conv AS DOUBLE) / CAST(a1.n_users AS DOUBLE)
+        |   - CAST(a0.n_conv AS DOUBLE) / CAST(a0.n_users AS DOUBLE))
+        |  / SQRT(
+        |      CAST(a0.n_conv + a1.n_conv AS DOUBLE)
+        |        / CAST(a0.n_users + a1.n_users AS DOUBLE)
+        |      * (1.0 - CAST(a0.n_conv + a1.n_conv AS DOUBLE)
+        |          / CAST(a0.n_users + a1.n_users AS DOUBLE))
+        |      * (1.0 / CAST(a0.n_users AS DOUBLE)
+        |         + 1.0 / CAST(a1.n_users AS DOUBLE))) END AS z_score
+        |FROM (SELECT * FROM a WHERE variant = 0) a0,
+        |     (SELECT * FROM a WHERE variant = 1) a1""".stripMargin,
     "q157_join_fanout_profile" ->
       """WITH l AS (SELECT user_id, COUNT(*) AS n_left FROM events
         |  WHERE event_type = 'click' GROUP BY 1),

@@ -40,6 +40,30 @@ class OperatorSpec extends AnyFunSuite {
       s"duplicate oracle names across modules: $oTotal registered, ${SparkEntry.oracleSql.size} merged")
   }
 
+  test("globalRankNoSort == naive global row_number on negatives, ties, skew") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // adversarial shape: negative values (floor-vs-truncate bucketing
+    // bug bait), one value repeated across bucket boundary widths, and
+    // a skewed hot value
+    val vals = (Seq.fill(500)(42L) ++ (-100L to 100L) ++
+      Seq(-7L, -7L, 63L, 64L, 65L, Long.MinValue / (1L << 40))).zipWithIndex
+    val df = vals.toDF("v", "id")
+    val got = ops.Windows.globalRankNoSort(df, col("v"), col("id"),
+        bucketWidth = 64L, rankOut = "rk", nOut = "n")
+      .select(col("v"), col("id"), col("rk"), col("n"))
+    val naive = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    val mismatches = got.alias("g")
+      .join(naive.alias("x"), Seq("v", "id"))
+      .filter(col("g.rk") =!= col("x.rk")).count()
+    assert(mismatches === 0)
+    val n = vals.size.toLong
+    assert(got.agg(min(col("n")), max(col("n"))).as[(Long, Long)].head()
+      === ((n, n)))
+  }
+
   test("argmax rows are real input rows (row membership)") {
     val top = run("q09_argmax_per_day")
     val orders = Tables.load(spark, sf, "orders")
