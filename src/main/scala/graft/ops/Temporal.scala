@@ -319,7 +319,8 @@ object Temporal {
     "q142_last_touch_attribution" -> lastTouchAttribution,
     "q152_period_growth" -> periodGrowth,
     "q156_funnel_latency" -> funnelLatency,
-    "q160_cumulative_uniques" -> cumulativeUniques)
+    "q160_cumulative_uniques" -> cumulativeUniques,
+    "q163_day_overlap" -> dayOverlap)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -552,6 +553,37 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** DAY-OVER-DAY audience overlap: for each day, how many of its
+    * active users return tomorrow — retention rate and Jaccard of the
+    * two audience sets. The scale form is the PAIR COUNT, not set
+    * materialization: distinct (day, user) rows self-join on the
+    * composite equi-key (user, day+1) — Catalyst takes the date_add
+    * expression as a join key, so there is no per-user day×day
+    * explosion and no giant per-day array to build. Counts exact,
+    * ratios one division each. */
+  def dayOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val du = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val counts = du.groupBy(col("day")).agg(count(lit(1)).as("n_users"))
+    val common = du.alias("a").join(du.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") === date_add(col("a.day"), 1))
+      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("n_common"))
+    val nc = coalesce(col("n_common"), lit(0L))
+    counts
+      .join(counts.select(date_sub(col("day"), 1).as("day"),
+        col("n_users").as("n_next")), "day")
+      .join(common, Seq("day"), "left")
+      .select(col("day"), col("n_users").as("n_today"), col("n_next"),
+        nc.as("n_common"),
+        (nc.cast(DoubleType) / col("n_users").cast(DoubleType))
+          .as("retention"),
+        (nc.cast(DoubleType) /
+          (col("n_users") + col("n_next") - nc).cast(DoubleType))
+          .as("jaccard"))
+      .orderBy(col("day"))
+  }
+
   /** GOLDEN-RECORD survivorship: one consolidated row per user with
     * each field taken from that field's OWN latest occurrence — the
     * entity-resolution merge rule (MDM "most recent non-null wins")
@@ -772,6 +804,25 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q163_day_overlap" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users
+        |      FROM du GROUP BY 1),
+        |ov AS (SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_common
+        |       FROM du a JOIN du b
+        |         ON a.user_id = b.user_id AND b.day = a.day + 1
+        |       GROUP BY 1)
+        |SELECT c0.day, c0.n_users AS n_today, c1.n_users AS n_next,
+        |  COALESCE(ov.n_common, 0) AS n_common,
+        |  CAST(COALESCE(ov.n_common, 0) AS DOUBLE)
+        |    / CAST(c0.n_users AS DOUBLE) AS retention,
+        |  CAST(COALESCE(ov.n_common, 0) AS DOUBLE)
+        |    / CAST(c0.n_users + c1.n_users - COALESCE(ov.n_common, 0)
+        |        AS DOUBLE) AS jaccard
+        |FROM c c0 JOIN c c1 ON c1.day = c0.day + 1
+        |LEFT JOIN ov ON ov.day = c0.day
+        |ORDER BY c0.day""".stripMargin,
     // the naive form: per-day distinct over the growing prefix
     "q160_cumulative_uniques" ->
       """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day

@@ -358,9 +358,39 @@ object Validate {
         .as("z_score"))
   }
 
+  /** SPEARMAN rank correlation between order frequency and lifetime
+    * spend per customer — the monotone-association check that Pearson
+    * (q114) can't give, and float-free: both rankings come from the
+    * shared two-level [[Windows.globalRankNoSort]] (no single-partition
+    * window), Σd² is exact DECIMAL(38), and ρ = 1 − 6Σd²/(n(n²−1)) is
+    * one division. Ties broken by custkey in BOTH rankings, the
+    * documented total-order convention (identical in the oracle), so ρ
+    * is a deterministic statistic of the dataset. */
+  def spearmanCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val m = load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("freq"),
+        sum(d2(col("o_totalprice"))).as("money"))
+      .select(col("key"), col("freq"),
+        (col("money") * 100).cast(LongType).as("cents"))
+    val r1 = Windows.globalRankNoSort(m, col("freq"), col("key"), 4L,
+      "rk_freq", "n")
+    val r2 = Windows.globalRankNoSort(r1, col("cents"), col("key"), 1L << 20,
+      "rk_spend", "n2")
+    val d38 = DecimalType(38, 0)
+    val diff = (col("rk_freq") - col("rk_spend")).cast(d38)
+    r2.agg(max(col("n")).as("n"), sum(diff * diff).as("sum_d2"))
+      .select(col("n"),
+        (lit(1.0) - (col("sum_d2") * 6).cast(DoubleType) /
+          (col("n").cast(d38) *
+            (col("n").cast(d38) * col("n").cast(d38) - 1)).cast(DoubleType))
+          .as("spearman_rho"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_chi_square" -> chiSquare,
     "q161_ab_test_readout" -> abTestReadout,
+    "q162_spearman_correlation" -> spearmanCorrelation,
     "q153_bitmap_distinct" -> bitmapDistinct,
     "q157_join_fanout_profile" -> joinFanoutProfile,
     "q159_diversity_index" -> diversityIndex,
@@ -377,6 +407,21 @@ object Validate {
       cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
   val oracles: Map[String, String] = Map(
+    "q162_spearman_correlation" ->
+      """WITH m AS (SELECT o_custkey AS key, COUNT(*) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT key,
+        |    ROW_NUMBER() OVER (ORDER BY freq, key) AS rk_freq,
+        |    ROW_NUMBER() OVER (ORDER BY cents, key) AS rk_spend
+        |  FROM m)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  1.0 - CAST(CAST(6 * SUM(CAST(rk_freq - rk_spend AS HUGEINT)
+        |          * (rk_freq - rk_spend)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(COUNT(*) AS HUGEINT) * (CAST(COUNT(*) AS HUGEINT)
+        |          * COUNT(*) - 1) AS VARCHAR) AS DOUBLE) AS spearman_rho
+        |FROM r""".stripMargin,
     "q161_ab_test_readout" ->
       s"""WITH u AS (SELECT user_id,
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -66,6 +66,11 @@ object Windows {
       .drop("_v", "_t", "_bkt", "_off", "_n")
   }
 
+  /** Test hook: the ntile split on an arbitrary frame, named `t`. */
+  private[graft] def rfmNtileForTest(df: DataFrame, value: Column,
+      tie: Column, k: Int, bucketWidth: Long): DataFrame =
+    ntileNoGlobalSort(df, value, tie, k, bucketWidth, "t")
+
   /** GLOBAL NTILE on top of [[globalRankNoSort]]: the exact rank mapped
     * through standard NTILE's integer split (first n%k tiles get ⌈n/k⌉
     * rows). Appends `out`, input columns untouched. */

@@ -64,6 +64,22 @@ class OperatorSpec extends AnyFunSuite {
       === ((n, n)))
   }
 
+  test("q147's ntile split == Spark's ntile across remainder shapes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // n % k of 0..3 all covered (n = 40..43), plus n < k (n = 3)
+    for (n <- Seq(3, 40, 41, 42, 43)) {
+      val df = (1 to n).map(i => (i.toLong * 7 % 97, i.toLong)).toDF("v", "id")
+      val naive = df.withColumn("t",
+        ntile(4).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      val got = ops.Windows.rfmNtileForTest(df, col("v"), col("id"), 4, 16L)
+      val bad = got.alias("g").join(naive.alias("x"), Seq("v", "id"))
+        .filter(col("g.t") =!= col("x.t")).count()
+      assert(bad === 0, s"n=$n")
+    }
+  }
+
   test("argmax rows are real input rows (row membership)") {
     val top = run("q09_argmax_per_day")
     val orders = Tables.load(spark, sf, "orders")
