@@ -513,7 +513,30 @@ object Streams {
         "CAST(value AS STRING) AS value",
         "topic", "partition", "offset", "timestamp")
 
+  /** STREAMING exact DAU via the q153 bitmap monoid: the stream
+    * aggregates (day, word-index) → bit_or of 64-bit words — bit_or is
+    * commutative/associative/idempotent, so micro-batch order cannot
+    * change the final words and state is BOUNDED at one int64 per
+    * occupied word (≈ active-id-range/64 per day), never a seen-set of
+    * raw user ids. The popcount rollup runs batch-side on the sink
+    * (streaming allows one aggregation per query). == q153's
+    * COUNT(DISTINCT) oracle STRING, so the streaming and batch forms
+    * can never fork. */
+  def streamBitmapDau(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir, withTs = true)
+      .groupBy(to_date(col("ts")).as("day"),
+        expr("user_id DIV 64").as("word_idx"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(user_id % 64 AS INT))"))
+        .as("word"))
+    runToMemory(spark, agg, "graft_stream_bitmap")
+      .groupBy(col("day"))
+      .agg(sum(bit_count(col("word")).cast("long")).as("n_users"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_stream_bitmap_dau" -> streamBitmapDau,
     "q40_stream_hourly" -> streamHourly,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
@@ -537,6 +560,9 @@ object Streams {
     * bit-for-bit (q104 reuses q39's oracle STRING so they can never
     * fork). */
   val oracles: Map[String, String] = Map(
+    // q164 == q153's batch twin: same oracle STRING
+    "q164_stream_bitmap_dau" ->
+      graft.ops.Validate.oracles("q153_bitmap_distinct"),
     "q104_stream_sessions" ->
       graft.ops.Temporal.oracles("q39_session_window"),
     // q140 == q135's batch twin: same oracle STRING, so the streaming
