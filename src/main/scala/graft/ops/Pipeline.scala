@@ -522,13 +522,14 @@ object Pipeline {
     * aggregation over the corpus; everything after runs on O(groups)
     * rows (two broadcast scalars, one tiny window) — the 100 TB cost
     * is the count, which is partial-aggregated. */
-  def apportionQuota(spark: SparkSession, dir: String): DataFrame = {
-    val budget = lit(1000L)
+  def apportionQuota(spark: SparkSession, dir: String,
+      budgetSlots: Long = 1000L): DataFrame = {
+    val budget = lit(budgetSlots)
     val counts = load(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("t"))
     val based = counts.crossJoin(broadcast(total))
-      .withColumn("base", expr("(1000 * n) DIV t"))
+      .withColumn("base", expr(s"($budgetSlots * n) DIV t"))
       .withColumn("rem", (budget * col("n")) % col("t"))
     val leftover = based.agg((budget - sum(col("base"))).as("l"))
     val w = Window.orderBy(col("rem").desc, col("lang"))
@@ -540,8 +541,36 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** EXACT-TOTAL proportional stratified sample: q146's
+    * largest-remainder quotas drive a per-stratum hash-priority take,
+    * so the sample is EXACTLY the 30-slot budget overall (sized below
+    * the smallest fixture corpus so sampling is real at every SF),
+    * proportional across languages, deterministic and refresh-stable
+    * (same phash priority rule as q75 — membership is a pure function
+    * of doc_id). The composition point of the two operators: q75 alone
+    * fixes quotas a priori, q146 alone sizes them; this takes them.
+    * One broadcast of O(langs) quotas, ranking windows PARTITIONED by
+    * lang. id_sum is the determinism receipt the oracle re-derives. */
+  def proportionalSample(spark: SparkSession, dir: String): DataFrame = {
+    val quotas = apportionQuota(spark, dir, budgetSlots = 30L)
+      .select(col("lang"), col("quota"))
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .withColumn("pri",
+        phash(concat(col("doc_id").cast(StringType), lit(":psmp"))))
+    val w = Window.partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+    docs.join(broadcast(quotas), "lang")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("lang"))
+      .agg(max(col("quota")).as("quota"), count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q146_apportion_quota" -> apportionQuota,
+    "q146_apportion_quota" ->
+      ((s: SparkSession, d: String) => apportionQuota(s, d)),
+    "q166_proportional_sample" -> proportionalSample,
     "q149_weighted_median" -> weightedMedian,
     "q95_group_percentile" -> groupPercentileRank,
     "q93_shuffle_order" -> ((s: SparkSession, d: String) => shuffleOrder(s, d)),
@@ -561,6 +590,21 @@ object Pipeline {
   private def bucketSql(key: String, n: Int): String =
     s"(${phashSql(s"CAST($key AS VARCHAR)")} % $n)"
 
+  /** The q146 quota derivation at a given budget, shared verbatim by
+    * q166's oracle so the two can never fork. */
+  private def apportionSql(budget: Long): String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
+      |b AS (SELECT lang, n, ($budget * n) // t.t AS base,
+      |        ($budget * n) % t.t AS rem FROM c, t),
+      |l AS (SELECT CAST($budget - SUM(base) AS BIGINT) AS l FROM b),
+      |r AS (SELECT lang, n, base,
+      |        ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn FROM b)
+      |SELECT r.lang, r.n,
+      |  CAST(r.base + CASE WHEN r.rn <= l.l THEN 1 ELSE 0 END AS BIGINT)
+      |    AS quota
+      |FROM r, l ORDER BY r.lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the direct formulation: cumulative weights over the full sorted
     // value histogram; the boundary row where cum first reaches
@@ -579,18 +623,20 @@ object Pipeline {
         |  CAST(cents AS DOUBLE) / 100 AS weighted_median
         |FROM c, t
         |WHERE cum >= (tw + 1) // 2 AND cum - wc < (tw + 1) // 2""".stripMargin,
-    "q146_apportion_quota" ->
-      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
-        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
-        |b AS (SELECT lang, n, (1000 * n) // t.t AS base,
-        |        (1000 * n) % t.t AS rem FROM c, t),
-        |l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS l FROM b),
-        |r AS (SELECT lang, n, base,
-        |        ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn FROM b)
-        |SELECT r.lang, r.n,
-        |  CAST(r.base + CASE WHEN r.rn <= l.l THEN 1 ELSE 0 END AS BIGINT)
-        |    AS quota
-        |FROM r, l ORDER BY r.lang""".stripMargin,
+    "q146_apportion_quota" -> apportionSql(1000),
+    "q166_proportional_sample" ->
+      s"""WITH q AS (${apportionSql(30)}),
+        |d AS (SELECT doc_id, lang,
+        |    ${phashSql("CAST(doc_id AS VARCHAR) || ':psmp'")} AS pri
+        |  FROM documents),
+        |s AS (SELECT d.lang, d.doc_id, q.quota,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang
+        |      ORDER BY d.pri, d.doc_id) AS rn
+        |  FROM d JOIN q USING (lang))
+        |SELECT lang, CAST(MAX(quota) AS BIGINT) AS quota,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM s WHERE rn <= quota GROUP BY 1 ORDER BY 1""".stripMargin,
     "q95_group_percentile" ->
       """SELECT doc_id, lang, n_chars,
         |  PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars)

@@ -320,7 +320,8 @@ object Temporal {
     "q152_period_growth" -> periodGrowth,
     "q156_funnel_latency" -> funnelLatency,
     "q160_cumulative_uniques" -> cumulativeUniques,
-    "q163_day_overlap" -> dayOverlap)
+    "q163_day_overlap" -> dayOverlap,
+    "q165_ltv_triangle" -> ltvTriangle)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -584,6 +585,34 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** LTV TRIANGLE: cumulative revenue per acquisition cohort by
+    * month-age — q91's retention triangle with money instead of
+    * presence, the payback-period table. Cohort = month of first
+    * order (one keyed reduction + one keyed join); age is an integer
+    * month difference (year·12+month arithmetic — months_between's
+    * fractional double never appears); the running total stays DECIMAL
+    * through the cohort-PARTITIONED window (float cusum order differs
+    * between engines; decimal is associative-exact) and casts once. */
+  def ltvTriangle(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+      .select(col("o_custkey").as("key"), col("o_orderdate").as("d"),
+        d2(col("o_totalprice")).as("p"))
+    val first = o.groupBy(col("key")).agg(min(col("d")).as("fd"))
+    val mi = (c: Column) => year(c) * 12 + month(c)
+    val cell = o.join(first, "key")
+      .groupBy(date_trunc("month", col("fd")).cast("timestamp_ntz")
+          .as("cohort_month"),
+        (mi(col("d")) - mi(col("fd"))).as("age_months"))
+      .agg(sum(col("p")).as("rev"))
+    val w = Window.partitionBy(col("cohort_month")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.withColumn("cum", sum(col("rev")).over(w))
+      .select(col("cohort_month"), col("age_months"),
+        col("rev").cast(DoubleType).as("revenue"),
+        col("cum").cast(DoubleType).as("cum_revenue"))
+      .orderBy(col("cohort_month"), col("age_months"))
+  }
+
   /** GOLDEN-RECORD survivorship: one consolidated row per user with
     * each field taken from that field's OWN latest occurrence — the
     * entity-resolution merge rule (MDM "most recent non-null wins")
@@ -804,6 +833,21 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q165_ltv_triangle" ->
+      """WITH o AS (SELECT o_custkey AS key, o_orderdate AS d,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |f AS (SELECT key, MIN(d) AS fd FROM o GROUP BY 1),
+        |cell AS (SELECT DATE_TRUNC('month', f.fd) AS cohort_month,
+        |    (YEAR(o.d) * 12 + MONTH(o.d))
+        |      - (YEAR(f.fd) * 12 + MONTH(f.fd)) AS age_months,
+        |    SUM(o.p) AS rev
+        |  FROM o JOIN f USING (key) GROUP BY 1, 2)
+        |SELECT cohort_month, age_months,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev) OVER (PARTITION BY cohort_month ORDER BY age_months
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_revenue
+        |FROM cell ORDER BY cohort_month, age_months""".stripMargin,
     "q163_day_overlap" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
         |  FROM events),
