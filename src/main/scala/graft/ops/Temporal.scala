@@ -321,7 +321,8 @@ object Temporal {
     "q156_funnel_latency" -> funnelLatency,
     "q160_cumulative_uniques" -> cumulativeUniques,
     "q163_day_overlap" -> dayOverlap,
-    "q165_ltv_triangle" -> ltvTriangle)
+    "q165_ltv_triangle" -> ltvTriangle,
+    "q167_session_stats" -> sessionStats)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -613,6 +614,50 @@ object Temporal {
       .orderBy(col("cohort_month"), col("age_months"))
   }
 
+  /** SESSION STATS: gap-based sessionization (30-min inactivity cut —
+    * the islands pattern: lag-detect session starts, running-sum them
+    * into session ids, all inside ONE user-partitioned window pass),
+    * rolled to per-day engagement health: session count, bounce share
+    * (single-event sessions), median duration. Durations are exact
+    * int64 microseconds; the median is the k50 integer rank cutoff on
+    * a day-PARTITIONED window. Complements q39 (native session_window
+    * aggregation): same semantics family, but this form yields the
+    * per-session ROWS a downstream join can consume. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val GapUs = 1800000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", (col("prev").isNull ||
+        expr("timestampdiff(MICROSECOND, prev, ts)") > GapUs).cast(LongType))
+      .withColumn("sid",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("s_start"),
+        max(col("ts")).as("s_end"))
+      .select(to_date(col("s_start")).as("day"), col("user_id"), col("sid"),
+        col("n_events"),
+        expr("timestampdiff(MICROSECOND, s_start, s_end)").as("dur_us"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("dur_us"), col("user_id"), col("sid"))
+    val wN = Window.partitionBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sessions
+      .withColumn("rn", row_number().over(wDay).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("dur_us")))
+          .as("p50_dur_us"))
+      .withColumn("bounce_share",
+        col("n_bounce").cast(DoubleType) / col("n_sessions").cast(DoubleType))
+      .orderBy(col("day"))
+  }
+
   /** GOLDEN-RECORD survivorship: one consolidated row per user with
     * each field taken from that field's OWN latest occurrence — the
     * entity-resolution merge rule (MDM "most recent non-null wins")
@@ -833,6 +878,33 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q167_session_stats" ->
+      """WITH m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR DATE_DIFF('microsecond', LAG(ts) OVER w, ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, ts, event_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |s AS (SELECT CAST(MIN(ts) AS DATE) AS day, user_id, sid,
+        |    COUNT(*) AS n_events,
+        |    DATE_DIFF('microsecond', MIN(ts), MAX(ts)) AS dur_us
+        |  FROM sid GROUP BY user_id, sid),
+        |r AS (SELECT day, n_events, dur_us,
+        |    ROW_NUMBER() OVER (PARTITION BY day
+        |      ORDER BY dur_us, user_id, sid) AS rn,
+        |    COUNT(*) OVER (PARTITION BY day) AS n
+        |  FROM s)
+        |SELECT day, CAST(MAX(n) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN dur_us END) AS p50_dur_us,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(MAX(n) AS DOUBLE) AS bounce_share
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     "q165_ltv_triangle" ->
       """WITH o AS (SELECT o_custkey AS key, o_orderdate AS d,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
