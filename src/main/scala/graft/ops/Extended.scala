@@ -446,6 +446,17 @@ object Extended {
     * (one giant order) is the residual risk at 100 TB — quadratic
     * inside its task; the standard cap is dropping baskets above a
     * size bound, which changes semantics and is left to the caller. */
+  /** Ordered 2-combinations of a sorted, deduped array — pair
+    * (arr[i], y) for every y after position i, as structs with the
+    * given field names. The ONE in-basket pair enumerator (codegen'd
+    * nested array HOFs; the i+2 start is the 1-based `slice` index of
+    * the element AFTER position i), shared by q113/q151/q158 so the
+    * subtle slice arithmetic exists once. */
+  private def pairCombos(arr: Column, aName: String, bName: String): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + 2, size(arr) - i - 1),
+        y => struct(x.as(aName), y.as(bName)))))
+
   def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
     val MinSupport = 3
     val li = load(spark, dir, "lineitem")
@@ -459,9 +470,7 @@ object Extended {
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
     // ordered 2-combinations of the sorted, deduped item array:
     // pair (parts[i], y) for every y after position i
-    val pairsCol = flatten(transform(col("parts"), (x, i) =>
-      transform(slice(col("parts"), i + 2, size(col("parts")) - i - 1),
-        y => struct(x.as("part_a"), y.as("part_b")))))
+    val pairsCol = pairCombos(col("parts"), "part_a", "part_b")
     baskets.select(explode(pairsCol).as("p"))
       .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
@@ -490,9 +499,7 @@ object Extended {
     val baskets = li.join(freqItems, "l_partkey")
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-    val pairsCol = flatten(transform(col("parts"), (x, i) =>
-      transform(slice(col("parts"), i + 2, size(col("parts")) - i - 1),
-        y => struct(x.as("part_a"), y.as("part_b")))))
+    val pairsCol = pairCombos(col("parts"), "part_a", "part_b")
     val pairCounts = baskets.select(explode(pairsCol).as("p"))
       .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
@@ -540,9 +547,7 @@ object Extended {
       .agg(count(lit(1)).as("n_type"))
     val baskets = ev.groupBy(col("user_id"), col("hr"))
       .agg(array_sort(collect_set(col("event_type"))).as("types"))
-    val pairsCol = flatten(transform(col("types"), (x, i) =>
-      transform(slice(col("types"), i + 2, size(col("types")) - i - 1),
-        y => struct(x.as("type_a"), y.as("type_b")))))
+    val pairsCol = pairCombos(col("types"), "type_a", "type_b")
     val d = (c: Column) => c.cast(DoubleType)
     baskets.select(explode(pairsCol).as("p"))
       .select(col("p.type_a"), col("p.type_b"))

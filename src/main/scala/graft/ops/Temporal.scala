@@ -544,14 +544,19 @@ object Temporal {
     * shuffle, partial-aggregable), roll to a per-day first-seen
     * histogram, then ONE cumulative window over O(days) rows. */
   def cumulativeUniques(spark: SparkSession, dir: String): DataFrame = {
-    val firstSeen = events(spark, dir)
+    val ev = events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    // dense axis over every OBSERVED day: an active day with zero new
+    // users must still carry the running total forward (n_new = 0)
+    val days = ev.select(col("day")).distinct()
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_first"))
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    firstSeen.groupBy(col("first_day").as("day"))
-      .agg(count(lit(1)).as("n_new"))
+    days.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_first"), lit(0L)))
       .withColumn("n_total", sum(col("n_new")).over(wCum))
+      .select(col("day"), col("n_new"), col("n_total"))
       .orderBy(col("day"))
   }
 
@@ -939,16 +944,17 @@ object Temporal {
         |FROM c c0 JOIN c c1 ON c1.day = c0.day + 1
         |LEFT JOIN ov ON ov.day = c0.day
         |ORDER BY c0.day""".stripMargin,
-    // the naive form: per-day distinct over the growing prefix
+    // first-seen histogram left-joined onto the dense observed-day axis
     "q160_cumulative_uniques" ->
-      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
-        |  FROM events GROUP BY 1),
-        |h AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY 1)
-        |SELECT day, n_new,
-        |  CAST(SUM(n_new) OVER (ORDER BY day
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |d AS (SELECT DISTINCT day FROM ev),
+        |f AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1),
+        |h AS (SELECT day, COUNT(*) AS n_first FROM f GROUP BY 1)
+        |SELECT d.day, CAST(COALESCE(h.n_first, 0) AS BIGINT) AS n_new,
+        |  CAST(SUM(COALESCE(h.n_first, 0)) OVER (ORDER BY d.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_total
-        |FROM h ORDER BY day""".stripMargin,
+        |FROM d LEFT JOIN h USING (day) ORDER BY d.day""".stripMargin,
     "q156_funnel_latency" ->
       """WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),

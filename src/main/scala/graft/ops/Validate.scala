@@ -216,17 +216,27 @@ object Validate {
     * idea in columnar form, and the backbone of COUNT(DISTINCT)
     * rollups over dense integer keys at 100 TB. Exact, not a sketch:
     * == COUNT(DISTINCT) oracle. */
-  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-      .select(to_date(col("ts")).as("day"), col("user_id"))
-    ev.groupBy(col("day"), expr("user_id DIV 64").as("word_idx"))
+  /** The ONE bitmap-word derivation (day, user_id DIV 64 → bit_or
+    * word), shared by batch q153 and streaming q164 so the two Spark
+    * sides can never fork (the q140/q135 latestBy convention). Works
+    * on a streaming df too — it is a single aggregation. Assumes
+    * nonnegative user ids (DIV truncation == floor only for ≥ 0). */
+  private[graft] def dayUserBitmap(ev: DataFrame): DataFrame =
+    ev.groupBy(to_date(col("ts")).as("day"),
+        expr("user_id DIV 64").as("word_idx"))
       .agg(bit_or(expr("shiftleft(1L, CAST(user_id % 64 AS INT))"))
         .as("word"))
-      .groupBy(col("day"))
+
+  /** The matching popcount rollup: (day, word) rows → per-day exact
+    * distinct counts. Shared by q153/q164. */
+  private[graft] def bitmapRollup(words: DataFrame): DataFrame =
+    words.groupBy(col("day"))
       .agg(sum(bit_count(col("word")).cast(LongType)).as("n_users"),
         count(lit(1)).as("n_words"))
       .orderBy(col("day"))
-  }
+
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    bitmapRollup(dayUserBitmap(events(spark, dir)))
 
   /** Benford first-digit audit of order totals — the fraud/synthetic-
     * data screen: observed share of each leading digit vs Benford's

@@ -523,16 +523,12 @@ object Streams {
     * COUNT(DISTINCT) oracle STRING, so the streaming and batch forms
     * can never fork. */
   def streamBitmapDau(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir, withTs = true)
-      .groupBy(to_date(col("ts")).as("day"),
-        expr("user_id DIV 64").as("word_idx"))
-      .agg(bit_or(expr("shiftleft(1L, CAST(user_id % 64 AS INT))"))
-        .as("word"))
-    runToMemory(spark, agg, "graft_stream_bitmap")
-      .groupBy(col("day"))
-      .agg(sum(bit_count(col("word")).cast("long")).as("n_users"),
-        count(lit(1)).as("n_words"))
-      .orderBy(col("day"))
+    // the SAME word derivation + rollup as batch q153 (shared helpers,
+    // the q140/q135 latestBy convention) — only the source differs
+    val agg = graft.ops.Validate.dayUserBitmap(
+      eventsStream(spark, dir, withTs = true))
+    graft.ops.Validate.bitmapRollup(
+      runToMemory(spark, agg, "graft_stream_bitmap"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
