@@ -227,7 +227,38 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  /** HIERARCHY SHARE: nation revenue as a share of its region and of
+    * the world — the percent-of-parent drill-down every BI rollup
+    * needs. Revenue aggregates once at the LEAF (nation) in exact
+    * DECIMAL; region and grand totals re-aggregate the O(nations)
+    * leaf table (the q86 partial-merge algebra — the fact table is
+    * scanned exactly once) and broadcast back; each share is one
+    * double division of decimal-exact operands. */
+  def hierarchyShare(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val o = load(spark, dir, "orders")
+    val n = load(spark, dir, "nation")
+    val r = load(spark, dir, "region")
+    val leaf = c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(d2(col("o_totalprice"))).as("rev"))
+    val regionTot = leaf.groupBy(col("r_name")).agg(sum(col("rev")).as("r_rev"))
+    val worldTot = leaf.agg(sum(col("rev")).as("w_rev"))
+    leaf.join(broadcast(regionTot), "r_name")
+      .crossJoin(broadcast(worldTot))
+      .select(col("r_name"), col("n_name"),
+        col("rev").cast(DoubleType).as("revenue"),
+        (col("rev").cast(DoubleType) / col("r_rev").cast(DoubleType))
+          .as("share_of_region"),
+        (col("rev").cast(DoubleType) / col("w_rev").cast(DoubleType))
+          .as("share_of_world"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_hierarchy_share" -> hierarchyShare,
     "q63_set_ops_all" -> setOpsAll,
     "q01_pricing_summary" -> pricingSummary,
     "q02_revenue_filter" -> revenueFilter,
@@ -246,6 +277,24 @@ object Relational {
     "q15_distinct_counts" -> distinctCounts)
 
   val oracles: Map[String, String] = Map(
+    "q169_hierarchy_share" ->
+      """WITH leaf AS (SELECT r.r_name, n.n_name,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT r_name, SUM(rev) AS r_rev FROM leaf GROUP BY 1),
+        |wt AS (SELECT SUM(rev) AS w_rev FROM leaf)
+        |SELECT leaf.r_name, leaf.n_name,
+        |  CAST(leaf.rev AS DOUBLE) AS revenue,
+        |  CAST(leaf.rev AS DOUBLE) / CAST(rt.r_rev AS DOUBLE)
+        |    AS share_of_region,
+        |  CAST(leaf.rev AS DOUBLE) / CAST(wt.w_rev AS DOUBLE)
+        |    AS share_of_world
+        |FROM leaf JOIN rt USING (r_name), wt
+        |ORDER BY leaf.r_name, leaf.n_name""".stripMargin,
     "q63_set_ops_all" ->
       """SELECT custkey, COUNT(*) AS multiplicity
         |FROM (

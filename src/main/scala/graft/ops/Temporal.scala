@@ -322,7 +322,8 @@ object Temporal {
     "q160_cumulative_uniques" -> cumulativeUniques,
     "q163_day_overlap" -> dayOverlap,
     "q165_ltv_triangle" -> ltvTriangle,
-    "q167_session_stats" -> sessionStats)
+    "q167_session_stats" -> sessionStats,
+    "q168_longest_streak" -> longestStreak)
 
   /** Per-group least-squares TREND (slope + intercept of value over
     * time) — the drift detector of metric pipelines: one
@@ -663,6 +664,28 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** LONGEST-STREAK distribution: per user, the longest run of
+    * CONSECUTIVE active days, rolled to a histogram — the habit/
+    * gamification metric. The islands trick without a gap join:
+    * day_number − row_number is CONSTANT within a consecutive run, so
+    * one user-partitioned window + two keyed aggregations find every
+    * streak; all integers. */
+  def longestStreak(spark: SparkSession, dir: String): DataFrame = {
+    val du = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    du.withColumn("grp",
+        datediff(col("day"), to_date(lit("1990-01-01"))) -
+          row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak_len")).as("longest"))
+      .groupBy(col("longest"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("longest"))
+  }
+
   /** GOLDEN-RECORD survivorship: one consolidated row per user with
     * each field taken from that field's OWN latest occurrence — the
     * entity-resolution merge rule (MDM "most recent non-null wins")
@@ -883,6 +906,19 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q168_longest_streak" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    DATE_DIFF('day', DATE '1990-01-01', day)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM du),
+        |s AS (SELECT user_id, grp, COUNT(*) AS streak_len
+        |      FROM g GROUP BY 1, 2),
+        |m AS (SELECT user_id, CAST(MAX(streak_len) AS BIGINT) AS longest
+        |      FROM s GROUP BY 1)
+        |SELECT longest, COUNT(*) AS n_users
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q167_session_stats" ->
       """WITH m AS (SELECT user_id, ts, event_id,
         |    CASE WHEN LAG(ts) OVER w IS NULL
