@@ -483,6 +483,30 @@ object Dedup {
     triangleCountsFrom(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
+  /** LOCAL CLUSTERING COEFFICIENT per node: triangles(v) /
+    * C(deg(v), 2) — how clique-like each doc's near-dup neighborhood
+    * is (1.0 = tight duplicate blob, →0 = loose similarity chain; the
+    * per-node refinement of q92's counts and the quantitative form of
+    * q137's health read). Reuses the degree-oriented triangle machinery
+    * and the symmetrized degree count; nodes with deg < 2 define cc=0.
+    * Integer counts, ONE division. */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false)
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .union(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.join(triangleCountsFrom(e), Seq("doc_id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("cc",
+        when(col("degree") >= 2,
+          col("n_triangles").cast(DoubleType) * 2.0 /
+            (col("degree") * (col("degree") - 1)).cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("degree"), col("n_triangles"), col("cc"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate-CLUSTER size distribution — the corpus-health report
     * derived from q67's connected components: how many near-dup blobs
     * of each size exist (a long tail of pairs is normal; one giant
@@ -575,6 +599,7 @@ object Dedup {
     "q92_triangle_counts" -> triangleCounts,
     "q124_two_hop_neighbors" -> twoHopNeighbors,
     "q144_bfs_seed_distance" -> bfsSeedDistance,
+    "q170_clustering_coefficient" -> clusteringCoefficient,
     "q130_quality_dedup" -> qualityDedup,
     "q137_cluster_sizes" -> clusterSizeDistribution,
     "q30_exact_dedup" -> exactDedup,
@@ -641,6 +666,7 @@ object Dedup {
     "q92_triangle_counts" -> triangleOracle,
     "q124_two_hop_neighbors" -> twoHopOracle,
     "q144_bfs_seed_distance" -> bfsOracle,
+    "q170_clustering_coefficient" -> clusteringOracle,
     "q137_cluster_sizes" -> clusterSizesOracle,
     "q130_quality_dedup" ->
       """WITH k AS (SELECT doc_id,
@@ -730,6 +756,33 @@ object Dedup {
         |                  JOIN sym s ON s.src = w.node WHERE w.d < 4)
         |SELECT node AS doc_id, MIN(d) AS dist
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q170: q92's triangle triples + symmetrized degrees → per-node cc. */
+  private lazy val clusteringOracle: String =
+      s"""WITH $jaccardCommonCte,
+        |pairs AS (SELECT doc_a, doc_b FROM common
+        |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM sym GROUP BY 1),
+        |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+        |        FROM pairs ab
+        |        JOIN pairs bc ON ab.doc_b = bc.doc_a
+        |        JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+        |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |       FROM (SELECT a AS doc_id FROM tri
+        |             UNION ALL SELECT b FROM tri
+        |             UNION ALL SELECT c FROM tri)
+        |       GROUP BY 1)
+        |SELECT d.doc_id, d.degree,
+        |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN d.degree >= 2
+        |    THEN CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE) * 2.0
+        |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+        |    ELSE 0.0 END AS cc
+        |FROM deg d LEFT JOIN tc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
 
   /** q137: size histogram over the same recursive component labels. */
   private lazy val clusterSizesOracle: String =
