@@ -115,6 +115,32 @@ object Windows {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** TIME-INTERVAL RANGE frame: each event's trailing-24h activity
+    * (count + exact-decimal value sum) per user — the true
+    * event-time sliding window (`RANGE BETWEEN INTERVAL ... PRECEDING`),
+    * where q54's RANGE frame is numeric-peer and q62 pre-aggregates to
+    * fixed buckets. The frame is ordered by the raw timestamp, so
+    * same-instant events are frame PEERS (included together) in both
+    * engines — no tie-break column is legal in a RANGE frame and none
+    * is needed. One user-key shuffle; running sums stay DECIMAL.
+    * Boundary contract: frame membership compares at the engine's
+    * timestamp precision (µs here, ns in the DuckDB oracle), so a pair
+    * sitting EXACTLY 24h apart at sub-µs resolution could differ — a
+    * measure-zero case no fixture and no real clock hits. */
+  def intervalRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), d2(col("value")).as("v"))
+    ev.createOrReplaceTempView("graft_ev_range")
+    spark.sql(
+      """SELECT user_id, ts, event_id,
+        |  COUNT(*) OVER w AS n_24h,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS sum_24h
+        |FROM graft_ev_range
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin)
+  }
+
   /** Top-3 orders per customer by price — ranking window + filter. */
   def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -209,9 +235,19 @@ object Windows {
     "q54_window_range_frame" -> rangeFrameCumulative,
     "q55_window_distribution" -> balanceDistribution,
     "q133_balance_quartiles" -> balanceQuartiles,
-    "q147_rfm_segments" -> rfmSegments)
+    "q147_rfm_segments" -> rfmSegments,
+    "q171_interval_range_frame" -> intervalRangeFrame)
 
   val oracles: Map[String, String] = Map(
+    "q171_interval_range_frame" ->
+      """SELECT user_id, ts, event_id,
+        |  COUNT(*) OVER w AS n_24h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     // the naive single-partition form of the same total orders — the
     // two-level rank must reproduce it exactly
     "q147_rfm_segments" ->
