@@ -432,10 +432,16 @@ object Dedup {
     * keeps ALL its edges outgoing and anchors a quadratic
     * (a,b)⋈(b,c) fan-out; under degree order the hub is every edge's
     * HEAD and anchors none. */
-  private[graft] def orientByDegree(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("doc_a").as("v"))
+  /** Endpoint degrees (v, deg) of a canonical (doc_a < doc_b) edge
+    * set — ONE definition serving the degree orientation and q170's
+    * clustering denominator. */
+  private[graft] def endpointDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("doc_a").as("v"))
       .unionByName(edges.select(col("doc_b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+
+  private[graft] def orientByDegree(edges: DataFrame,
+      deg: DataFrame): DataFrame = {
     // doc_a < doc_b in the canonical undirected form, so a degree tie
     // resolves to the id order
     val aFirst = col("deg_a") < col("deg_b") ||
@@ -460,7 +466,15 @@ object Dedup {
     // caller composing/inspecting the query pays nothing until the
     // first action)
     val e = edges.localCheckpoint(eager = false)
-    val p = orientByDegree(e).localCheckpoint(eager = false)
+    triangleCountsFromCheckpointed(e, endpointDegrees(e))
+  }
+
+  /** Core triangle enumeration over an ALREADY-materialized edge set +
+    * its degree table (q170 shares both — no re-checkpoint, no second
+    * degree shuffle). */
+  private def triangleCountsFromCheckpointed(e: DataFrame,
+      deg: DataFrame): DataFrame = {
+    val p = orientByDegree(e, deg).localCheckpoint(eager = false)
     val tri = p.alias("ab")
       .join(p.alias("bc"), col("ab.dst") === col("bc.src"))
       .select(col("ab.src").as("a"), col("ab.dst").as("b"),
@@ -493,10 +507,12 @@ object Dedup {
   def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
     val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(eager = false)
-    val deg = e.select(col("doc_a").as("doc_id"))
-      .union(e.select(col("doc_b").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-    deg.join(triangleCountsFrom(e), Seq("doc_id"), "left")
+    // one degree table serves the clustering denominator AND the
+    // triangle orientation (and e is materialized exactly once)
+    val degrees = endpointDegrees(e).localCheckpoint(eager = false)
+    val deg = degrees.select(col("v").as("doc_id"), col("deg").as("degree"))
+    deg.join(triangleCountsFromCheckpointed(e, degrees),
+        Seq("doc_id"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("cc",
         when(col("degree") >= 2,

@@ -239,11 +239,15 @@ object Relational {
     val o = load(spark, dir, "orders")
     val n = load(spark, dir, "nation")
     val r = load(spark, dir, "region")
+    // leaf feeds itself + both totals: materialize ONCE (the q67/q92
+    // localCheckpoint pattern) rather than trusting exchange reuse to
+    // dedupe three runs of the fact join
     val leaf = c.join(o, c("c_custkey") === o("o_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(sum(d2(col("o_totalprice"))).as("rev"))
+      .localCheckpoint(eager = false)
     val regionTot = leaf.groupBy(col("r_name")).agg(sum(col("rev")).as("r_rev"))
     val worldTot = leaf.agg(sum(col("rev")).as("w_rev"))
     leaf.join(broadcast(regionTot), "r_name")

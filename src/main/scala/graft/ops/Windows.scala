@@ -11,8 +11,11 @@ import graft.Tables._
   * semantically `row_number() OVER (PARTITION BY date ORDER BY ...)`;
   * here the full ranking/analytic/frame machinery is exercised).
   *
-  * Every window ORDER BY carries a unique tie-break key so results are
-  * total-order deterministic across engines.
+  * Every ROWS-frame / ranking window ORDER BY carries a unique
+  * tie-break key so results are total-order deterministic across
+  * engines; RANGE frames (q54, q171) are the deliberate exception —
+  * a tie-break column is illegal there, and peers aggregate together
+  * identically in both engines by definition.
   */
 object Windows {
 
@@ -123,10 +126,10 @@ object Windows {
     * same-instant events are frame PEERS (included together) in both
     * engines — no tie-break column is legal in a RANGE frame and none
     * is needed. One user-key shuffle; running sums stay DECIMAL.
-    * Boundary contract: frame membership compares at the engine's
-    * timestamp precision (µs here, ns in the DuckDB oracle), so a pair
-    * sitting EXACTLY 24h apart at sub-µs resolution could differ — a
-    * measure-zero case no fixture and no real clock hits. */
+    * Both engines read the events parquet at MICROSECOND precision
+    * (Spark via [[graft.Tables.events]]'s ns→µs truncation, DuckDB by
+    * its native parquet TIMESTAMP mapping), so the 24h frame boundary
+    * compares identical operands on both sides. */
   def intervalRangeFrame(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), d2(col("value")).as("v"))
