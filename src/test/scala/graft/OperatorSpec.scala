@@ -621,7 +621,8 @@ class OperatorSpec extends AnyFunSuite {
     // star: hub 0 with 60 leaves, plus leaf-leaf edges forming triangles
     val edges = ((1 to 60).map(i => (0L, i.toLong)) ++
       Seq((1L, 2L), (2L, 3L), (1L, 3L))).toDF("doc_a", "doc_b")
-    val oriented = dedup.Dedup.orientByDegree(edges)
+    val oriented = dedup.Dedup.orientByDegree(edges,
+      dedup.Dedup.endpointDegrees(edges))
     // the hub has max degree, so EVERY star edge points INTO it: id
     // order would give the hub 60 out-edges and a 60x59 (a,b)x(b,c)
     // fan-out; degree order gives it zero
