@@ -49,6 +49,51 @@ object Extended {
         |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
   }
 
+  /** LATERAL correlated top-N: per region, the two highest-revenue
+    * nations via a LATERAL subquery with ORDER BY + LIMIT — the
+    * "top-n per outer row" SQL surface (Spark ≥ 3.2 lateral joins;
+    * Catalyst decorrelates to a window/aggregate under the hood, so
+    * this does NOT execute per-outer-row at scale). Written as SQL
+    * text; the oracle is the same shape. */
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "region").createOrReplaceTempView("graft_lat_region")
+    load(spark, dir, "nation").createOrReplaceTempView("graft_lat_nation")
+    load(spark, dir, "customer").createOrReplaceTempView("graft_lat_cust")
+    load(spark, dir, "orders").createOrReplaceTempView("graft_lat_orders")
+    spark.sql(
+      """SELECT r.r_name, t.n_name, t.revenue
+        |FROM graft_lat_region r,
+        |LATERAL (
+        |  SELECT n.n_name,
+        |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM graft_lat_nation n
+        |  JOIN graft_lat_cust c ON c.c_nationkey = n.n_nationkey
+        |  JOIN graft_lat_orders o ON o.o_custkey = c.c_custkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC, n.n_name
+        |  LIMIT 2
+        |) t
+        |ORDER BY r.r_name, t.revenue DESC, t.n_name""".stripMargin)
+  }
+
+  /** FILTER-clause conditional aggregation — the SQL-standard form of
+    * the `sum(when(...))` idiom used across the suite: per priority,
+    * total orders plus finished-only count and exact-decimal revenue
+    * in ONE aggregation pass (no self-join, no second scan). */
+  def filterClauseAgg(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders").createOrReplaceTempView("graft_filter_orders")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_finished
+        |FROM graft_filter_orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** CSV sink + source round-trip (SURVEY §2.1 file-format scans,
     * ABSENT in the reference): project → write CSV → read back with an
     * explicit schema → aggregate. The aggregate must equal the direct
@@ -690,6 +735,8 @@ object Extended {
     "q113_frequent_pairs" -> frequentPairs,
     "q151_association_rules" -> associationRules,
     "q158_temporal_cooccurrence" -> temporalCooccurrence,
+    "q172_lateral_topn" -> lateralTopN,
+    "q173_filter_clause_agg" -> filterClauseAgg,
     "q118_winsorized_mean" -> winsorizedMean,
     "q120_pareto_frontier" -> paretoFrontier,
     "q123_revenue_share" -> revenueShare,
@@ -844,6 +891,30 @@ object Extended {
         |ORDER BY e.event_type""".stripMargin,
     // the Apriori item prune is lossless at the pair-support floor, so
     // the oracle is the naive pair count
+    "q172_lateral_topn" ->
+      """SELECT r.r_name, t.n_name, t.revenue
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name,
+        |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM nation n
+        |  JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC, n.n_name
+        |  LIMIT 2
+        |) t
+        |ORDER BY r.r_name, t.revenue DESC, t.n_name""".stripMargin,
+    "q173_filter_clause_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_finished
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q158_temporal_cooccurrence" ->
       """WITH ev AS (SELECT DISTINCT user_id,
         |    DATE_TRUNC('hour', ts) AS hr, event_type FROM events),
