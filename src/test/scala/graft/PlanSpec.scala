@@ -387,6 +387,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("round-7 mining/graph/lateral queries never plan a cartesian product") {
+    // (broadcast one-row totals legitimately plan BroadcastNestedLoop —
+    // only a true CartesianProduct is the scale defect)
+    for (q <- Seq("q151_association_rules", "q158_temporal_cooccurrence",
+        "q163_day_overlap", "q165_ltv_triangle", "q172_lateral_topn",
+        "q156_funnel_latency", "q170_clustering_coefficient")) {
+      val plan = formatted(run(q))
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+    }
+  }
+
+  test("q169 re-aggregates the leaf and broadcasts dimensions/totals") {
+    val plan = formatted(run("q169_hierarchy_share"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q116/q125/q132 reuse one partitioning across window and rollup") {
     // lead/forward-min/rolling-moment windows must not add an exchange
     // beyond their key shuffle + the presentation orderBy
