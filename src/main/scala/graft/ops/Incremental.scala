@@ -119,27 +119,60 @@ object Incremental {
     * lookup contract as the merge; unchanged rows are filtered before
     * the sink so the feed is O(changes), not O(snapshot). Balances
     * compare in exact DECIMAL and cast to double once. */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val cust = load(spark, dir, "customer")
-    val a = cust.select(col("c_custkey").as("key"),
-      d2(col("c_acctbal")).as("bal_a"), lit(true).as("in_a"))
+  /** Snapshot A: the customer table as stored. ONE definition serving
+    * the diff (q143) and the feed apply (q174). */
+  private def snapA(cust: DataFrame): DataFrame =
+    cust.select(col("c_custkey").as("key"), d2(col("c_acctbal")).as("bal_a"))
+
+  /** Snapshot B: A evolved in-query — keys % 97 = 0 dropped, % 100 = 0
+    * get balance+10 plus a negated-key insert twin. Shared by q143 and
+    * q174's closure oracle. */
+  private def snapB(cust: DataFrame): DataFrame = {
     val kept = cust.filter(col("c_custkey") % 97 =!= 0)
       .select(col("c_custkey").as("key"),
         when(col("c_custkey") % 100 === 0,
           d2(col("c_acctbal")) + lit(10).cast(DecimalType(18, 2)))
           .otherwise(d2(col("c_acctbal"))).as("bal_b"))
     val inserted = cust.filter(col("c_custkey") % 100 === 0)
-      .select((-col("c_custkey") - 1).as("key"), d2(col("c_acctbal")).as("bal_b"))
-    val b = kept.unionByName(inserted).withColumn("in_b", lit(true))
-    a.join(b, Seq("key"), "full_outer")
+      .select((-col("c_custkey") - 1).as("key"),
+        d2(col("c_acctbal")).as("bal_b"))
+    kept.unionByName(inserted)
+  }
+
+  /** The raw change feed (key, action, bal_a, bal_b) in DECIMAL —
+    * q143 projects it to doubles, q174 applies it. */
+  private def changeFeed(cust: DataFrame): DataFrame =
+    snapA(cust).withColumn("in_a", lit(true))
+      .join(snapB(cust).withColumn("in_b", lit(true)), Seq("key"),
+        "full_outer")
       .withColumn("action",
         when(col("in_a").isNull, "insert")
           .when(col("in_b").isNull, "delete")
           .when(col("bal_a") =!= col("bal_b"), "update"))
       .filter(col("action").isNotNull)
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    changeFeed(load(spark, dir, "customer"))
       .select(col("key"), col("action"),
         col("bal_a").cast(DoubleType).as("old_bal"),
         col("bal_b").cast(DoubleType).as("new_bal"))
+      .orderBy(col("key"))
+
+  /** CHANGE-FEED APPLY — the full MERGE including DELETE: snapshot A +
+    * q143's feed must reconstruct snapshot B exactly (extract ∘ apply
+    * = identity, the round-trip law of CDC). One full-outer join of A
+    * with the feed classifies per key: delete → drop, update/insert →
+    * feed value, absent → keep A. The oracle derives B DIRECTLY from
+    * the shared snapB rule, so the gate checks the closure, not a
+    * re-implementation of the apply. */
+  def applyChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val feed = changeFeed(cust)
+      .select(col("key"), col("action"), col("bal_b"))
+    snapA(cust).join(feed, Seq("key"), "full_outer")
+      .filter(col("action").isNull || col("action") =!= "delete")
+      .select(col("key"),
+        coalesce(col("bal_b"), col("bal_a")).cast(DoubleType).as("balance"))
       .orderBy(col("key"))
   }
 
@@ -147,9 +180,23 @@ object Incremental {
     "q80_merge_upsert" -> mergeUpsert,
     "q86_rollup_merge" -> rollupMerge,
     "q87_late_recompute" -> lateRecompute,
-    "q143_snapshot_diff" -> snapshotDiff)
+    "q143_snapshot_diff" -> snapshotDiff,
+    "q174_apply_change_feed" -> applyChangeFeed)
 
   val oracles: Map[String, String] = Map(
+    // B derived DIRECTLY (not via a diff re-implementation): the gate
+    // checks extract∘apply = identity
+    "q174_apply_change_feed" ->
+      """SELECT key, CAST(bal_b AS DOUBLE) AS balance
+        |FROM (SELECT c_custkey AS key,
+        |    CASE WHEN c_custkey % 100 = 0
+        |      THEN CAST(c_acctbal AS DECIMAL(18,2)) + CAST(10 AS DECIMAL(18,2))
+        |      ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal_b
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT -c_custkey - 1, CAST(c_acctbal AS DECIMAL(18,2))
+        |  FROM customer WHERE c_custkey % 100 = 0)
+        |ORDER BY key""".stripMargin,
     "q143_snapshot_diff" ->
       """WITH a AS (SELECT c_custkey AS key,
         |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal_a FROM customer),
