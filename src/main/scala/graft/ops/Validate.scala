@@ -397,8 +397,37 @@ object Validate {
           .as("spearman_rho"))
   }
 
+  /** AUDIENCE VENN: the 7 inclusion–exclusion regions of the click /
+    * view / purchase user sets in ONE pass — per-user presence bits
+    * rolled to a 3-bit mask histogram (no pairwise set intersections,
+    * no self-joins; the n-way generalization is the same mask trick).
+    * The audience-overlap report behind "how many purchasers never
+    * clicked?". Scoped to the corpus's trailing 7 days (broadcast
+    * scalar max-ts) — over all time every user hits every type and
+    * all regions but one are empty. All integers. */
+  def vennOverlap(spark: SparkSession, dir: String): DataFrame = {
+    def bit(t: String, w: Int) =
+      max(when(col("event_type") === t, w).otherwise(0))
+    val ev = events(spark, dir)
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    ev.crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id"))
+      .agg((bit("click", 1) + bit("view", 2) + bit("purchase", 4))
+        .as("mask"))
+      .filter(col("mask") > 0)
+      .groupBy(col("mask")).agg(count(lit(1)).as("n_users"))
+      .select(col("mask"),
+        (col("mask").bitwiseAND(1) > 0).as("clicked"),
+        (col("mask").bitwiseAND(2) > 0).as("viewed"),
+        (col("mask").bitwiseAND(4) > 0).as("purchased"),
+        col("n_users"))
+      .orderBy(col("mask"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_chi_square" -> chiSquare,
+    "q175_venn_overlap" -> vennOverlap,
     "q161_ab_test_readout" -> abTestReadout,
     "q162_spearman_correlation" -> spearmanCorrelation,
     "q153_bitmap_distinct" -> bitmapDistinct,
@@ -417,6 +446,19 @@ object Validate {
       cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
   val oracles: Map[String, String] = Map(
+    "q175_venn_overlap" ->
+      """WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+        |m AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    + MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+        |    + MAX(CASE WHEN event_type = 'purchase' THEN 4 ELSE 0 END)
+        |      AS mask
+        |  FROM events, mx WHERE ts >= mx.mx - INTERVAL 7 DAY
+        |  GROUP BY 1)
+        |SELECT mask, mask & 1 > 0 AS clicked, mask & 2 > 0 AS viewed,
+        |  mask & 4 > 0 AS purchased, COUNT(*) AS n_users
+        |FROM m WHERE mask > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q162_spearman_correlation" ->
       """WITH m AS (SELECT o_custkey AS key, COUNT(*) AS freq,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
