@@ -144,6 +144,32 @@ object Windows {
         |ORDER BY user_id, ts, event_id""".stripMargin)
   }
 
+  /** EXPONENTIAL-DECAY recency score: each customer's last ≤ 8 orders
+    * weighted 2^(8-rank) (most recent ×128, halving per step) — the
+    * time-decayed engagement/LTV signal every ranking pipeline wants,
+    * computed with INTEGER powers of two so the weighted sum stays
+    * exact DECIMAL end-to-end (a float `exp(-λ·age)` would diverge
+    * between engines; a power-of-two ladder is the same decay curve
+    * quantized, and bit-portable). One customer-key shuffle for the
+    * ranking window, then a partial-aggregable rollup; the rank filter
+    * caps per-customer state at 8 rows regardless of history length —
+    * the property that keeps the operator O(customers) at 100 TB. */
+  def decayRecencyScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        d2(col("o_totalprice")).as("p"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .withColumn("wt",
+        expr("shiftleft(CAST(1 AS BIGINT), 8 - rn)").cast(DecimalType(4, 0)))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_recent"),
+        sum(col("p") * col("wt")).cast(DoubleType).as("decay_score"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Top-3 orders per customer by price — ranking window + filter. */
   def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -239,9 +265,23 @@ object Windows {
     "q55_window_distribution" -> balanceDistribution,
     "q133_balance_quartiles" -> balanceQuartiles,
     "q147_rfm_segments" -> rfmSegments,
-    "q171_interval_range_frame" -> intervalRangeFrame)
+    "q171_interval_range_frame" -> intervalRangeFrame,
+    "q176_decay_recency_score" -> decayRecencyScore)
 
   val oracles: Map[String, String] = Map(
+    // decimal × integer-decimal weight stays exact in both engines; the
+    // VARCHAR detour gives the correctly-rounded decimal->double cast
+    "q176_decay_recency_score" ->
+      """WITH r AS (SELECT o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, COUNT(*) AS n_recent,
+        |  CAST(CAST(SUM(p * CAST(CAST(1 AS BIGINT) << (8 - rn)
+        |    AS DECIMAL(4,0))) AS VARCHAR) AS DOUBLE) AS decay_score
+        |FROM r WHERE rn <= 8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q171_interval_range_frame" ->
       """SELECT user_id, ts, event_id,
         |  COUNT(*) OVER w AS n_24h,

@@ -117,6 +117,28 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("word"))
       .limit(20)
 
+  /** FEATURE HASHING (the "hashing trick" vectorizer): each document's
+    * token stream mapped into a FIXED 1024-dim sparse vector — dim =
+    * phash(tok) mod 1024, contribution ±1 by an independent hash bit
+    * (the signed variant of Weinberger et al. 2009, which debiases the
+    * collision expectation) — emitted as posting rows (doc_id, dim, w),
+    * zero-cancelled dims dropped. The vocabulary-free featurizer a
+    * 100 TB corpus needs: no dictionary to build/broadcast/version,
+    * output width fixed regardless of vocabulary growth, and the whole
+    * pass is explode → map-side-combinable count — one (doc_id, dim)
+    * shuffle of pre-aggregated partials, nothing else. */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame = {
+    val h = phash(col("tok"))
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), (h % 1024).as("dim"),
+        (shiftright(h, 10).bitwiseAND(lit(1L)) * 2 - 1).as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("w"))
+      .filter(col("w") =!= 0)
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
   /** Conjunctive-search query terms — config constants (the shape is
     * parameterized by the term list; three mid-frequency vocabulary
     * words exercise lists of different lengths). */
@@ -332,7 +354,8 @@ object TextAnalysis {
     "q45_word_topk" -> wordTopK,
     "q59_winnow_fingerprint" -> winnowFingerprint,
     "q108_inverted_search" -> invertedSearch,
-    "q112_collocations" -> collocations)
+    "q112_collocations" -> collocations,
+    "q177_feature_hashing" -> featureHashing)
 
   /** Every query here is oracle-checked. Determinism notes: ratios are a
     * single IEEE double division of integer-derived doubles (identical in
@@ -341,6 +364,18 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    // sign bit and dim come from disjoint bit ranges of the same
+    // portable 56-bit hash; all-integer arithmetic, no float anywhere
+    "q177_feature_hashing" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, ${phashSql("tok")} AS h FROM t)
+        |SELECT doc_id, h % 1024 AS dim,
+        |  CAST(SUM(((h >> 10) & 1) * 2 - 1) AS BIGINT) AS w
+        |FROM h GROUP BY 1, 2
+        |HAVING SUM(((h >> 10) & 1) * 2 - 1) <> 0
+        |ORDER BY doc_id, dim""".stripMargin,
     "q148_sql_shingle_stats" ->
       s"""WITH t AS (SELECT lang,
         |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
