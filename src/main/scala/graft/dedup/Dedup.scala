@@ -611,6 +611,53 @@ object Dedup {
     visited.orderBy(col("doc_id"))
   }
 
+  /** K-CORE decomposition (k = 2): the maximal subgraph of the q33
+    * near-dup graph in which every surviving node keeps ≥ k surviving
+    * neighbors — the standard dense-blob extractor (a 2-core separates
+    * genuinely interlinked duplicate groups from incidental pendant
+    * edges that exact-threshold pair mining always produces). Output:
+    * each core node with its within-core degree.
+    *
+    * Scale shape: the classic iterative PEEL — each round is one
+    * partial-aggregable degree count plus two semi-joins of the edge
+    * list against the survivor set, chained off a lazy localCheckpoint
+    * with ONE count action per round (the q67 convergence pattern).
+    * Work per round is O(remaining edges); rounds needed equal the
+    * peel depth, which on near-dup graphs (clique-ish blobs + short
+    * tendrils) is small. A round budget with require-fail guards
+    * adversarial long-chain graphs — never silent wrong output. The
+    * oracle runs the IDENTICAL peel unrolled to the same budget of
+    * fixed SQL stages (stages past the fixpoint are no-ops), so both
+    * engines compute the same bounded fixpoint or both abort. */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val k = 2
+    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    var edges = e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(eager = false)
+    var n = edges.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < KCoreRounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val next = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = false)
+      val m = next.count()
+      converged = m == n
+      edges = next; n = m; r += 1
+    }
+    require(converged, s"k-core peel did not converge in $KCoreRounds rounds")
+    edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("doc_id"), col("core_deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared round budget for the k-core peel and its unrolled oracle. */
+  private val KCoreRounds = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_triangle_counts" -> triangleCounts,
     "q124_two_hop_neighbors" -> twoHopNeighbors,
@@ -625,7 +672,8 @@ object Dedup {
     "q53_ppjoin_jaccard" -> ppjoinJaccard,
     "q67_dedup_clusters" -> dedupClusters,
     "q74_cluster_minhash" -> clusterMinhash,
-    "q79_simhash_neardup" -> simhashNearDup)
+    "q79_simhash_neardup" -> simhashNearDup,
+    "q178_kcore" -> kCore)
 
   /** Shared with q148's pure-SQL oracle: one definition of the DuckDB
     * trigram-shingle semantics, matching [[graft.functions.WordNGrams]]. */
@@ -680,6 +728,7 @@ object Dedup {
     "q53_ppjoin_jaccard" -> jaccardOracle,
     "q33_ngram_jaccard" -> jaccardOracle,
     "q92_triangle_counts" -> triangleOracle,
+    "q178_kcore" -> kCoreOracle,
     "q124_two_hop_neighbors" -> twoHopOracle,
     "q144_bfs_seed_distance" -> bfsOracle,
     "q170_clustering_coefficient" -> clusteringOracle,
@@ -809,6 +858,30 @@ object Dedup {
         |FROM cs
         |GROUP BY 1
         |ORDER BY cluster_size""".stripMargin
+
+  /** q178: the same 2-core peel as [[kCore]], unrolled to the shared
+    * [[KCoreRounds]] budget of fixed CTE stages — each stage keeps
+    * edges whose BOTH endpoints still have degree >= 2; stages past
+    * the fixpoint pass everything through unchanged. */
+  private lazy val kCoreOracle: String = {
+    // AS MATERIALIZED: each stage references its predecessor several
+    // times; inlining would expand the chain exponentially
+    val stages = (1 to KCoreRounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
+         |        HAVING COUNT(*) >= 2),
+         |e$i AS MATERIALIZED (SELECT src, dst FROM e${i - 1}
+         |        WHERE src IN (SELECT src FROM k$i)
+         |          AND dst IN (SELECT src FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardCommonCte,
+       |pairs AS (SELECT doc_a, doc_b FROM common
+       |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+       |e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |$stages
+       |SELECT src AS doc_id, COUNT(*) AS core_deg
+       |FROM e$KCoreRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** q92: oriented 3-way self-join over the same threshold pair set. */
   private lazy val triangleOracle: String =
