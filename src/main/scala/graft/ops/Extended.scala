@@ -133,6 +133,36 @@ object Extended {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SCHEMA-EVOLUTION merge read: two parquet batches written with
+    * DRIFTED schemas — an early batch before two columns existed, a
+    * later batch carrying them — read back as ONE table via
+    * `mergeSchema` + partition discovery, old rows null-extended. The
+    * ingestion reality every long-lived 100 TB lake hits: producers
+    * add columns mid-stream and history cannot be rewritten. Schema
+    * union happens in FOOTER metadata only (no data scan, no rewrite
+    * of the early batch); each file still scans with its own schema
+    * and column pruning, and the partition-discovered `batch` column
+    * gives lineage for free. The oracle states the same union
+    * declaratively over the source table. */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_schema_evo$safe"
+    val orders = load(spark, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    spark.read.option("mergeSchema", "true").option("basePath", out)
+      .parquet(s"$out/batch=1", s"$out/batch=2")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"),
+        col("batch").cast(LongType).as("batch"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Bucketed co-located join: both sides bucketed by the join key at
     * write time, so the join itself needs NO shuffle — the 100 TB
     * answer for repeated joins on the same key (pre-pay once, join
@@ -754,9 +784,21 @@ object Extended {
     "q49_bucketed_join" -> bucketedJoin,
     "q50_salted_skew_join" -> saltedSkewJoin,
     "q51_approx_distinct" -> approxDistinct,
-    "q52_percentiles" -> medians)
+    "q52_percentiles" -> medians,
+    "q179_schema_evolution" -> schemaEvolutionRead)
 
   val oracles: Map[String, String] = Map(
+    "q179_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(NULL AS DATE) AS o_orderdate,
+        |  CAST(NULL AS VARCHAR) AS o_orderpriority,
+        |  CAST(1 AS BIGINT) AS batch
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        |  o_orderpriority, CAST(2 AS BIGINT) AS batch
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     "q65_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         | COALESCE(l_linestatus, 'ALL') AS linestatus,
