@@ -567,7 +567,43 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN cascade audit: given a forget-set of
+    * customers (here the c_custkey % 97 = 0 slice; in production a
+    * consent/deletion-request table), measure what a cascading purge
+    * touches across the star — customers directly, orders via
+    * custkey, lineitems via the purged orders' keys. Each hop is a
+    * LEFT SEMI join carrying only the key column (never wide rows),
+    * and the identical plan with `left_anti` IS the purge writer —
+    * audit and delete share one cascade definition. At 100 TB the
+    * forget-set is broadcast (deletion requests are small) so every
+    * hop is a broadcast semi-join: no fact-table shuffle anywhere. */
+  def forgetCascade(spark: SparkSession, dir: String): DataFrame = {
+    val forget = load(spark, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey").as("k"))
+    val customer = load(spark, dir, "customer")
+    val orders = load(spark, dir, "orders")
+    val lineitem = load(spark, dir, "lineitem")
+    val purgedCust = customer
+      .join(broadcast(forget), customer("c_custkey") === forget("k"), "left_semi")
+    val purgedOrd = orders
+      .join(broadcast(forget), orders("o_custkey") === forget("k"), "left_semi")
+    val purgedKeys = purgedOrd.select(col("o_orderkey").as("pk"))
+    val purgedLine = lineitem
+      .join(broadcast(purgedKeys), lineitem("l_orderkey") === purgedKeys("pk"),
+        "left_semi")
+    def row(name: String, all: DataFrame, purged: DataFrame): DataFrame =
+      purged.agg(count(lit(1)).as("n_purged"))
+        .crossJoin(all.agg(count(lit(1)).as("n_total")))
+        .select(lit(name).as("table_name"), col("n_purged"),
+          (col("n_total") - col("n_purged")).as("n_retained"))
+    row("customer", customer, purgedCust)
+      .unionByName(row("orders", orders, purgedOrd))
+      .unionByName(row("lineitem", lineitem, purgedLine))
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_forget_cascade" -> forgetCascade,
     "q146_apportion_quota" ->
       ((s: SparkSession, d: String) => apportionQuota(s, d)),
     "q166_proportional_sample" -> proportionalSample,
@@ -606,6 +642,24 @@ object Pipeline {
       |FROM r, l ORDER BY r.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q180_forget_cascade" ->
+      """WITH f AS (SELECT c_custkey AS k FROM customer
+        |           WHERE c_custkey % 97 = 0),
+        |po AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT k FROM f)),
+        |pl AS (SELECT 1 FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT COUNT(*) FROM f) AS n_purged,
+        |  (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM f)
+        |    AS n_retained
+        |UNION ALL
+        |SELECT 'lineitem', (SELECT COUNT(*) FROM pl),
+        |  (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM pl)
+        |UNION ALL
+        |SELECT 'orders', (SELECT COUNT(*) FROM po),
+        |  (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM po)
+        |ORDER BY table_name""".stripMargin,
     // the direct formulation: cumulative weights over the full sorted
     // value histogram; the boundary row where cum first reaches
     // k=(W+1)/2 IS the weighted median
