@@ -425,7 +425,47 @@ object Validate {
       .orderBy(col("mask"))
   }
 
+  /** ZONE-MAP (data-skipping) effectiveness audit: per storage chunk
+    * (simulated as 4096-key orderkey ranges — the row-group granularity
+    * a writer actually produces), the min/max envelope of `l_shipdate`
+    * plus whether a year-1995 ship-date predicate could SKIP the chunk
+    * entirely (envelope disjoint from the predicate range). This is the
+    * min/max-statistics pruning decision parquet readers make from
+    * footer metadata; on a key-clustered layout the audit honestly
+    * shows near-zero skipping (dates are uncorrelated with keys) — the
+    * quantified motivation for q83's Z-order re-clustering, which makes
+    * the same envelopes tight. One partial-aggregable pass. */
+  def zoneMapSkipAudit(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_date(lit("1995-01-01"))
+    val hi = to_date(lit("1995-12-31"))
+    load(spark, dir, "lineitem")
+      .groupBy(expr("l_orderkey div 4096").as("chunk_id"))
+      .agg(min(col("l_shipdate")).as("min_sd"),
+        max(col("l_shipdate")).as("max_sd"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("skipped", col("max_sd") < lo || col("min_sd") > hi)
+      .orderBy(col("chunk_id"))
+  }
+
+  /** K-ANONYMITY audit: quasi-identifier combinations — (nation,
+    * market segment, 1000-wide balance band) — whose group size falls
+    * below k = 5, i.e. customers re-identifiable by joining public
+    * attributes. The privacy gate a training corpus runs AFTER q66's
+    * direct-PII scrub: scrubbing names doesn't help if the remaining
+    * attribute combination is unique. One partial-aggregable rollup +
+    * a size filter; the band edges use one identical IEEE double
+    * division + floor in both engines. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < 5)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_zonemap_skip" -> zoneMapSkipAudit,
+    "q182_k_anonymity" -> kAnonymityAudit,
     "q150_chi_square" -> chiSquare,
     "q175_venn_overlap" -> vennOverlap,
     "q161_ab_test_readout" -> abTestReadout,
@@ -446,6 +486,21 @@ object Validate {
       cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
   val oracles: Map[String, String] = Map(
+    "q181_zonemap_skip" ->
+      """SELECT l_orderkey // 4096 AS chunk_id,
+        |  MIN(l_shipdate) AS min_sd, MAX(l_shipdate) AS max_sd,
+        |  COUNT(*) AS n_rows,
+        |  (MAX(l_shipdate) < DATE '1995-01-01'
+        |   OR MIN(l_shipdate) > DATE '1995-12-31') AS skipped
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q182_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  COUNT(*) AS n
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
     "q175_venn_overlap" ->
       """WITH mx AS (SELECT MAX(ts) AS mx FROM events),
         |m AS (SELECT user_id,
