@@ -658,6 +658,44 @@ object Dedup {
   /** Shared round budget for the k-core peel and its unrolled oracle. */
   private val KCoreRounds = 16
 
+  /** PROBABILISTIC RECORD LINKAGE (Fellegi–Sunter shape, deterministic
+    * integer weights): candidate pairs from cheap BLOCKING — same
+    * (lang, 64-char length band) — scored by per-field agreement
+    * weights (source +5, token count +10, leading-2-token prefix +15),
+    * linked when score ≥ 15 (the strong field alone, or both weak
+    * fields). The entity-resolution scorer for records that are not
+    * textual near-dups but still the same entity; weights stay INTEGER
+    * so the score is bit-portable (real FS log-likelihood weights are
+    * a monotone relabeling of the same per-field agreement pattern —
+    * the decision boundary is what the operator fixes).
+    *
+    * Scale: blocking replaces the Θ(n²) all-pairs compare with one
+    * equi-join on the block key; per-field features are computed once
+    * per record BEFORE the join (never per pair), so the join compares
+    * fixed-width keys only. Skewed blocks (one giant language band)
+    * are the q50 salting case and AQE's skew split handles them. */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 64").as("blk"),
+        size(tokens(col("text"))).as("ntok"),
+        concat_ws(" ", slice(tokens(col("text")), 1, 2)).as("prefix2"))
+    val scored = d.alias("a")
+      .join(d.alias("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.source") === col("b.source")).as("m_source"),
+        (col("a.ntok") === col("b.ntok")).as("m_ntok"),
+        (col("a.prefix2") === col("b.prefix2")).as("m_prefix"))
+      .withColumn("score",
+        (when(col("m_source"), 5).otherwise(0)
+          + when(col("m_ntok"), 10).otherwise(0)
+          + when(col("m_prefix"), 15).otherwise(0)).cast(LongType))
+    scored.filter(col("score") >= 15)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_triangle_counts" -> triangleCounts,
     "q124_two_hop_neighbors" -> twoHopNeighbors,
@@ -673,7 +711,8 @@ object Dedup {
     "q67_dedup_clusters" -> dedupClusters,
     "q74_cluster_minhash" -> clusterMinhash,
     "q79_simhash_neardup" -> simhashNearDup,
-    "q178_kcore" -> kCore)
+    "q178_kcore" -> kCore,
+    "q183_record_linkage" -> recordLinkage)
 
   /** Shared with q148's pure-SQL oracle: one definition of the DuckDB
     * trigram-shingle semantics, matching [[graft.functions.WordNGrams]]. */
@@ -729,6 +768,25 @@ object Dedup {
     "q33_ngram_jaccard" -> jaccardOracle,
     "q92_triangle_counts" -> triangleOracle,
     "q178_kcore" -> kCoreOracle,
+    "q183_record_linkage" ->
+      """WITH t AS (SELECT doc_id, lang, source, n_chars // 64 AS blk,
+        |    LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS ntok,
+        |    ARRAY_TO_STRING(STRING_SPLIT_REGEX(TRIM(text), ' +')[1:2], ' ')
+        |      AS prefix2
+        |  FROM documents),
+        |s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.source = b.source AS m_source,
+        |    a.ntok = b.ntok AS m_ntok,
+        |    a.prefix2 = b.prefix2 AS m_prefix,
+        |    CAST(CASE WHEN a.source = b.source THEN 5 ELSE 0 END
+        |      + CASE WHEN a.ntok = b.ntok THEN 10 ELSE 0 END
+        |      + CASE WHEN a.prefix2 = b.prefix2 THEN 15 ELSE 0 END
+        |      AS BIGINT) AS score
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, m_source, m_ntok, m_prefix, score
+        |FROM s WHERE score >= 15
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q124_two_hop_neighbors" -> twoHopOracle,
     "q144_bfs_seed_distance" -> bfsOracle,
     "q170_clustering_coefficient" -> clusteringOracle,
