@@ -463,7 +463,44 @@ object Validate {
       .filter(col("n") < 5)
       .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
 
+  /** REPLICA DIVERGENCE LOCATOR — q98's order-independent checksums
+    * pushed down one level: both replicas roll (count, bit_xor, Z_p
+    * sum) of the row hash into 256 KEY-HASH buckets, and a full-outer
+    * bucket join emits only buckets whose triples disagree — the
+    * Merkle-ish "which 1/256th of the table do I re-sync" answer that
+    * turns a 100 TB reconciliation into a targeted repair. Replica B
+    * is derived in-query with deterministic faults (every 7777th key
+    * missing, every 5000th key's cents drifted by +100) so both
+    * fault classes — missing rows and corrupted values — must
+    * surface. Money is bucketed as exact DECIMAL cents (BIGINT), so
+    * the row key never renders a double. Each side is one
+    * partial-aggregable pass; the join carries 256 rows. */
+  def replicaBucketDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "cents")
+    val a = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (d2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val b = a.filter(col("o_orderkey") % 7777 =!= 0)
+      .withColumn("cents",
+        when(col("o_orderkey") % 5000 === 0, col("cents") + 100)
+          .otherwise(col("cents")))
+    def bucketSums(df: DataFrame, side: String): DataFrame =
+      spread(df)
+        .select((phash(col("o_orderkey").cast(StringType)) % 256).as("bucket"),
+          rowKey(cols).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"n_$side"),
+          expr("bit_xor(h)").as(s"x_$side"),
+          sum(col("h") % P).as(s"s_$side"))
+    bucketSums(a, "a").join(bucketSums(b, "b"), Seq("bucket"), "full_outer")
+      .filter(not(col("n_a") <=> col("n_b"))
+        || not(col("x_a") <=> col("x_b"))
+        || not(col("s_a") <=> col("s_b")))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_replica_bucket_diff" -> replicaBucketDiff,
     "q181_zonemap_skip" -> zoneMapSkipAudit,
     "q182_k_anonymity" -> kAnonymityAudit,
     "q150_chi_square" -> chiSquare,
@@ -485,7 +522,32 @@ object Validate {
     phashSql("CONCAT_WS(CHR(31), " +
       cols.map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))").mkString(", ") + ")")
 
+  private lazy val bucketDiffSideSql: String = {
+    val rk = rowKeySql(Seq("o_orderkey", "o_custkey", "cents"))
+    s"""SELECT ${phashSql("CAST(o_orderkey AS VARCHAR)")} % 256 AS bucket,
+       |    COUNT(*) AS n_?, BIT_XOR($rk) AS x_?,
+       |    CAST(SUM($rk % ${P}) AS BIGINT) AS s_?
+       |  FROM ?SRC GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q184_replica_bucket_diff" ->
+      s"""WITH a AS (SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |b AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 5000 = 0 THEN cents + 100
+        |         ELSE cents END AS cents
+        |  FROM a WHERE o_orderkey % 7777 <> 0),
+        |sa AS (${bucketDiffSideSql.replace("?SRC", "a").replace("?", "a")}),
+        |sb AS (${bucketDiffSideSql.replace("?SRC", "b").replace("?", "b")})
+        |SELECT COALESCE(sa.bucket, sb.bucket) AS bucket,
+        |  n_a, x_a, s_a, n_b, x_b, s_b
+        |FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+        |WHERE (n_a IS DISTINCT FROM n_b) OR (x_a IS DISTINCT FROM x_b)
+        |   OR (s_a IS DISTINCT FROM s_b)
+        |ORDER BY bucket""".stripMargin,
     "q181_zonemap_skip" ->
       """SELECT l_orderkey // 4096 AS chunk_id,
         |  MIN(l_shipdate) AS min_sd, MAX(l_shipdate) AS max_sd,

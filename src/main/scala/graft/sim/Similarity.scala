@@ -594,7 +594,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** PER-CLASS CENTROIDS with INTEGER accumulation: each label's mean
+    * embedding, accumulated as 2^20-quantized BIGINTs — multiply by a
+    * power of two (EXACT in binary floating point), round once with
+    * the cross-engine floor(x+0.5), then sum integers, which is
+    * associative-exact, so the cross-row float-summation-order hazard
+    * (Spark's partial aggs vs any other fold order) cannot exist.
+    * centroid = qsum/n/2^20 in one fixed double op sequence. The
+    * prototype/nearest-class-mean primitive (and the recenter step a
+    * distributed k-means round performs); a float sum here would be
+    * partition-layout-dependent — this one is bit-stable on ANY
+    * cluster layout, which is what makes it oracle-checkable at all.
+    * One narrow posexplode + one partial-aggregable (label, dim)
+    * rollup; output is O(classes × dims), corpus-size-independent. */
+  def classCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val S = 1 << 20
+    spread(load(spark, dir, "embeddings"))
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast(LongType).as("dim"),
+        floor(col("v").cast(DoubleType) * S + 0.5).cast(LongType).as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+      .select(col("label"), col("dim"),
+        (col("qsum").cast(DoubleType) / col("n") / S).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_class_centroids" -> classCentroids,
     "q145_vector_profile" -> vectorProfile,
     "q34_embedding_neardup" -> embeddingNearDup,
     "q35_knn_bruteforce" -> knnBruteForce,
@@ -660,6 +688,19 @@ object Similarity {
   private lazy val pqCtes = s"WITH $pqCtesBody"
 
   val oracles: Map[String, String] = Map(
+    // ×2^20 is exact in binary FP; one floor(x+0.5) rounding; integer
+    // sums; then the identical double division sequence in both engines
+    "q185_class_centroids" ->
+      """WITH q AS (SELECT label,
+        |    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+        |      i -> {'dim': CAST(i - 1 AS BIGINT),
+        |            'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576
+        |                  + 0.5) AS BIGINT)})) AS u
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, u.dim AS dim,
+        |  CAST(CAST(SUM(u.q) AS BIGINT) AS DOUBLE) / COUNT(*) / 1048576
+        |    AS centroid
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q145_vector_profile" ->
       """SELECT vec_id,
         |  SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
