@@ -630,10 +630,15 @@ object Dedup {
     * fixed SQL stages (stages past the fixpoint are no-ops), so both
     * engines compute the same bounded fixpoint or both abort. */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
-    val k = 2
     val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    var edges = e.union(e.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint(eager = false)
+    kCorePeel(e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst"), k = 2)
+  }
+
+  /** The peel itself, on any symmetrized (src, dst) edge list —
+    * private[graft] so the spec can drive it on synthetic graphs. */
+  private[graft] def kCorePeel(sym: DataFrame, k: Int): DataFrame = {
+    var edges = sym.localCheckpoint(eager = false)
     var n = edges.count()
     var converged = false
     var r = 0

@@ -648,4 +648,42 @@ class OperatorSpec extends AnyFunSuite {
     val exact = run("q43_stream_dedup").collect().toSeq
     assert(bounded === exact)
   }
+
+  test("k-core peel: pendant chain peels away over multiple rounds, core survives") {
+    import spark.implicits._
+    // triangle {1,2,3} with a 4-node pendant chain 3-4-5-6-7: each peel
+    // round removes only the current chain endpoint, so convergence
+    // takes several iterations (exercises the loop, not just round 1)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val sym = e.union(e.select(col("b"), col("a"))).toDF("src", "dst")
+    val core = dedup.Dedup.kCorePeel(sym, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("forget cascade: purged + retained = total per table, cascade consistent") {
+    val audit = run("q180_forget_cascade").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cust = Tables.load(spark, sf, "customer").count()
+    val ord = Tables.load(spark, sf, "orders").count()
+    val line = Tables.load(spark, sf, "lineitem").count()
+    assert(audit("customer")._1 + audit("customer")._2 === cust)
+    assert(audit("orders")._1 + audit("orders")._2 === ord)
+    assert(audit("lineitem")._1 + audit("lineitem")._2 === line)
+    // a forgotten customer with no orders is legal, but purged lineitems
+    // without purged orders are not: the cascade must be top-down
+    assert(audit("lineitem")._1 === 0L || audit("orders")._1 > 0L)
+  }
+
+  test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
+    // every emitted bucket must actually disagree on at least one field
+    val d = run("q184_replica_bucket_diff").collect()
+    assert(d.nonEmpty, "the seeded faults must surface")
+    d.foreach { r =>
+      val (na, xa, sa) = (r.get(1), r.get(2), r.get(3))
+      val (nb, xb, sb) = (r.get(4), r.get(5), r.get(6))
+      assert(na != nb || xa != xb || sa != sb, r.toString)
+    }
+  }
 }

@@ -453,4 +453,37 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q177 feature hashing combines map-side before the (doc,dim) shuffle") {
+    val plan = formatted(run("q177_feature_hashing"))
+    // the signed counts are a sum monoid: partials must fold before
+    // the exchange or the full exploded token stream shuffles
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q180 forget cascade broadcasts every hop (facts never shuffle)") {
+    val plan = formatted(run("q180_forget_cascade"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q183 record linkage joins on the block key (no nested loop)") {
+    val plan = formatted(run("q183_record_linkage"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q184 replica diff pre-aggregates each side to 256 bucket rows") {
+    val plan = formatted(run("q184_replica_bucket_diff"))
+    assert(plan.contains("partial_bit_xor"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q185 class centroids aggregate partially (integer monoid)") {
+    val plan = formatted(run("q185_class_centroids"))
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
