@@ -701,7 +701,34 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** CORPUS-PREFIX NOVELTY score: per document, the fraction of its
+    * distinct trigram shingles that NO earlier document (smaller
+    * doc_id = ingestion order) contains — "how much new text does this
+    * doc add", the marginal-value signal dedup thresholds miss (a doc
+    * can be nobody's near-duplicate yet still 90% recombined boilerplate).
+    * A shingle is novel for exactly the doc that minted it, so novelty
+    * reduces to first_doc(h) == doc_id over the same inverted index
+    * q33 builds: one shuffle to take min(doc_id) per shingle hash, one
+    * hash-keyed join back, one per-doc rollup — no per-prefix scan, no
+    * ordering dependence beyond the min. Integer counts, one double
+    * division at the end. */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(shingleHashes(col("text"), mod = false)).as("h"))
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_novelty_score" -> noveltyScore,
     "q92_triangle_counts" -> triangleCounts,
     "q124_two_hop_neighbors" -> twoHopNeighbors,
     "q144_bfs_seed_distance" -> bfsSeedDistance,
@@ -773,6 +800,20 @@ object Dedup {
     "q33_ngram_jaccard" -> jaccardOracle,
     "q92_triangle_counts" -> triangleOracle,
     "q178_kcore" -> kCoreOracle,
+    "q186_novelty_score" ->
+      s"""WITH t AS ($toksSql),
+        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        |e AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS h
+        |      FROM s),
+        |f AS (SELECT h, MIN(doc_id) AS first_doc FROM e GROUP BY 1)
+        |SELECT e.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) / COUNT(*) AS novelty
+        |FROM e JOIN f USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q183_record_linkage" ->
       """WITH t AS (SELECT doc_id, lang, source, n_chars // 64 AS blk,
         |    LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS ntok,
