@@ -486,4 +486,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("q176 decay score pushes a group-limit below the rank shuffle") {
+    // rn <= 8 must become a WindowGroupLimit: only ~8 rows per customer
+    // survive to the window sort, not the full order history
+    val plan = formatted(run("q176_decay_recency_score"))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q186 novelty joins the inverted index on the hash key (no nested loop)") {
+    val plan = formatted(run("q186_novelty_score"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_min"), plan)
+  }
 }
