@@ -170,6 +170,28 @@ object Windows {
       .orderBy(col("o_custkey"))
   }
 
+  /** RUNNING DISTINCT COUNT window: each event's cumulative number of
+    * DISTINCT event types its user has produced so far — the
+    * "behavioral breadth so far" feature (how many product surfaces a
+    * user has touched by time t). Plain running counts are sum
+    * monoids; a distinct count is not, so engines differ in surface:
+    * Spark has no COUNT(DISTINCT) OVER and instead composes
+    * `size(collect_set() OVER)` — set semantics make the result
+    * independent of within-frame order, which is exactly what keeps
+    * it engine-portable. One user-key shuffle; per-row state is the
+    * set of types seen (bounded by the type vocabulary, here 5 — at
+    * 100 TB the frame state is O(vocabulary), NOT O(history)). */
+  def runningDistinctTypes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("n_distinct_types",
+        size(collect_set(col("event_type")).over(w)).cast(LongType))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Top-3 orders per customer by price — ranking window + filter. */
   def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -266,9 +288,21 @@ object Windows {
     "q133_balance_quartiles" -> balanceQuartiles,
     "q147_rfm_segments" -> rfmSegments,
     "q171_interval_range_frame" -> intervalRangeFrame,
-    "q176_decay_recency_score" -> decayRecencyScore)
+    "q176_decay_recency_score" -> decayRecencyScore,
+    "q187_running_distinct" -> runningDistinctTypes)
 
   val oracles: Map[String, String] = Map(
+    // set semantics: the distinct count is frame-order-independent, so
+    // DuckDB's native COUNT(DISTINCT) OVER equals Spark's
+    // size(collect_set() OVER) on the same total order
+    "q187_running_distinct" ->
+      """SELECT user_id, ts, event_id, event_type,
+        |  COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS n_distinct_types
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     // decimal × integer-decimal weight stays exact in both engines; the
     // VARCHAR detour gives the correctly-rounded decimal->double cast
     "q176_decay_recency_score" ->
