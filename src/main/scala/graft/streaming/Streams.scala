@@ -491,6 +491,74 @@ object Streams {
     batches
   }
 
+  /** STREAMING CDC MERGE: a change stream applied into a keyed
+    * snapshot, one set-based MERGE per micro-batch — the "merge into
+    * the warehouse from a stream" pattern that turns q80's batch MERGE
+    * into a continuously-maintained table. Each micro-batch is
+    * pre-aggregated to per-key deltas (sum of exact-decimal values +
+    * row count), then ONE full-outer join folds it into the previous
+    * snapshot version; the result lands in a `v=<batchId>` directory
+    * with overwrite mode, so an at-least-once replay of a batch
+    * REWRITES its own version deterministically instead of
+    * double-applying (idempotent-by-batchId, the q73/fan-out rule).
+    * Because per-key addition is associative and the deltas are
+    * DECIMAL-exact, the final snapshot equals the one-shot batch
+    * aggregate bit-for-bit — which is exactly what the oracle states.
+    * The source is pre-split into 4 files streamed with
+    * maxFilesPerTrigger=1, so the merge genuinely iterates (4
+    * versions), not a degenerate single batch.
+    *
+    * Scale shape: snapshot and delta both shuffle only on the merge
+    * key; the snapshot rewrite is the full-snapshot-per-batch form —
+    * on a real lake the same foreachBatch body targets a format with
+    * in-place row-level merge, but the MERGE JOIN ITSELF (the
+    * expensive part) is identical. */
+  def streamMerge(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_merge$safe"
+    deleteRecursively(new java.io.File(base))
+    val srcDir = s"$base/src"
+    val stateDir = s"$base/state"
+    val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+    events(spark, dir).select(col("event_id"), col("user_id"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    var version = -1L
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val delta = batch
+          .groupBy(col("user_id"))
+          .agg(sum(d2(col("value"))).cast(dec).as("delta"),
+            count(lit(1)).as("dn"))
+        val merged =
+          if (version < 0)
+            delta.select(col("user_id"), col("delta").as("balance"),
+              col("dn").as("n_events"))
+          else spark.read.parquet(s"$stateDir/v=$version")
+            .join(delta, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("balance"), lit(0).cast(dec))
+                + coalesce(col("delta"), lit(0).cast(dec))).cast(dec)
+                .as("balance"),
+              (coalesce(col("n_events"), lit(0L))
+                + coalesce(col("dn"), lit(0L))).as("n_events"))
+        merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        version = batchId
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    require(version >= 3, s"expected >=4 micro-batches, last id $version")
+    spark.read.parquet(s"$stateDir/v=$version")
+      .select(col("user_id"), col("balance").cast("double").as("balance"),
+        col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Kafka streaming source (SURVEY §2.1's intended stream source —
     * the reference ships kafka-python in requirements but never wires
     * it): the exact `readStream.format("kafka")` plan a cluster runs,
@@ -532,6 +600,7 @@ object Streams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_stream_merge" -> streamMerge,
     "q164_stream_bitmap_dau" -> streamBitmapDau,
     "q40_stream_hourly" -> streamHourly,
     "q42_custom_state_sessions" -> customStateSessions,
@@ -556,6 +625,13 @@ object Streams {
     * bit-for-bit (q104 reuses q39's oracle STRING so they can never
     * fork). */
   val oracles: Map[String, String] = Map(
+    // associative per-key decimal addition: 4 incremental merges must
+    // equal the one-shot batch aggregate exactly
+    "q188_stream_merge" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // q164 == q153's batch twin: same oracle STRING
     "q164_stream_bitmap_dau" ->
       graft.ops.Validate.oracles("q153_bitmap_distinct"),
