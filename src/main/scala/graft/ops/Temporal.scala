@@ -163,6 +163,43 @@ object Temporal {
       .orderBy(col("o_custkey"), col("valid_from"), col("anchor_orderkey"))
   }
 
+  /** FORWARD-FILL imputation (LOCF — last observation carried
+    * forward): sparse readings per user filled with the most recent
+    * non-null value, via the IGNORE NULLS frame semantics
+    * (`last(ignoreNulls)` over ROWS UNBOUNDED PRECEDING) — the
+    * time-series imputation every feature pipeline needs for sensor
+    * dropout / sparse telemetry. Dropout is simulated in-query by
+    * nulling 'view' rows, so fill paths of every length occur. The
+    * filled value is COPIED, never computed — no float arithmetic to
+    * diverge. One user-key shuffle; frame state is one value. */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") =!= "view", col("value")).as("v"))
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** SCD2 TIME-TRAVEL read: the state of every entity AS OF a given
+    * past date, read straight from q76's validity intervals
+    * (valid_from <= D < valid_to, open intervals unbounded) — the
+    * third leg of the SCD2 duality after full history (q76) and
+    * current snapshot (q96): one interval filter answers "what did
+    * the table say on D" without replaying history. Same single
+    * entity-key shuffle as q76; the filter is free. */
+  def scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val d = to_date(lit("1996-06-30"))
+    scd2History(spark, dir)
+      .filter(col("valid_from") <= d &&
+        (col("valid_to").isNull || col("valid_to") > d))
+      .select(col("o_custkey"), col("status"), col("anchor_orderkey"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Ordered conversion funnel (view → click → purchase) per user: the
     * product-analytics staple. Each stage's timestamp is the FIRST
     * qualifying event strictly after the previous stage — order
@@ -306,6 +343,8 @@ object Temporal {
     "q61_gapfill_days" -> gapFillDays,
     "q62_moving_average" -> movingAverage,
     "q76_scd2_history" -> scd2History,
+    "q189_forward_fill" -> forwardFill,
+    "q190_scd2_asof" -> scd2AsOf,
     "q109_trend_regression" -> trendRegression,
     "q111_anomaly_days" -> anomalyDays,
     "q114_group_correlation" -> groupCorrelation,
@@ -1322,6 +1361,35 @@ object Temporal {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "q189_forward_fill" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type <> 'view' THEN value END AS v
+        |  FROM events)
+        |SELECT user_id, ts, event_id, v,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
+    // the IDENTICAL interval derivation as q76, read back at one date:
+    // [valid_from, valid_to) with NULL = open
+    "q190_scd2_asof" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    LAG(o_orderstatus) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |chg AS (SELECT * FROM ordered
+        |        WHERE prev IS NULL OR prev <> o_orderstatus),
+        |hist AS (SELECT o_custkey, o_orderstatus AS status,
+        |    o_orderkey AS anchor_orderkey, o_orderdate AS valid_from,
+        |    LEAD(o_orderdate) OVER w AS valid_to
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_custkey, status, anchor_orderkey, valid_from, valid_to
+        |FROM hist
+        |WHERE valid_from <= DATE '1996-06-30'
+        |  AND (valid_to IS NULL OR valid_to > DATE '1996-06-30')
+        |ORDER BY o_custkey""".stripMargin,
     "q76_scd2_history" ->
       """WITH ordered AS (
         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
