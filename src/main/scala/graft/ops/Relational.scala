@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -261,7 +262,41 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** TOP-N + OTHER rollup: per nation, the top-3 customers by
+    * lifetime spend as individual rows PLUS one 'OTHER' row absorbing
+    * everyone else — the reporting staple that keeps a dashboard's
+    * category count fixed while losing no total. One aggregation to
+    * per-customer spend (partial-aggregable), one nation-key ranking
+    * window with a WindowGroupLimit-ineligible tail (the OTHER branch
+    * needs the non-top rows, so the full ranked set flows once and
+    * both branches read the same shuffle), one rollup of the tail.
+    * Money stays exact DECIMAL until the final casts; the OTHER sum
+    * takes the VARCHAR-detour cast in the oracle (wide decimal). */
+  def topNWithOther(spark: SparkSession, dir: String): DataFrame = {
+    val spend = load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"))
+      .agg(sum(d2(col("o_totalprice"))).as("sp"))
+      .join(load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("key") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("sp").desc, col("key"))
+    val ranked = spend.withColumn("rn", row_number().over(w))
+      .localCheckpoint(eager = false)
+    val top = ranked.filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("key").cast(StringType).as("entity"),
+        lit(1L).as("n_customers"), col("sp").cast(DoubleType).as("spend"))
+    val other = ranked.filter(col("rn") > 3)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("sp")).cast(DoubleType).as("spend"))
+      .select(col("c_nationkey"), lit("OTHER").as("entity"),
+        col("n_customers"), col("spend"))
+    top.unionByName(other).orderBy(col("c_nationkey"), col("entity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_topn_other" -> topNWithOther,
     "q169_hierarchy_share" -> hierarchyShare,
     "q63_set_ops_all" -> setOpsAll,
     "q01_pricing_summary" -> pricingSummary,
@@ -281,6 +316,22 @@ object Relational {
     "q15_distinct_counts" -> distinctCounts)
 
   val oracles: Map[String, String] = Map(
+    "q192_topn_other" ->
+      """WITH s AS (SELECT o_custkey AS key,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey, key, sp,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY sp DESC, key) AS rn
+        |  FROM s JOIN customer ON key = c_custkey)
+        |SELECT c_nationkey, CAST(key AS VARCHAR) AS entity,
+        |  CAST(1 AS BIGINT) AS n_customers, CAST(sp AS DOUBLE) AS spend
+        |FROM j WHERE rn <= 3
+        |UNION ALL
+        |SELECT c_nationkey, 'OTHER', COUNT(*),
+        |  CAST(CAST(SUM(sp) AS VARCHAR) AS DOUBLE)
+        |FROM j WHERE rn > 3 GROUP BY 1
+        |ORDER BY c_nationkey, entity""".stripMargin,
     "q169_hierarchy_share" ->
       """WITH leaf AS (SELECT r.r_name, n.n_name,
         |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev

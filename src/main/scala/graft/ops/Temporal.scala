@@ -200,6 +200,46 @@ object Temporal {
       .orderBy(col("o_custkey"))
   }
 
+  /** LINEAR INTERPOLATION imputation — q189's LOCF upgraded to
+    * time-weighted interpolation between the neighboring non-null
+    * readings: v = vp + (vn−vp)·(t−tp)/(tn−tp) with EXACT integer-
+    * microsecond time deltas (the q116 duration rule) and ONE fixed
+    * IEEE op sequence both engines execute identically; rows before
+    * the first / after the last reading stay null (no extrapolation),
+    * same-instant neighbors fall back to vp rather than 0/0. Two
+    * frames over one user-key shuffle (prev via last-ignore-nulls,
+    * next via first-ignore-nulls); frame state is one (value, ts)
+    * pair in each direction. */
+  def linearInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") =!= "view", col("value")).as("v"))
+      .withColumn("vp", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("tp",
+        last(when(col("v").isNotNull, col("ts")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("vn", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("tn",
+        first(when(col("v").isNotNull, col("ts")), ignoreNulls = true)
+          .over(wNext))
+      .withColumn("v_interp",
+        when(col("v").isNotNull, col("v"))
+          .when(col("vp").isNull || col("vn").isNull, lit(null))
+          .when(expr("timestampdiff(MICROSECOND, tp, tn)") === 0L, col("vp"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) *
+            (expr("timestampdiff(MICROSECOND, tp, ts)").cast(DoubleType) /
+              expr("timestampdiff(MICROSECOND, tp, tn)").cast(DoubleType))))
+      .select(col("user_id"), col("ts"), col("event_id"), col("v"),
+        col("v_interp"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Ordered conversion funnel (view → click → purchase) per user: the
     * product-analytics staple. Each stage's timestamp is the FIRST
     * qualifying event strictly after the previous stage — order
@@ -345,6 +385,7 @@ object Temporal {
     "q76_scd2_history" -> scd2History,
     "q189_forward_fill" -> forwardFill,
     "q190_scd2_asof" -> scd2AsOf,
+    "q191_linear_interpolate" -> linearInterpolate,
     "q109_trend_regression" -> trendRegression,
     "q111_anomaly_days" -> anomalyDays,
     "q114_group_correlation" -> groupCorrelation,
@@ -1361,6 +1402,33 @@ object Temporal {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // identical dropout rule, frames and scalar op sequence as the
+    // Spark plan: vp + (vn - vp) * (CAST AS DOUBLE / CAST AS DOUBLE)
+    "q191_linear_interpolate" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type <> 'view' THEN value END AS v
+        |  FROM events),
+        |w AS (SELECT user_id, ts, event_id, v,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wp AS vp,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+        |      OVER wp AS tp,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wn AS vn,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+        |      OVER wn AS tn
+        |  FROM s
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, ts, event_id, v,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN vp IS NULL OR vn IS NULL THEN NULL
+        |       WHEN DATE_DIFF('microsecond', tp, tn) = 0 THEN vp
+        |       ELSE vp + (vn - vp)
+        |         * (CAST(DATE_DIFF('microsecond', tp, ts) AS DOUBLE)
+        |            / CAST(DATE_DIFF('microsecond', tp, tn) AS DOUBLE))
+        |  END AS v_interp
+        |FROM w ORDER BY user_id, ts, event_id""".stripMargin,
     "q189_forward_fill" ->
       """WITH s AS (SELECT user_id, ts, event_id,
         |    CASE WHEN event_type <> 'view' THEN value END AS v
