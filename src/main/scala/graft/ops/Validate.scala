@@ -499,7 +499,30 @@ object Validate {
       .orderBy(col("bucket"))
   }
 
+  /** BEHAVIORAL SEGMENT fingerprints — q175's Venn generalized to ANY
+    * number of event types: each user's trailing-7-day behavior
+    * reduced to a canonical sorted type-set string ("click,purchase"),
+    * then a segment-size histogram. The sort makes the fingerprint
+    * set-deterministic (collect_set order is partition-dependent;
+    * sorted rendering is not), which is what lets an arbitrary-width
+    * set survive the cross-engine hash gate where a bit mask would
+    * need a fixed vocabulary. Two partial-aggregable rollups, state
+    * O(type vocabulary) per user. */
+  def behaviorSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    ev.crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type"))))
+        .as("segment"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_behavior_segments" -> behaviorSegments,
     "q184_replica_bucket_diff" -> replicaBucketDiff,
     "q181_zonemap_skip" -> zoneMapSkipAudit,
     "q182_k_anonymity" -> kAnonymityAudit,
@@ -531,6 +554,15 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    "q193_behavior_segments" ->
+      """WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+        |s AS (SELECT user_id,
+        |    ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT event_type)), ',')
+        |      AS segment
+        |  FROM events, mx WHERE ts >= mx.mx - INTERVAL 7 DAY
+        |  GROUP BY 1)
+        |SELECT segment, COUNT(*) AS n_users
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q184_replica_bucket_diff" ->
       s"""WITH a AS (SELECT o_orderkey, o_custkey,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -676,6 +676,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(audit("lineitem")._1 === 0L || audit("orders")._1 > 0L)
   }
 
+  test("streaming merge is rerun-deterministic: two full runs agree exactly") {
+    val a = run("q188_stream_merge").collect().toSeq
+    val b = run("q188_stream_merge").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
