@@ -727,7 +727,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** VOCABULARY GROWTH curve (Heaps'-law instrumentation): distinct
+    * trigram-shingle vocabulary as a function of corpus prefix —
+    * ingestion order (doc_id) cut into 10 range buckets, each bucket
+    * credited with the shingles it MINTED (first_doc falls in it),
+    * plus the running cumulative vocabulary. The "does more data still
+    * buy new text" curve that decides whether the next 10 TB of a
+    * crawl is worth ingesting. Shares q186's first-occurrence
+    * reduction (min doc_id per shingle hash — one shuffle on the
+    * hash); the only window runs over the O(10) bucket histogram, the
+    * deliberate q90-style exception to the no-unpartitioned-window
+    * rule. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val sh = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(shingleHashes(col("text"), mod = false)).as("h"))
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val mx = load(spark, dir, "documents").agg(max(col("doc_id")).as("mx"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    first.crossJoin(broadcast(mx))
+      .select(expr("first_doc * 10 div (mx + 1)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_vocab_growth" -> vocabGrowth,
     "q186_novelty_score" -> noveltyScore,
     "q92_triangle_counts" -> triangleCounts,
     "q124_two_hop_neighbors" -> twoHopNeighbors,
@@ -800,6 +827,21 @@ object Dedup {
     "q33_ngram_jaccard" -> jaccardOracle,
     "q92_triangle_counts" -> triangleOracle,
     "q178_kcore" -> kCoreOracle,
+    "q194_vocab_growth" ->
+      s"""WITH t AS ($toksSql),
+        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        |e AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS h
+        |      FROM s),
+        |f AS (SELECT h, MIN(doc_id) AS first_doc FROM e GROUP BY 1),
+        |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |b AS (SELECT (first_doc * 10) // (mx.mx + 1) AS bucket FROM f, mx),
+        |g AS (SELECT bucket, COUNT(*) AS n_new FROM b GROUP BY 1)
+        |SELECT bucket, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM g ORDER BY bucket""".stripMargin,
     "q186_novelty_score" ->
       s"""WITH t AS ($toksSql),
         |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),

@@ -676,6 +676,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(audit("lineitem")._1 === 0L || audit("orders")._1 > 0L)
   }
 
+  test("linear interpolation stays within its neighboring readings") {
+    // for every filled row, v_interp must lie in [min(vp,vn), max(vp,vn)];
+    // rows with a missing side stay null (no extrapolation)
+    val df = run("q191_linear_interpolate")
+    val filled = df.filter(col("v").isNull && col("v_interp").isNotNull)
+    assert(filled.count() > 0, "dropout simulation must produce filled rows")
+    // re-derive the neighbor bounds independently of the operator
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bounded = df
+      .withColumn("vp", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("vn", first(col("v"), ignoreNulls = true).over(wn))
+      .filter(col("v").isNull && col("v_interp").isNotNull)
+      .filter(col("v_interp") < least(col("vp"), col("vn")) ||
+        col("v_interp") > greatest(col("vp"), col("vn")))
+    assert(bounded.count() === 0L)
+  }
+
+  test("top-N + OTHER loses no revenue: per-nation totals preserved") {
+    val df = run("q192_topn_other")
+    val fromQuery = df.groupBy(col("c_nationkey"))
+      .agg(sum(col("spend")).as("s"), sum(col("n_customers")).as("n"))
+    val direct = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey").as("key"))
+      .agg(sum(Tables.d2(col("o_totalprice"))).as("sp"))
+      .join(Tables.load(spark, sf, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("key") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("sp")).cast("double").as("s"), count(lit(1)).as("n"))
+    val joined = fromQuery.alias("q").join(direct.alias("d"), "c_nationkey")
+      .filter(col("q.n") =!= col("d.n") ||
+        abs(col("q.s") - col("d.s")) > lit(1e-6))
+    assert(joined.count() === 0L)
+  }
+
   test("streaming merge is rerun-deterministic: two full runs agree exactly") {
     val a = run("q188_stream_merge").collect().toSeq
     val b = run("q188_stream_merge").collect().toSeq
