@@ -75,6 +75,23 @@ object Scalars {
       get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
       .orderBy(col("event_id"))
 
+  /** Spark 4 VARIANT semi-structured path (SPARK-45891) — q24's
+    * string-at-a-time get_json_object upgraded to the binary VARIANT
+    * encoding: parse once (`parse_json`), then typed path extraction
+    * (`variant_get(..., 'long')`) feeds a normal relational rollup.
+    * At 100 TB the difference is material: VARIANT parses each props
+    * value ONCE into a traversable binary form instead of re-running
+    * a JSON parser per extracted path, and the typed get avoids a
+    * string→long cast per row. The oracle runs the same typed
+    * extraction through DuckDB's native JSON operator — same values,
+    * engine-appropriate encodings on both sides. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy(expr("k div 10").as("k_decile"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .orderBy(col("k_decile"))
+
   /** Hourly tumbling aggregation over events — the batch twin of the
     * Structured Streaming query (SURVEY §2.10); also exercises the
     * ns->us timestamp path. */
@@ -92,9 +109,15 @@ object Scalars {
     "q22_monthly_revenue" -> monthlyRevenue,
     "q23_case_buckets" -> caseWhenBuckets,
     "q24_json_extract" -> jsonExtract,
-    "q25_events_hourly" -> hourlyEvents)
+    "q25_events_hourly" -> hourlyEvents,
+    "q195_variant_extract" -> variantExtract)
 
   val oracles: Map[String, String] = Map(
+    "q195_variant_extract" ->
+      """WITH x AS (SELECT CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |SELECT k // 10 AS k_decile, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_string_funcs" ->
       """SELECT p_partkey,
         | UPPER(p_name) AS name_upper,
