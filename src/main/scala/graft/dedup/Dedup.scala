@@ -753,7 +753,34 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
+  /** RECURSIVE CTE surface (Spark 4, SPARK-24497): q144's multi-source
+    * BFS restated as the SQL-standard `WITH RECURSIVE` walk — the
+    * DECLARATIVE twin of the hand-tuned superstep loop, gated on the
+    * IDENTICAL oracle string as q144 so the two can never fork (the
+    * q104==q39 rule). The walk enumerates ALL paths up to 4 hops and
+    * takes MIN(d): exponential on dense graphs, which is exactly why
+    * q144's frontier/visited anti-join loop exists as the scale path —
+    * this query covers the language surface and doubles as an
+    * executable statement of the equivalence the q144 scaladoc claims
+    * (BFS first-visit == all-paths MIN). */
+  def bfsRecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(eager = false)
+      .createOrReplaceTempView("graft_rec_edges")
+    spark.sql(
+      """WITH RECURSIVE walk(node, d) AS (
+        |  SELECT DISTINCT src AS node, 0 AS d FROM graft_rec_edges
+        |  WHERE src % 10 = 0
+        |  UNION ALL
+        |  SELECT s.dst, w.d + 1 FROM walk w
+        |  JOIN graft_rec_edges s ON s.src = w.node WHERE w.d < 4)
+        |SELECT node AS doc_id, MIN(d) AS dist
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_bfs_recursive_cte" -> bfsRecursiveCte,
     "q194_vocab_growth" -> vocabGrowth,
     "q186_novelty_score" -> noveltyScore,
     "q92_triangle_counts" -> triangleCounts,
@@ -877,6 +904,9 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q124_two_hop_neighbors" -> twoHopOracle,
     "q144_bfs_seed_distance" -> bfsOracle,
+    // the SAME oracle string as q144: superstep and recursive forms
+    // must agree exactly
+    "q196_bfs_recursive_cte" -> bfsOracle,
     "q170_clustering_coefficient" -> clusteringOracle,
     "q137_cluster_sizes" -> clusterSizesOracle,
     "q130_quality_dedup" ->
