@@ -92,6 +92,29 @@ object Scalars {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
       .orderBy(col("k_decile"))
 
+  /** SQL-DEFINED FUNCTION surface (Spark 4 `CREATE FUNCTION ...
+    * RETURN expr`, SPARK-46246): the library's exact-decimal net-price
+    * rule packaged as a reusable SQL function and used in a rollup.
+    * Unlike a Scala/Python UDF, a SQL function is MACRO-EXPANDED into
+    * the Catalyst expression tree — it constant-folds, participates
+    * in whole-stage codegen and pushdown, and costs nothing at 100 TB
+    * (the engine's no-UDF rule §2.11, now with a user-extensible
+    * front door). The oracle inlines the identical arithmetic. */
+  def sqlFunctionRollup(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net_price(
+        |  p DOUBLE, d DOUBLE) RETURNS DECIMAL(23,4)
+        |RETURN CAST(p AS DECIMAL(18,2)) * CAST(1.0 - d AS DECIMAL(4,2))
+        |""".stripMargin)
+    load(spark, dir, "lineitem").createOrReplaceTempView("graft_li_sqlfn")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(graft_net_price(l_extendedprice, l_discount)) AS DOUBLE)
+        |    AS net_revenue,
+        |  COUNT(*) AS n
+        |FROM graft_li_sqlfn GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Hourly tumbling aggregation over events — the batch twin of the
     * Structured Streaming query (SURVEY §2.10); also exercises the
     * ns->us timestamp path. */
@@ -110,9 +133,17 @@ object Scalars {
     "q23_case_buckets" -> caseWhenBuckets,
     "q24_json_extract" -> jsonExtract,
     "q25_events_hourly" -> hourlyEvents,
-    "q195_variant_extract" -> variantExtract)
+    "q195_variant_extract" -> variantExtract,
+    "q197_sql_function" -> sqlFunctionRollup)
 
   val oracles: Map[String, String] = Map(
+    "q197_sql_function" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        |    AS net_revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q195_variant_extract" ->
       """WITH x AS (SELECT CAST(props->>'k' AS BIGINT) AS k FROM events)
         |SELECT k // 10 AS k_decile, COUNT(*) AS n,
