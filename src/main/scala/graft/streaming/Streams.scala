@@ -559,6 +559,93 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Input/output rows of the [[RunningTotalsProc]] transformWithState
+    * processor — money carried as exact integer CENTS (the d2 contract
+    * in state-safe form: long addition is associative-exact, and the
+    * final cents/100.0 double division equals DuckDB's
+    * DECIMAL(18,2)->DOUBLE cast bit-for-bit). */
+  case class TwsIn(user_id: Long, cents: Long)
+  case class TwsOut(user_id: Long, cents: Long, n_events: Long)
+
+  /** Spark 4 `transformWithState` processor (SPARK-46815 — the typed
+    * arbitrary-state API succeeding flatMapGroupsWithState, q42):
+    * per-user running totals in a ValueState, consolidated totals
+    * emitted each micro-batch. State is ONE (cents, n) pair per user —
+    * never raw events — and lives in the RocksDB state store the API
+    * requires. */
+  class RunningTotalsProc extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsIn, TwsOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsIn],
+        timerValues: TimerValues): Iterator[TwsOut] = {
+      val (pc, pn) = if (st.exists()) st.get() else (0L, 0L)
+      var c = pc; var n = pn
+      rows.foreach { r => c += r.cents; n += 1 }
+      st.update((c, n))
+      Iterator(TwsOut(key, c, n))
+    }
+  }
+
+  /** STREAMING RUNNING TOTALS via `transformWithState` — the third
+    * implementation of the per-user balance/count semantics, gated on
+    * the SAME oracle string as q188's foreachBatch MERGE (and the
+    * plain batch aggregate it states): typed processor + ValueState
+    * instead of join-based merge, state bounded at one pair per user.
+    * The source is the q188-style 4-file split with
+    * maxFilesPerTrigger=1, so state genuinely carries across four
+    * micro-batches; each batch emits its keys' consolidated totals
+    * into the append-mode memory sink, and because (cents, n) are
+    * monotone the final totals are the per-user max of the emitted
+    * rows. RocksDB state store is enabled for this query (the TWS
+    * requirement) and the previous provider restored after. */
+  def streamRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_tws$safe"
+    deleteRecursively(new java.io.File(base))
+    events(spark, dir)
+      .select(col("user_id"),
+        (d2(col("value")) * 100).cast("long").as("cents"))
+      .repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        .as[TwsIn]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProc, TimeMode.None(),
+          OutputMode.Append())
+      val name = "graft_tws_totals"
+      if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(col("cents")).as("cents"), max(col("n_events")).as("n_events"))
+        .select(col("user_id"), (col("cents") / 100.0).as("balance"),
+          col("n_events"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** Kafka streaming source (SURVEY §2.1's intended stream source —
     * the reference ships kafka-python in requirements but never wires
     * it): the exact `readStream.format("kafka")` plan a cluster runs,
@@ -601,6 +688,7 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_stream_merge" -> streamMerge,
+    "q198_stream_tws_totals" -> streamRunningTotals,
     "q164_stream_bitmap_dau" -> streamBitmapDau,
     "q40_stream_hourly" -> streamHourly,
     "q42_custom_state_sessions" -> customStateSessions,
@@ -613,6 +701,14 @@ object Streams {
     "q103_stream_topk" -> streamTopK,
     "q104_stream_sessions" -> streamSessions,
     "q88_stream_static_join" -> streamStaticJoin)
+
+  /** Shared by q188 (foreachBatch merge) and q198 (transformWithState):
+    * associative per-key addition must equal the one-shot aggregate. */
+  private val runningTotalsOracle =
+    """SELECT user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val dedupOracle =
     """SELECT event_type, COUNT(*) AS n_events
@@ -627,11 +723,10 @@ object Streams {
   val oracles: Map[String, String] = Map(
     // associative per-key decimal addition: 4 incremental merges must
     // equal the one-shot batch aggregate exactly
-    "q188_stream_merge" ->
-      """SELECT user_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS balance,
-        |  COUNT(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q188_stream_merge" -> runningTotalsOracle,
+    // the typed-state form must agree with the merge form and the
+    // batch aggregate: same oracle STRING
+    "q198_stream_tws_totals" -> runningTotalsOracle,
     // q164 == q153's batch twin: same oracle STRING
     "q164_stream_bitmap_dau" ->
       graft.ops.Validate.oracles("q153_bitmap_distinct"),
