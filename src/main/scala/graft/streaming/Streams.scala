@@ -592,6 +592,76 @@ object Streams {
     }
   }
 
+  /** Input/output rows of [[DistinctTypesProc]]. */
+  case class TwsTypeIn(user_id: Long, event_type: String)
+  case class TwsTypeOut(user_id: Long, n_distinct_types: Long)
+
+  /** `transformWithState` with MAP STATE (the set-semantics state
+    * primitive beside [[RunningTotalsProc]]'s ValueState): per-user
+    * SET of event types seen, as MapState keys — insertion is
+    * idempotent, so replays and cross-batch arrival order cannot
+    * change the set, and state is O(type vocabulary) per user, never
+    * a growing list. Emits the current distinct count per batch;
+    * the count is monotone, so the final value is the per-user max. */
+  class DistinctTypesProc extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsTypeIn, TwsTypeOut] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var seen: MapState[String, Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Boolean]("seen",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsTypeIn],
+        timerValues: TimerValues): Iterator[TwsTypeOut] = {
+      rows.foreach(r => seen.updateValue(r.event_type, true))
+      Iterator(TwsTypeOut(key, seen.keys().size.toLong))
+    }
+  }
+
+  /** STREAMING DISTINCT-TYPE COUNT via transformWithState MapState —
+    * the streaming form of q187's final per-user value, and the
+    * MapState twin of q198: same 4-file split source, same RocksDB
+    * provider handling, append-mode memory sink, per-user max of the
+    * monotone emitted counts. Oracle = the plain batch
+    * COUNT(DISTINCT). */
+  def streamDistinctTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_tws_types$safe"
+    deleteRecursively(new java.io.File(base))
+    events(spark, dir).select(col("user_id"), col("event_type"))
+      .repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        .as[TwsTypeIn]
+        .groupByKey(_.user_id)
+        .transformWithState(new DistinctTypesProc, TimeMode.None(),
+          OutputMode.Append())
+      val name = "graft_tws_types"
+      if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_distinct_types")).as("n_distinct_types"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** STREAMING RUNNING TOTALS via `transformWithState` — the third
     * implementation of the per-user balance/count semantics, gated on
     * the SAME oracle string as q188's foreachBatch MERGE (and the
@@ -689,6 +759,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_stream_merge" -> streamMerge,
     "q198_stream_tws_totals" -> streamRunningTotals,
+    "q199_stream_tws_distinct" -> streamDistinctTypes,
     "q164_stream_bitmap_dau" -> streamBitmapDau,
     "q40_stream_hourly" -> streamHourly,
     "q42_custom_state_sessions" -> customStateSessions,
@@ -727,6 +798,10 @@ object Streams {
     // the typed-state form must agree with the merge form and the
     // batch aggregate: same oracle STRING
     "q198_stream_tws_totals" -> runningTotalsOracle,
+    "q199_stream_tws_distinct" ->
+      """SELECT user_id,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct_types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // q164 == q153's batch twin: same oracle STRING
     "q164_stream_bitmap_dau" ->
       graft.ops.Validate.oracles("q153_bitmap_distinct"),
