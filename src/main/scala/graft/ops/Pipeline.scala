@@ -602,7 +602,36 @@ object Pipeline {
       .orderBy(col("table_name"))
   }
 
+  /** CORPUS HEALTH REPORT — the one-page per-language summary a
+    * curation team reviews before accepting a refresh, composed from
+    * the library's canonical rules (q30's contentKey, the shared
+    * whitespace tokenizer) in ONE aggregation pass: volume, exact-dup
+    * rate (docs vs distinct content keys), token mass, short-doc
+    * count. Every ratio is one double division of integer-derived
+    * values; COUNT(DISTINCT) runs on the md5 key both engines compute
+    * identically. Output is O(languages) — the scan does all the
+    * work, partially aggregated. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "documents"))
+      .select(col("lang"),
+        graft.dedup.Dedup.contentKey(col("text")).as("ck"),
+        size(graft.dedup.Dedup.tokens(col("text"))).cast(LongType).as("ntok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ck")).as("n_unique"),
+        sum(col("ntok")).as("total_tokens"),
+        sum(when(col("ntok") < 10, 1L).otherwise(0L)).as("n_short"))
+      .select(col("lang"), col("n_docs"), col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast(DoubleType) / col("n_docs"))
+          .as("dup_rate"),
+        col("total_tokens"),
+        (col("total_tokens").cast(DoubleType) / col("n_docs"))
+          .as("avg_tokens"),
+        col("n_short"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_corpus_report" -> corpusReport,
     "q180_forget_cascade" -> forgetCascade,
     "q146_apportion_quota" ->
       ((s: SparkSession, d: String) => apportionQuota(s, d)),
@@ -642,6 +671,22 @@ object Pipeline {
       |FROM r, l ORDER BY r.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q200_corpus_report" ->
+      """WITH d AS (SELECT lang,
+        |    md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS ck,
+        |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)
+        |      AS ntok
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_unique,
+        |  CAST(COUNT(*) - COUNT(DISTINCT ck) AS DOUBLE) / COUNT(*)
+        |    AS dup_rate,
+        |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+        |  CAST(CAST(SUM(ntok) AS BIGINT) AS DOUBLE) / COUNT(*)
+        |    AS avg_tokens,
+        |  CAST(SUM(CASE WHEN ntok < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q180_forget_cascade" ->
       """WITH f AS (SELECT c_custkey AS k FROM customer
         |           WHERE c_custkey % 97 = 0),
