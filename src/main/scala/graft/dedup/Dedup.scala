@@ -779,7 +779,90 @@ object Dedup {
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** PAGERANK over the q33 near-dup graph (3 damped iterations,
+    * d = 0.85) — the "centrality inside a duplicate blob" signal: the
+    * canonical-pick rules (q130 quality, q67 min-label) choose one
+    * survivor; PageRank ranks HOW central each near-dup is, which is
+    * what a crawl-frontier or citation-style corpus weighting wants.
+    *
+    * Determinism: the whole iteration runs in FIXED-POINT BIGINT
+    * (pr scaled by 1e9) — contribution = pr DIV outdeg and the damping
+    * step (85·Σ) DIV 100 are integer floor divisions both engines
+    * define identically on non-negative operands, so three iterations
+    * stay bit-exact with no float fold anywhere. Headroom: a node's
+    * incoming sum is ≤ indeg·maxPr; at 1e9 scale that overflows int64
+    * only past ~10^8 incoming mass-units — beyond that, widen to
+    * DECIMAL(38,0) (same floor semantics), a one-line change.
+    *
+    * Scale shape: the textbook Pregel-on-DataFrames loop — per round
+    * one edges⋈ranks shuffle join plus one partial-aggregable SUM,
+    * chained off lazy localCheckpoints (plan growth cut per round, the
+    * q67 pattern). Work per round is O(edges); the symmetrized edge
+    * list guarantees outdeg ≥ 1, so there is no dangling-mass term.
+    * The oracle unrolls the SAME three integer iterations into
+    * MATERIALIZED CTE stages (the q178 lesson: stop DuckDB re-inlining
+    * the chain). */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(eager = false)
+    val nodes = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("doc_id"), col("outdeg"))
+      .localCheckpoint(eager = false)
+    var pr = nodes.withColumn("pr", lit(PR_SCALE))
+    for (_ <- 1 to 3) {
+      val contrib = pr.join(sym, pr("doc_id") === sym("src"))
+        .select(col("dst").as("doc_id"), expr("pr DIV outdeg").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("outdeg"),
+          (lit(15L * PR_SCALE / 100) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("pr"))
+        .localCheckpoint(eager = false)
+    }
+    pr.select(col("doc_id"), col("pr").as("pr_scaled"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-point scale for [[pageRank]] (1e9 mass units per unit rank). */
+  private val PR_SCALE = 1000000000L
+
+  /** COMMUNITY DETECTION by synchronous label propagation (2 rounds,
+    * Raghavan et al. 2007 made deterministic): every node starts
+    * labeled with its own id; each round it adopts its neighbors' MOST
+    * FREQUENT label, ties broken toward the SMALLEST label — the
+    * argmax is `max(struct(count, -label))`, so the whole update is
+    * one partial-aggregable aggregate, no window. Distinct from q67:
+    * connected components merge everything reachable; label-frequency
+    * propagation splits a component into densely-linked communities
+    * (two cliques joined by one bridge edge keep separate labels).
+    *
+    * Scale shape: per round one edges⋈labels shuffle + one
+    * (node,label) rollup — O(edges) work, the Pregel shape again; a
+    * FIXED round budget keeps it deterministic (sync updates converge
+    * or oscillate; a bounded-round snapshot is the reproducible
+    * answer, and the oracle unrolls the SAME two rounds). */
+  def labelCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(eager = false)
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    for (_ <- 1 to 2) {
+      labels = sym.join(labels, sym("src") === labels("doc_id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("doc_id"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(eager = false)
+    }
+    labels.select(col("doc_id"), col("lbl").as("community"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_pagerank" -> pageRank,
+    "q203_label_communities" -> labelCommunities,
     "q196_bfs_recursive_cte" -> bfsRecursiveCte,
     "q194_vocab_growth" -> vocabGrowth,
     "q186_novelty_score" -> noveltyScore,
@@ -903,6 +986,8 @@ object Dedup {
         |FROM s WHERE score >= 15
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q124_two_hop_neighbors" -> twoHopOracle,
+    "q201_pagerank" -> pageRankOracle,
+    "q203_label_communities" -> labelCommunitiesOracle,
     "q144_bfs_seed_distance" -> bfsOracle,
     // the SAME oracle string as q144: superstep and recursive forms
     // must agree exactly
@@ -981,6 +1066,53 @@ object Dedup {
         |FROM reach r JOIN one o ON o.src = r.src
         |GROUP BY 1, 2
         |ORDER BY 1""".stripMargin
+
+  /** q201: the identical three fixed-point integer iterations, unrolled
+    * into MATERIALIZED stages (p0→c1→p1→c2→p2→c3→p3). */
+  private lazy val pageRankOracle: String = {
+    val scale = 1000000000L
+    val base = 15L * scale / 100
+    def step(i: Int): String =
+      s"""c$i AS MATERIALIZED (SELECT s.dst AS doc_id,
+        |       CAST(SUM(p.pr // p.outdeg) AS BIGINT) AS sm
+        |     FROM p${i - 1} p JOIN sym s ON s.src = p.doc_id GROUP BY 1),
+        |p$i AS MATERIALIZED (SELECT d.doc_id, d.outdeg,
+        |       $base + (85 * COALESCE(c.sm, 0)) // 100 AS pr
+        |     FROM p${i - 1} d LEFT JOIN c$i c USING (doc_id))""".stripMargin
+    s"""WITH $jaccardCommonCte,
+      |pairs AS (SELECT doc_a, doc_b FROM common
+      |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+      |sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |p0 AS MATERIALIZED (SELECT src AS doc_id, COUNT(*) AS outdeg,
+      |        CAST($scale AS BIGINT) AS pr FROM sym GROUP BY 1),
+      |${step(1)},
+      |${step(2)},
+      |${step(3)}
+      |SELECT doc_id, CAST(pr AS BIGINT) AS pr_scaled
+      |FROM p3 ORDER BY doc_id""".stripMargin
+  }
+
+  /** q203: the identical two sync label-frequency rounds, unrolled;
+    * the most-frequent-tie-min argmax spelled as ROW_NUMBER. */
+  private lazy val labelCommunitiesOracle: String = {
+    def round(i: Int): String =
+      s"""n$i AS MATERIALIZED (SELECT e.dst AS doc_id, l.lbl, COUNT(*) AS c
+        |     FROM sym e JOIN l${i - 1} l ON l.doc_id = e.src GROUP BY 1, 2),
+        |l$i AS MATERIALIZED (SELECT doc_id, lbl FROM (
+        |     SELECT doc_id, lbl, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |       ORDER BY c DESC, lbl) AS rn FROM n$i) WHERE rn = 1)""".stripMargin
+    s"""WITH $jaccardCommonCte,
+      |pairs AS (SELECT doc_a, doc_b FROM common
+      |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+      |sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS lbl
+      |        FROM sym),
+      |${round(1)},
+      |${round(2)}
+      |SELECT doc_id, lbl AS community FROM l2 ORDER BY doc_id""".stripMargin
+  }
 
   /** q144: all-paths walk + MIN(d) over the same threshold pair set —
     * equals BFS first-visit distance. */

@@ -343,7 +343,64 @@ object TextAnalysis {
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** DICTIONARY ENCODING (the vocabulary counterpart of q177's
+    * hashing trick): build a token→id dictionary with ids assigned by
+    * frequency rank (freq DESC, token ASC — the id-0-is-most-frequent
+    * layout every vocab file uses), then encode the corpus and emit a
+    * per-document integer digest: token count, Σid, max id, and the
+    * position-weighted checksum Σ(pos·id) that pins the ENCODED ORDER,
+    * not just the multiset. Scale shape: the rank runs through
+    * [[graft.ops.Windows.globalRankNoSort]] (two-level bucket rank —
+    * the only unpartitioned window is over O(buckets) rows, never a
+    * single-partition sort of the vocabulary), and the encode join
+    * shuffles on the token key where both sides are already
+    * pre-reduced (corpus side is (doc, pos, tok) postings, dictionary
+    * side O(|V|)). All-integer output — nothing to drift. */
+  def dictEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val vocab = graft.ops.Windows.globalRankNoSort(freq, -col("n"),
+        col("tok"), 16L, "token_id", "_nv")
+      .select(col("tok"), col("token_id"))
+    toks.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("token_id")).as("sum_tid"),
+        max(col("token_id")).as("max_tid"),
+        sum((col("pos") + 1).cast(LongType) * col("token_id"))
+          .as("pos_weighted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE MERGE-CANDIDATE MINING — the counting step of
+    * byte-pair-encoding training: adjacent character-pair frequencies
+    * over the corpus, weighted by word frequency (count over word
+    * TYPES × their occurrence counts, the standard BPE formulation),
+    * top 20 pairs = the first merges a tokenizer trained on this
+    * corpus would learn. Scale shape: pair generation runs over the
+    * DISTINCT-token table (O(|V|) rows, not O(corpus tokens)), the
+    * pair rollup partial-aggregates, and the top-k is a
+    * TakeOrderedAndProject heap — no global sort. Single-char tokens
+    * are filtered BEFORE the index sequence on both sides (Spark's
+    * `sequence(1,0)` counts DOWN while DuckDB's generate_series is
+    * empty — the guard keeps the engines off that divergent edge). */
+  def bpeMergePairs(spark: SparkSession, dir: String): DataFrame = {
+    val freq = spread(load(spark, dir, "documents"))
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .filter(length(col("tok")) >= 2)
+    freq.select(col("n"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_dict_encode" -> dictEncode,
+    "q205_bpe_merge_pairs" -> bpeMergePairs,
     "q148_sql_shingle_stats" -> sqlShingleStats,
     "q82_tfidf_topk" -> tfidfTopK,
     "q85_heavy_hitters" -> heavyHitters,
@@ -364,6 +421,34 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q202_dict_encode" ->
+      """WITH t AS (SELECT doc_id,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |e AS (SELECT doc_id, toks,
+        |    UNNEST(GENERATE_SERIES(1, LEN(toks))) AS pos FROM t),
+        |x AS (SELECT doc_id, pos, toks[pos] AS tok FROM e),
+        |f AS (SELECT tok, COUNT(*) AS n FROM x GROUP BY 1),
+        |v AS (SELECT tok,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT)
+        |      AS token_id FROM f)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(token_id) AS BIGINT) AS sum_tid,
+        |  MAX(token_id) AS max_tid,
+        |  CAST(SUM(pos * token_id) AS BIGINT) AS pos_weighted
+        |FROM x JOIN v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q205_bpe_merge_pairs" ->
+      """WITH f AS (SELECT tok, COUNT(*) AS n FROM (
+        |    SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
+        |    FROM documents) GROUP BY 1),
+        |g AS (SELECT tok, n FROM f WHERE LENGTH(tok) >= 2),
+        |p AS (SELECT n, UNNEST(LIST_TRANSFORM(
+        |        GENERATE_SERIES(1, LENGTH(tok) - 1),
+        |        i -> SUBSTRING(tok, i, 2))) AS pair
+        |      FROM g)
+        |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY 1
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
     // sign bit and dim come from disjoint bit ranges of the same
     // portable 56-bit hash; all-integer arithmetic, no float anywhere
     "q177_feature_hashing" ->
