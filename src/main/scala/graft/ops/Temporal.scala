@@ -397,6 +397,7 @@ object Temporal {
     "q135_golden_record" -> goldenRecord,
     "q141_transition_matrix" -> transitionMatrix,
     "q142_last_touch_attribution" -> lastTouchAttribution,
+    "q204_linear_attribution" -> linearAttribution,
     "q152_period_growth" -> periodGrowth,
     "q156_funnel_latency" -> funnelLatency,
     "q160_cumulative_uniques" -> cumulativeUniques,
@@ -553,6 +554,49 @@ object Temporal {
           col("last_touch")).otherwise(lit("direct")))
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  /** MULTI-TOUCH LINEAR ATTRIBUTION — q142's last-touch rule replaced
+    * by the equal-split model: every click/view in the purchase's
+    * 7-day lookback shares the revenue. Credit is EXACT-INTEGER
+    * largest-remainder apportionment in cents (the q146 rule: each
+    * touch gets cents DIV n, the first cents MOD n touches in
+    * (ts, event_id) order get the extra cent), so per-purchase credits
+    * sum to the purchase EXACTLY — no float shares, conservation
+    * audit-clean. Touchless purchases credit 'direct' whole.
+    *
+    * Scale shape: ONE user-key equi-join carries the 7-day range as a
+    * residual predicate (per-user fan-out is lookback-bounded, never
+    * purchase×touch cartesian); the rank and touch-count windows both
+    * ride a single purchase-id shuffle; the final rollup
+    * partial-aggregates to O(channels). */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts").as("tts"), col("event_id").as("tid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
+        (d2(col("value")) * 100).cast(LongType).as("cents"))
+    val j = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val wp = Window.partitionBy(col("pid"))
+    val credited = j
+      .withColumn("r", row_number()
+        .over(wp.orderBy(col("tts"), col("tid"))).cast(LongType))
+      .withColumn("ntouch", count(lit(1)).over(wp))
+      .withColumn("credit_cents", expr("cents DIV ntouch") +
+        when(col("r") <= col("cents") % col("ntouch"), 1L).otherwise(0L))
+    val directRows = purchases
+      .join(credited.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .select(lit("direct").as("channel"), col("cents").as("credit_cents"))
+    credited.select(col("channel"), col("credit_cents"))
+      .unionByName(directRows)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_cents")).as("credited_cents"))
       .orderBy(col("channel"))
   }
 
@@ -1101,6 +1145,29 @@ object Temporal {
         |  CAST(rev - prev1 AS DOUBLE) / CAST(prev1 AS DOUBLE) AS mom_growth,
         |  CAST(rev - prev12 AS DOUBLE) / CAST(prev12 AS DOUBLE) AS yoy_growth
         |FROM l ORDER BY month""".stripMargin,
+    "q204_linear_attribution" ->
+      """WITH t AS (SELECT user_id, event_type AS channel, ts AS tts,
+        |    event_id AS tid
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT user_id, event_id AS pid, ts AS pts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.pid, p.cents, t.channel, t.tts, t.tid
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |   AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+        |c AS (SELECT pid, channel, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS r,
+        |    COUNT(*) OVER (PARTITION BY pid) AS ntouch
+        |  FROM j),
+        |cr AS (SELECT channel, cents // ntouch +
+        |    CASE WHEN r <= cents % ntouch THEN 1 ELSE 0 END AS credit_cents
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'direct', cents FROM p
+        |  WHERE pid NOT IN (SELECT pid FROM j))
+        |SELECT channel, COUNT(*) AS n_credits,
+        |  CAST(SUM(credit_cents) AS BIGINT) AS credited_cents
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
     "q142_last_touch_attribution" ->
       """WITH ev AS (SELECT * FROM events
         |  WHERE event_type IN ('click', 'view', 'purchase')),

@@ -621,7 +621,39 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** HARD-NEGATIVE MINING (contrastive-training data prep): for each
+    * anchor vector, the top-5 most-similar vectors with a DIFFERENT
+    * label — the near-miss negatives a contrastive or reranker batch
+    * builder wants (random negatives are trivially easy; the hard ones
+    * sit just across the decision boundary). Same regime as q35:
+    * anchors broadcast, the corpus never shuffles, per-anchor ranking
+    * is a window over the anchor key, and the cosine is the codegen'd
+    * strict-fold dot. The cross-label filter rides the broadcast join
+    * predicate, so pruning happens before any scoring. At production
+    * anchor counts this fans out through the IVF probe (q138's
+    * machinery) instead of scoring the full corpus per anchor — the
+    * top-k-with-predicate shape is identical. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val v = spread(load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+    val q = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("n2").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neg_id"))
+    broadcast(q).join(v, col("label") =!= col("qlabel"))
+      .withColumn("cosine", cosine(dot(col("qe"), col("embedding")),
+        col("qn"), col("n2")))
+      .select(col("query_id"), col("qlabel"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_hard_negatives" -> hardNegatives,
     "q185_class_centroids" -> classCentroids,
     "q145_vector_profile" -> vectorProfile,
     "q34_embedding_neardup" -> embeddingNearDup,
@@ -820,6 +852,20 @@ object Similarity {
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q206_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding,
+        |    ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe,
+        |    n2 AS qn FROM v WHERE vec_id < 8),
+        |c AS (SELECT query_id, qlabel, v.vec_id AS neg_id,
+        |    v.label AS neg_label,
+        |    ${cosSql(dotSql("qe", "v.embedding"), "qn", "v.n2")} AS cosine
+        |  FROM q JOIN v ON v.label != qlabel),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neg_id) AS rank FROM c)
+        |SELECT query_id, qlabel, neg_id, neg_label, cosine, rank FROM r
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q35_knn_bruteforce" ->
       s"""WITH v AS ($vSql),
         |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn FROM v WHERE vec_id < 5),
