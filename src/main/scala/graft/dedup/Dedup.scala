@@ -804,13 +804,20 @@ object Dedup {
     * the chain). */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val sym = e.union(e.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint(eager = false)
+    pageRankIterate(e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst"), rounds = 3)
+  }
+
+  /** The fixed-point iteration on any symmetrized (src, dst) edge
+    * list — private[graft] so the spec can drive synthetic graphs. */
+  private[graft] def pageRankIterate(symIn: DataFrame, rounds: Int)
+      : DataFrame = {
+    val sym = symIn.localCheckpoint(eager = false)
     val nodes = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("doc_id"), col("outdeg"))
       .localCheckpoint(eager = false)
     var pr = nodes.withColumn("pr", lit(PR_SCALE))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       val contrib = pr.join(sym, pr("doc_id") === sym("src"))
         .select(col("dst").as("doc_id"), expr("pr DIV outdeg").as("c"))
         .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
@@ -844,11 +851,18 @@ object Dedup {
     * answer, and the oracle unrolls the SAME two rounds). */
   def labelCommunities(spark: SparkSession, dir: String): DataFrame = {
     val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val sym = e.union(e.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint(eager = false)
+    labelPropagate(e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst"), rounds = 2)
+  }
+
+  /** The sync propagation on any symmetrized (src, dst) edge list —
+    * private[graft] so the spec can drive synthetic graphs. */
+  private[graft] def labelPropagate(symIn: DataFrame, rounds: Int)
+      : DataFrame = {
+    val sym = symIn.localCheckpoint(eager = false)
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to rounds) {
       labels = sym.join(labels, sym("src") === labels("doc_id"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))

@@ -722,6 +722,89 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("pagerank: star hub outranks leaves, leaves tie, everyone keeps teleport mass") {
+    import spark.implicits._
+    // star: hub 0 <-> leaves 1..8. After any round count the hub must
+    // hold strictly more mass than any leaf, all leaves identical by
+    // symmetry, and nobody falls below the 0.15 teleport floor.
+    val e = (1L to 8L).map(i => (0L, i)).toDF("a", "b")
+    val sym = e.union(e.select(col("b"), col("a"))).toDF("src", "dst")
+    val pr = dedup.Dedup.pageRankIterate(sym, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.size === 9)
+    val hub = pr(0L); val leaves = (1L to 8L).map(pr)
+    assert(leaves.distinct.size === 1, s"asymmetric leaves: $pr")
+    assert(hub > leaves.head, s"hub $hub not above leaf ${leaves.head}")
+    assert(pr.values.forall(_ >= 150000000L), s"below teleport floor: $pr")
+  }
+
+  test("label communities: two cliques joined by one bridge keep separate labels") {
+    import spark.implicits._
+    // K4 on {1..4} + K4 on {11..14} + bridge 4-11: frequency voting
+    // must keep each clique on its own (minimum) label — the behavior
+    // that distinguishes this from q67's connected components, which
+    // would merge everything into one label.
+    def k4(base: Long) = for {
+      i <- 0L to 3L; j <- (i + 1) to 3L
+    } yield (base + i, base + j)
+    val e = (k4(1L) ++ k4(11L) :+ (4L, 11L)).toDF("a", "b")
+    val sym = e.union(e.select(col("b"), col("a"))).toDF("src", "dst")
+    val lbl = dedup.Dedup.labelPropagate(sym, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = (1L to 4L).map(lbl).toSet
+    val right = (11L to 14L).map(lbl).toSet
+    assert(left.intersect(right).isEmpty,
+      s"cliques merged across the bridge: $lbl")
+  }
+
+  test("linear attribution conserves revenue: credits sum to purchase cents exactly") {
+    val credited = run("q204_linear_attribution")
+      .agg(sum(col("credited_cents"))).collect()(0).getLong(0)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum((Tables.d2(col("value")) * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(credited === purchases,
+      s"credited $credited != purchase total $purchases")
+  }
+
+  test("dict encode: token counts match a direct recount, ids stay in-vocab") {
+    val enc = run("q202_dict_encode")
+    val direct = Tables.spread(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("n_direct"))
+    val vocabSize = Tables.spread(Tables.load(spark, sf, "documents"))
+      .select(explode(split(trim(col("text")), " +")).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    val bad = enc.join(direct, "doc_id")
+      .filter(col("n_tokens") =!= col("n_direct") ||
+        col("max_tid") > lit(vocabSize) || col("max_tid") < 1)
+    assert(bad.count() === 0L)
+  }
+
+  test("bpe merge pairs: every candidate is a 2-char pair, counts descend") {
+    val rows = run("q205_bpe_merge_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0).length === 2, r.toString))
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts === counts.sorted.reverse, s"not descending: $counts")
+  }
+
+  test("hard negatives: ranks 1..5, never the anchor, never the anchor's label") {
+    val rows = run("q206_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(5)).toSeq.sorted === (1L to rs.length).toSeq)
+      rs.foreach { r =>
+        assert(r.getLong(2) !== q, s"self match for $q")
+        assert(r.getInt(1) !== r.getInt(3), s"same-label negative for $q")
+        val c = r.getDouble(4)
+        assert(c >= -1.0000001 && c <= 1.0000001, s"cosine $c")
+      }
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()

@@ -119,6 +119,18 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q206 hard negatives broadcast the anchors (corpus never shuffles)") {
+    val plan = formatted(run("q206_hard_negatives"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q204 attribution joins on the user key — range is residual, no cartesian") {
+    val plan = formatted(run("q204_linear_attribution"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q34 exact pair join is tiled — no nested-loop or cartesian operator") {
     val plan = formatted(run("q34_embedding_neardup"))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
