@@ -398,6 +398,7 @@ object Temporal {
     "q141_transition_matrix" -> transitionMatrix,
     "q142_last_touch_attribution" -> lastTouchAttribution,
     "q204_linear_attribution" -> linearAttribution,
+    "q208_session_paths" -> sessionPaths,
     "q152_period_growth" -> periodGrowth,
     "q156_funnel_latency" -> funnelLatency,
     "q160_cumulative_uniques" -> cumulativeUniques,
@@ -555,6 +556,42 @@ object Temporal {
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
       .orderBy(col("channel"))
+  }
+
+  /** SESSION PATH MINING: the 20 most common within-session event-type
+    * SEQUENCES (q167's 30-minute-gap sessions, each rendered as
+    * 'view>click>purchase'-style path strings) — the navigation-flow
+    * report that funnels (q84) hard-code one hypothesis of and this
+    * discovers from data. Determinism: the path string is built from a
+    * `sort_array(collect_list(struct(ts, event_id, type)))` — the sort
+    * imposes the (ts, event_id) total order AFTER collection, so the
+    * rendering is partition-order-free (collect_list alone is not),
+    * mirroring the oracle's `STRING_AGG(... ORDER BY ts, event_id)`.
+    * Scale shape: one user-key shuffle carries the sessionization
+    * windows AND the per-session fold; the path rollup
+    * partial-aggregates; top-20 is a TakeOrderedAndProject heap.
+    * Per-session state is gap-bounded (a 30-min-gap session is as long
+    * as real traffic makes it, not the whole history). */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val GapUs = 1800000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", (col("prev").isNull ||
+        expr("timestampdiff(MICROSECOND, prev, ts)") > GapUs).cast(LongType))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))),
+        s => s.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
   }
 
   /** MULTI-TOUCH LINEAR ATTRIBUTION — q142's last-touch rule replaced
@@ -1145,6 +1182,23 @@ object Temporal {
         |  CAST(rev - prev1 AS DOUBLE) / CAST(prev1 AS DOUBLE) AS mom_growth,
         |  CAST(rev - prev12 AS DOUBLE) / CAST(prev12 AS DOUBLE) AS yoy_growth
         |FROM l ORDER BY month""".stripMargin,
+    "q208_session_paths" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR DATE_DIFF('microsecond', LAG(ts) OVER w, ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |p AS (SELECT user_id, sid,
+        |    STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q204_linear_attribution" ->
       """WITH t AS (SELECT user_id, event_type AS channel, ts AS tts,
         |    event_id AS tid

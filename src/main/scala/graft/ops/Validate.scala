@@ -521,7 +521,52 @@ object Validate {
       .orderBy(col("segment"))
   }
 
+  /** DISTRIBUTION DRIFT between the first and second time-halves of
+    * the event stream: per-type counts in each half plus the TOTAL
+    * VARIATION DISTANCE between the two event-type mixes — the "did
+    * the workload change shape" monitor beside q150's chi-square
+    * independence test (TVD is the bounded [0,1] distance product
+    * dashboards alarm on; chi-square answers significance). The PSI
+    * the industry also quotes needs ln(), which is not
+    * correctly-rounded-portable across engines — TVD carries the same
+    * signal with none of the float hazard.
+    *
+    * Determinism: TVD = Σ|n1ᵢ·N2 − n2ᵢ·N1| / (2·N1·N2) — the
+    * numerator is EXACT BIGINT per cell (cross-multiplied counts, no
+    * per-cell division), the Σ is an integer aggregate, and the single
+    * final division happens once on identical operands. The time split
+    * is the integer-microsecond midpoint (lo+hi) DIV 2 — no float
+    * timestamps. Scale: two partial-aggregable passes (bounds, then
+    * counts) + O(types) arithmetic; the broadcast scalars are one row
+    * each. */
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+        .as("us"))
+    val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .withColumn("h1",
+        (col("us") <= expr("(lo + hi) DIV 2")).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(sum(col("h1")).as("n_first"),
+        sum(lit(1L) - col("h1")).as("n_second"))
+    val totals = counts.agg(sum(col("n_first")).as("t1"),
+      sum(col("n_second")).as("t2"))
+    val d = counts.crossJoin(broadcast(totals))
+      .withColumn("drift_num",
+        abs(col("n_first") * col("t2") - col("n_second") * col("t1")))
+    val num = d.agg(sum(col("drift_num")).as("num"))
+    d.crossJoin(broadcast(num))
+      .withColumn("tvd", col("num").cast(DoubleType) /
+        (lit(2L) * col("t1") * col("t2")).cast(DoubleType))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        col("drift_num"), col("tvd"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_distribution_drift" -> distributionDrift,
     "q193_behavior_segments" -> behaviorSegments,
     "q184_replica_bucket_diff" -> replicaBucketDiff,
     "q181_zonemap_skip" -> zoneMapSkipAudit,
@@ -554,6 +599,24 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    "q207_distribution_drift" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |c AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN us <= (lo + hi) // 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |    CAST(SUM(CASE WHEN us <= (lo + hi) // 2
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_second
+        |  FROM ev, b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_first) AS BIGINT) AS t1,
+        |    CAST(SUM(n_second) AS BIGINT) AS t2 FROM c),
+        |d AS (SELECT event_type, n_first, n_second,
+        |    ABS(n_first * t2 - n_second * t1) AS drift_num, t1, t2
+        |  FROM c, t),
+        |n AS (SELECT CAST(SUM(drift_num) AS BIGINT) AS num FROM d)
+        |SELECT event_type, n_first, n_second, drift_num,
+        |  CAST(num AS DOUBLE) / CAST(2 * t1 * t2 AS DOUBLE) AS tvd
+        |FROM d, n ORDER BY event_type""".stripMargin,
     "q193_behavior_segments" ->
       """WITH mx AS (SELECT MAX(ts) AS mx FROM events),
         |s AS (SELECT user_id,

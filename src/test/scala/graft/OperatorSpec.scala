@@ -805,6 +805,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("distribution drift: halves partition the stream, tvd bounded in [0,1]") {
+    val d = run("q207_distribution_drift")
+    val total = d.agg(sum(col("n_first") + col("n_second")))
+      .collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+    val tvds = d.select(col("tvd")).distinct().collect().map(_.getDouble(0))
+    assert(tvds.length === 1, "tvd must be one corpus-level scalar")
+    assert(tvds.head >= 0.0 && tvds.head <= 1.0, s"tvd ${tvds.head}")
+  }
+
+  test("session paths: every path step is a real event type, counts descend") {
+    val types = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSet
+    val rows = run("q208_session_paths").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      r.getString(0).split('>').foreach(s =>
+        assert(types.contains(s), s"unknown step '$s' in ${r.getString(0)}"))
+    }
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts === counts.sorted.reverse)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
