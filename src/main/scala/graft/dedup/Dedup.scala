@@ -834,6 +834,34 @@ object Dedup {
   /** Fixed-point scale for [[pageRank]] (1e9 mass units per unit rank). */
   private val PR_SCALE = 1000000000L
 
+  /** DETECTOR AGREEMENT AUDIT: the q31 MinHash-LSH pair set evaluated
+    * against the q33 exact-Jaccard truth — n_both / lsh-only /
+    * exact-only plus precision and recall, in one row. This is the
+    * measurement that justifies (or vetoes) running the cheap
+    * probabilistic detector instead of the exact index at 100 TB: run
+    * it on a sampled slice, read recall, then choose. Both pair sets
+    * are the ALREADY-GATED operators reused verbatim (q104==q39 rule:
+    * compose, don't re-derive); the audit itself is one full-outer
+    * join of two slim (doc_a, doc_b) sets + a one-row conditional
+    * aggregate. Precision/recall are each ONE division of exact
+    * integer counts — bit-identical across engines. */
+  def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val lsh = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_lsh", lit(1L))
+    val ex = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_exact", lit(1L))
+    lsh.join(ex, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("in_lsh"), lit(0L)).as("il"),
+        coalesce(col("in_exact"), lit(0L)).as("ie"))
+      .agg(sum(col("il") * col("ie")).as("n_both"),
+        sum(col("il") * (lit(1L) - col("ie"))).as("n_lsh_only"),
+        sum((lit(1L) - col("il")) * col("ie")).as("n_exact_only"))
+      .withColumn("precision", col("n_both").cast(DoubleType) /
+        (col("n_both") + col("n_lsh_only")).cast(DoubleType))
+      .withColumn("recall", col("n_both").cast(DoubleType) /
+        (col("n_both") + col("n_exact_only")).cast(DoubleType))
+  }
+
   /** COMMUNITY DETECTION by synchronous label propagation (2 rounds,
     * Raghavan et al. 2007 made deterministic): every node starts
     * labeled with its own id; each round it adopts its neighbors' MOST
@@ -877,6 +905,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_pagerank" -> pageRank,
     "q203_label_communities" -> labelCommunities,
+    "q211_dedup_agreement" -> dedupAgreement,
     "q196_bfs_recursive_cte" -> bfsRecursiveCte,
     "q194_vocab_growth" -> vocabGrowth,
     "q186_novelty_score" -> noveltyScore,
@@ -1002,6 +1031,7 @@ object Dedup {
     "q124_two_hop_neighbors" -> twoHopOracle,
     "q201_pagerank" -> pageRankOracle,
     "q203_label_communities" -> labelCommunitiesOracle,
+    "q211_dedup_agreement" -> dedupAgreementOracle,
     "q144_bfs_seed_distance" -> bfsOracle,
     // the SAME oracle string as q144: superstep and recursive forms
     // must agree exactly
@@ -1106,6 +1136,47 @@ object Dedup {
       |SELECT doc_id, CAST(pr AS BIGINT) AS pr_scaled
       |FROM p3 ORDER BY doc_id""".stripMargin
   }
+
+  /** q211: LSH pair set (q31's oracle logic) full-outer-joined against
+    * the exact-Jaccard truth (q33's); CTEs renamed to coexist. */
+  private lazy val dedupAgreementOracle: String =
+    s"""WITH lt AS ($toksSql),
+      |ls AS (SELECT doc_id, $shinglesSql AS sh FROM lt),
+      |lh AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM ls),
+      |lsig AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
+      |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
+      |        FROM lh),
+      |lbands AS (SELECT doc_id, sig, b.band,
+      |            ARRAY_TO_STRING(sig[b.band*${R}+1 : b.band*${R}+${R}], ',') AS bkey
+      |          FROM lsig, (SELECT UNNEST([0,1,2,3]) AS band) b),
+      |lsh AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |        FROM lbands x JOIN lbands y
+      |          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      |        WHERE CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}),
+      |            i -> x.sig[i] = y.sig[i])) AS DOUBLE) / ${K}.0 >= 0.5),
+      |einv AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n,
+      |          UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS h
+      |        FROM ls),
+      |ex AS (SELECT doc_a, doc_b FROM (
+      |        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |          a.n AS na, b.n AS nb, COUNT(*) AS c
+      |        FROM einv a JOIN einv b ON a.h = b.h AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2, 3, 4)
+      |      WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+      |f AS (SELECT COALESCE(l.il, 0) AS il, COALESCE(e.ie, 0) AS ie
+      |      FROM (SELECT doc_a, doc_b, 1 AS il FROM lsh) l
+      |      FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS ie FROM ex) e
+      |        USING (doc_a, doc_b)),
+      |agg AS (SELECT CAST(SUM(il * ie) AS BIGINT) AS n_both,
+      |          CAST(SUM(il * (1 - ie)) AS BIGINT) AS n_lsh_only,
+      |          CAST(SUM((1 - il) * ie) AS BIGINT) AS n_exact_only
+      |        FROM f)
+      |SELECT n_both, n_lsh_only, n_exact_only,
+      |  CAST(n_both AS DOUBLE) / CAST(n_both + n_lsh_only AS DOUBLE)
+      |    AS precision,
+      |  CAST(n_both AS DOUBLE) / CAST(n_both + n_exact_only AS DOUBLE)
+      |    AS recall
+      |FROM agg""".stripMargin
 
   /** q203: the identical two sync label-frequency rounds, unrolled;
     * the most-frequent-tie-min argmax spelled as ROW_NUMBER. */

@@ -565,7 +565,25 @@ object Validate {
       .orderBy(col("event_type"))
   }
 
+  /** L-DIVERSITY audit — q182's k-anonymity strengthened the standard
+    * way (Machanavajjhala et al. 2007): a quasi-identifier group can
+    * be size-k yet still leak if everyone in it shares the same
+    * sensitive value. Here QI = (nation, balance band), sensitive =
+    * market segment; groups with fewer than 3 DISTINCT segments are
+    * flagged. One QI-key rollup with a count-distinct — the distinct
+    * expands to (QI, segment) pre-aggregation then re-rolls, both
+    * partial-aggregable; all integers. */
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_mktsegment")).as("l"))
+      .filter(col("l") < 3)
+      .orderBy(col("c_nationkey"), col("bal_band"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_l_diversity" -> lDiversityAudit,
     "q207_distribution_drift" -> distributionDrift,
     "q193_behavior_segments" -> behaviorSegments,
     "q184_replica_bucket_diff" -> replicaBucketDiff,
@@ -599,6 +617,15 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    "q209_l_diversity" ->
+      """SELECT c_nationkey,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT c_mktsegment) < 3
+        |ORDER BY c_nationkey, bal_band""".stripMargin,
     "q207_distribution_drift" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
         |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),

@@ -398,7 +398,40 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** TRIGRAM LANGUAGE-MODEL COUNTS: for every two-token context seen
+    * ≥ 5 times with a given continuation, the top-3 next tokens by
+    * count — the classic n-gram LM table (and the repetition/
+    * memorization probe: a corpus whose contexts are too predictable
+    * is template spam). Support filtering happens BEFORE the ranking
+    * window on both sides — sound because rank orders by count DESC,
+    * so sub-threshold rows can never sit above surviving ones — which
+    * shrinks the window shuffle to the frequent tail. Scale shape:
+    * trigram generation is a per-row codegen'd HOF over the token
+    * array (no position self-join), the (ctx, next) rollup
+    * partial-aggregates, and the per-context top-3 plans as
+    * WindowGroupLimit. Docs under 3 tokens are filtered before the
+    * index sequence (the q205 descending-sequence guard). */
+  def trigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val grams = spread(load(spark, dir, "documents"))
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 2), i -> struct(
+          |  concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS ctx,
+          |  element_at(toks, i + 2) AS nxt))""".stripMargin)).as("g"))
+      .select(col("g.ctx"), col("g.nxt"))
+    val counts = grams.groupBy(col("ctx"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+    val w = Window.partitionBy(col("ctx"))
+      .orderBy(col("n").desc, col("nxt"))
+    counts.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .orderBy(col("ctx"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_trigram_lm" -> trigramLm,
     "q202_dict_encode" -> dictEncode,
     "q205_bpe_merge_pairs" -> bpeMergePairs,
     "q148_sql_shingle_stats" -> sqlShingleStats,
@@ -421,6 +454,22 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q210_trigram_lm" ->
+      """WITH t AS (SELECT STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |  FROM documents),
+        |g3 AS (SELECT toks FROM t WHERE LEN(toks) >= 3),
+        |e AS (SELECT toks,
+        |    UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i FROM g3),
+        |g AS (SELECT toks[i] || ' ' || toks[i + 1] AS ctx,
+        |    toks[i + 2] AS nxt FROM e),
+        |c AS (SELECT ctx, nxt, COUNT(*) AS n FROM g
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |r AS (SELECT ctx, nxt, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY ctx
+        |      ORDER BY n DESC, nxt) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT ctx, nxt, n, rank FROM r WHERE rank <= 3
+        |ORDER BY ctx, rank""".stripMargin,
     "q202_dict_encode" ->
       """WITH t AS (SELECT doc_id,
         |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),

@@ -829,6 +829,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(counts === counts.sorted.reverse)
   }
 
+  test("dedup agreement marginals reconcile with the q31/q33 pair sets") {
+    val r = run("q211_dedup_agreement").collect()(0)
+    val (both, lshOnly, exOnly) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(both + lshOnly === run("q31_minhash_lsh").count())
+    assert(both + exOnly === run("q33_ngram_jaccard").count())
+    // LSH banding can only MISS pairs vs the exact index after the
+    // same >=0.5 estimate cut — both detectors gate on their own
+    // scores, so precision/recall live in (0, 1]
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("trigram lm: support floor holds, ranks 1..k per context, counts descend in rank") {
+    val rows = run("q210_trigram_lm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 5, r.toString))
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to rs.length).toSeq)
+      val ns = sorted.map(_.getLong(2)).toSeq
+      assert(ns === ns.sorted.reverse)
+    }
+  }
+
+  test("l-diversity: flagged groups have l < 3 and l never exceeds group size") {
+    val rows = run("q209_l_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) < 3 && r.getLong(3) >= 1 &&
+        r.getLong(3) <= r.getLong(2), r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()

@@ -131,6 +131,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q210 trigram top-3 prunes per-context before the window shuffle (WindowGroupLimit)") {
+    val plan = formatted(run("q210_trigram_lm"))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("q34 exact pair join is tiled — no nested-loop or cartesian operator") {
     val plan = formatted(run("q34_embedding_neardup"))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
