@@ -652,7 +652,92 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack et al. 2009 — the hybrid-search
+    * combiner): each query's candidates are ranked under TWO metrics
+    * (cosine and L2, both derived from ONE shared dot-product pass)
+    * and fused by RRF(60): score = 1/(60+r_cos) + 1/(60+r_l2), top-5
+    * kept. This is the exact shape of production lexical+vector
+    * fusion — rank lists in, fused list out, no score calibration
+    * needed — demonstrated here on two metrics over one space so the
+    * oracle stays exact. Determinism: ranks are integers; each RRF
+    * term is one division of integer-derived doubles and the sum is
+    * one fixed-order add (cos term first), mirrored literally in the
+    * oracle with E-notation literals (DuckDB parses bare `1.0` as
+    * DECIMAL — the q154 lesson). Scale: the scoring pass is q35's
+    * broadcast regime; the three windows all share the query-id
+    * partitioning — one shuffle. */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val q = queryVecs(v)
+    val scored = broadcast(q).join(v, col("vec_id") =!= col("query_id"))
+      .withColumn("d", dot(col("qe"), col("embedding")))
+      .withColumn("cosine", cosine(col("d"), col("qn"), col("n2")))
+      .withColumn("l2sq", col("qn") + col("n2") - lit(2.0) * col("d"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("l2sq"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2sq"), col("neighbor_id"))
+    val ranked = scored
+      .withColumn("rc", row_number().over(wc))
+      .withColumn("rl", row_number().over(wl))
+      .withColumn("rrf", lit(1.0) / (lit(60.0) + col("rc")) +
+        lit(1.0) / (lit(60.0) + col("rl")))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    ranked.withColumn("rank", row_number().over(wf).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rc").cast(LongType).as("rank_cos"),
+        col("rl").cast(LongType).as("rank_l2"), col("rrf"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** CLASS-CENTROID AFFINITY matrix: the cosine between every pair of
+    * per-label mean embeddings — the label-confusability readout (two
+    * classes whose centroids sit at cos≈1 will bleed into each other;
+    * the signal that drives relabeling or class merging). Built
+    * ENTIRELY from exact integers until one final division: per-class
+    * per-dim quantized sums (the q185 2^20 fixed-point rule) are the
+    * centroid up to a positive per-class scalar — which cosine
+    * CANCELS — so the pairwise dot is an exact DECIMAL(38) sum of
+    * BIGINT products (never a float fold across dims), and the oracle
+    * routes its int128 sums through the VARCHAR cast (the q114
+    * correctly-rounded path). Scale: one (label, dim) partial-agg
+    * rollup of the corpus, then all pair arithmetic is O(L²·dims) on
+    * the TINY sums table — the corpus is read once. */
+  def centroidAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val S = 1 << 20
+    val sums = spread(load(spark, dir, "embeddings"))
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        floor(col("v").cast(DoubleType) * S + 0.5).cast(LongType).as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).cast(DecimalType(38, 0)).as("qs"))
+    val a = sums.select(col("label").as("la"), col("dim"),
+      col("qs").as("qa"))
+    val b = sums.select(col("label").as("lb"), col("dim"),
+      col("qs").as("qb"))
+    val dots = a.join(b, Seq("dim")).filter(col("la") <= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(col("qa") * col("qb")).as("dp"))
+    val norms = dots.filter(col("la") === col("lb"))
+      .select(col("la").as("l"), col("dp").as("nn"))
+    dots.filter(col("la") < col("lb"))
+      .join(norms.select(col("l").as("la"), col("nn").as("na")), "la")
+      .join(norms.select(col("l").as("lb"), col("nn").as("nb")), "lb")
+      .select(col("la"), col("lb"),
+        (col("dp").cast(DoubleType) /
+          sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType)))
+          .as("cosine"))
+      .orderBy(col("la"), col("lb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_rank_fusion" -> rankFusion,
+    "q213_centroid_affinity" -> centroidAffinity,
     "q206_hard_negatives" -> hardNegatives,
     "q185_class_centroids" -> classCentroids,
     "q145_vector_profile" -> vectorProfile,
@@ -852,6 +937,53 @@ object Similarity {
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q212_rank_fusion" ->
+      s"""WITH v AS ($vSql),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn
+        |  FROM v WHERE vec_id < 5),
+        |c AS (SELECT query_id, v.vec_id AS neighbor_id,
+        |    ${cosSql(dotSql("qe", "v.embedding"), "qn", "v.n2")} AS cosine,
+        |    qn + v.n2 - 2.0e0 * ${dotSql("qe", "v.embedding")} AS l2sq
+        |  FROM q JOIN v ON v.vec_id != query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY l2sq, neighbor_id) AS rl
+        |  FROM c),
+        |f AS (SELECT query_id, neighbor_id, rc, rl,
+        |    1.0e0 / (60.0e0 + rc) + 1.0e0 / (60.0e0 + rl) AS rrf FROM r),
+        |g AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, neighbor_id) AS rank FROM f)
+        |SELECT query_id, neighbor_id, CAST(rc AS BIGINT) AS rank_cos,
+        |  CAST(rl AS BIGINT) AS rank_l2, rrf, CAST(rank AS BIGINT) AS rank
+        |FROM g WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q213_centroid_affinity" ->
+      """WITH s AS (SELECT CAST(label AS BIGINT) AS label, embedding
+        |  FROM embeddings),
+        |e AS (SELECT label, embedding,
+        |    UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i FROM s),
+        |x AS (SELECT label, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM e),
+        |sums AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS qs
+        |  FROM x GROUP BY 1, 2),
+        |dots AS (SELECT a.label AS la, b.label AS lb,
+        |    SUM(CAST(a.qs AS HUGEINT) * b.qs) AS dp
+        |  FROM sums a JOIN sums b
+        |    ON a.dim = b.dim AND a.label <= b.label
+        |  GROUP BY 1, 2)
+        |SELECT d.la, d.lb,
+        |  CAST(CAST(d.dp AS VARCHAR) AS DOUBLE) /
+        |    SQRT(CAST(CAST(na.dp AS VARCHAR) AS DOUBLE) *
+        |         CAST(CAST(nb.dp AS VARCHAR) AS DOUBLE)) AS cosine
+        |FROM dots d
+        |JOIN dots na ON na.la = d.la AND na.lb = d.la
+        |JOIN dots nb ON nb.la = d.lb AND nb.lb = d.lb
+        |WHERE d.la < d.lb
+        |ORDER BY d.la, d.lb""".stripMargin,
     "q206_hard_negatives" ->
       s"""WITH v AS (SELECT vec_id, label, embedding,
         |    ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),

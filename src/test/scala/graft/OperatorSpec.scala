@@ -862,6 +862,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("rank fusion: rrf recomputes from the component ranks, fused order descends") {
+    val rows = run("q212_rank_fusion").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rc, rl, rrf) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(rrf === 1.0 / (60.0 + rc) + 1.0 / (60.0 + rl), r.toString)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(5))
+      assert(sorted.map(_.getLong(5)).toSeq === (1L to rs.length).toSeq)
+      val scores = sorted.map(_.getDouble(4)).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+
+  test("centroid affinity: all unordered label pairs exactly once, cosines bounded") {
+    val rows = run("q213_centroid_affinity").collect()
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select(col("label")).distinct().count()
+    assert(rows.length === (labels * (labels - 1) / 2).toInt)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), r.toString)
+      val c = r.getDouble(2)
+      assert(c >= -1.0000001 && c <= 1.0000001, r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
