@@ -295,7 +295,54 @@ object Relational {
     top.unionByName(other).orderBy(col("c_nationkey"), col("entity"))
   }
 
+  /** SQL PIPE-SYNTAX surface (Spark 4, SPARK-49555): q01's pricing
+    * summary restated as a `|>` pipeline — scan |> WHERE |> AGGREGATE
+    * |> ORDER BY — and gated on the IDENTICAL oracle string as q01
+    * (the q196 twin rule: two language surfaces of one computation can
+    * never fork). The aggregate expressions spell out the exact
+    * decimal-then-one-cast [[graft.Tables.dsum]] contract inline, so
+    * the plan Catalyst builds is the same partial-aggregable hash
+    * aggregate as the DataFrame form. */
+  def pipeSyntaxPricing(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "lineitem").createOrReplaceTempView("graft_li_pipe")
+    spark.sql(
+      """FROM graft_li_pipe
+        ||> WHERE l_shipdate <= TIMESTAMP_NTZ'2000-12-01 00:00:00'
+        ||> AGGREGATE
+        |     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+        |     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |     COUNT(*) AS count_order
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** SQL SESSION-VARIABLE surface (Spark 4, SPARK-46908): q02's
+    * revenue filter with its predicate constants hoisted into
+    * `DECLARE VARIABLE`s — the parameterized-report shape (one
+    * statement text, per-run bindings) — gated on the IDENTICAL q02
+    * oracle. Variables resolve at analysis time, so the pushed-down
+    * scan predicate is the same constant filter q02 plans. */
+  def sqlVariablesRevenue(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "lineitem").createOrReplaceTempView("graft_li_var")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_disc_lo DOUBLE DEFAULT 0.05")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_disc_hi DOUBLE DEFAULT 0.07")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_qty_cap DOUBLE DEFAULT 24.0")
+    spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM graft_li_var
+        |WHERE l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
+        |  AND l_discount >= graft_disc_lo AND l_discount <= graft_disc_hi
+        |  AND l_quantity < graft_qty_cap""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_pipe_syntax" -> pipeSyntaxPricing,
+    "q215_sql_variables" -> sqlVariablesRevenue,
     "q192_topn_other" -> topNWithOther,
     "q169_hierarchy_share" -> hierarchyShare,
     "q63_set_ops_all" -> setOpsAll,
@@ -314,6 +361,27 @@ object Relational {
     "q13_cube" -> cubeOrders,
     "q14_having" -> segmentBalances,
     "q15_distinct_counts" -> distinctCounts)
+
+  private lazy val pricingOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private lazy val revenueOracle: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q192_topn_other" ->
@@ -360,25 +428,12 @@ object Relational {
         |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
         |GROUP BY custkey
         |ORDER BY custkey""".stripMargin,
-    "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-        | COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q02_revenue_filter" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q01_pricing_summary" -> pricingOracle,
+    // the SAME oracle strings as q01/q02: the pipe-syntax and
+    // session-variable surfaces must agree with the DataFrame forms
+    "q214_pipe_syntax" -> pricingOracle,
+    "q02_revenue_filter" -> revenueOracle,
+    "q215_sql_variables" -> revenueOracle,
     "q03_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue

@@ -889,6 +889,13 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe-syntax and session-variable surfaces equal their DataFrame twins exactly") {
+    assert(run("q214_pipe_syntax").collect().toSeq ===
+      run("q01_pricing_summary").collect().toSeq)
+    assert(run("q215_sql_variables").collect().toSeq ===
+      run("q02_revenue_filter").collect().toSeq)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
