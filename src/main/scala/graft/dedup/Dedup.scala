@@ -862,6 +862,63 @@ object Dedup {
         (col("n_both") + col("n_exact_only")).cast(DoubleType))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * near-dup edge list (doc_a → doc_b as mined, i.e. lower id points
+    * at higher): 2 rounds of the mutual-reinforcement recurrence —
+    * auth(v) = Σ hub(in-neighbors), hub(v) = Σ auth(out-neighbors) —
+    * the second centrality family beside q201's PageRank (random-walk
+    * mass vs bipartite endorsement; on citation-shaped dup graphs they
+    * disagree usefully: a template source is a hub, its copies are
+    * authorities). Determinism: all-integer fixed point — each round
+    * renormalizes by the CURRENT MAX via x·SCALE DIV max (integer
+    * floor division both engines define identically on non-negatives),
+    * which also bounds every value by SCALE so the products can never
+    * overflow int64. Scale shape: per half-round one edges⋈scores
+    * shuffle + one partial-aggregable SUM + one O(1) broadcast max —
+    * the q201 Pregel loop with a scalar broadcast added; the oracle
+    * unrolls the SAME integer stages into MATERIALIZED CTEs. */
+  def hitsScores(spark: SparkSession, dir: String): DataFrame =
+    hitsIterate(ngramJaccard(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")), rounds = 2)
+
+  /** The integer HITS iteration on any directed (src, dst) edge list —
+    * private[graft] so the spec can drive synthetic graphs. */
+  private[graft] def hitsIterate(eIn: DataFrame, rounds: Int): DataFrame = {
+    val e = eIn.localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("doc_id"))
+      .union(e.select(col("dst"))).distinct()
+      .localCheckpoint(eager = false)
+    var hub = nodes.withColumn("h", lit(HITS_SCALE))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to rounds) {
+      val aRaw = e.join(hub, e("src") === hub("doc_id"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val aMax = aRaw.agg(max(col("ar")).as("ma"))
+      auth = nodes.join(aRaw, nodes("doc_id") === aRaw("dst"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("doc_id"), expr(
+          s"(coalesce(ar, CAST(0 AS BIGINT)) * $HITS_SCALE) DIV ma").as("a"))
+        .localCheckpoint(eager = false)
+      val hRaw = e.join(auth, e("dst") === auth("doc_id"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val hMax = hRaw.agg(max(col("hr")).as("mh"))
+      hub = nodes.join(hRaw, nodes("doc_id") === hRaw("src"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("doc_id"), expr(
+          s"(coalesce(hr, CAST(0 AS BIGINT)) * $HITS_SCALE) DIV mh").as("h"))
+        .localCheckpoint(eager = false)
+    }
+    hub.join(auth, "doc_id")
+      .select(col("doc_id"), col("h").as("hub_scaled"),
+        col("a").as("auth_scaled"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-point scale for [[hitsScores]] (1e6 per unit score: small
+    * enough that value·SCALE stays far inside int64 after the per-round
+    * max-normalization bounds value ≤ SCALE·maxdeg). */
+  private val HITS_SCALE = 1000000L
+
   /** COMMUNITY DETECTION by synchronous label propagation (2 rounds,
     * Raghavan et al. 2007 made deterministic): every node starts
     * labeled with its own id; each round it adopts its neighbors' MOST
@@ -906,6 +963,7 @@ object Dedup {
     "q201_pagerank" -> pageRank,
     "q203_label_communities" -> labelCommunities,
     "q211_dedup_agreement" -> dedupAgreement,
+    "q216_hits_scores" -> hitsScores,
     "q196_bfs_recursive_cte" -> bfsRecursiveCte,
     "q194_vocab_growth" -> vocabGrowth,
     "q186_novelty_score" -> noveltyScore,
@@ -1032,6 +1090,7 @@ object Dedup {
     "q201_pagerank" -> pageRankOracle,
     "q203_label_communities" -> labelCommunitiesOracle,
     "q211_dedup_agreement" -> dedupAgreementOracle,
+    "q216_hits_scores" -> hitsOracle,
     "q144_bfs_seed_distance" -> bfsOracle,
     // the SAME oracle string as q144: superstep and recursive forms
     // must agree exactly
@@ -1177,6 +1236,40 @@ object Dedup {
       |  CAST(n_both AS DOUBLE) / CAST(n_both + n_exact_only AS DOUBLE)
       |    AS recall
       |FROM agg""".stripMargin
+
+  /** q216: the identical two integer HITS rounds (auth then hub, each
+    * max-normalized), unrolled into MATERIALIZED stages. */
+  private lazy val hitsOracle: String = {
+    def round(i: Int): String =
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS doc_id,
+        |      CAST(SUM(h.h) AS BIGINT) AS ar
+        |    FROM e JOIN hub${i - 1} h ON h.doc_id = e.src GROUP BY 1),
+        |am$i AS MATERIALIZED (SELECT MAX(ar) AS ma FROM ar$i),
+        |auth$i AS MATERIALIZED (SELECT n.doc_id,
+        |      (COALESCE(a.ar, 0) * ${HITS_SCALE}) // m.ma AS a
+        |    FROM nodes n LEFT JOIN ar$i a USING (doc_id), am$i m),
+        |hr$i AS MATERIALIZED (SELECT e.src AS doc_id,
+        |      CAST(SUM(a.a) AS BIGINT) AS hr
+        |    FROM e JOIN auth$i a ON a.doc_id = e.dst GROUP BY 1),
+        |hm$i AS MATERIALIZED (SELECT MAX(hr) AS mh FROM hr$i),
+        |hub$i AS MATERIALIZED (SELECT n.doc_id,
+        |      (COALESCE(h.hr, 0) * ${HITS_SCALE}) // m.mh AS h
+        |    FROM nodes n LEFT JOIN hr$i h USING (doc_id), hm$i m)""".stripMargin
+    s"""WITH $jaccardCommonCte,
+      |pairs AS (SELECT doc_a, doc_b FROM common
+      |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+      |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+      |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM
+      |        (SELECT src AS doc_id FROM e
+      |         UNION ALL SELECT dst FROM e)),
+      |hub0 AS MATERIALIZED (SELECT doc_id,
+      |        CAST(${HITS_SCALE} AS BIGINT) AS h FROM nodes),
+      |${round(1)},
+      |${round(2)}
+      |SELECT h.doc_id, h.h AS hub_scaled, a.a AS auth_scaled
+      |FROM hub2 h JOIN auth2 a USING (doc_id)
+      |ORDER BY h.doc_id""".stripMargin
+  }
 
   /** q203: the identical two sync label-frequency rounds, unrolled;
     * the most-frequent-tie-min argmax spelled as ROW_NUMBER. */

@@ -399,6 +399,7 @@ object Temporal {
     "q142_last_touch_attribution" -> lastTouchAttribution,
     "q204_linear_attribution" -> linearAttribution,
     "q208_session_paths" -> sessionPaths,
+    "q217_session_skipgrams" -> sessionSkipgrams,
     "q152_period_growth" -> periodGrowth,
     "q156_funnel_latency" -> funnelLatency,
     "q160_cumulative_uniques" -> cumulativeUniques,
@@ -591,6 +592,45 @@ object Temporal {
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  /** SESSION SKIP-GRAMS: ordered event-type pairs within a forward
+    * window of 3 inside each 30-min-gap session — the word2vec-style
+    * context-pair extraction over behavioral sequences (q141's
+    * transition matrix sees only ADJACENT pairs; skip-grams catch
+    * 'view … purchase' with distractions between). Top-20 pairs by
+    * count. Scale shape: one user-key shuffle sessionizes AND builds
+    * the per-session ordered array; pair generation is a per-row
+    * nested-HOF flatten (no position self-join — the q210 rule); the
+    * (w1, w2) rollup partial-aggregates; heap top-20. Sessions
+    * shorter than 2 events are filtered before the index sequence
+    * (the q205 guard). */
+  def sessionSkipgrams(spark: SparkSession, dir: String): DataFrame = {
+    val GapUs = 1800000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", (col("prev").isNull ||
+        expr("timestampdiff(MICROSECOND, prev, ts)") > GapUs).cast(LongType))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(transform(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))),
+        s => s.getField("event_type")).as("types"))
+      .filter(size(col("types")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(types) - 1), i ->
+          |  transform(sequence(i + 1, least(i + 3, size(types))), j ->
+          |    struct(element_at(types, i) AS w1,
+          |           element_at(types, j) AS w2))))""".stripMargin)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(20)
   }
 
@@ -1182,6 +1222,30 @@ object Temporal {
         |  CAST(rev - prev1 AS DOUBLE) / CAST(prev1 AS DOUBLE) AS mom_growth,
         |  CAST(rev - prev12 AS DOUBLE) / CAST(prev12 AS DOUBLE) AS yoy_growth
         |FROM l ORDER BY month""".stripMargin,
+    "q217_session_skipgrams" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR DATE_DIFF('microsecond', LAG(ts) OVER w, ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |p AS (SELECT user_id, sid,
+        |    LIST(event_type ORDER BY ts, event_id) AS types
+        |  FROM sid GROUP BY 1, 2),
+        |e1 AS (SELECT types,
+        |    UNNEST(GENERATE_SERIES(1, LEN(types) - 1)) AS i
+        |  FROM p WHERE LEN(types) >= 2),
+        |e2 AS (SELECT types, i,
+        |    UNNEST(GENERATE_SERIES(i + 1, LEAST(i + 3, LEN(types)))) AS j
+        |  FROM e1),
+        |g AS (SELECT types[i] AS w1, types[j] AS w2 FROM e2)
+        |SELECT w1, w2, COUNT(*) AS n
+        |FROM g GROUP BY 1, 2
+        |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
     "q208_session_paths" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN LAG(ts) OVER w IS NULL

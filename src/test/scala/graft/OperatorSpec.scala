@@ -896,6 +896,34 @@ class OperatorSpec extends AnyFunSuite {
       run("q02_revenue_filter").collect().toSeq)
   }
 
+  test("hits: on a directed star the center is the hub, leaves the authorities") {
+    import spark.implicits._
+    // 0 -> {1..6}: the center endorses every leaf. Hub mass must sit
+    // on 0 (normalized to exactly SCALE), leaves must carry equal
+    // authority and zero hub score, and the center zero authority.
+    val e = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val r = dedup.Dedup.hitsIterate(e, rounds = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L)._1 === 1000000L && r(0L)._2 === 0L, r.toString)
+    val leaves = (1L to 6L).map(r)
+    assert(leaves.map(_._1).forall(_ === 0L), r.toString)
+    assert(leaves.map(_._2).distinct.size === 1 &&
+      leaves.head._2 === 1000000L, r.toString)
+  }
+
+  test("session skipgrams: superset of adjacent transitions, counts descend") {
+    val rows = run("q217_session_skipgrams").collect()
+    assert(rows.nonEmpty)
+    val counts = rows.map(_.getLong(2)).toSeq
+    assert(counts === counts.sorted.reverse)
+    val types = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(types.contains(r.getString(0)) && types.contains(r.getString(1)))
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
