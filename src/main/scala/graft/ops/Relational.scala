@@ -340,7 +340,31 @@ object Relational {
         |  AND l_quantity < graft_qty_cap""".stripMargin)
   }
 
+  /** Three more Spark 4 SQL surfaces in one statement, each the shape
+    * a templated-report layer actually uses: `IDENTIFIER(var)` resolves
+    * the TABLE NAME from a session variable (SPARK-43205 — injection-
+    * safe dynamic identifiers), `GROUP BY ALL` infers the grouping
+    * keys, and the filter constant arrives as a NAMED PARAMETER via
+    * `spark.sql(text, args)` (SPARK-44680) — typed java.time binding,
+    * not string splicing. Gated on a plain-SQL oracle of the same
+    * aggregation. */
+  def sqlSurfaces(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "lineitem").createOrReplaceTempView("graft_li_idf")
+    spark.sql(
+      "DECLARE OR REPLACE VARIABLE graft_tbl STRING DEFAULT 'graft_li_idf'")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM IDENTIFIER(graft_tbl)
+        |WHERE l_shipdate <= :cutoff
+        |GROUP BY ALL
+        |ORDER BY l_returnflag""".stripMargin,
+      Map("cutoff" -> java.time.LocalDateTime.parse("2000-12-01T00:00:00")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_sql_surfaces" -> sqlSurfaces,
     "q214_pipe_syntax" -> pipeSyntaxPricing,
     "q215_sql_variables" -> sqlVariablesRevenue,
     "q192_topn_other" -> topNWithOther,
@@ -428,6 +452,14 @@ object Relational {
         |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
         |GROUP BY custkey
         |ORDER BY custkey""".stripMargin,
+    "q220_sql_surfaces" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q01_pricing_summary" -> pricingOracle,
     // the SAME oracle strings as q01/q02: the pipe-syntax and
     // session-variable surfaces must agree with the DataFrame forms

@@ -735,7 +735,68 @@ object Similarity {
       .orderBy(col("la"), col("lb"))
   }
 
+  /** PER-DIMENSION SCALER FIT (StandardScaler.fit as a query): mean
+    * and std of every embedding dimension across the corpus — the
+    * statistics a whitening/standardization stage broadcasts back
+    * over the data. Exactness: per-dim Σq and Σq² accumulate the
+    * 2^20-quantized values as integers (Σq² widened to DECIMAL(38) —
+    * at corpus scale the square sum leaves int64), the variance
+    * numerator n·Σq² − (Σq)² is computed exactly in DECIMAL(38), and
+    * mean/std are fixed scalar sequences off those exact operands (the
+    * oracle routes its int128 through the VARCHAR correctly-rounded
+    * cast). One posexplode + one (dim) partial-agg rollup — corpus
+    * read once, output O(dims). */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val S = 1 << 20
+    spread(load(spark, dir, "embeddings"))
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast(LongType).as("dim"),
+        floor(col("v").cast(DoubleType) * S + 0.5).cast(LongType).as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).cast(DecimalType(38, 0)).as("sq"),
+        sum(col("q").cast(DecimalType(38, 0)) * col("q")).as("sq2"))
+      .select(col("dim"), col("n"),
+        (col("sq").cast(DoubleType) / col("n") / S).as("mean"),
+        (sqrt((col("n").cast(DecimalType(38, 0)) * col("sq2") -
+          col("sq") * col("sq")).cast(DoubleType)) /
+          (col("n") * lit(S.toLong)).cast(DoubleType)).as("std"))
+      .orderBy(col("dim"))
+  }
+
+  /** kNN LABEL PURITY (confident-learning-style noise probe): for each
+    * anchor, how many of its top-10 cosine neighbors share its label —
+    * anchors whose neighborhoods vote against them are the mislabeled-
+    * example candidates a label-audit queue wants first. Rides the q35
+    * broadcast regime end to end; purity is ONE division by the
+    * constant k. */
+  def knnLabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    val v = spread(load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+    val q = v.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("n2").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(v, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(dot(col("qe"), col("embedding")),
+        col("qn"), col("n2")))
+      .select(col("query_id"), col("qlabel"),
+        col("vec_id").as("neighbor_id"), col("label").as("nlabel"),
+        col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("n_same"))
+      .withColumn("purity", col("n_same").cast(DoubleType) / lit(10.0))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_dim_stats" -> dimStats,
+    "q219_knn_label_purity" -> knnLabelPurity,
     "q212_rank_fusion" -> rankFusion,
     "q213_centroid_affinity" -> centroidAffinity,
     "q206_hard_negatives" -> hardNegatives,
@@ -937,6 +998,41 @@ object Similarity {
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q218_dim_stats" ->
+      """WITH e AS (SELECT embedding,
+        |    UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i
+        |  FROM embeddings),
+        |x AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM e),
+        |s AS (SELECT dim, COUNT(*) AS n,
+        |    SUM(q) AS sq, SUM(CAST(q AS HUGEINT) * q) AS sq2
+        |  FROM x GROUP BY 1)
+        |SELECT dim, n,
+        |  CAST(CAST(sq AS VARCHAR) AS DOUBLE) / n / 1048576 AS mean,
+        |  SQRT(CAST(CAST(n * sq2 - CAST(sq AS HUGEINT) * sq AS VARCHAR)
+        |    AS DOUBLE)) / CAST(n * 1048576 AS DOUBLE) AS std
+        |FROM s ORDER BY dim""".stripMargin,
+    "q219_knn_label_purity" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding,
+        |    ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe,
+        |    n2 AS qn FROM v WHERE vec_id < 20),
+        |c AS (SELECT query_id, qlabel, v.vec_id AS neighbor_id,
+        |    v.label AS nlabel,
+        |    ${cosSql(dotSql("qe", "v.embedding"), "qn", "v.n2")} AS cosine
+        |  FROM q JOIN v ON v.vec_id != query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM c)
+        |SELECT query_id, qlabel,
+        |  CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same,
+        |  CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / 10.0e0 AS purity
+        |FROM r WHERE rank <= 10
+        |GROUP BY 1, 2
+        |ORDER BY query_id""".stripMargin,
     "q212_rank_fusion" ->
       s"""WITH v AS ($vSql),
         |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn

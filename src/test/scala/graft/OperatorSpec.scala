@@ -924,6 +924,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dim stats: one row per dimension, full corpus counted, std non-negative") {
+    val rows = run("q218_dim_stats").collect()
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === nVecs, r.toString)
+      assert(r.getDouble(3) >= 0.0, r.toString)
+    }
+  }
+
+  test("knn label purity: purity is n_same/10 with n_same in 0..10") {
+    val rows = run("q219_knn_label_purity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      assert(n >= 0 && n <= 10, r.toString)
+      assert(r.getDouble(3) === n / 10.0, r.toString)
+    }
+  }
+
+  test("sql-surfaces query reconciles with the flagship aggregate's groups") {
+    val surf = run("q220_sql_surfaces").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val direct = run("q01_pricing_summary")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("count_order")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(surf === direct)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
