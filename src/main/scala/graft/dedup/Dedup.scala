@@ -834,6 +834,31 @@ object Dedup {
   /** Fixed-point scale for [[pageRank]] (1e9 mass units per unit rank). */
   private val PR_SCALE = 1000000000L
 
+  /** CROSS-SOURCE DUPLICATION MATRIX: the q33 near-dup pairs rolled up
+    * by the unordered (source, source) pair of the two documents — the
+    * "which feeds copy from each other" readout that decides whether a
+    * source is additive or a mirror (within-source cells measure
+    * internal redundancy; off-diagonal cells measure cross-feed
+    * contamination). The pair set is the already-gated q33 operator;
+    * the audit adds two SLIM doc-key joins (only (doc_id, source)
+    * travels) and one partial-aggregable rollup to O(sources²) —
+    * least/greatest canonicalizes the cell so the matrix is
+    * triangular regardless of pair orientation. */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_x"), col("source_y"))
+  }
+
   /** DETECTOR AGREEMENT AUDIT: the q31 MinHash-LSH pair set evaluated
     * against the q33 exact-Jaccard truth — n_both / lsh-only /
     * exact-only plus precision and recall, in one row. This is the
@@ -964,6 +989,7 @@ object Dedup {
     "q203_label_communities" -> labelCommunities,
     "q211_dedup_agreement" -> dedupAgreement,
     "q216_hits_scores" -> hitsScores,
+    "q222_cross_source_dups" -> crossSourceDups,
     "q196_bfs_recursive_cte" -> bfsRecursiveCte,
     "q194_vocab_growth" -> vocabGrowth,
     "q186_novelty_score" -> noveltyScore,
@@ -1091,6 +1117,18 @@ object Dedup {
     "q203_label_communities" -> labelCommunitiesOracle,
     "q211_dedup_agreement" -> dedupAgreementOracle,
     "q216_hits_scores" -> hitsOracle,
+    "q222_cross_source_dups" ->
+      s"""WITH $jaccardCommonCte,
+        |pairs AS (SELECT doc_a, doc_b FROM common
+        |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5)
+        |SELECT LEAST(da.source, db.source) AS source_x,
+        |  GREATEST(da.source, db.source) AS source_y,
+        |  COUNT(*) AS n_pairs
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.doc_a
+        |JOIN documents db ON db.doc_id = p.doc_b
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q144_bfs_seed_distance" -> bfsOracle,
     // the SAME oracle string as q144: superstep and recursive forms
     // must agree exactly

@@ -632,6 +632,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q200_corpus_report" -> corpusReport,
+    "q221_mixture_plan" -> mixturePlan,
     "q180_forget_cascade" -> forgetCascade,
     "q146_apportion_quota" ->
       ((s: SparkSession, d: String) => apportionQuota(s, d)),
@@ -657,6 +658,38 @@ object Pipeline {
 
   /** The q146 quota derivation at a given budget, shared verbatim by
     * q166's oracle so the two can never fork. */
+  /** TRAINING-MIXTURE PLAN: a 1M-token budget allocated across sources
+    * by TEMPERATURE-SMOOTHED mass (T = 2 ⇒ weight ∝ √tokens — the
+    * standard flattening that stops one giant source from drowning the
+    * tail, without the pow() portability hazard: sqrt IS correctly
+    * rounded in both engines). The allocation is q146's
+    * largest-remainder apportionment over integer weights
+    * floor(√m·10⁶ + 0.5), so the plan sums to the budget EXACTLY —
+    * the sampler downstream consumes per-source token quotas, not
+    * float shares. One corpus rollup to O(sources), then O(sources)
+    * arithmetic; the ranking window runs over O(sources) rows. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1000000L
+    val mass = spread(load(spark, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(sum(size(split(trim(col("text")), " +")).cast(LongType)).as("m"))
+      .withColumn("w",
+        floor(sqrt(col("m").cast(DoubleType)) * 1000000.0 + 0.5)
+          .cast(LongType))
+    val tot = mass.agg(sum(col("w")).as("tw"))
+    val based = mass.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($B * w) DIV tw"))
+      .withColumn("rem", (lit(B) * col("w")) % col("tw"))
+    val leftover = based.agg((lit(B) - sum(col("base"))).as("l"))
+    val wn = Window.orderBy(col("rem").desc, col("source"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rn", row_number().over(wn))
+      .select(col("source"), col("m"), col("w"),
+        (col("base") + when(col("rn") <= col("l"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
   private def apportionSql(budget: Long): String =
     s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
@@ -671,6 +704,27 @@ object Pipeline {
       |FROM r, l ORDER BY r.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q221_mixture_plan" ->
+      """WITH d AS (SELECT source,
+        |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |c AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS m
+        |  FROM d GROUP BY 1),
+        |wt AS (SELECT source, m,
+        |    CAST(FLOOR(SQRT(CAST(m AS DOUBLE)) * 1000000.0e0 + 0.5)
+        |      AS BIGINT) AS w
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wt),
+        |b AS (SELECT source, m, w, (1000000 * w) // t.tw AS base,
+        |    (1000000 * w) % t.tw AS rem FROM wt, t),
+        |l AS (SELECT CAST(1000000 - SUM(base) AS BIGINT) AS l FROM b),
+        |r AS (SELECT source, m, w, base,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn FROM b)
+        |SELECT r.source, r.m, r.w,
+        |  CAST(r.base + CASE WHEN r.rn <= l.l THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_tokens
+        |FROM r, l ORDER BY r.source""".stripMargin,
     "q200_corpus_report" ->
       """WITH d AS (SELECT lang,
         |    md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS ck,

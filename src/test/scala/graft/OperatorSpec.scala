@@ -954,6 +954,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(surf === direct)
   }
 
+  test("mixture plan: allocations sum to the budget exactly and T=2 flattens the head") {
+    val rows = run("q221_mixture_plan").collect()
+    assert(rows.map(_.getLong(3)).sum === 1000000L)
+    assert(rows.forall(_.getLong(3) > 0))
+    val totalMass = rows.map(_.getLong(1)).sum.toDouble
+    val top = rows.maxBy(_.getLong(1))
+    // sqrt weighting must give the heaviest source LESS than its
+    // proportional share (that is the point of temperature smoothing)
+    assert(top.getLong(3) / 1000000.0 < top.getLong(1) / totalMass + 1e-9,
+      top.toString)
+  }
+
+  test("cross-source dup matrix is triangular and accounts for every q33 pair") {
+    val rows = run("q222_cross_source_dups").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1), r.toString))
+    assert(rows.map(_.getLong(2)).sum === run("q33_ngram_jaccard").count())
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
