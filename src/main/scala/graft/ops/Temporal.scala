@@ -400,6 +400,8 @@ object Temporal {
     "q204_linear_attribution" -> linearAttribution,
     "q208_session_paths" -> sessionPaths,
     "q217_session_skipgrams" -> sessionSkipgrams,
+    "q224_modal_behavior" -> modalBehavior,
+    "q225_try_arithmetic" -> tryArithmetic,
     "q152_period_growth" -> periodGrowth,
     "q156_funnel_latency" -> funnelLatency,
     "q160_cumulative_uniques" -> cumulativeUniques,
@@ -594,6 +596,44 @@ object Temporal {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(20)
   }
+
+  /** MODE() aggregate surface (Spark 3.4+/4 `mode(expr,
+    * deterministic)`): each user's modal event type via the native
+    * partial-aggregable MODE with the DETERMINISTIC flag — ties break
+    * to the lowest value, which is the contract the oracle's
+    * count-then-row_number derivation states explicitly. The point of
+    * gating this surface: `mode()` without the flag is
+    * partition-order-dependent and would flap the hash gate — the
+    * deterministic variant is the only one a reproducible pipeline
+    * may use. Distribution histogram output keeps rows O(types). */
+  def modalBehavior(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("mode(event_type, true)").as("modal_type"))
+      .groupBy(col("modal_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("modal_type"))
+
+  /** TRY_* ANSI-safety surface (Spark 4 runs ANSI mode ON, so raw
+    * arithmetic THROWS on division-by-zero/overflow): revenue per
+    * click per day through `try_divide`, which yields NULL on a
+    * zero-click day instead of killing the job — the per-row
+    * error-tolerance contract a 100 TB batch needs (one pathological
+    * group must not fail the stage). Oracle spells the same semantics
+    * as NULLIF. Revenue is exact cents, ONE cast to double before the
+    * division. */
+  def tryArithmetic(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+        sum(when(col("event_type") === "purchase",
+          (d2(col("value")) * 100).cast(LongType)).otherwise(0L))
+          .as("cents"))
+      .withColumn("cents_per_click",
+        expr("try_divide(CAST(cents AS DOUBLE), n_clicks)"))
+      .orderBy(col("day"))
 
   /** SESSION SKIP-GRAMS: ordered event-type pairs within a forward
     * window of 3 inside each 30-min-gap session — the word2vec-style
@@ -1222,6 +1262,27 @@ object Temporal {
         |  CAST(rev - prev1 AS DOUBLE) / CAST(prev1 AS DOUBLE) AS mom_growth,
         |  CAST(rev - prev12 AS DOUBLE) / CAST(prev12 AS DOUBLE) AS yoy_growth
         |FROM l ORDER BY month""".stripMargin,
+    "q224_modal_behavior" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, event_type AS modal_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT modal_type, COUNT(*) AS n_users
+        |FROM m WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q225_try_arithmetic" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clicks,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_clicks, cents,
+        |  CAST(cents AS DOUBLE) / NULLIF(n_clicks, 0) AS cents_per_click
+        |FROM d ORDER BY day""".stripMargin,
     "q217_session_skipgrams" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN LAG(ts) OVER w IS NULL

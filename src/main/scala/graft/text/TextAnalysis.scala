@@ -430,7 +430,33 @@ object TextAnalysis {
       .orderBy(col("ctx"), col("rank"))
   }
 
+  /** BORDA-COUNT document selection — q212's fusion idea for CORPUS
+    * CURATION: every document globally ranked twice (by token count
+    * and by distinct-token richness — volume vs lexical diversity),
+    * Borda score = rank sum, top-20 lowest kept. ALL-INTEGER fusion
+    * (Borda needs no score calibration and no float at all), both
+    * global rankings via [[graft.ops.Windows.globalRankNoSort]] so
+    * neither ranking ever sorts the corpus in one partition; the final
+    * top-20 is a heap. */
+  def bordaSelect(spark: SparkSession, dir: String): DataFrame = {
+    val stats = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast(LongType)
+          .as("n_distinct"))
+    val r1 = graft.ops.Windows.globalRankNoSort(stats, -col("n_tokens"),
+      col("doc_id"), 16L, "r_tokens", "_n1")
+    val r2 = graft.ops.Windows.globalRankNoSort(r1, -col("n_distinct"),
+      col("doc_id"), 16L, "r_distinct", "_n2")
+    r2.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("r_tokens"), col("r_distinct"),
+        (col("r_tokens") + col("r_distinct")).as("borda"))
+      .orderBy(col("borda"), col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_borda_select" -> bordaSelect,
     "q210_trigram_lm" -> trigramLm,
     "q202_dict_encode" -> dictEncode,
     "q205_bpe_merge_pairs" -> bpeMergePairs,
@@ -454,6 +480,22 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q223_borda_select" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), ' +')))
+        |      AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens, n_distinct,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id)
+        |      AS BIGINT) AS r_tokens,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_distinct DESC, doc_id)
+        |      AS BIGINT) AS r_distinct
+        |  FROM s)
+        |SELECT doc_id, n_tokens, n_distinct, r_tokens, r_distinct,
+        |  r_tokens + r_distinct AS borda
+        |FROM r ORDER BY borda, doc_id LIMIT 20""".stripMargin,
     "q210_trigram_lm" ->
       """WITH t AS (SELECT STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
         |  FROM documents),

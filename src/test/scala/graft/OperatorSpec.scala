@@ -973,6 +973,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === run("q33_ngram_jaccard").count())
   }
 
+  test("borda select: borda is the exact rank sum, output ascends") {
+    val rows = run("q223_borda_select").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getLong(5) === r.getLong(3) + r.getLong(4), r.toString))
+    val bordas = rows.map(_.getLong(5)).toSeq
+    assert(bordas === bordas.sorted)
+  }
+
+  test("modal behavior covers every user exactly once") {
+    val total = run("q224_modal_behavior")
+      .agg(sum(col("n_users"))).collect()(0).getLong(0)
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(total === users)
+  }
+
+  test("try_divide yields null on a zero denominator, value otherwise") {
+    import spark.implicits._
+    val r = Seq((10.0, 0L), (10.0, 4L)).toDF("x", "n")
+      .selectExpr("try_divide(x, n) AS v").collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getDouble(0) === 2.5)
+    // and the gated query keeps every day even when clicks are zero
+    val days = run("q225_try_arithmetic").count()
+    val direct = Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(days === direct)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
