@@ -363,7 +363,54 @@ object Relational {
       Map("cutoff" -> java.time.LocalDateTime.parse("2000-12-01T00:00:00")))
   }
 
+  /** KEYSET PAGINATION (the scale-safe pager): page 2 of the
+    * customer-by-balance listing fetched by SEEK PREDICATE —
+    * (bal, key) strictly after page 1's last row — instead of
+    * OFFSET, which at 100 TB still sorts and discards everything it
+    * skips; the seek predicate pushes down and each page is one heap
+    * top-k. The page-1 boundary derives inline as two
+    * TakeOrderedAndProject passes (top-10, then its last row). Gated
+    * against the OFFSET form ITSELF as the DuckDB oracle — the gate
+    * IS the proof that seek == skip on a total order. Balance ties
+    * are broken by key, making the order total; exact DECIMAL
+    * balance, one cast on output. */
+  def keysetPagination(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        d2(col("c_acctbal")).as("bal"))
+    val b = c.orderBy(col("bal").desc, col("c_custkey")).limit(10)
+      .orderBy(col("bal"), col("c_custkey").desc).limit(1)
+      .select(col("bal").as("b_bal"), col("c_custkey").as("b_key"))
+    c.crossJoin(broadcast(b))
+      .filter(col("bal") < col("b_bal") ||
+        (col("bal") === col("b_bal") && col("c_custkey") > col("b_key")))
+      .orderBy(col("bal").desc, col("c_custkey"))
+      .limit(10)
+      .select(col("c_custkey"), col("c_name"),
+        col("bal").cast(DoubleType).as("bal"))
+  }
+
+  /** LATERAL COLUMN ALIAS surface (Spark 3.4+, SPARK-27561): an
+    * aggregate alias (`gross`) consumed by a sibling expression in
+    * the SAME select list — the de-duplication that keeps derived
+    * metrics defined ONCE in report SQL (the oracle spells the
+    * expansion the analyzer performs). */
+  def lateralAlias(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders").createOrReplaceTempView("graft_ord_la")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS gross,
+        |  gross / COUNT(*) AS avg_price,
+        |  COUNT(*) AS n
+        |FROM graft_ord_la
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_keyset_pagination" -> keysetPagination,
+    "q227_lateral_alias" -> lateralAlias,
     "q220_sql_surfaces" -> sqlSurfaces,
     "q214_pipe_syntax" -> pipeSyntaxPricing,
     "q215_sql_variables" -> sqlVariablesRevenue,
@@ -452,6 +499,23 @@ object Relational {
         |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
         |GROUP BY custkey
         |ORDER BY custkey""".stripMargin,
+    // the OFFSET form IS the oracle: seek-pagination must equal skip
+    "q226_keyset_pagination" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer
+        |ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+        |LIMIT 10 OFFSET 10""".stripMargin,
+    "q227_lateral_alias" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS gross,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_price,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q220_sql_surfaces" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1003,6 +1003,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(days === direct)
   }
 
+  test("keyset page 2 equals rows 11-20 of the full ordering") {
+    val keyset = run("q226_keyset_pagination").collect().toSeq
+    val full = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        Tables.d2(col("c_acctbal")).as("bal"))
+      .orderBy(col("bal").desc, col("c_custkey"))
+      .limit(20).collect().drop(10)
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDecimal(2).doubleValue)).toSeq
+    assert(keyset.map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))) === full)
+  }
+
+  test("lateral alias: avg_price is exactly gross over n") {
+    run("q227_lateral_alias").collect().foreach { r =>
+      assert(r.getDouble(2) === r.getDouble(1) / r.getLong(3), r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()

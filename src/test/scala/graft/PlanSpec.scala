@@ -131,6 +131,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q226 keyset pages plan as heap top-k (TakeOrderedAndProject), never a global sort") {
+    val plan = formatted(run("q226_keyset_pagination"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q210 trigram top-3 prunes per-context before the window shuffle (WindowGroupLimit)") {
     val plan = formatted(run("q210_trigram_lm"))
     assert(plan.contains("WindowGroupLimit"), plan)
