@@ -618,6 +618,82 @@ object Streams {
     }
   }
 
+  case class TwsListIn(user_id: Long, cents: Long)
+  case class TwsListOut(user_id: Long, n: Long, min_cents: Long,
+    max_cents: Long)
+
+  /** `transformWithState` with LIST STATE — the third state primitive
+    * beside [[RunningTotalsProc]]'s ValueState (q198) and
+    * [[DistinctTypesProc]]'s MapState (q199), completing the triad:
+    * a per-user append-only event log in ListState, each batch
+    * re-scanning its key's log to emit (count, min, max) — all three
+    * monotone under append, so the per-user consolidation of the
+    * append-mode emissions (max n, min min, max max) is batch-split-
+    * independent. */
+  class EventLogProc extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsListIn, TwsListOut] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var log: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      log = getHandle.getListState[Long]("log",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsListIn],
+        timerValues: TimerValues): Iterator[TwsListOut] = {
+      rows.foreach(r => log.appendValue(r.cents))
+      var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      log.get().foreach { c =>
+        n += 1; if (c < mn) mn = c; if (c > mx) mx = c
+      }
+      Iterator(TwsListOut(key, n, mn, mx))
+    }
+  }
+
+  /** STREAMING PER-USER SPEND EXTREMES via transformWithState
+    * ListState ([[EventLogProc]]): same 4-file split source, RocksDB
+    * provider, append-mode memory sink, per-user consolidation of the
+    * monotone emissions. Oracle = plain batch COUNT/MIN/MAX of exact
+    * cents per user. */
+  def streamEventLog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_tws_log$safe"
+    deleteRecursively(new java.io.File(base))
+    events(spark, dir)
+      .select(col("user_id"),
+        (d2(col("value")) * 100).cast("long").as("cents"))
+      .repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        .as[TwsListIn]
+        .groupByKey(_.user_id)
+        .transformWithState(new EventLogProc, TimeMode.None(),
+          OutputMode.Append())
+      val name = "graft_tws_log"
+      if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          min(col("min_cents")).as("min_cents"),
+          max(col("max_cents")).as("max_cents"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** STREAMING DISTINCT-TYPE COUNT via transformWithState MapState —
     * the streaming form of q187's final per-user value, and the
     * MapState twin of q198: same 4-file split source, same RocksDB
@@ -760,6 +836,7 @@ object Streams {
     "q188_stream_merge" -> streamMerge,
     "q198_stream_tws_totals" -> streamRunningTotals,
     "q199_stream_tws_distinct" -> streamDistinctTypes,
+    "q228_stream_tws_log" -> streamEventLog,
     "q164_stream_bitmap_dau" -> streamBitmapDau,
     "q40_stream_hourly" -> streamHourly,
     "q42_custom_state_sessions" -> customStateSessions,
@@ -801,6 +878,13 @@ object Streams {
     "q199_stream_tws_distinct" ->
       """SELECT user_id,
         |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct_types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q228_stream_tws_log" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(MIN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS min_cents,
+        |  CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS max_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // q164 == q153's batch twin: same oracle STRING
     "q164_stream_bitmap_dau" ->
