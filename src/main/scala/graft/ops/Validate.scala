@@ -582,7 +582,51 @@ object Validate {
       .filter(col("l") < 3)
       .orderBy(col("c_nationkey"), col("bal_band"))
 
+  /** OBSERVED-METRICS surface (`Dataset.observe` + `Observation`,
+    * SPARK-34806): data-quality counters collected ON the pass that
+    * does the work — zero extra scans, the AccumulatorV2 path — here
+    * surfaced as the query result itself and gated against a direct
+    * aggregate oracle, proving observe() counts exactly what a
+    * dedicated aggregation would. This is the pipeline-health pattern
+    * for 100 TB jobs: every production write carries its row-count /
+    * mass / null-count metrics for free. */
+  def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val obs = Observation()
+    load(spark, dir, "orders")
+      .observe(obs,
+        count(lit(1)).as("n_orders"),
+        sum(d2(col("o_totalprice"))).cast(DoubleType).as("gross"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+          .as("n_open"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_orders").asInstanceOf[Long],
+      m("gross").asInstanceOf[Double],
+      m("n_open").asInstanceOf[Long]))
+      .toDF("n_orders", "gross", "n_open")
+  }
+
+  /** `df.stat.crosstab` surface: the exact event-type × ISO-weekday
+    * contingency table (q150's input cells) through the stat-API
+    * front door — one pass, exact counts; columns re-selected in
+    * fixed ISO order because crosstab's column order follows value
+    * encounter order, which is not a contract. Weekday rule:
+    * Spark `weekday()+1` == DuckDB `isodow` (Mon=1..Sun=7). */
+  def statCrosstab(spark: SparkSession, dir: String): DataFrame = {
+    val ct = events(spark, dir)
+      .select(col("event_type"),
+        (weekday(col("ts")) + 1).cast(StringType).as("dow"))
+      .stat.crosstab("event_type", "dow")
+    ct.select(col("event_type_dow").as("event_type") +:
+        (1 to 7).map(i => col(s"`$i`").as(s"dow_$i")): _*)
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_observed_metrics" -> observedMetrics,
+    "q230_stat_crosstab" -> statCrosstab,
     "q209_l_diversity" -> lDiversityAudit,
     "q207_distribution_drift" -> distributionDrift,
     "q193_behavior_segments" -> behaviorSegments,
@@ -617,6 +661,23 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    "q229_observed_metrics" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS gross,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_open
+        |FROM orders""".stripMargin,
+    "q230_stat_crosstab" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN isodow(ts) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dow_1,
+        |  CAST(SUM(CASE WHEN isodow(ts) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dow_2,
+        |  CAST(SUM(CASE WHEN isodow(ts) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dow_3,
+        |  CAST(SUM(CASE WHEN isodow(ts) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS dow_4,
+        |  CAST(SUM(CASE WHEN isodow(ts) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS dow_5,
+        |  CAST(SUM(CASE WHEN isodow(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow_6,
+        |  CAST(SUM(CASE WHEN isodow(ts) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS dow_7
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q209_l_diversity" ->
       """SELECT c_nationkey,
         |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,

@@ -1022,6 +1022,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("crosstab rows sum to per-type totals; observed metrics match a recount") {
+    val ct = run("q230_stat_crosstab").collect()
+    val perType = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ct.foreach { r =>
+      val s = (1 to 7).map(i => r.getLong(i)).sum
+      assert(s === perType(r.getString(0)), r.toString)
+    }
+    val m = run("q229_observed_metrics").collect()(0)
+    assert(m.getLong(0) === Tables.load(spark, sf, "orders").count())
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
