@@ -32,6 +32,41 @@ object Extended {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** SQL PIVOT-clause surface: q44's wide contingency restated with
+    * the native `PIVOT (agg FOR col IN (...))` clause, gated on the
+    * IDENTICAL q44 oracle (the twin rule). COALESCE restores the
+    * zero-for-empty-cell contract the conditional-aggregation form
+    * states — PIVOT emits NULL for an empty cell. */
+  def sqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders").createOrReplaceTempView("graft_ord_pv")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  COALESCE(n_f, CAST(0 AS BIGINT)) AS n_f,
+        |  COALESCE(n_o, CAST(0 AS BIGINT)) AS n_o,
+        |  COALESCE(n_p, CAST(0 AS BIGINT)) AS n_p
+        |FROM (SELECT o_orderpriority, o_orderstatus FROM graft_ord_pv)
+        |PIVOT (COUNT(*) FOR o_orderstatus IN
+        |  ('F' AS n_f, 'O' AS n_o, 'P' AS n_p))
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** SQL UNPIVOT-clause surface: q57's wide-to-long restated with the
+    * native `UNPIVOT (value FOR metric IN (...))` clause, gated on
+    * the IDENTICAL q57 oracle. */
+  def sqlUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "lineitem").createOrReplaceTempView("graft_li_upv")
+    spark.sql(
+      """SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM graft_li_upv GROUP BY l_returnflag)
+        |UNPIVOT (value FOR metric IN (sum_qty, sum_price))
+        |ORDER BY l_returnflag, metric""".stripMargin)
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape): lineitems below
     * half their part's average quantity. Catalyst decorrelates the
     * subquery into an aggregate + join — written as SQL to exercise
@@ -777,6 +812,8 @@ object Extended {
     "q122_median_mad" -> medianMad,
     "q56_array_agg" -> arrayAgg,
     "q57_unpivot" -> unpivotMeasures,
+    "q231_sql_pivot" -> sqlPivot,
+    "q232_sql_unpivot" -> sqlUnpivot,
     "q44_pivot" -> pivotOrders,
     "q46_correlated_subquery" -> correlatedSubquery,
     "q47_csv_roundtrip" -> csvRoundtrip,
@@ -786,6 +823,26 @@ object Extended {
     "q51_approx_distinct" -> approxDistinct,
     "q52_percentiles" -> medians,
     "q179_schema_evolution" -> schemaEvolutionRead)
+
+  private lazy val pivotOracle: String =
+    """SELECT o_orderpriority,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private lazy val unpivotOracle: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+      |ORDER BY l_returnflag, metric""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q179_schema_evolution" ->
@@ -1025,24 +1082,10 @@ object Extended {
         |FROM part
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
-    "q57_unpivot" ->
-      """WITH a AS (
-        |  SELECT l_returnflag,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |  FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
-        |UNION ALL
-        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
-        |ORDER BY l_returnflag, metric""".stripMargin,
-    "q44_pivot" ->
-      """SELECT o_orderpriority,
-        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
-        |FROM orders
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+    "q57_unpivot" -> unpivotOracle,
+    "q232_sql_unpivot" -> unpivotOracle,
+    "q44_pivot" -> pivotOracle,
+    "q231_sql_pivot" -> pivotOracle,
     "q46_correlated_subquery" ->
       """SELECT COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -1035,6 +1035,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(m.getLong(0) === Tables.load(spark, sf, "orders").count())
   }
 
+  test("SQL PIVOT/UNPIVOT clauses equal their DataFrame twins exactly") {
+    assert(run("q231_sql_pivot").collect().toSeq ===
+      run("q44_pivot").collect().toSeq)
+    assert(run("q232_sql_unpivot").collect().toSeq ===
+      run("q57_unpivot").collect().toSeq)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
