@@ -794,7 +794,34 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** ANN QUALITY READOUT (recall@10 as a query): per anchor, how many
+    * of the IVF result's top-10 (q36) appear in the exact brute-force
+    * top-10 (q35) — the recall dashboard an ANN rollout watches,
+    * computed IN-ENGINE from the two already-gated operators (compose,
+    * don't re-derive). Both sides are deterministic, so the oracle
+    * runs the identical two pipelines and intersects; the overlap
+    * count is an exact integer, recall ONE division by k. A dropped
+    * centroid or probe regression shows up here as a recall dip
+    * before any user sees it. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = annIvf(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .join(exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+          col("k").cast(DoubleType)).as("recall_at_10"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_ann_recall" -> annRecall,
     "q218_dim_stats" -> dimStats,
     "q219_knn_label_purity" -> knnLabelPurity,
     "q212_rank_fusion" -> rankFusion,
@@ -998,6 +1025,36 @@ object Similarity {
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q234_ann_recall" ->
+      s"""$ivfAsgCtes,
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn FROM v WHERE vec_id < 5),
+        |pr0 AS (SELECT query_id, qe, qn, cent.cid,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+        |            ${cosSql(dotSql("qe", "ce"), "qn", "cn")} DESC, cid DESC) AS prn
+        |        FROM q, cent),
+        |pr AS (SELECT query_id, qe, qn, cid FROM pr0 WHERE prn <= ${IvfNProbe}),
+        |ic AS (SELECT query_id, asg.vec_id AS neighbor_id,
+        |        ${cosSql(dotSql("qe", "asg.embedding"), "qn", "asg.n2")} AS cosine
+        |      FROM pr JOIN asg ON pr.cid = asg.cid AND asg.vec_id != pr.query_id),
+        |ir AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM ic),
+        |ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rank <= 10),
+        |ec AS (SELECT query_id, v.vec_id AS neighbor_id,
+        |        ${cosSql(dotSql("qe", "v.embedding"), "qn", "v.n2")} AS cosine
+        |      FROM q JOIN v ON v.vec_id != query_id),
+        |er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM ec),
+        |ex AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 10),
+        |hits AS (SELECT i.query_id, COUNT(*) AS n_hits
+        |         FROM ivf i JOIN ex e USING (query_id, neighbor_id)
+        |         GROUP BY 1),
+        |kk AS (SELECT query_id, COUNT(*) AS k FROM ex GROUP BY 1)
+        |SELECT kk.query_id,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(kk.k AS DOUBLE)
+        |    AS recall_at_10
+        |FROM kk LEFT JOIN hits h USING (query_id)
+        |ORDER BY kk.query_id""".stripMargin,
     "q218_dim_stats" ->
       """WITH e AS (SELECT embedding,
         |    UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i

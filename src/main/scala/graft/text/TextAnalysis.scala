@@ -455,7 +455,45 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** INCREMENTAL VOCABULARY UPDATE — q202's dictionary evolved the way
+    * production vocabularies must: tokens already in the OLD
+    * dictionary (built from the even-doc_id half of the corpus) KEEP
+    * their ids; tokens the new half introduces get fresh ids starting
+    * after max(old id), ranked by new-era frequency. Re-ranking from
+    * scratch would renumber the whole vocabulary and invalidate every
+    * embedding row trained against it — id stability IS the operator.
+    * Output is a one-row audit: old size, added count, max id, and a
+    * Z_p checksum Σ(id·phashMod(tok)) mod p that pins the ENTIRE id
+    * assignment (any swapped pair changes it). Scale: two frequency
+    * rollups + one anti-join on the token key; both rankings via the
+    * two-level [[graft.ops.Windows.globalRankNoSort]]. */
+  def vocabUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val oldF = toks.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val oldV = graft.ops.Windows.globalRankNoSort(oldF, -col("n"),
+      col("tok"), 16L, "id", "_n").select(col("tok"), col("id"))
+    val oldMax = oldV.agg(max(col("id")).as("m"))
+    val newF = toks.filter(col("doc_id") % 2 =!= 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .join(oldV.select(col("tok")), Seq("tok"), "left_anti")
+    val newV = graft.ops.Windows.globalRankNoSort(newF, -col("n"),
+        col("tok"), 16L, "r", "_n2")
+      .crossJoin(broadcast(oldMax))
+      .select(col("tok"), (col("m") + col("r")).as("id"))
+    oldV.withColumn("is_new", lit(false))
+      .unionByName(newV.withColumn("is_new", lit(true)))
+      .agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_added"),
+        max(col("id")).as("max_id"),
+        (sum(((col("id") % P) * phashMod(col("tok"))) % P) % P)
+          .as("id_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_vocab_update" -> vocabUpdate,
     "q223_borda_select" -> bordaSelect,
     "q210_trigram_lm" -> trigramLm,
     "q202_dict_encode" -> dictEncode,
@@ -480,6 +518,32 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q233_vocab_update" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
+        |  FROM documents),
+        |o AS (SELECT tok, COUNT(*) AS n FROM t
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ov AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok)
+        |    AS BIGINT) AS id FROM o),
+        |om AS (SELECT MAX(id) AS m FROM ov),
+        |nf AS (SELECT tok, COUNT(*) AS n FROM t
+        |  WHERE doc_id % 2 <> 0 GROUP BY 1),
+        |nn AS (SELECT tok, n FROM nf
+        |  WHERE tok NOT IN (SELECT tok FROM ov)),
+        |nv AS (SELECT tok, om.m + ROW_NUMBER() OVER (ORDER BY n DESC, tok)
+        |    AS id FROM nn, om),
+        |mg AS (SELECT tok, id, FALSE AS is_new FROM ov
+        |  UNION ALL SELECT tok, id, TRUE FROM nv)
+        |SELECT
+        |  CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_old,
+        |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(MAX(id) AS BIGINT) AS max_id,
+        |  CAST(SUM(((id % ${P}) * ${phashModSql("tok")}) % ${P}) % ${P}
+        |    AS BIGINT) AS id_checksum
+        |FROM mg""".stripMargin,
     "q223_borda_select" ->
       """WITH s AS (SELECT doc_id,
         |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)

@@ -1042,6 +1042,31 @@ class OperatorSpec extends AnyFunSuite {
       run("q57_unpivot").collect().toSeq)
   }
 
+  test("vocab update: sizes reconcile with direct era recounts, ids stay dense") {
+    val r = run("q233_vocab_update").collect()(0)
+    val toks = Tables.spread(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("t"))
+    val oldDistinct = toks.filter(col("doc_id") % 2 === 0)
+      .select(col("t")).distinct()
+    val nOld = oldDistinct.count()
+    val nAdded = toks.filter(col("doc_id") % 2 =!= 0)
+      .select(col("t")).distinct()
+      .join(oldDistinct, Seq("t"), "left_anti").count()
+    assert(r.getLong(0) === nOld)
+    assert(r.getLong(1) === nAdded)
+    // dense id space: max id == total vocabulary size (no holes)
+    assert(r.getLong(2) === nOld + nAdded)
+  }
+
+  test("ann recall readout: hits bounded by k, recall in [0,1]") {
+    val rows = run("q234_ann_recall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 10, r.toString)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
