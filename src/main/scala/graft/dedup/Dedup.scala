@@ -834,6 +834,42 @@ object Dedup {
   /** Fixed-point scale for [[pageRank]] (1e9 mass units per unit rank). */
   private val PR_SCALE = 1000000000L
 
+  /** DEGREE ASSORTATIVITY of the near-dup graph (Newman 2002): the
+    * Pearson correlation of endpoint degrees over the symmetrized
+    * edge list — positive means hubs link to hubs (one template
+    * family collapsing into a blob), negative means hub-and-spoke
+    * (one canonical doc with many independent copies); the structure
+    * signal that picks between q67's flat components and q203's
+    * communities as the right dedup grouping. Exactness: degrees are
+    * integers, the five moment sums accumulate in DECIMAL(38) (never
+    * a float fold), and r is the q114 fixed scalar sequence off
+    * exact operands (oracle int128 through the VARCHAR cast). One
+    * degree rollup + one slim join back to edges + a one-row
+    * aggregate. */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(eager = false)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("src").as("node"), col("d"))
+    val xy = sym
+      .join(deg.select(col("node").as("src"), col("d").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("y")), "dst")
+      .select(col("x").cast(DecimalType(38, 0)).as("x"),
+        col("y").cast(DecimalType(38, 0)).as("y"))
+    val g = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    def d(c: String) = col(c).cast(DoubleType)
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val vx = nD * d("sxx") - d("sx") * d("sx")
+    val vy = nD * d("syy") - d("sy") * d("sy")
+    g.select(col("n").as("n_edges"),
+      (cov / sqrt(vx * vy)).as("assortativity"))
+  }
+
   /** CROSS-SOURCE DUPLICATION MATRIX: the q33 near-dup pairs rolled up
     * by the unordered (source, source) pair of the two documents — the
     * "which feeds copy from each other" readout that decides whether a
@@ -990,6 +1026,7 @@ object Dedup {
     "q211_dedup_agreement" -> dedupAgreement,
     "q216_hits_scores" -> hitsScores,
     "q222_cross_source_dups" -> crossSourceDups,
+    "q236_degree_assortativity" -> degreeAssortativity,
     "q196_bfs_recursive_cte" -> bfsRecursiveCte,
     "q194_vocab_growth" -> vocabGrowth,
     "q186_novelty_score" -> noveltyScore,
@@ -1117,6 +1154,34 @@ object Dedup {
     "q203_label_communities" -> labelCommunitiesOracle,
     "q211_dedup_agreement" -> dedupAgreementOracle,
     "q216_hits_scores" -> hitsOracle,
+    "q236_degree_assortativity" ->
+      s"""WITH $jaccardCommonCte,
+        |pairs AS (SELECT doc_a, doc_b FROM common
+        |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY 1),
+        |xy AS (SELECT dx.d AS x, dy.d AS y
+        |       FROM sym e JOIN deg dx ON dx.node = e.src
+        |       JOIN deg dy ON dy.node = e.dst),
+        |g AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM xy)
+        |SELECT n AS n_edges,
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |       * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |   / SQRT((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS assortativity
+        |FROM g""".stripMargin,
     "q222_cross_source_dups" ->
       s"""WITH $jaccardCommonCte,
         |pairs AS (SELECT doc_a, doc_b FROM common

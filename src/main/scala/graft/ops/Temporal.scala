@@ -401,6 +401,7 @@ object Temporal {
     "q208_session_paths" -> sessionPaths,
     "q217_session_skipgrams" -> sessionSkipgrams,
     "q224_modal_behavior" -> modalBehavior,
+    "q235_session_distance" -> sessionDistance,
     "q225_try_arithmetic" -> tryArithmetic,
     "q152_period_growth" -> periodGrowth,
     "q156_funnel_latency" -> funnelLatency,
@@ -595,6 +596,45 @@ object Temporal {
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(20)
+  }
+
+  /** SESSION BEHAVIORAL DRIFT: Levenshtein distance between each
+    * user's CONSECUTIVE session paths — how much a user's in-session
+    * behavior pattern changes visit to visit (distance 0 = ritualized
+    * behavior, large = exploratory), emitted as a corpus-level
+    * distance histogram. Paths are rendered in a SINGLE-CHAR alphabet
+    * (each event type mapped to 'A'+its alphabetical rank via a
+    * broadcast O(types) dictionary) so character-level edit distance
+    * equals event-level edit distance — multi-char type names would
+    * make 'click'→'view' cost 5 edits, not 1. One user-key shuffle
+    * carries sessionization, path fold AND the consecutive-session
+    * lag; the histogram rollup is O(distinct distances). */
+  def sessionDistance(spark: SparkSession, dir: String): DataFrame = {
+    val GapUs = 1800000000L
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val wt = Window.orderBy(col("event_type"))
+    val dict = ev.select(col("event_type")).distinct()
+      .withColumn("ch", chr(lit(64) + row_number().over(wt)))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = ev.join(broadcast(dict), "event_type")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", (col("prev").isNull ||
+        expr("timestampdiff(MICROSECOND, prev, ts)") > GapUs).cast(LongType))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws("", transform(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("ch")))),
+        s => s.getField("ch"))).as("path"))
+    val ws = Window.partitionBy(col("user_id")).orderBy(col("sid"))
+    paths.withColumn("prev_path", lag(col("path"), 1).over(ws))
+      .filter(col("prev_path").isNotNull)
+      .select(levenshtein(col("prev_path"), col("path")).cast(LongType)
+        .as("dist"))
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("dist"))
   }
 
   /** MODE() aggregate surface (Spark 3.4+/4 `mode(expr,
@@ -1262,6 +1302,32 @@ object Temporal {
         |  CAST(rev - prev1 AS DOUBLE) / CAST(prev1 AS DOUBLE) AS mom_growth,
         |  CAST(rev - prev12 AS DOUBLE) / CAST(prev12 AS DOUBLE) AS yoy_growth
         |FROM l ORDER BY month""".stripMargin,
+    "q235_session_distance" ->
+      """WITH dict AS (SELECT event_type,
+        |    CHR(64 + CAST(ROW_NUMBER() OVER (ORDER BY event_type)
+        |      AS INTEGER)) AS ch
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |e AS (SELECT ev.user_id, ev.ts, ev.event_id, d.ch,
+        |    CASE WHEN LAG(ev.ts) OVER w IS NULL
+        |      OR DATE_DIFF('microsecond', LAG(ev.ts) OVER w, ev.ts)
+        |        > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events ev JOIN dict d USING (event_type)
+        |  WINDOW w AS (PARTITION BY ev.user_id ORDER BY ev.ts, ev.event_id)),
+        |sid AS (SELECT user_id, ts, event_id, ch,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e),
+        |p AS (SELECT user_id, sid,
+        |    STRING_AGG(ch, '' ORDER BY ts, event_id) AS path
+        |  FROM sid GROUP BY 1, 2),
+        |d2 AS (SELECT user_id, path,
+        |    LAG(path) OVER (PARTITION BY user_id ORDER BY sid) AS prev_path
+        |  FROM p)
+        |SELECT CAST(LEVENSHTEIN(prev_path, path) AS BIGINT) AS dist,
+        |  COUNT(*) AS n_pairs
+        |FROM d2 WHERE prev_path IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q224_modal_behavior" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),

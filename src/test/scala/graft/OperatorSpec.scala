@@ -1067,6 +1067,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("session distance: pair count is sessions minus users-with-sessions") {
+    val nPairs = run("q235_session_distance")
+      .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    // each user with s sessions contributes s-1 consecutive pairs
+    val sessions = run("q167_session_stats")
+      .agg(sum(col("n_sessions"))).collect()(0).getLong(0)
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(nPairs === sessions - users)
+  }
+
+  test("degree assortativity is a correlation: bounded, computed over every edge") {
+    val r = run("q236_degree_assortativity").collect()(0)
+    val edges = run("q33_ngram_jaccard").count() * 2
+    assert(r.getLong(0) === edges)
+    val a = r.getDouble(1)
+    assert(a >= -1.0000001 && a <= 1.0000001, a.toString)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
