@@ -834,6 +834,63 @@ object Dedup {
   /** Fixed-point scale for [[pageRank]] (1e9 mass units per unit rank). */
   private val PR_SCALE = 1000000000L
 
+  /** CONTAINMENT near-dup pairs — the ASYMMETRIC companion to q33's
+    * Jaccard: C(A→B) = |A∩B| / |A| flags a document mostly CONTAINED
+    * in another (quote-wrapped articles, boilerplate-plus-payload)
+    * that symmetric Jaccard misses entirely when sizes differ (a
+    * 100-shingle doc fully inside a 10000-shingle doc has J ≈ 0.01
+    * but containment 1.0 — exactly the duplication a training corpus
+    * must catch). Emits one row per directional containment ≥ 0.9:
+    * (contained, container, containment). Same inverted-index
+    * co-occurrence reduction as q33 — the 8-byte-key shuffle
+    * dominates, arrays never travel — plus one UNION of the two
+    * directions; the ratio is ONE division of exact integers. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val inv = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        shingleHashes(col("text"), mod = false).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast(LongType).as("n"),
+        explode(col("shs")).as("h"))
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    val common = a.join(b,
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("c"))
+    val ab = common.select(col("doc_a").as("contained"),
+      col("doc_b").as("container"),
+      (col("c").cast(DoubleType) / col("na")).as("containment"))
+    val ba = common.select(col("doc_b").as("contained"),
+      col("doc_a").as("container"),
+      (col("c").cast(DoubleType) / col("nb")).as("containment"))
+    ab.unionByName(ba)
+      .filter(col("containment") >= 0.9)
+      .orderBy(col("contained"), col("container"))
+  }
+
+  /** GLOBAL TRANSITIVITY of the near-dup graph: 3·triangles / open
+    * 2-paths — the one-number answer to "are my duplicate pairs
+    * clique-ish blobs or sprawling chains" (q170 gives the per-node
+    * view; chain-like graphs argue for q67's components, clique-like
+    * for q203's communities). Both counts are exact integers off
+    * machinery already gated: triangles from q92's oriented 3-way
+    * join, 2-paths = Σ d·(d−1)/2 over the degree table; ONE final
+    * division. */
+  def transitivity(spark: SparkSession, dir: String): DataFrame = {
+    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(eager = false)
+    val tri = triangleCounts(spark, dir)
+      .agg(expr("sum(n_triangles) DIV 3").as("n_triangles"))
+    val paths = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) DIV 2")).as("n_two_paths"))
+    tri.crossJoin(paths)
+      .select(col("n_triangles"), col("n_two_paths"),
+        ((lit(3L) * col("n_triangles")).cast(DoubleType) /
+          col("n_two_paths").cast(DoubleType)).as("transitivity"))
+  }
+
   /** DEGREE ASSORTATIVITY of the near-dup graph (Newman 2002): the
     * Pearson correlation of endpoint degrees over the symmetrized
     * edge list — positive means hubs link to hubs (one template
@@ -1027,6 +1084,8 @@ object Dedup {
     "q216_hits_scores" -> hitsScores,
     "q222_cross_source_dups" -> crossSourceDups,
     "q236_degree_assortativity" -> degreeAssortativity,
+    "q237_containment_pairs" -> containmentPairs,
+    "q238_transitivity" -> transitivity,
     "q196_bfs_recursive_cte" -> bfsRecursiveCte,
     "q194_vocab_growth" -> vocabGrowth,
     "q186_novelty_score" -> noveltyScore,
@@ -1154,6 +1213,33 @@ object Dedup {
     "q203_label_communities" -> labelCommunitiesOracle,
     "q211_dedup_agreement" -> dedupAgreementOracle,
     "q216_hits_scores" -> hitsOracle,
+    "q237_containment_pairs" ->
+      s"""WITH $jaccardCommonCte,
+        |dir AS (SELECT doc_a AS contained, doc_b AS container,
+        |          CAST(c AS DOUBLE) / na AS containment FROM common
+        |        UNION ALL
+        |        SELECT doc_b, doc_a, CAST(c AS DOUBLE) / nb FROM common)
+        |SELECT contained, container, containment
+        |FROM dir WHERE containment >= 0.9
+        |ORDER BY contained, container""".stripMargin,
+    "q238_transitivity" ->
+      s"""WITH $jaccardCommonCte,
+        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM common
+        |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |tr AS (SELECT COUNT(*) AS t FROM pairs p1
+        |       JOIN pairs p2 ON p2.doc_a = p1.doc_a
+        |         AND p2.doc_b > p1.doc_b
+        |       JOIN pairs p3 ON p3.doc_a = p1.doc_b
+        |         AND p3.doc_b = p2.doc_b),
+        |deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY 1),
+        |tp AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT)
+        |         AS n_two_paths FROM deg)
+        |SELECT CAST(t AS BIGINT) AS n_triangles, n_two_paths,
+        |  CAST(3 * t AS DOUBLE) / CAST(n_two_paths AS DOUBLE)
+        |    AS transitivity
+        |FROM tr, tp""".stripMargin,
     "q236_degree_assortativity" ->
       s"""WITH $jaccardCommonCte,
         |pairs AS (SELECT doc_a, doc_b FROM common

@@ -1086,6 +1086,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(a >= -1.0000001 && a <= 1.0000001, a.toString)
   }
 
+  test("containment: asymmetric, bounded by 1, and catches every symmetric near-dup side") {
+    val rows = run("q237_containment_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(1), r.toString)
+      assert(r.getDouble(2) >= 0.9 && r.getDouble(2) <= 1.0 + 1e-12,
+        r.toString)
+    }
+  }
+
+  test("transitivity: exact integer counts, ratio bounded in [0,1]") {
+    val r = run("q238_transitivity").collect()(0)
+    assert(r.getLong(0) >= 0 && r.getLong(1) > 0)
+    val t = r.getDouble(2)
+    assert(t >= 0.0 && t <= 1.0, t.toString)
+    // 3*triangles can never exceed the open-path count
+    assert(3 * r.getLong(0) <= r.getLong(1))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
