@@ -562,6 +562,24 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  /** The 30-minute-gap sessionization shared by every session-path
+    * operator (q167/q208/q217/q235 must agree on what a session IS):
+    * appends `sid` to (user_id, ts, event_id, +extra cols) via the
+    * lag-detect + running-sum islands pattern — one user-key window
+    * pass. */
+  private val SessionGapUs = 1800000000L
+  private def withSessionIds(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    df.withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", (col("prev").isNull ||
+        expr("timestampdiff(MICROSECOND, prev, ts)") > SessionGapUs)
+        .cast(LongType))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev", "new_s")
+  }
+
   /** SESSION PATH MINING: the 20 most common within-session event-type
     * SEQUENCES (q167's 30-minute-gap sessions, each rendered as
     * 'view>click>purchase'-style path strings) — the navigation-flow
@@ -577,16 +595,8 @@ object Temporal {
     * Per-session state is gap-bounded (a 30-min-gap session is as long
     * as real traffic makes it, not the whole history). */
   def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
-    val GapUs = 1800000000L
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev", lag(col("ts"), 1).over(w))
-      .withColumn("new_s", (col("prev").isNull ||
-        expr("timestampdiff(MICROSECOND, prev, ts)") > GapUs).cast(LongType))
-      .withColumn("sid", sum(col("new_s"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionIds(events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
       .groupBy(col("user_id"), col("sid"))
       .agg(concat_ws(">", transform(
         sort_array(collect_list(
@@ -610,20 +620,12 @@ object Temporal {
     * carries sessionization, path fold AND the consecutive-session
     * lag; the histogram rollup is O(distinct distances). */
   def sessionDistance(spark: SparkSession, dir: String): DataFrame = {
-    val GapUs = 1800000000L
     val ev = events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     val wt = Window.orderBy(col("event_type"))
     val dict = ev.select(col("event_type")).distinct()
       .withColumn("ch", chr(lit(64) + row_number().over(wt)))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val paths = ev.join(broadcast(dict), "event_type")
-      .withColumn("prev", lag(col("ts"), 1).over(w))
-      .withColumn("new_s", (col("prev").isNull ||
-        expr("timestampdiff(MICROSECOND, prev, ts)") > GapUs).cast(LongType))
-      .withColumn("sid", sum(col("new_s"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = withSessionIds(ev.join(broadcast(dict), "event_type"))
       .groupBy(col("user_id"), col("sid"))
       .agg(concat_ws("", transform(sort_array(collect_list(
           struct(col("ts"), col("event_id"), col("ch")))),
@@ -687,16 +689,8 @@ object Temporal {
     * shorter than 2 events are filtered before the index sequence
     * (the q205 guard). */
   def sessionSkipgrams(spark: SparkSession, dir: String): DataFrame = {
-    val GapUs = 1800000000L
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev", lag(col("ts"), 1).over(w))
-      .withColumn("new_s", (col("prev").isNull ||
-        expr("timestampdiff(MICROSECOND, prev, ts)") > GapUs).cast(LongType))
-      .withColumn("sid", sum(col("new_s"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionIds(events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
       .groupBy(col("user_id"), col("sid"))
       .agg(transform(sort_array(collect_list(
           struct(col("ts"), col("event_id"), col("event_type")))),
