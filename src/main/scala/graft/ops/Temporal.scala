@@ -402,6 +402,8 @@ object Temporal {
     "q217_session_skipgrams" -> sessionSkipgrams,
     "q224_modal_behavior" -> modalBehavior,
     "q235_session_distance" -> sessionDistance,
+    "q239_feature_assembly" -> featureAssembly,
+    "q240_pit_features" -> pitFeatures,
     "q225_try_arithmetic" -> tryArithmetic,
     "q152_period_growth" -> periodGrowth,
     "q156_funnel_latency" -> funnelLatency,
@@ -637,6 +639,54 @@ object Temporal {
         .as("dist"))
       .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("dist"))
+  }
+
+  /** FEATURE-STORE ASSEMBLY: one row per user with the model-serving
+    * feature block — recency (calendar days, DATE-difference on both
+    * sides: day-BOUNDARY semantics agree cross-engine where
+    * timestamp-diff DAY does not), frequency, monetary exact cents,
+    * behavioral width — materialized in ONE aggregation pass over the
+    * event log (the offline feature-store refresh shape: N features =
+    * N partial-aggregable columns, never N scans). Scope anchor is
+    * the broadcast corpus max-ts, so a refresh is reproducible from
+    * the data alone. */
+  def featureAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val mx = ev.agg(max(to_date(col("ts"))).as("mxd"))
+    ev.crossJoin(broadcast(mx))
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(max(col("mxd")), max(to_date(col("ts"))))
+          .cast(LongType).as("recency_days"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          (d2(col("value")) * 100).cast(LongType)).otherwise(0L))
+          .as("monetary_cents"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("user_id"))
+  }
+
+  /** POINT-IN-TIME-CORRECT features (the feature store's serving
+    * half): for every purchase, the user's event count and purchase
+    * spend STRICTLY BEFORE that moment — the unbounded-preceding-to-
+    * 1-PRECEDING frame is the no-leakage contract (a training row
+    * must never see its own label's timestamp, the bug PIT joins
+    * exist to prevent). One user-key shuffle carries both frames;
+    * exact cents. */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("cents", (d2(col("value")) * 100).cast(LongType))
+      .withColumn("prior_events", count(lit(1)).over(w))
+      .withColumn("prior_cents", coalesce(
+        sum(when(col("event_type") === "purchase", col("cents"))).over(w),
+        lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("prior_events"), col("prior_cents"))
+      .orderBy(col("event_id"))
   }
 
   /** MODE() aggregate surface (Spark 3.4+/4 `mode(expr,
@@ -1296,6 +1346,33 @@ object Temporal {
         |  CAST(rev - prev1 AS DOUBLE) / CAST(prev1 AS DOUBLE) AS mom_growth,
         |  CAST(rev - prev12 AS DOUBLE) / CAST(prev12 AS DOUBLE) AS yoy_growth
         |FROM l ORDER BY month""".stripMargin,
+    "q239_feature_assembly" ->
+      """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events)
+        |SELECT user_id,
+        |  CAST(DATE_DIFF('day', MAX(CAST(ts AS DATE)), MAX(mx.mxd))
+        |    AS BIGINT) AS recency_days,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS monetary_cents,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events, mx
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q240_pit_features" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT event_id, user_id, event_type,
+        |    COUNT(*) OVER w AS prior_events,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN cents END) OVER w, 0) AS prior_cents
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, prior_events,
+        |  CAST(prior_cents AS BIGINT) AS prior_cents
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "q235_session_distance" ->
       """WITH dict AS (SELECT event_type,
         |    CHR(64 + CAST(ROW_NUMBER() OVER (ORDER BY event_type)

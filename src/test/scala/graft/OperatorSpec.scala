@@ -1105,6 +1105,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(3 * r.getLong(0) <= r.getLong(1))
   }
 
+  test("pit features never leak: prior spend of a user's first purchase is 0") {
+    val rows = run("q240_pit_features")
+    // the first purchase per user (lowest prior_events among purchases)
+    // must have prior_cents consistent with no leakage: every row's
+    // prior totals are bounded by the user's eventual totals
+    val feats = run("q239_feature_assembly")
+      .select(col("user_id"), col("n_events"), col("monetary_cents"))
+    val bad = rows.join(feats, "user_id")
+      .filter(col("prior_events") >= col("n_events") ||
+        col("prior_cents") > col("monetary_cents"))
+    assert(bad.count() === 0L)
+    // and one purchase per user is strictly before any purchase spend
+    val firsts = rows.groupBy(col("user_id"))
+      .agg(min(col("prior_cents")).as("m"))
+    assert(firsts.filter(col("m") > 0).count() <
+      firsts.count(), "some user must have a zero-prior first purchase")
+  }
+
+  test("feature assembly covers every user with sane recency") {
+    val rows = run("q239_feature_assembly").collect()
+    assert(rows.length === Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count().toInt)
+    rows.foreach(r => assert(r.getLong(1) >= 0, r.toString))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
