@@ -492,7 +492,55 @@ object TextAnalysis {
           .as("id_checksum"))
   }
 
+  /** BM25 RANKED RETRIEVAL (log-free variant) over the q108 query
+    * terms, disjunctive: score = Σ_t idfS(t) · tf(k₁+1) / (tf + k₁·
+    * (1−b+b·len/avglen)) with k₁=1.2, b=0.75 and the RATIO idf
+    * surrogate idfS = (N−df+0.5)/(df+0.5) — the q82/q112 rule: no
+    * query-time transcendentals, because ln() is not correctly-
+    * rounded-portable across engines (production swaps ln(idfS) in;
+    * the plan is identical). The length-saturation term — BM25's
+    * actual contribution over TF-IDF — is preserved exactly.
+    * Cross-engine determinism of the SUM over query terms: the terms
+    * are pivoted to fixed columns and added in ONE spelled order
+    * (never an aggregate fold over term rows). Scale: postings are
+    * pruned to the query terms below the shuffle (the q108 plan), doc
+    * lengths join slim, top-20 is a heap. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType)
+        .as("len"))
+    val n = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    val tf = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(SearchTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .join(docs, "doc_id").crossJoin(broadcast(n))
+      .withColumn("idf",
+        (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5)))
+      .withColumn("avglen",
+        col("total_len").cast(DoubleType) / col("n_docs"))
+      .withColumn("sat",
+        (col("tf").cast(DoubleType) * (lit(1.2) + lit(1.0))) /
+          (col("tf").cast(DoubleType) + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) *
+              (col("len").cast(DoubleType) / col("avglen")))))
+      .withColumn("s", col("idf") * col("sat"))
+    scored.groupBy(col("doc_id")).agg(
+        max(when(col("tok") === SearchTerms(0), col("s"))).as("s0"),
+        max(when(col("tok") === SearchTerms(1), col("s"))).as("s1"),
+        max(when(col("tok") === SearchTerms(2), col("s"))).as("s2"))
+      .withColumn("score", coalesce(col("s0"), lit(0.0)) +
+        coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_bm25_topk" -> bm25TopK,
     "q233_vocab_update" -> vocabUpdate,
     "q223_borda_select" -> bordaSelect,
     "q210_trigram_lm" -> trigramLm,
@@ -518,6 +566,35 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q241_bm25_topk" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)
+        |      AS len
+        |  FROM documents),
+        |nn AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len) AS BIGINT) AS total_len FROM d),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
+        |    FROM documents)
+        |  WHERE tok IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tok,
+        |    ((CAST(n_docs AS DOUBLE) - df + 0.5e0)
+        |      / (CAST(df AS DOUBLE) + 0.5e0))
+        |    * ((CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+        |      / (CAST(tf AS DOUBLE) + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0
+        |        * (CAST(len AS DOUBLE)
+        |          / (CAST(total_len AS DOUBLE) / n_docs))))) AS s
+        |  FROM tf JOIN dfq USING (tok) JOIN d USING (doc_id), nn),
+        |w AS (SELECT doc_id,
+        |    MAX(CASE WHEN tok = 'join' THEN s END) AS s0,
+        |    MAX(CASE WHEN tok = 'vector' THEN s END) AS s1,
+        |    MAX(CASE WHEN tok = 'stream' THEN s END) AS s2
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, COALESCE(s0, 0.0e0) + COALESCE(s1, 0.0e0)
+        |    + COALESCE(s2, 0.0e0) AS score
+        |FROM w ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q233_vocab_update" ->
       s"""WITH t AS (SELECT doc_id,
         |    UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok

@@ -1130,6 +1130,20 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) >= 0, r.toString))
   }
 
+  test("bm25: every hit contains a query term, scores positive and descending") {
+    val rows = run("q241_bm25_topk").collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(scores.forall(_ > 0.0))
+    val hitIds = rows.map(_.getLong(0)).toSet
+    val withTerm = Tables.spread(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("t"))
+      .filter(col("t").isin("join", "vector", "stream"))
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(hitIds.subsetOf(withTerm))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
