@@ -539,8 +539,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("score"))
   }
 
+  /** PHRASE SEARCH via a POSITIONAL inverted index — the capability
+    * q108's bag-of-words postings cannot express: occurrences of the
+    * exact bigram "table hash" per document, found by the classic
+    * positional-index adjacency join (term-A postings ⋈ term-B
+    * postings on (doc, posA+1 = posB)). Scale shape: postings are
+    * pruned to the two phrase terms BELOW the shuffle (scan-level IN
+    * filter), and the adjacency condition is folded into the
+    * (doc_id, next_pos) EQUI-key — never a positional range probe.
+    * All integers. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val post = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin("table", "hash"))
+    val a = post.filter(col("tok") === "table")
+      .select(col("doc_id"), (col("pos") + 1).as("nxt"))
+    val b = post.filter(col("tok") === "hash")
+      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    a.join(b, col("doc_id") === col("doc_b") && col("nxt") === col("pos_b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q241_bm25_topk" -> bm25TopK,
+    "q242_phrase_search" -> phraseSearch,
     "q233_vocab_update" -> vocabUpdate,
     "q223_borda_select" -> bordaSelect,
     "q210_trigram_lm" -> trigramLm,
@@ -566,6 +591,18 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q242_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |e AS (SELECT doc_id, toks,
+        |    UNNEST(GENERATE_SERIES(1, LEN(toks))) AS pos FROM t),
+        |x AS (SELECT doc_id, pos, toks[pos] AS tok FROM e
+        |  WHERE toks[pos] IN ('table', 'hash'))
+        |SELECT a.doc_id, COUNT(*) AS n_occurrences
+        |FROM x a JOIN x b
+        |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        | AND a.tok = 'table' AND b.tok = 'hash'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q241_bm25_topk" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)
