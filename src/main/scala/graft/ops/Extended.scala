@@ -32,6 +32,26 @@ object Extended {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** SALTED TWO-PHASE AGGREGATION — q50's skew remedy applied to the
+    * aggregation side: when one group key carries most of the rows
+    * (l_returnflag has 3 values), the single-phase hash aggregate
+    * funnels the hot key's partials through one reducer; salting by a
+    * hash of a high-cardinality column splits each group into 16
+    * sub-groups aggregated in parallel, and a second O(groups·16)
+    * rollup merges the partials. EXACTLY equal to the plain rollup
+    * because the merged measures are commutative monoids (DECIMAL sum,
+    * count) — which is why the oracle is the UNSALTED form; the final
+    * cast to double happens once, after both phases. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .withColumn("_salt", phash(col("l_orderkey").cast(StringType)) % 16)
+      .groupBy(col("l_returnflag"), col("_salt"))
+      .agg(sum(d2(col("l_quantity"))).as("pq"), count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pq")).cast(DoubleType).as("sum_qty"),
+        sum(col("pn")).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** SQL PIVOT-clause surface: q44's wide contingency restated with
     * the native `PIVOT (agg FOR col IN (...))` clause, gated on the
     * IDENTICAL q44 oracle (the twin rule). COALESCE restores the
@@ -814,6 +834,7 @@ object Extended {
     "q57_unpivot" -> unpivotMeasures,
     "q231_sql_pivot" -> sqlPivot,
     "q232_sql_unpivot" -> sqlUnpivot,
+    "q243_salted_agg" -> saltedAgg,
     "q44_pivot" -> pivotOrders,
     "q46_correlated_subquery" -> correlatedSubquery,
     "q47_csv_roundtrip" -> csvRoundtrip,
@@ -1086,6 +1107,15 @@ object Extended {
     "q232_sql_unpivot" -> unpivotOracle,
     "q44_pivot" -> pivotOracle,
     "q231_sql_pivot" -> pivotOracle,
+    // the UNSALTED form is the oracle: salting must change nothing
+    "q243_salted_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q46_correlated_subquery" ->
       """SELECT COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
