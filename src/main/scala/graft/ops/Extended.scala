@@ -609,6 +609,58 @@ object Extended {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
   }
 
+  /** LINK PREDICTION over the part co-purchase graph: score
+    * NON-adjacent part pairs by shared neighborhood — common-neighbor
+    * count plus neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)|
+    * (Liben-Nowell & Kleinberg 2003, the two baselines every
+    * link-prediction paper starts from). Edges = part pairs co-ordered
+    * ≥ 2 times (q113's mining relation at support 2); a non-adjacent
+    * pair with many common co-purchase partners is the
+    * "will be bought together next" recommendation candidate —
+    * graph-completion phrased as a query. (Adamic–Adar needs log();
+    * the raw-count + Jaccard pair carries the ranking with the
+    * engine's no-transcendentals rule intact.)
+    *
+    * Scale shape: basket self-join work is Σ(parts-per-order)², wedge
+    * join work is Σ deg²/2 (q124's friend-of-friend bound — cap hub
+    * degree first on hubby graphs, the q92 lesson); candidate pairs
+    * canonicalize via dst<dst, adjacency drops with ONE anti-join
+    * against the already-canonical edge list, degrees join from an
+    * O(nodes) rollup. Exact integers end-to-end, ONE double division,
+    * and the output is a heap top-100 (TakeOrderedAndProject) under
+    * the total order (common DESC, pair) — no global sort. */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select(col("part_a"), col("part_b"))
+      .localCheckpoint(eager = false)
+    val sym = e.union(e.select(col("part_b"), col("part_a")))
+      .toDF("src", "dst")
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val cn = sym.alias("x").join(sym.alias("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("part_a"), col("y.dst").as("part_b"))
+      .agg(count(lit(1)).as("common"))
+    cn.join(e, Seq("part_a", "part_b"), "left_anti")
+      .join(deg.select(col("src").as("part_a"), col("deg").as("deg_a")),
+        "part_a")
+      .join(deg.select(col("src").as("part_b"), col("deg").as("deg_b")),
+        "part_b")
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("deg_a") + col("deg_b") - col("common")))
+      .select(col("part_a"), col("part_b"), col("common"),
+        col("deg_a"), col("deg_b"), col("jaccard"))
+      .orderBy(col("common").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
   /** ASSOCIATION RULES from the q113 frequent pairs: both directions
     * A→B and B→A scored with support, confidence and lift — the
     * market-basket step after pair mining. All three metrics divide
@@ -818,6 +870,7 @@ object Extended {
     "q107_edit_distance_join" -> editDistanceJoin,
     "q110_bloom_pruned_join" -> bloomPrunedJoin,
     "q113_frequent_pairs" -> frequentPairs,
+    "q246_link_prediction" -> linkPrediction,
     "q151_association_rules" -> associationRules,
     "q158_temporal_cooccurrence" -> temporalCooccurrence,
     "q172_lateral_topn" -> lateralTopN,
@@ -1075,6 +1128,28 @@ object Extended {
         |FROM r JOIN items ia ON ia.l_partkey = r.antecedent
         |       JOIN items ic ON ic.l_partkey = r.consequent, n
         |ORDER BY r.antecedent, r.consequent""".stripMargin,
+    "q246_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT part_a AS src, part_b AS dst FROM e
+        |        UNION ALL SELECT part_b, part_a FROM e),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+        |cn AS (SELECT x.dst AS part_a, y.dst AS part_b,
+        |         COUNT(*) AS common
+        |       FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst
+        |       GROUP BY 1, 2),
+        |na AS (SELECT cn.* FROM cn LEFT JOIN e
+        |       ON e.part_a = cn.part_a AND e.part_b = cn.part_b
+        |       WHERE e.part_a IS NULL)
+        |SELECT na.part_a, na.part_b, common,
+        |  da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST(common AS DOUBLE) / (da.deg + db.deg - common) AS jaccard
+        |FROM na JOIN deg da ON da.src = na.part_a
+        |        JOIN deg db ON db.src = na.part_b
+        |ORDER BY common DESC, part_a, part_b LIMIT 100""".stripMargin,
     "q113_frequent_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -630,7 +630,44 @@ object Pipeline {
         col("n_short"))
       .orderBy(col("lang"))
 
+  /** LEAVE-ONE-OUT TARGET ENCODING — the leakage-safe categorical
+    * encoder supervised pipelines ship (Micci-Barreca 2001's empirical
+    * Bayes mean encoding, LOO form): each customer's market segment is
+    * replaced by the mean target over OTHER customers of that segment
+    * — (Σ_seg t − own t) / (n_seg − 1) — so a row never sees its own
+    * label (plain mean encoding leaks the target into the feature;
+    * LOO is the standard fix). Target here = the customer's order
+    * count, joined in as a left join so zero-order customers encode
+    * as 0 (dropping them would bias every segment mean high).
+    *
+    * Determinism: numerator and denominator are EXACT BIGINTs carried
+    * as output columns beside the encoding; the encoding itself is ONE
+    * double division on identical operands (NULL when the segment is
+    * a singleton — 0/0 must not fork engines). Scale: one fact rollup
+    * (orders → per-customer counts), one O(segments) rollup broadcast
+    * back over the dimension — the fact table shuffles once, on its
+    * natural key. */
+  def looTargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val t = load(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("t"))
+    val ct = load(spark, dir, "customer")
+      .join(t, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("t"), lit(0L)).as("target"))
+    val seg = ct.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_seg"), sum(col("target")).as("t_seg"))
+    ct.join(broadcast(seg), "c_mktsegment")
+      .withColumn("loo_enc", when(col("n_seg") > 1,
+        (col("t_seg") - col("target")).cast(DoubleType) /
+          (col("n_seg") - 1).cast(DoubleType)))
+      .select(col("c_custkey"), col("c_mktsegment"), col("target"),
+        (col("t_seg") - col("target")).as("loo_num"),
+        (col("n_seg") - 1).as("loo_den"), col("loo_enc"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_loo_target_encoding" -> looTargetEncoding,
     "q200_corpus_report" -> corpusReport,
     "q221_mixture_plan" -> mixturePlan,
     "q180_forget_cascade" -> forgetCascade,
@@ -704,6 +741,20 @@ object Pipeline {
       |FROM r, l ORDER BY r.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q247_loo_target_encoding" ->
+      """WITH t AS (SELECT o_custkey, COUNT(*) AS t FROM orders GROUP BY 1),
+        |ct AS (SELECT c_custkey, c_mktsegment,
+        |    COALESCE(t.t, 0) AS target
+        |  FROM customer LEFT JOIN t ON o_custkey = c_custkey),
+        |seg AS (SELECT c_mktsegment, COUNT(*) AS n_seg,
+        |    CAST(SUM(target) AS BIGINT) AS t_seg FROM ct GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment, target,
+        |  CAST(t_seg - target AS BIGINT) AS loo_num,
+        |  CAST(n_seg - 1 AS BIGINT) AS loo_den,
+        |  CASE WHEN n_seg > 1 THEN CAST(t_seg - target AS DOUBLE)
+        |    / CAST(n_seg - 1 AS DOUBLE) END AS loo_enc
+        |FROM ct JOIN seg USING (c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
     "q221_mixture_plan" ->
       """WITH d AS (SELECT source,
         |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)

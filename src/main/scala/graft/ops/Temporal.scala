@@ -389,6 +389,7 @@ object Temporal {
     "q109_trend_regression" -> trendRegression,
     "q111_anomaly_days" -> anomalyDays,
     "q114_group_correlation" -> groupCorrelation,
+    "q248_autocorrelation" -> autocorrelation,
     "q115_ohlc_bars" -> ohlcBars,
     "q116_twap" -> twap,
     "q121_cusum_changepoint" -> cusumChangepoint,
@@ -1159,6 +1160,45 @@ object Temporal {
     * decimal sums, one cast each to double, then the closed form as an
     * identical IEEE expression in both engines (sqrt is
     * correctly-rounded IEEE everywhere). */
+  /** AUTOCORRELATION of the daily-revenue series at lags 1..7 — the
+    * ACF readout that decides seasonality before anyone fits a
+    * forecasting model (a weekly cycle shows as a spike at lag 7).
+    * Built as q114's exact-decimal Pearson machinery applied to the
+    * series joined against itself: daily totals stay EXACT
+    * DECIMAL(18,2) (one partial-aggregable rollup), the lag table is
+    * a 7-row broadcast, pairs come from an equi-join on day+k (never
+    * a window over the whole series — the series is grouped O(days)
+    * rows, but the same shape holds when "day" is "minute"), and the
+    * six moment sums per lag are DECIMAL(38,4) integers-in-disguise
+    * with q114's ONE fixed double sequence at the end (the oracle
+    * routes its int128 sums through VARCHAR for correctly-rounded
+    * casts, the q114/q155 rule). */
+  def autocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(d2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+    val lags = spark.range(1, 8).select(col("id").cast(IntegerType).as("k"))
+    val pairs = daily.alias("a").crossJoin(broadcast(lags))
+      .join(daily.alias("b"),
+        date_add(col("a.day"), col("k")) === col("b.day"))
+    val g = pairs.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(col("a.rev")).as("sx"),
+      sum((col("a.rev") * col("a.rev")).cast(DecimalType(38, 4))).as("sxx"),
+      sum(col("b.rev")).as("sy"),
+      sum((col("b.rev") * col("b.rev")).cast(DecimalType(38, 4))).as("syy"),
+      sum((col("a.rev") * col("b.rev")).cast(DecimalType(38, 4))).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    def d(c: String) = col(c).cast(DoubleType)
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val vx = nD * d("sxx") - d("sx") * d("sx")
+    val vy = nD * d("syy") - d("sy") * d("sy")
+    g.filter(col("n") >= 2)
+      .select(col("k").cast(LongType).as("k"), col("n"),
+        (cov / sqrt(vx * vy)).as("acf"))
+      .orderBy(col("k"))
+  }
+
   def groupCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
     val g = li.groupBy(col("l_returnflag")).agg(
@@ -1647,6 +1687,33 @@ object Temporal {
     // unscaled value exceeds 2^53 — the squared sums here do. The
     // string path is correctly rounded, matching Spark's
     // BigDecimal.doubleValue exactly.
+    "q248_autocorrelation" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT UNNEST(range(1, 8)) AS k),
+        |g AS (SELECT k, COUNT(*) AS n,
+        |    SUM(a.rev) AS sx,
+        |    SUM(CAST(a.rev * a.rev AS DECIMAL(38,4))) AS sxx,
+        |    SUM(b.rev) AS sy,
+        |    SUM(CAST(b.rev * b.rev AS DECIMAL(38,4))) AS syy,
+        |    SUM(CAST(a.rev * b.rev AS DECIMAL(38,4))) AS sxy
+        |  FROM daily a CROSS JOIN lags
+        |  JOIN daily b ON b.day = a.day + CAST(k AS INTEGER)
+        |  GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |       * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |   / SQRT((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS acf
+        |FROM g WHERE n >= 2
+        |ORDER BY k""".stripMargin,
     "q114_group_correlation" ->
       """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -624,7 +625,100 @@ object Validate {
       .orderBy(col("event_type"))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift over a CONTINUOUS column —
+    * the companion to q207's categorical TVD: q207 answers "did the
+    * event-type mix shift", this answers "did the order-value
+    * DISTRIBUTION shift" between the first and second time-halves.
+    * KS D = max over v of |F1(v) − F2(v)|, location- and bin-free,
+    * which is why drift monitors prefer it to fixed-bucket histogram
+    * distances for amounts/latencies.
+    *
+    * Determinism: values are exact cents (BIGINT), the time split is
+    * q207's integer-microsecond midpoint, and D's numerator is EXACT —
+    * |c1·N2 − c2·N1| cross-multiplied in DECIMAL(38) (counts stay
+    * products-safe far past BIGINT's ~3·10⁹-row pair limit) — with ONE
+    * final double division. The argmax row is picked by (d_num, cents)
+    * max-struct, a total order, so ties cannot fork engines.
+    *
+    * Scale: the cumulative counts NEVER run through a single-partition
+    * global window — per-value counts bucket by `cents DIV 2²⁰`
+    * (bucket order == value order), per-bucket subtotals roll to
+    * broadcast offsets (the only unpartitioned window is over
+    * O(buckets) rows), and each bucket cumulates internally in
+    * parallel — the [[Windows.globalRankNoSort]] shape applied to a
+    * running SUM instead of a rank. Everything else is two
+    * partial-aggregable passes + one-row broadcasts. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders").select(
+      (d2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+      expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)")
+        .as("us"))
+    val bounds = o.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val counts = o.crossJoin(broadcast(bounds))
+      .withColumn("h1",
+        (col("us") <= expr("(lo + hi) DIV 2")).cast(LongType))
+      .groupBy(col("cents"))
+      .agg(sum(col("h1")).as("n1"), sum(lit(1L) - col("h1")).as("n2"))
+    val totals = counts.agg(sum(col("n1")).as("tn1"),
+      sum(col("n2")).as("tn2"))
+    // two-level cumulative sum: bucket subtotals -> broadcast offsets
+    val b = counts.withColumn("bkt", expr("cents DIV 1048576"))
+    val offs = b.groupBy(col("bkt"))
+      .agg(sum(col("n1")).as("b1"), sum(col("n2")).as("b2"))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumOffs = offs
+      .withColumn("off1", coalesce(sum(col("b1")).over(wOff), lit(0L)))
+      .withColumn("off2", coalesce(sum(col("b2")).over(wOff), lit(0L)))
+      .drop("b1", "b2")
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec = (c: Column) => c.cast(DecimalType(19, 0))
+    val cum = b.join(broadcast(cumOffs), "bkt")
+      .withColumn("c1", col("off1") + sum(col("n1")).over(wIn))
+      .withColumn("c2", col("off2") + sum(col("n2")).over(wIn))
+      .crossJoin(broadcast(totals))
+      .withColumn("d_num",
+        abs(dec(col("c1")) * dec(col("tn2")) - dec(col("c2")) * dec(col("tn1")))
+          .cast(DecimalType(38, 0)))
+    cum.groupBy(col("tn1"), col("tn2"))
+      .agg(max(struct(col("d_num"), col("cents"))).as("mx"))
+      .select(col("tn1").as("n1"), col("tn2").as("n2"),
+        col("mx.d_num").cast(LongType).as("d_num"),
+        col("mx.cents").as("at_cents"),
+        (col("mx.d_num").cast(DoubleType) /
+          (col("tn1").cast(DoubleType) * col("tn2").cast(DoubleType)))
+          .as("ks"))
+  }
+
+  /** PER-WEEKDAY CLASS PURITY — Gini impurity of the event-type mix
+    * within each ISO weekday: the decision-tree split-scoring
+    * primitive (CART's criterion) phrased as a feature-quality audit:
+    * a weekday whose impurity sits far below the others predicts the
+    * event type by itself. Gini needs no logarithm — unlike entropy /
+    * information gain it is exactly representable: impurity = 1 −
+    * Σ(nᵢ/n)² = (n² − Σnᵢ²)/n², so the numerator and denominator are
+    * EXACT BIGINTs (the same integer-moment trick as q159's diversity
+    * index, which is this statistic over a different grouping) and the
+    * single division is one identical IEEE op in both engines. Two
+    * partial-aggregable rollups — (dow, type) cells, then O(7)
+    * weekday rows; nothing wider than the cell table ever shuffles. */
+  def giniPurity(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy((weekday(col("ts")) + 1).cast(LongType).as("dow"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dow"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("cnt")).as("ssq"))
+      .withColumn("gini",
+        (col("n") * col("n") - col("ssq")).cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType))
+      .orderBy(col("dow"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_ks_drift" -> ksDrift,
+    "q245_gini_purity" -> giniPurity,
     "q229_observed_metrics" -> observedMetrics,
     "q230_stat_crosstab" -> statCrosstab,
     "q209_l_diversity" -> lDiversityAudit,
@@ -661,6 +755,40 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    "q244_ks_drift" ->
+      """WITH o AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(o_orderdate) AS us FROM orders),
+        |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM o),
+        |c AS (SELECT cents,
+        |    CAST(SUM(CASE WHEN us <= (lo + hi) // 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN us <= (lo + hi) // 2
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        |  FROM o, b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS tn1,
+        |    CAST(SUM(n2) AS BIGINT) AS tn2 FROM c),
+        |cum AS (SELECT cents,
+        |    CAST(SUM(n1) OVER (ORDER BY cents) AS BIGINT) AS c1,
+        |    CAST(SUM(n2) OVER (ORDER BY cents) AS BIGINT) AS c2 FROM c),
+        |d AS (SELECT cents, tn1, tn2,
+        |    ABS(CAST(c1 AS HUGEINT) * CAST(tn2 AS HUGEINT)
+        |      - CAST(c2 AS HUGEINT) * CAST(tn1 AS HUGEINT)) AS d_num
+        |  FROM cum, t)
+        |SELECT tn1 AS n1, tn2 AS n2, CAST(d_num AS BIGINT) AS d_num,
+        |  cents AS at_cents,
+        |  CAST(d_num AS DOUBLE)
+        |    / (CAST(tn1 AS DOUBLE) * CAST(tn2 AS DOUBLE)) AS ks
+        |FROM d ORDER BY d_num DESC, cents DESC LIMIT 1""".stripMargin,
+    "q245_gini_purity" ->
+      """WITH cells AS (SELECT isodow(ts) AS dow, event_type,
+        |    COUNT(*) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT CAST(dow AS BIGINT) AS dow,
+        |  CAST(SUM(cnt) AS BIGINT) AS n,
+        |  CAST(SUM(cnt * cnt) AS BIGINT) AS ssq,
+        |  CAST(SUM(cnt) * SUM(cnt) - SUM(cnt * cnt) AS DOUBLE)
+        |    / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE) AS gini
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
     "q229_observed_metrics" ->
       """SELECT COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

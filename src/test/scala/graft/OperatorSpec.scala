@@ -1144,6 +1144,105 @@ class OperatorSpec extends AnyFunSuite {
     assert(hitIds.subsetOf(withTerm))
   }
 
+  test("ks drift equals the naive single-partition KS and is bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val r = run("q244_ks_drift").collect()(0)
+    val (n1, n2, dNum, ks) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))
+    assert(ks >= 0.0 && ks <= 1.0, ks.toString)
+    assert(n1 + n2 === Tables.load(spark, sf, "orders").count())
+    // the two-level cumulative sum must equal the naive global-window
+    // form (fine at spec scale; the operator avoids it for scale)
+    val o = Tables.load(spark, sf, "orders").select(
+      (Tables.d2(col("o_totalprice")) * 100).cast("long").as("cents"),
+      expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)").as("us"))
+    val b = o.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .collect()(0)
+    val mid = (b.getLong(0) + b.getLong(1)) / 2 // positive: same as DIV
+    val c = o.withColumn("h1", (col("us") <= mid).cast("long"))
+      .groupBy(col("cents"))
+      .agg(sum(col("h1")).as("n1"), sum(lit(1L) - col("h1")).as("n2"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = c.withColumn("c1", sum(col("n1")).over(w))
+      .withColumn("c2", sum(col("n2")).over(w))
+      .select(abs(col("c1") * n2 - col("c2") * n1).as("d"))
+      .agg(max(col("d"))).collect()(0).getLong(0)
+    assert(dNum === naive, s"two-level $dNum vs naive $naive")
+  }
+
+  test("gini purity: exact integer moments, impurity bounded, all weekdays") {
+    val rows = run("q245_gini_purity").collect()
+    assert(rows.map(_.getLong(0)).toSet === (1L to 7L).toSet)
+    var total = 0L
+    rows.foreach { r =>
+      val (n, ssq, g) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(ssq <= n * n && ssq >= n, r.toString) // n classes >= 1
+      assert(g >= 0.0 && g < 1.0, r.toString)
+      total += n
+    }
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("link prediction: non-adjacent, common bounded by degrees, ranked") {
+    val rows = run("q246_link_prediction").collect()
+    assert(rows.nonEmpty)
+    val commons = rows.map(_.getLong(2)).toSeq
+    assert(commons === commons.sorted.reverse, "ranked by common desc")
+    rows.foreach { r =>
+      val (a, b, cn, da, db, j) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(a < b, r.toString)
+      assert(cn >= 1 && cn <= math.min(da, db), r.toString)
+      assert(j > 0.0 && j <= 1.0, r.toString)
+    }
+    // no emitted pair is an edge (co-ordered >= 2 distinct orders)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("pa"), col("pb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach(r =>
+      assert(!edges.contains((r.getLong(0), r.getLong(1))), r.toString))
+  }
+
+  test("loo target encoding: one row per customer, segment sums reconcile") {
+    val rows = run("q247_loo_target_encoding")
+    assert(rows.count() === Tables.load(spark, sf, "customer").count())
+    // within a segment, loo_num + target is the constant segment total
+    // and loo_den + 1 is the constant segment size
+    val bad = rows
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("loo_num") + col("target")).as("k1"),
+        countDistinct(col("loo_den")).as("k2"),
+        count(lit(1)).as("n"), max(col("loo_den")).as("d"))
+      .filter(col("k1") =!= 1 || col("k2") =!= 1 ||
+        col("d") =!= col("n") - 1)
+    assert(bad.count() === 0L)
+    // the encoding never equals using one's own target unless uniform:
+    // spot-check the division on a sample row
+    val s = rows.filter(col("loo_den") > 0).limit(1).collect()(0)
+    val expected = s.getLong(3).toDouble / s.getLong(4).toDouble
+    assert(s.getDouble(5) === expected)
+  }
+
+  test("autocorrelation: all seven lags, bounded, lag-pair counts shrink") {
+    val rows = run("q248_autocorrelation").collect()
+    assert(rows.map(_.getLong(0)).toSet === (1L to 7L).toSet)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0000001 && r.getDouble(2) <= 1.0000001,
+        r.toString)
+    }
+    // |D ∩ (D−k)| < |D|: the max day never finds a lag partner
+    val d = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    rows.foreach(r => assert(r.getLong(1) <= d - 1, r.toString))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()

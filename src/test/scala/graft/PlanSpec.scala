@@ -414,7 +414,8 @@ class PlanSpec extends AnyFunSuite {
     // only a true CartesianProduct is the scale defect)
     for (q <- Seq("q151_association_rules", "q158_temporal_cooccurrence",
         "q163_day_overlap", "q165_ltv_triangle", "q172_lateral_topn",
-        "q156_funnel_latency", "q170_clustering_coefficient")) {
+        "q156_funnel_latency", "q170_clustering_coefficient",
+        "q246_link_prediction", "q248_autocorrelation")) {
       val plan = formatted(run(q))
       assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
     }
