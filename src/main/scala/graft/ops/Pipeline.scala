@@ -666,7 +666,66 @@ object Pipeline {
       .orderBy(col("c_custkey"))
   }
 
+  /** GROUP-AWARE K-FOLD assignment — cross-validation folds assigned
+    * on the GROUP key (user), not the row: every event of a user lands
+    * in the same fold, the standard defense against within-group
+    * leakage (a user's later events in train while their earlier ones
+    * sit in test would leak behavior across the boundary — GroupKFold
+    * in every ML toolkit). Fold = the engine-wide deterministic
+    * [[graft.Tables.phashMod]] of the user id mod 5, so assignment is
+    * refresh-stable (new data never reshuffles old users — q69's
+    * hash-split contract at group granularity). Output is the per-fold
+    * health readout a CV harness checks before training: group count,
+    * row count, positive-class count (purchases) and positive share
+    * (exact integers + ONE division). One rollup pass; the
+    * by-construction group-integrity invariant is spec'd, not
+    * re-counted here. */
+  def groupedKfold(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(phashMod(col("user_id").cast(StringType)).mod(5).as("fold"),
+        col("user_id"),
+        (col("event_type") === "purchase").cast(LongType).as("is_pos"))
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(col("is_pos")).as("n_purchases"))
+      .withColumn("purchase_share",
+        col("n_purchases").cast(DoubleType) /
+          col("n_events").cast(DoubleType))
+      .orderBy(col("fold"))
+
+  /** CALIBRATION / LIFT-CHART deciles — the model-quality readout
+    * that needs no model: users ranked by a behavioral score (event
+    * count), split into 10 equal-frequency deciles, each decile's
+    * realized conversion rate (any purchase) beside it. A monotone
+    * rate across deciles says the score ranks well (lift chart); a
+    * flat tail says it saturates — the decile table IS the standard
+    * campaign-targeting artifact. Deciles come from
+    * [[Windows.ntileNoGlobalSort]] — the exact NTILE(10) total order
+    * (score, user_id) with NO single-partition window (the oracle
+    * states the naive window and matches because the two-level rank
+    * is the same order). Conversions are exact integers; the rate is
+    * ONE division. */
+  def calibrationDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val users = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        max((col("event_type") === "purchase").cast(LongType))
+          .as("converted"))
+    Windows.ntileNoGlobalSort(users, col("score"), col("user_id"),
+        k = 10, bucketWidth = 16L, out = "decile")
+      .groupBy(col("decile").cast(LongType).as("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conv_rate",
+        col("n_converted").cast(DoubleType) /
+          col("n_users").cast(DoubleType))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_grouped_kfold" -> groupedKfold,
+    "q251_calibration_deciles" -> calibrationDeciles,
     "q247_loo_target_encoding" -> looTargetEncoding,
     "q200_corpus_report" -> corpusReport,
     "q221_mixture_plan" -> mixturePlan,
@@ -741,6 +800,29 @@ object Pipeline {
       |FROM r, l ORDER BY r.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q250_grouped_kfold" ->
+      s"""WITH ev AS (SELECT
+        |    (${phashModSql("CAST(user_id AS VARCHAR)")}) % 5 AS fold,
+        |    user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+        |  FROM events)
+        |SELECT fold, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  COUNT(*) AS n_events, CAST(SUM(is_pos) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(is_pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS purchase_share
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q251_calibration_deciles" ->
+      """WITH u AS (SELECT user_id, COUNT(*) AS score,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT NTILE(10) OVER (ORDER BY score, user_id) AS decile,
+        |    converted FROM u)
+        |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_users,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS conv_rate
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q247_loo_target_encoding" ->
       """WITH t AS (SELECT o_custkey, COUNT(*) AS t FROM orders GROUP BY 1),
         |ct AS (SELECT c_custkey, c_mktsegment,

@@ -76,8 +76,9 @@ object Windows {
 
   /** GLOBAL NTILE on top of [[globalRankNoSort]]: the exact rank mapped
     * through standard NTILE's integer split (first n%k tiles get ⌈n/k⌉
-    * rows). Appends `out`, input columns untouched. */
-  private def ntileNoGlobalSort(df: DataFrame, value: Column, tie: Column,
+    * rows). Appends `out`, input columns untouched. Shared with the
+    * q147 RFM scores and q251's calibration deciles. */
+  private[graft] def ntileNoGlobalSort(df: DataFrame, value: Column, tie: Column,
       k: Int, bucketWidth: Long, out: String): DataFrame =
     globalRankNoSort(df, value, tie, bucketWidth, "_rank", "_nt")
       .withColumn(out, expr(

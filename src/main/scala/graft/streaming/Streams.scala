@@ -63,6 +63,32 @@ object Streams {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** STREAM-STREAM UNION (multiplexed ingestion): two independent
+    * feeds of the same event schema — here the user-id parity halves
+    * of the stream, the "mobile feed + web feed" shape — unioned into
+    * ONE streaming plan before the watermark and hourly aggregation.
+    * Structured Streaming plans this as two file-stream scans feeding
+    * one stateful operator (exactly q73's two-scan shape), so the
+    * union costs no extra state: one watermark governs both sides and
+    * late-data eviction sees the merged stream. The oracle is the
+    * batch hourly rollup over ALL events — the parity split is a
+    * partition of the input, so the union must reproduce q40's answer
+    * exactly; a lost or duplicated feed row breaks the hash gate. */
+  def streamUnion(spark: SparkSession, dir: String): DataFrame = {
+    val a = eventsStream(spark, dir, withTs = true)
+      .filter(col("user_id") % 2 === 0)
+    val b = eventsStream(spark, dir, withTs = true)
+      .filter(col("user_id") % 2 === 1)
+    val agg = a.union(b)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    runToMemory(spark, agg, "graft_stream_union")
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -839,6 +865,7 @@ object Streams {
     "q228_stream_tws_log" -> streamEventLog,
     "q164_stream_bitmap_dau" -> streamBitmapDau,
     "q40_stream_hourly" -> streamHourly,
+    "q249_stream_union" -> streamUnion,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
@@ -857,6 +884,14 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS balance,
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val hourlyOracle =
+    """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 
   private val dedupOracle =
     """SELECT event_type, COUNT(*) AS n_events
@@ -901,13 +936,11 @@ object Streams {
         |FROM events JOIN nation ON user_id % 25 = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
-    "q40_stream_hourly" ->
-      """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
-        | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
+    "q40_stream_hourly" -> hourlyOracle,
+    // the parity split is a partition of the input: the unioned
+    // two-feed stream must reproduce the batch hourly rollup exactly
+    // (same oracle STRING so the forms can never fork)
+    "q249_stream_union" -> hourlyOracle,
     "q42_custom_state_sessions" ->
       """SELECT user_id, MIN(ts) AS session_start,
         | MAX(ts) + INTERVAL 30 MINUTE AS session_end,

@@ -563,7 +563,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** KWIC (keyword-in-context) concordance — the search-result SNIPPET
+    * renderer beside q108's conjunctive search and q242's phrase
+    * search: every occurrence of the query term with its ±2-word
+    * window, the human-readable hit context a retrieval UI shows and
+    * an annotation pipeline samples for labeling. Per-row work only:
+    * one tokenize + posexplode (the occurrence stream stays narrow —
+    * doc_id, position, 5-token string; the document text itself never
+    * shuffles), window bounds clamped with greatest/least so edge hits
+    * keep a short window instead of erroring (ANSI mode: an
+    * out-of-range slice would throw). Order (doc_id, pos) is total —
+    * no tie hazard. */
+  def kwicSnippets(spark: SparkSession, dir: String): DataFrame = {
+    val term = "vector"
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("n"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .filter(col("tok") === term)
+      .withColumn("pos", col("pos0") + 1)
+      .withColumn("st", greatest(lit(1), col("pos") - 2))
+      .withColumn("en", least(col("n"), col("pos") + 2))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        concat_ws(" ",
+          slice(col("toks"), col("st"), col("en") - col("st") + 1))
+          .as("snippet"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_kwic_snippets" -> kwicSnippets,
     "q241_bm25_topk" -> bm25TopK,
     "q242_phrase_search" -> phraseSearch,
     "q233_vocab_update" -> vocabUpdate,
@@ -591,6 +621,16 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q252_kwic_snippets" ->
+      """WITH t AS (SELECT doc_id,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |e AS (SELECT doc_id, toks, LEN(toks) AS n,
+        |    UNNEST(GENERATE_SERIES(1, LEN(toks))) AS pos FROM t)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  ARRAY_TO_STRING(
+        |    toks[GREATEST(1, pos - 2):LEAST(n, pos + 2)], ' ') AS snippet
+        |FROM e WHERE toks[pos] = 'vector'
+        |ORDER BY doc_id, pos""".stripMargin,
     "q242_phrase_search" ->
       """WITH t AS (SELECT doc_id,
         |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),

@@ -1243,6 +1243,47 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) <= d - 1, r.toString))
   }
 
+  test("stream union of the parity feeds reproduces the single-stream hourly rollup") {
+    val union = run("q249_stream_union").collect().toSeq
+    val single = run("q40_stream_hourly").collect().toSeq
+    assert(union === single)
+  }
+
+  test("grouped k-fold: all five folds, partition of users and events") {
+    val rows = run("q250_grouped_kfold").collect()
+    assert(rows.map(_.getLong(0)).toSet === (0L to 4L).toSet)
+    val ev = Tables.events(spark, sf)
+    assert(rows.map(_.getLong(1)).sum ===
+      ev.select(col("user_id")).distinct().count())
+    assert(rows.map(_.getLong(2)).sum === ev.count())
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), r.toString)
+      val share = r.getDouble(4)
+      assert(share >= 0.0 && share <= 1.0, r.toString)
+    }
+  }
+
+  test("calibration deciles: equal-frequency split covering every user") {
+    val rows = run("q251_calibration_deciles").collect()
+    assert(rows.map(_.getLong(0)).toSet === (1L to 10L).toSet)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, sizes.mkString(","))
+    assert(sizes.sum === Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count())
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1), r.toString))
+  }
+
+  test("kwic snippets: every hit window contains the term and stays within ±2 words") {
+    val rows = run("q252_kwic_snippets").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, r.toString)
+      val words = r.getString(2).split(" ")
+      assert(words.contains("vector"), r.toString)
+      assert(words.length >= 1 && words.length <= 5, r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
