@@ -58,16 +58,25 @@ object Bench {
       dropStaleBlocks()
       r
     }
+    // Per-query seconds rounded to 1 ms: the log pipeline that lands
+    // this line in BENCH_r{N}.json keeps only the LAST 2000 chars of
+    // stdout, so every byte of precision costs per-query entries in
+    // the surviving window (r6 lost q01–q38 to exactly this).
+    def r3(v: Double): String = f"$v%.3f"
     val qs = results.map {
-      case (k, Right(v)) => s"${jstr(k)}:$v"
+      case (k, Right(v)) => s"${jstr(k)}:${r3(v)}"
       case (k, Left(_)) => s"${jstr(k)}:-1.0" // sentinel, excluded from total
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nFail = results.count(_._2.isLeft)
+    // Key order is deliberate: the headline summary (metric/value/sf)
+    // goes LAST so a tail-truncated capture always retains the total
+    // even when the per-query map overflows the window. JSON key order
+    // is semantically irrelevant, so intact captures parse identically.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"queries":$qs,"n_failed":$nFail,"failed":$failed,"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
     println(json)
     // Also land the JSON in a file: log-pipeline truncation must never
     // cost the per-query numbers (r6 lost q01–q38 to a truncated tail).
