@@ -59,6 +59,57 @@ object Incremental {
       .orderBy(col("key"))
   }
 
+  /** CDC MERGE with DELETE TOMBSTONES — [[mergeUpsert]]'s three-action
+    * MERGE completed to the full four-action contract (WHEN MATCHED
+    * AND tombstone THEN DELETE): the change feed carries per-customer
+    * order deltas and brand-new inserts (q80's slices) PLUS explicit
+    * delete tombstones for base keys divisible by 97 (the q143/q174
+    * deletion slice), and a tombstone SUPERSEDES a same-batch delta —
+    * standard CDC feed-compaction order (a replicated DELETE must win
+    * over an earlier UPDATE in the same batch or the row resurrects).
+    * Output is the audit relation a MERGE emits: every key with its
+    * action; 'delete' rows carry NULL new_bal (they survive in the
+    * audit, not in the snapshot) and zeroed n_orders.
+    *
+    * Scale shape: compacting the feed is ONE outer join of the two
+    * O(changes) sides; applying it is ONE full-outer key join against
+    * the base — never a per-row lookup. Balance arithmetic stays in
+    * exact DECIMAL until one final cast ([[graft.Tables]] contract). */
+  def mergeTombstones(spark: SparkSession, dir: String): DataFrame = {
+    val base = load(spark, dir, "customer")
+      .select(col("c_custkey").as("key"), d2(col("c_acctbal")).as("old_bal"),
+        lit(true).as("in_base"))
+    val agg = load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"))
+      .agg(sum(d2(col("o_totalprice"))).as("delta"),
+        count(lit(1)).as("n_orders"))
+    val inserts = agg.filter(col("key") % 100 === 0)
+      .select((-col("key") - 1).as("key"), col("delta"), col("n_orders"))
+    val tombs = load(spark, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("key"), lit(true).as("is_tomb"))
+    // feed compaction: delta/insert rows ⟗ tombstones on the key —
+    // a key can carry both, and the classifier below lets the
+    // tombstone win
+    val feed = agg.unionByName(inserts).withColumn("in_upd", lit(true))
+      .join(tombs, Seq("key"), "full_outer")
+    base.join(feed, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("is_tomb").isNotNull, "delete")
+          .when(col("in_upd").isNotNull && col("in_base").isNotNull, "update")
+          .when(col("in_upd").isNotNull, "insert")
+          .otherwise("keep").as("action"),
+        col("old_bal").cast(DoubleType).as("old_bal"),
+        when(col("is_tomb").isNotNull, lit(null).cast(DoubleType))
+          .otherwise(
+            (coalesce(col("old_bal"), lit(0).cast(DecimalType(18, 2))) +
+              coalesce(col("delta"), lit(0).cast(DecimalType(18, 2))))
+              .cast(DoubleType)).as("new_bal"),
+        when(col("is_tomb").isNotNull, lit(0L))
+          .otherwise(coalesce(col("n_orders"), lit(0L))).as("n_orders"))
+      .orderBy(col("key"))
+  }
+
   /** Incremental view maintenance by partial-aggregate algebra: the
     * monthly rollup is computed FROM the daily partials — sum of sums,
     * sum of counts, min of mins, max of maxs — never from the base
@@ -178,6 +229,7 @@ object Incremental {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_merge_upsert" -> mergeUpsert,
+    "q253_merge_tombstones" -> mergeTombstones,
     "q86_rollup_merge" -> rollupMerge,
     "q87_late_recompute" -> lateRecompute,
     "q143_snapshot_diff" -> snapshotDiff,
@@ -216,6 +268,36 @@ object Incremental {
         |    CAST(b.bal_b AS DOUBLE) AS new_bal
         |  FROM a FULL OUTER JOIN b ON a.key = b.key)
         |SELECT * FROM d WHERE action IS NOT NULL ORDER BY key""".stripMargin,
+    "q253_merge_tombstones" ->
+      """WITH base AS (SELECT c_custkey AS key,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS old_bal FROM customer),
+        |agg AS (SELECT o_custkey AS key,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS delta,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |feedu AS (SELECT key, delta, n_orders FROM agg
+        |  UNION ALL
+        |  SELECT -key - 1, delta, n_orders FROM agg WHERE key % 100 = 0),
+        |tomb AS (SELECT c_custkey AS key FROM customer
+        |  WHERE c_custkey % 97 = 0),
+        |feed AS (SELECT COALESCE(u.key, t.key) AS key, u.delta,
+        |    u.n_orders, u.key IS NOT NULL AS in_upd,
+        |    t.key IS NOT NULL AS is_tomb
+        |  FROM feedu u FULL OUTER JOIN tomb t ON u.key = t.key)
+        |SELECT COALESCE(b.key, f.key) AS key,
+        |  CASE WHEN f.is_tomb THEN 'delete'
+        |       WHEN f.in_upd AND b.key IS NOT NULL THEN 'update'
+        |       WHEN f.in_upd THEN 'insert'
+        |       ELSE 'keep' END AS action,
+        |  CAST(b.old_bal AS DOUBLE) AS old_bal,
+        |  CASE WHEN f.is_tomb THEN NULL
+        |       ELSE CAST(COALESCE(b.old_bal, CAST(0 AS DECIMAL(18,2)))
+        |         + COALESCE(f.delta, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        |  END AS new_bal,
+        |  CAST(CASE WHEN f.is_tomb THEN 0 ELSE COALESCE(f.n_orders, 0) END
+        |    AS BIGINT) AS n_orders
+        |FROM base b FULL OUTER JOIN feed f ON b.key = f.key
+        |ORDER BY 1""".stripMargin,
     "q80_merge_upsert" ->
       """WITH base AS (SELECT c_custkey AS key,
         |                CAST(c_acctbal AS DECIMAL(18,2)) AS old_bal

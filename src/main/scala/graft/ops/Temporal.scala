@@ -400,6 +400,7 @@ object Temporal {
     "q142_last_touch_attribution" -> lastTouchAttribution,
     "q204_linear_attribution" -> linearAttribution,
     "q208_session_paths" -> sessionPaths,
+    "q254_pattern_match" -> patternMatch,
     "q217_session_skipgrams" -> sessionSkipgrams,
     "q224_modal_behavior" -> modalBehavior,
     "q235_session_distance" -> sessionDistance,
@@ -640,6 +641,46 @@ object Temporal {
         .as("dist"))
       .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("dist"))
+  }
+
+  /** SEQUENCE-PATTERN DETECTION — SQL MATCH_RECOGNIZE's core (PATTERN
+    * (A+ B) over ordered rows PER PARTITION) emulated at scale:
+    * sessions rendered as single-char event strings (a FIXED literal
+    * alphabet — click→C, error→X, purchase→P, signup→S, view→V,
+    * else O — so the pattern below is meaningful prose, unlike q235's
+    * data-derived alphabet), then the motif "browsing burst ending in
+    * a purchase" = regex `[VC]+P` counted per session. Greedy
+    * leftmost non-overlapping matching agrees between Java regex and
+    * DuckDB's RE2 for this pattern class (no backrefs, no
+    * lookaround), so the match COUNTS are engine-portable even
+    * though the engines' regex libraries differ. One corpus-level
+    * readout row: sessions, matched sessions, total matches, max
+    * matches in one session — all exact integers.
+    *
+    * Scale shape: the q167 sessionization's one user-key shuffle
+    * carries the path fold; the regex runs once per SESSION STRING
+    * (bounded by the 30-min gap, not history length) as a per-row
+    * codegen'd projection; the final rollup is a partial-aggregable
+    * 4-column fold to a single row — nothing wide ever shuffles. */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val ch = when(col("event_type") === "click", "C")
+      .when(col("event_type") === "error", "X")
+      .when(col("event_type") === "purchase", "P")
+      .when(col("event_type") === "signup", "S")
+      .when(col("event_type") === "view", "V")
+      .otherwise("O")
+    withSessionIds(events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), ch.as("ch")))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws("", transform(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("ch")))),
+        s => s.getField("ch"))).as("path"))
+      .select(size(regexp_extract_all(col("path"), lit("[VC]+P"), lit(0)))
+        .cast(LongType).as("m"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum((col("m") > 0).cast(LongType)).as("n_matched"),
+        sum(col("m")).as("n_matches"),
+        max(col("m")).as("max_matches"))
   }
 
   /** FEATURE-STORE ASSEMBLY: one row per user with the model-serving
@@ -1484,6 +1525,31 @@ object Temporal {
         |SELECT w1, w2, COUNT(*) AS n
         |FROM g GROUP BY 1, 2
         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q254_pattern_match" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR DATE_DIFF('microsecond', LAG(ts) OVER w, ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |p AS (SELECT user_id, sid,
+        |    STRING_AGG(CASE event_type WHEN 'click' THEN 'C'
+        |        WHEN 'error' THEN 'X' WHEN 'purchase' THEN 'P'
+        |        WHEN 'signup' THEN 'S' WHEN 'view' THEN 'V'
+        |        ELSE 'O' END, '' ORDER BY ts, event_id) AS path
+        |  FROM sid GROUP BY 1, 2),
+        |c AS (SELECT CAST(LEN(REGEXP_EXTRACT_ALL(path, '[VC]+P'))
+        |    AS BIGINT) AS m FROM p)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  CAST(SUM(m) AS BIGINT) AS n_matches,
+        |  CAST(MAX(m) AS BIGINT) AS max_matches
+        |FROM c""".stripMargin,
     "q208_session_paths" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN LAG(ts) OVER w IS NULL

@@ -1284,6 +1284,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("merge tombstones: deletes match the %97 slice, supersede deltas, null out the row") {
+    val rows = run("q253_merge_tombstones").collect()
+    val byAction = rows.groupBy(_.getString(1))
+    val base = Tables.load(spark, sf, "customer")
+    assert(byAction("delete").length ===
+      base.filter(col("c_custkey") % 97 === 0).count())
+    byAction("delete").foreach { r =>
+      assert(r.isNullAt(3) && r.getLong(4) === 0L, r.toString)
+    }
+    byAction("insert").foreach(r => assert(r.getLong(0) < 0, r.toString))
+    // audit covers every base key exactly once plus the synthetic inserts
+    assert(rows.length === base.count() + byAction("insert").length)
+  }
+
+  test("pattern match: one readout row with consistent match counters") {
+    val r = run("q254_pattern_match").collect().head
+    val (ns, nm, tot, mx) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ns > 0 && nm <= ns)
+    assert(tot >= nm) // every matched session contributes >= 1 match
+    assert(mx <= tot && (nm > 0) === (tot > 0))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
