@@ -48,6 +48,88 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST-AS-OF JOIN: each purchase matched to its temporally
+    * NEAREST error event for the same user — |Δt| minimized over BOTH
+    * directions, ties to the earlier side — where plain as-of (q37)
+    * only looks backward. The alert-correlation join ("which failure
+    * is this conversion closest to?") and the generic
+    * nearest-neighbor-in-time enrichment.
+    *
+    * Same scale shape as q37: the union-window formulation — both
+    * sides in ONE stream ordered (ts, tag, event_id), the backward
+    * candidate from a last(ignoreNulls) over the preceding frame and
+    * the forward candidate from a first(ignoreNulls) over the
+    * following frame — so ONE user-key shuffle and ONE sort carry
+    * both directions (two frames over the same window ordering);
+    * never a per-purchase probe or a time-theta join. The errors-
+    * sort-first tag makes a same-microsecond error count as the
+    * backward candidate at distance 0 (and win any tie). Signed
+    * `delta_us` (negative = error before the purchase) keeps the
+    * direction auditable; purchases of users with no errors survive
+    * with NULLs. */
+  def nearestAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "error", 0).otherwise(1).as("tag"))
+      .withColumn("ee", when(col("tag") === 0, col("event_id")))
+      .withColumn("ets", when(col("tag") === 0, col("ts")))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val db = expr("timestampdiff(MICROSECOND, p_ts, ts)")
+    val df = expr("timestampdiff(MICROSECOND, ts, n_ts)")
+    val preferPrev = col("n_ts").isNull ||
+      (col("p_ts").isNotNull && db <= df)
+    ev.withColumn("p_ts", last(col("ets"), ignoreNulls = true).over(wb))
+      .withColumn("p_id", last(col("ee"), ignoreNulls = true).over(wb))
+      .withColumn("n_ts", first(col("ets"), ignoreNulls = true).over(wf))
+      .withColumn("n_id", first(col("ee"), ignoreNulls = true).over(wf))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        when(col("p_ts").isNull && col("n_ts").isNull,
+          lit(null).cast(LongType))
+          .when(preferPrev, col("p_id")).otherwise(col("n_id"))
+          .as("nearest_error_id"),
+        when(col("p_ts").isNull && col("n_ts").isNull,
+          lit(null).cast(LongType))
+          .when(preferPrev, -db).otherwise(df).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** BUSINESS-DAY latency histogram: order→ship lag in WEEKDAYS
+    * (weekends excluded) — the SLA clock a fulfillment report runs
+    * on, where calendar datediff overstates every weekend-spanning
+    * lag. No calendar table and no per-day explode: B(d) = weekdays
+    * in [1900-01-01, d) has the closed form
+    * (dn div 7)·5 + least(dn mod 7, 5) with dn anchored to a MONDAY
+    * epoch (1900-01-01), so the latency is B(ship) − B(order) — two
+    * codegen'd integer projections per row, exact in both engines
+    * (nonnegative dn makes div/mod floor-consistent across Spark and
+    * DuckDB; the diff runs on DATE boundaries, the q239
+    * cross-engine-safe day semantics). One orderkey equi-join (AQE
+    * broadcast-ready when orders is the small side) then a
+    * partial-aggregable O(distinct lags) histogram. */
+  def businessDayLatency(spark: SparkSession, dir: String): DataFrame = {
+    // (dn div 7) is Spark SQL's integral division — exposed via expr;
+    // the Column `/` operator would detour through DOUBLE
+    def bdays(dn: String): String =
+      s"(bigint($dn) div 7) * 5 + least(bigint($dn) % 7, 5)"
+    load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(load(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          to_date(col("o_orderdate")).as("ordered")), "l_orderkey")
+      .select(
+        datediff(col("ship"), to_date(lit("1900-01-01"))).as("d2"),
+        datediff(col("ordered"), to_date(lit("1900-01-01"))).as("d1"))
+      .select((expr(bdays("d2")) - expr(bdays("d1"))).as("latency_bd"))
+      .groupBy(col("latency_bd"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("latency_bd"))
+  }
+
   /** Equi+range join: clicks within the hour following each purchase,
     * per user; purchases with no clicks kept (left join). */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -401,6 +483,8 @@ object Temporal {
     "q204_linear_attribution" -> linearAttribution,
     "q208_session_paths" -> sessionPaths,
     "q254_pattern_match" -> patternMatch,
+    "q255_nearest_asof" -> nearestAsof,
+    "q256_business_days" -> businessDayLatency,
     "q217_session_skipgrams" -> sessionSkipgrams,
     "q224_modal_behavior" -> modalBehavior,
     "q235_session_distance" -> sessionDistance,
@@ -1525,6 +1609,48 @@ object Temporal {
         |SELECT w1, w2, COUNT(*) AS n
         |FROM g GROUP BY 1, 2
         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q255_nearest_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS tag
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |m AS (SELECT event_id, user_id, ts, tag,
+        |    LAST_VALUE(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+        |      OVER wb AS p_ts,
+        |    LAST_VALUE(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+        |      OVER wb AS p_id,
+        |    FIRST_VALUE(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+        |      OVER wf AS n_ts,
+        |    FIRST_VALUE(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+        |      OVER wf AS n_id
+        |  FROM ev
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN p_ts IS NULL AND n_ts IS NULL THEN NULL
+        |    WHEN n_ts IS NULL OR (p_ts IS NOT NULL AND
+        |      DATE_DIFF('microsecond', p_ts, ts)
+        |        <= DATE_DIFF('microsecond', ts, n_ts)) THEN p_id
+        |    ELSE n_id END AS nearest_error_id,
+        |  CASE WHEN p_ts IS NULL AND n_ts IS NULL THEN NULL
+        |    WHEN n_ts IS NULL OR (p_ts IS NOT NULL AND
+        |      DATE_DIFF('microsecond', p_ts, ts)
+        |        <= DATE_DIFF('microsecond', ts, n_ts))
+        |      THEN -DATE_DIFF('microsecond', p_ts, ts)
+        |    ELSE DATE_DIFF('microsecond', ts, n_ts) END AS delta_us
+        |FROM m WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    "q256_business_days" ->
+      """WITH b AS (SELECT
+        |    DATE_DIFF('day', DATE '1900-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d1,
+        |    DATE_DIFF('day', DATE '1900-01-01',
+        |      CAST(l_shipdate AS DATE)) AS d2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT ((d2 // 7) * 5 + LEAST(d2 % 7, 5))
+        |    - ((d1 // 7) * 5 + LEAST(d1 % 7, 5)) AS latency_bd,
+        |  COUNT(*) AS n_items
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q254_pattern_match" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN LAG(ts) OVER w IS NULL

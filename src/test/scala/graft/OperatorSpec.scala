@@ -1307,6 +1307,62 @@ class OperatorSpec extends AnyFunSuite {
     assert(mx <= tot && (nm > 0) === (tot > 0))
   }
 
+  test("nearest asof: covers every purchase, picks the closer side, ties go earlier") {
+    val rows = run("q255_nearest_asof").collect()
+    val ev = Tables.events(spark, sf)
+    assert(rows.length.toLong ===
+      ev.filter(col("event_type") === "purchase").count())
+    val errUsers = ev.filter(col("event_type") === "error")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val hasErr = errUsers.contains(r.getLong(1))
+      assert(!r.isNullAt(2) === hasErr, r.toString)
+      assert(!r.isNullAt(3) === hasErr, r.toString)
+    }
+    // brute-force the nearest error for every purchase and compare
+    def us(r: org.apache.spark.sql.Row, i: Int): Long = {
+      val t = r.getAs[java.time.LocalDateTime](i)
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000L
+    }
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .groupBy(_.getLong(0))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), us(r, 2)))
+      .toMap
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      val (u, pts) = purchases(r.getLong(0))
+      val best = errs(u).map { e =>
+        val ets = us(e, 1)
+        (math.abs(ets - pts), ets, e.getLong(2))
+      }.minBy(x => (x._1, x._2, x._3))
+      assert(r.getLong(2) === best._3, s"purchase ${r.getLong(0)}")
+    }
+  }
+
+  test("business days: formula matches a brute-force weekday count, totals reconcile") {
+    val rows = run("q256_business_days").collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.load(spark, sf, "lineitem").count())
+    // brute-force the closed form on a spread of date pairs
+    def brute(d1: java.time.LocalDate, d2: java.time.LocalDate): Long =
+      Iterator.iterate(d1)(_.plusDays(1)).takeWhile(_.isBefore(d2))
+        .count(d => d.getDayOfWeek.getValue <= 5).toLong
+    def formula(d: java.time.LocalDate): Long = {
+      val dn = java.time.temporal.ChronoUnit.DAYS
+        .between(java.time.LocalDate.of(1900, 1, 1), d)
+      (dn / 7) * 5 + math.min(dn % 7, 5)
+    }
+    val probe = Seq(("1995-03-06", "1995-03-13"), ("1995-03-04", "1995-03-05"),
+      ("1992-01-01", "1998-12-31"), ("1995-03-10", "1995-03-16"))
+    probe.foreach { case (a, b) =>
+      val (d1, d2) = (java.time.LocalDate.parse(a), java.time.LocalDate.parse(b))
+      assert(formula(d2) - formula(d1) === brute(d1, d2), s"$a..$b")
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
