@@ -611,6 +611,57 @@ object Dedup {
     visited.orderBy(col("doc_id"))
   }
 
+  /** WEIGHTED single-source-shortest-path to the nearest seed
+    * (Bellman–Ford, 4 synchronous relaxation rounds): q144's BFS hop
+    * count upgraded to an EDGE-WEIGHTED distance, with weight = the
+    * shingle-set symmetric difference |A△B| = na + nb − 2c — an EXACT
+    * INTEGER dissimilarity (a float weight like 1−J would die on
+    * cross-engine rounding), so "distance to the nearest trusted
+    * seed" prefers chains of tight near-dups over one loose edge.
+    *
+    * Scale shape: k relaxation rounds = shortest paths of ≤ k edges
+    * (the Bellman–Ford invariant, matching the oracle's ≤-4-edge walk
+    * enumeration); each round is ONE equi-join of the O(n) distance
+    * table with the edge list + ONE partial-aggregable min-groupBy —
+    * never a frontier explosion, and monotone-nonincreasing per node.
+    * Plans stay bounded via the per-round lazy localCheckpoint (q67
+    * pattern). Nonnegative weights make min-over-walks ≡
+    * min-over-paths, so the bounded enumeration is sound. */
+  def weightedSssp(spark: SparkSession, dir: String): DataFrame = {
+    val inv = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        shingleHashes(col("text"), mod = false).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast(LongType).as("n"),
+        explode(col("shs")).as("h"))
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    val e = a.join(b, col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c").cast(DoubleType) /
+        (col("na") + col("nb") - col("c")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        (col("na") + col("nb") - lit(2L) * col("c")).as("w"))
+    val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        col("w"))
+      .union(e.select(col("doc_b"), col("doc_a"), col("w")))
+      .localCheckpoint(eager = false)
+    var dist = sym.select(col("src").as("doc_id")).distinct()
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to 4) {
+      val relaxed = dist
+        .join(sym, dist("doc_id") === sym("src"))
+        .select(col("dst").as("doc_id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("doc_id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist.orderBy(col("doc_id"))
+  }
+
   /** K-CORE decomposition (k = 2): the maximal subgraph of the q33
     * near-dup graph in which every surviving node keeps ≥ k surviving
     * neighbors — the standard dense-blob extractor (a 2-core separates
@@ -1104,6 +1155,7 @@ object Dedup {
     "q74_cluster_minhash" -> clusterMinhash,
     "q79_simhash_neardup" -> simhashNearDup,
     "q178_kcore" -> kCore,
+    "q257_weighted_sssp" -> weightedSssp,
     "q183_record_linkage" -> recordLinkage)
 
   /** Shared with q148's pure-SQL oracle: one definition of the DuckDB
@@ -1159,6 +1211,7 @@ object Dedup {
     "q53_ppjoin_jaccard" -> jaccardOracle,
     "q33_ngram_jaccard" -> jaccardOracle,
     "q92_triangle_counts" -> triangleOracle,
+    "q257_weighted_sssp" -> ssspOracle,
     "q178_kcore" -> kCoreOracle,
     "q194_vocab_growth" ->
       s"""WITH t AS ($toksSql),
@@ -1557,6 +1610,25 @@ object Dedup {
        |SELECT src AS doc_id, COUNT(*) AS core_deg
        |FROM e$KCoreRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** q257: every ≤-4-edge walk from the seed set with its accumulated
+    * integer weight, then MIN per node — equivalent to the 4
+    * Bellman–Ford rounds because k rounds relax exactly the ≤-k-edge
+    * walks and nonnegative weights make walks ≡ paths under MIN. */
+  private lazy val ssspOracle: String =
+      s"""WITH RECURSIVE $jaccardCommonCte,
+        |pairs AS (SELECT doc_a, doc_b, na + nb - 2 * c AS w FROM common
+        |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |sym AS (SELECT doc_a AS src, doc_b AS dst, w FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a, w FROM pairs),
+        |seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 10 = 0),
+        |walk(node, d, tw) AS (
+        |  SELECT node, 0, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT s.dst, w.d + 1, w.tw + s.w FROM walk w
+        |  JOIN sym s ON s.src = w.node WHERE w.d < 4)
+        |SELECT node AS doc_id, MIN(tw) AS dist
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q92: oriented 3-way self-join over the same threshold pair set. */
   private lazy val triangleOracle: String =

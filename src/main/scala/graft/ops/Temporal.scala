@@ -485,6 +485,7 @@ object Temporal {
     "q254_pattern_match" -> patternMatch,
     "q255_nearest_asof" -> nearestAsof,
     "q256_business_days" -> businessDayLatency,
+    "q258_clamped_balance" -> clampedBalance,
     "q217_session_skipgrams" -> sessionSkipgrams,
     "q224_modal_behavior" -> modalBehavior,
     "q235_session_distance" -> sessionDistance,
@@ -765,6 +766,49 @@ object Temporal {
         sum((col("m") > 0).cast(LongType)).as("n_matched"),
         sum(col("m")).as("n_matches"),
         max(col("m")).as("max_matches"))
+  }
+
+  /** CLAMPED RUNNING BALANCE — the order-dependent NONLINEAR fold no
+    * window frame can express: per user, balance_t = max(0,
+    * balance_{t-1} + amount_t) (a wallet/inventory that cannot go
+    * negative; every clamp FORGETS history, so this is not a running
+    * sum minus a constant — prefix-sum tricks provably cannot rewrite
+    * it). Done declaratively with the `aggregate` higher-order
+    * function over the session-sorted event array — a codegen'd
+    * per-group fold with a struct accumulator, NO UDF and NO
+    * row-at-a-time driver loop; deterministic amounts (event_id
+    * parity signs the exact cents) keep both engines integer-exact.
+    * Output: final balance + how often the floor clamped (the
+    * stockout/overdraft count a replenishment policy reads).
+    *
+    * Scale shape: ONE user-key shuffle carries collect+sort+fold;
+    * per-group state is the event list, bounded by per-user activity
+    * (the same bound every per-user window in q141/q208 lives with —
+    * a pathological whale user would page one task, the cue to
+    * sessionize the fold). The oracle unrolls the identical
+    * recurrence as a per-user recursive CTE — step i joins row i+1 —
+    * so both engines walk the same chain. */
+  def clampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val amt = when(col("event_id") % 2 === 0, col("cents"))
+      .otherwise(-col("cents"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (d2(col("value")) * 100).cast(LongType).as("cents"))
+      .select(col("user_id"), col("ts"), col("event_id"), amt.as("amt"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("amt")))).as("evs"))
+      .select(col("user_id"),
+        expr("""aggregate(evs,
+          named_struct('bal', bigint(0), 'clamps', bigint(0)),
+          (acc, x) -> named_struct(
+            'bal', greatest(acc.bal + x.amt, bigint(0)),
+            'clamps', acc.clamps +
+              if(acc.bal + x.amt < bigint(0), bigint(1), bigint(0))))
+          """).as("st"))
+      .select(col("user_id"), col("st.bal").as("final_bal_cents"),
+        col("st.clamps").as("n_clamps"))
+      .orderBy(col("user_id"))
   }
 
   /** FEATURE-STORE ASSEMBLY: one row per user with the model-serving
@@ -1609,6 +1653,27 @@ object Temporal {
         |SELECT w1, w2, COUNT(*) AS n
         |FROM g GROUP BY 1, 2
         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q258_clamped_balance" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS i,
+        |    CASE WHEN event_id % 2 = 0 THEN cents ELSE -cents END AS amt
+        |  FROM (SELECT user_id, ts, event_id,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |    FROM events)),
+        |n AS (SELECT user_id, MAX(i) AS n FROM ev GROUP BY 1),
+        |walk(user_id, i, bal, clamps) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.i + 1,
+        |    GREATEST(w.bal + e.amt, 0),
+        |    w.clamps + CASE WHEN w.bal + e.amt < 0 THEN 1 ELSE 0 END
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id
+        |    AND e.i = w.i + 1)
+        |SELECT w.user_id, w.bal AS final_bal_cents, w.clamps AS n_clamps
+        |FROM walk w JOIN n ON w.user_id = n.user_id AND w.i = n.n
+        |ORDER BY 1""".stripMargin,
     "q255_nearest_asof" ->
       """WITH ev AS (SELECT event_id, user_id, ts,
         |    CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS tag

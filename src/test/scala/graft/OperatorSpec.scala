@@ -1363,6 +1363,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sssp: reaches exactly the BFS node set, seeds at zero, others positive") {
+    val sssp = run("q257_weighted_sssp").collect()
+    val bfs = run("q144_bfs_seed_distance").collect()
+    assert(sssp.map(_.getLong(0)).toSet === bfs.map(_.getLong(0)).toSet)
+    sssp.foreach { r =>
+      val seed = r.getLong(0) % 10 == 0
+      assert(if (seed) r.getLong(1) === 0L else r.getLong(1) > 0L, r.toString)
+    }
+  }
+
+  test("clamped balance matches a brute-force per-user fold") {
+    val rows = run("q258_clamped_balance").collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (expr("cast(value as decimal(18,2))") * 100).cast("long").as("cents"))
+      .collect()
+    def us(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    val expect = ev.groupBy(_.getLong(0)).map { case (u, rs) =>
+      val sorted = rs.sortBy(r =>
+        (us(r.getAs[java.time.LocalDateTime](1)), r.getLong(2)))
+      val (bal, clamps) = sorted.foldLeft((0L, 0L)) { case ((b, c), r) =>
+        val amt = if (r.getLong(2) % 2 == 0) r.getLong(3) else -r.getLong(3)
+        (math.max(b + amt, 0L), c + (if (b + amt < 0) 1L else 0L))
+      }
+      u -> ((bal, clamps))
+    }
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      assert(expect(r.getLong(0)) === ((r.getLong(1), r.getLong(2))), r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
