@@ -486,6 +486,7 @@ object Temporal {
     "q255_nearest_asof" -> nearestAsof,
     "q256_business_days" -> businessDayLatency,
     "q258_clamped_balance" -> clampedBalance,
+    "q259_interval_conflicts" -> intervalConflicts,
     "q217_session_skipgrams" -> sessionSkipgrams,
     "q224_modal_behavior" -> modalBehavior,
     "q235_session_distance" -> sessionDistance,
@@ -808,6 +809,36 @@ object Temporal {
           """).as("st"))
       .select(col("user_id"), col("st.bal").as("final_bal_cents"),
         col("st.clamps").as("n_clamps"))
+      .orderBy(col("user_id"))
+  }
+
+  /** INTERVAL CONFLICT DETECTION (double-booking audit) by SWEEP, not
+    * self-join: each user's events become usage intervals
+    * [ts, ts + duration] (duration = exact cents mod 3600 seconds —
+    * deterministic, integer); an interval CONFLICTS iff it starts
+    * before the running max end of all EARLIER intervals of the same
+    * user. That running max is one window aggregate over the
+    * (ts, event_id)-ordered frame ending 1 PRECEDING — the classic
+    * O(n log n) sweep-line, where the naive formulation is a
+    * quadratic interval × interval self-theta-join per key (q94's
+    * bucketization handles the cross-TABLE case; within-key conflict
+    * only needs the sweep). One user-key shuffle carries sort +
+    * window + rollup; output is the per-user booking-health row. */
+  def intervalConflicts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (d2(col("value")) * 100).cast(LongType).as("cents"))
+      .withColumn("fin", expr("ts + make_dt_interval(0, 0, 0, cents % 3600)"))
+      .withColumn("prev_max_end", max(col("fin")).over(w))
+      .select(col("user_id"),
+        (col("prev_max_end").isNotNull &&
+          col("ts") < col("prev_max_end")).cast(LongType).as("conflict"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("conflict")).as("n_conflicts"))
       .orderBy(col("user_id"))
   }
 
@@ -1653,6 +1684,21 @@ object Temporal {
         |SELECT w1, w2, COUNT(*) AS n
         |FROM g GROUP BY 1, 2
         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q259_interval_conflicts" ->
+      """WITH iv AS (SELECT user_id, ts, event_id,
+        |    ts + (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      % 3600) * INTERVAL 1 SECOND AS fin
+        |  FROM events),
+        |m AS (SELECT user_id, ts,
+        |    MAX(fin) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_end
+        |  FROM iv)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(CASE WHEN prev_max_end IS NOT NULL
+        |    AND ts < prev_max_end THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_conflicts
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q258_clamped_balance" ->
       """WITH RECURSIVE ev AS (SELECT user_id,
         |    ROW_NUMBER() OVER (PARTITION BY user_id

@@ -1396,6 +1396,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("interval conflicts match a brute-force sweep per user") {
+    val rows = run("q259_interval_conflicts").collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (expr("cast(value as decimal(18,2))") * 100).cast("long").as("cents"))
+      .collect()
+    def us(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    val expect = ev.groupBy(_.getLong(0)).map { case (u, rs) =>
+      val iv = rs.map { r =>
+        val start = us(r.getAs[java.time.LocalDateTime](1))
+        (start, r.getLong(2), start + (r.getLong(3) % 3600) * 1000000L)
+      }.sortBy(x => (x._1, x._2))
+      val conflicts = iv.indices.count { i =>
+        i > 0 && iv(i)._1 < iv.take(i).map(_._3).max
+      }
+      u -> ((iv.length.toLong, conflicts.toLong))
+    }
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      assert(expect(r.getLong(0)) === ((r.getLong(1), r.getLong(2))), r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
