@@ -820,8 +820,51 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** MATRYOSHKA-TRUNCATION recall audit: search with only the FIRST 8
+    * of 64 dimensions (the MRL deployment trick — embeddings trained
+    * so prefixes are usable sub-embeddings; at serving time a
+    * truncated index is 8× smaller and the dot product 8× cheaper),
+    * then measure recall@10 of the truncated ranking against the
+    * full-dimension exact top-10 (q35). The quantitative answer to
+    * "how many dims can this index afford to drop" — the same
+    * compose-don't-re-derive shape as q234, with the truncated side
+    * just q35's plan over `slice(embedding, 1, 8)` (corpus still
+    * never shuffles; queries broadcast). Overlap is an exact integer;
+    * recall is ONE division. Synthetic embeddings are not
+    * MRL-trained, so the audit honestly reads LOW recall — which is
+    * the point of measuring before truncating in production. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val full = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val v8 = spread(load(spark, dir, "embeddings"))
+      .select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+    val q8 = queryVecs(v8)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val trunc = broadcast(q8).join(v8, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(dot(col("qe"), col("embedding")),
+        col("qn"), col("n2")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    trunc.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .join(full.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+          col("k").cast(DoubleType)).as("recall_at_10"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_ann_recall" -> annRecall,
+    "q260_matryoshka_recall" -> matryoshkaRecall,
     "q218_dim_stats" -> dimStats,
     "q219_knn_label_purity" -> knnLabelPurity,
     "q212_rank_fusion" -> rankFusion,
@@ -1025,6 +1068,33 @@ object Similarity {
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q260_matryoshka_recall" ->
+      s"""WITH v AS ($vSql),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn FROM v WHERE vec_id < 5),
+        |c AS (SELECT query_id, v.vec_id AS neighbor_id,
+        |        ${cosSql(dotSql("qe", "v.embedding"), "qn", "v.n2")} AS cosine
+        |      FROM q JOIN v ON v.vec_id != query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM c),
+        |full10 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10),
+        |v8 AS (SELECT vec_id, emb, ${dotSql("emb", "emb")} AS n2
+        |       FROM (SELECT vec_id, embedding[1:8] AS emb FROM embeddings)),
+        |q8 AS (SELECT vec_id AS query_id, emb AS qe, n2 AS qn FROM v8 WHERE vec_id < 5),
+        |c8 AS (SELECT query_id, v8.vec_id AS neighbor_id,
+        |        ${cosSql(dotSql("qe", "v8.emb"), "qn", "v8.n2")} AS cosine
+        |      FROM q8 JOIN v8 ON v8.vec_id != query_id),
+        |r8 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM c8),
+        |t10 AS (SELECT query_id, neighbor_id FROM r8 WHERE rank <= 10),
+        |h AS (SELECT t.query_id, COUNT(*) AS n_hits FROM t10 t
+        |      JOIN full10 f ON t.query_id = f.query_id
+        |        AND t.neighbor_id = f.neighbor_id GROUP BY 1),
+        |k AS (SELECT query_id, COUNT(*) AS k FROM full10 GROUP BY 1)
+        |SELECT k.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(k.k AS DOUBLE)
+        |    AS recall_at_10
+        |FROM k LEFT JOIN h ON k.query_id = h.query_id
+        |ORDER BY 1""".stripMargin,
     "q234_ann_recall" ->
       s"""$ivfAsgCtes,
         |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn FROM v WHERE vec_id < 5),

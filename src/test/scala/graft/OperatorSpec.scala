@@ -1420,6 +1420,17 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshka recall: one row per query anchor, hits bounded by k") {
+    val rows = run("q260_matryoshka_recall").collect()
+    assert(rows.map(_.getLong(0)).toSet === (0L to 4L).toSet)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 10L, r.toString)
+      val rec = r.getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0, r.toString)
+      assert(rec === r.getLong(1).toDouble / 10.0, r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
