@@ -487,6 +487,7 @@ object Temporal {
     "q256_business_days" -> businessDayLatency,
     "q258_clamped_balance" -> clampedBalance,
     "q259_interval_conflicts" -> intervalConflicts,
+    "q261_fifo_matching" -> fifoMatching,
     "q217_session_skipgrams" -> sessionSkipgrams,
     "q224_modal_behavior" -> modalBehavior,
     "q235_session_distance" -> sessionDistance,
@@ -839,6 +840,63 @@ object Temporal {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("conflict")).as("n_conflicts"))
+      .orderBy(col("user_id"))
+  }
+
+  /** FIFO LOT MATCHING via cumulative-interval overlap — the
+    * cost-basis/inventory primitive ("match each sale to the oldest
+    * unconsumed purchase lots") that looks inherently sequential but
+    * is EXACTLY the overlap of two cumulative-quantity number lines:
+    * buy lot i occupies [Σqty_{<i}, Σqty_{≤i}) of the user's supply
+    * line, sell j the same on the demand line, and FIFO assigns their
+    * INTERSECTION — matched(i,j) = max(0, min(b_end, s_end) −
+    * max(b_start, s_start)). The matching is ORDINAL (the i-th unit
+    * of demand consumes the i-th unit of supply, each line in its own
+    * time order — backorder-filling; a sell arriving before supply
+    * queues rather than vanishes). Two window cumsums + one per-user
+    * overlap join replace the row-at-a-time lot walk; all quantities
+    * are exact integers.
+    *
+    * Scale shape: both cumsums ride ONE user-key shuffle; the match
+    * join is user-equi + interval residual (the q38 shape), and the
+    * overlap predicate makes total matched pairs ≤ buys + sells per
+    * user (each pair consumes a lot boundary) — never the quadratic
+    * all-pairs. Unmatched demand (oversold) and supply (inventory)
+    * fall out of the same totals. */
+  def fifoMatching(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        ((d2(col("value")) * 100).cast(LongType) % 100 + 1).as("qty"))
+    def line(t: String, pre: String) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.filter(col("event_type") === t)
+        .withColumn("end", sum(col("qty")).over(w))
+        .select(col("user_id"), (col("end") - col("qty")).as(s"${pre}_start"),
+          col("end").as(s"${pre}_end"))
+    }
+    val buys = line("purchase", "b")
+    val sells = line("click", "s")
+    val matched = buys.join(sells,
+        buys("user_id") === sells("user_id") &&
+        col("b_start") < col("s_end") && col("s_start") < col("b_end"))
+      .groupBy(buys("user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_lot_pairs"),
+        sum(least(col("b_end"), col("s_end")) -
+          greatest(col("b_start"), col("s_start"))).as("matched_qty"))
+    val totals = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", col("qty"))
+        .otherwise(0L)).as("bought"),
+        sum(when(col("event_type") === "click", col("qty"))
+          .otherwise(0L)).as("sold"))
+    totals.join(matched, Seq("user_id"), "left")
+      .select(col("user_id"), col("bought"), col("sold"),
+        coalesce(col("n_lot_pairs"), lit(0L)).as("n_lot_pairs"),
+        coalesce(col("matched_qty"), lit(0L)).as("matched_qty"),
+        (col("sold") - coalesce(col("matched_qty"), lit(0L)))
+          .as("oversold_qty"))
       .orderBy(col("user_id"))
   }
 
@@ -1684,6 +1742,40 @@ object Temporal {
         |SELECT w1, w2, COUNT(*) AS n
         |FROM g GROUP BY 1, 2
         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q261_fifo_matching" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 100 + 1
+        |      AS qty
+        |  FROM events),
+        |b AS (SELECT user_id,
+        |    SUM(qty) OVER w - qty AS b_start, SUM(qty) OVER w AS b_end
+        |  FROM ev WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT user_id,
+        |    SUM(qty) OVER w - qty AS s_start, SUM(qty) OVER w AS s_end
+        |  FROM ev WHERE event_type = 'click'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT b.user_id, COUNT(*) AS n_lot_pairs,
+        |    CAST(SUM(LEAST(b_end, s_end) - GREATEST(b_start, s_start))
+        |      AS BIGINT) AS matched_qty
+        |  FROM b JOIN s ON b.user_id = s.user_id
+        |    AND b_start < s_end AND s_start < b_end
+        |  GROUP BY 1),
+        |t AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN qty
+        |      ELSE 0 END) AS BIGINT) AS bought,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN qty
+        |      ELSE 0 END) AS BIGINT) AS sold
+        |  FROM ev GROUP BY 1)
+        |SELECT t.user_id, t.bought, t.sold,
+        |  COALESCE(m.n_lot_pairs, 0) AS n_lot_pairs,
+        |  CAST(COALESCE(m.matched_qty, 0) AS BIGINT) AS matched_qty,
+        |  CAST(t.sold - COALESCE(m.matched_qty, 0) AS BIGINT)
+        |    AS oversold_qty
+        |FROM t LEFT JOIN m ON t.user_id = m.user_id
+        |ORDER BY 1""".stripMargin,
     "q259_interval_conflicts" ->
       """WITH iv AS (SELECT user_id, ts, event_id,
         |    ts + (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)

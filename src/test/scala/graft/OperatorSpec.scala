@@ -1431,6 +1431,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("fifo matching equals a sequential lot-walk simulation") {
+    val rows = run("q261_fifo_matching").collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        ((expr("cast(value as decimal(18,2))") * 100).cast("long") % 100 + 1)
+          .as("qty"))
+      .collect()
+    def us(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    val expect = ev.groupBy(_.getLong(0)).map { case (u, rs) =>
+      val sorted = rs.sortBy(r =>
+        (us(r.getAs[java.time.LocalDateTime](1)), r.getLong(2)))
+      // the declared semantics: i-th unit of demand matches the i-th
+      // unit of supply (both lines in their own time order) — walk the
+      // two lot queues front-to-front
+      val lots = scala.collection.mutable.Queue[Array[Long]]()
+      sorted.filter(_.getString(3) == "purchase")
+        .foreach(r => lots.enqueue(Array(r.getLong(4))))
+      var matched = 0L
+      var pairs = 0L
+      sorted.filter(_.getString(3) == "click").foreach { r =>
+        var need = r.getLong(4)
+        while (need > 0 && lots.nonEmpty) {
+          val lot = lots.head
+          val take = math.min(need, lot(0))
+          matched += take; need -= take; lot(0) -= take; pairs += 1
+          if (lot(0) == 0) { lots.dequeue(): Unit }
+        }
+      }
+      u -> ((pairs, matched))
+    }
+    rows.foreach { r =>
+      val (pairs, matched) = expect(r.getLong(0))
+      assert(r.getLong(3) === pairs, s"pairs for user ${r.getLong(0)}")
+      assert(r.getLong(4) === matched, s"matched for user ${r.getLong(0)}")
+      assert(r.getLong(5) === r.getLong(2) - matched, r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
