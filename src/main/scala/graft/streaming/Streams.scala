@@ -89,6 +89,38 @@ object Streams {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** CHAINED STREAMING AGGREGATION — Spark's multiple-stateful-
+    * operator pipeline (SPARK-40925): hourly event counts
+    * re-aggregated into a daily profile INSIDE one streaming query,
+    * window-on-window via `window_time()`, both stateful stages
+    * governed by ONE watermark. Append mode is mandatory for chained
+    * state (complete would never release either level); only
+    * watermark-CLOSED days emit, which is exactly the production
+    * semantics of a multi-stage streaming rollup. The final
+    * watermark of the bounded run is max event time − 1h — a value
+    * the DATA determines, no wall clock — so the oracle is the batch
+    * daily-over-hourly rollup restricted to days that end at or
+    * before that watermark (the in-flight last day stays open, and
+    * the gate pins that it is EXCLUDED: emitting it would be the
+    * at-most-once bug, double-emitting a closed day the at-least-once
+    * bug). State: one row per open hour + one per open day — never
+    * raw events. */
+  def streamChained(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = eventsStream(spark, dir, withTs = true)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val daily = hourly
+      .groupBy(window(window_time(col("window")), "1 day"))
+      .agg(sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_hours"),
+        max(col("n_events")).as("busiest_hour_events"))
+    runToMemoryAppend(spark, daily, "graft_stream_chained")
+      .select(col("window.start").cast("timestamp_ntz").as("day_start"),
+        col("n_events"), col("n_hours"), col("busiest_hour_events"))
+      .orderBy(col("day_start"))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -99,6 +131,24 @@ object Streams {
     * streaming queries (q40/q43/q88/q102/q103/q104): fresh temp view + temp
     * checkpoint, AvailableNow to completion, checkpoint deleted so
     * Bench reruns never resume, result read back from the view. */
+  /** [[runToMemory]]'s append-mode twin — required for chained
+    * stateful operators (q262), where complete mode is unsupported:
+    * only watermark-closed windows are emitted, which is the
+    * production semantics of a multi-stage streaming rollup. */
+  private def runToMemoryAppend(spark: SparkSession, agg: DataFrame,
+      name: String): DataFrame = {
+    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { q.stop(); deleteRecursively(ckpt.toFile) }
+    spark.table(name)
+  }
+
   private def runToMemory(spark: SparkSession, agg: DataFrame,
       name: String): DataFrame = {
     if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
@@ -866,6 +916,7 @@ object Streams {
     "q164_stream_bitmap_dau" -> streamBitmapDau,
     "q40_stream_hourly" -> streamHourly,
     "q249_stream_union" -> streamUnion,
+    "q262_stream_chained" -> streamChained,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
@@ -941,6 +992,19 @@ object Streams {
     // two-feed stream must reproduce the batch hourly rollup exactly
     // (same oracle STRING so the forms can never fork)
     "q249_stream_union" -> hourlyOracle,
+    // append-mode emission rule modeled exactly: only days closed by
+    // the final watermark (max ts − 1h, a data-determined value)
+    "q262_stream_chained" ->
+      """WITH h AS (SELECT DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events)
+        |SELECT DATE_TRUNC('day', h.h) AS day_start,
+        |  CAST(SUM(h.n) AS BIGINT) AS n_events,
+        |  COUNT(*) AS n_hours,
+        |  CAST(MAX(h.n) AS BIGINT) AS busiest_hour_events
+        |FROM h, wm
+        |WHERE DATE_TRUNC('day', h.h) + INTERVAL 1 DAY <= wm.wm
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_custom_state_sessions" ->
       """SELECT user_id, MIN(ts) AS session_start,
         | MAX(ts) + INTERVAL 30 MINUTE AS session_end,

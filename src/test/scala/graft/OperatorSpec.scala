@@ -1470,6 +1470,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("chained streaming agg: watermark-closed days only, matching the batch rollup") {
+    val rows = run("q262_stream_chained").collect()
+    val byDay = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0) -> r.getLong(1)).toMap
+    // the in-flight last day must be held open (append-mode contract)
+    assert(rows.length === byDay.size - 1)
+    rows.foreach { r =>
+      val day = r.getAs[java.time.LocalDateTime](0)
+      assert(r.getLong(1) === byDay(day), s"day $day")
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 24L, r.toString)
+      assert(r.getLong(3) <= r.getLong(1), r.toString)
+    }
+    assert(!rows.map(_.getAs[java.time.LocalDateTime](0))
+      .contains(byDay.keys.max(Ordering.by((t: java.time.LocalDateTime) =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC)))))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
