@@ -862,9 +862,52 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** GRID-BLOCKED ε-NEIGHBOR join — the building block of every
+    * distributed density method (DBSCAN core-point counting, spatial
+    * point clustering): points bucketed into ε-wide grid cells, each
+    * probe copy visiting its 3×3 cell neighborhood, candidates
+    * verified by the exact L∞ predicate. LOSSLESS by construction
+    * (|Δx| < ε forces the neighbor's cell index within ±1 — floor
+    * monotonicity), and the gate PROVES it: the oracle is the naive
+    * all-pairs theta-join, so a blocking bug that loses one boundary
+    * neighbor hash-mismatches. ε = 2⁻⁵ makes x/ε and the cell floor
+    * EXACT in binary floating point — no cross-engine rounding seam
+    * on cell boundaries.
+    *
+    * Scale shape: the all-pairs Θ(n²) compare becomes one 9×-probe
+    * equi-join on cell ids — work O(n · density per 3×3 block), the
+    * standard way an ε-join survives a billion points; the home side
+    * stays single-celled so every true neighbor is found exactly
+    * once (no post-dedup). Core flag at minPts = 10. */
+  def gridNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.03125
+    val offs = Seq(-1L, 0L, 1L)
+    val home = spread(load(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("x"),
+        element_at(col("embedding"), 2).cast(DoubleType).as("y"))
+      .withColumn("cx", floor(col("x") / eps).cast(LongType))
+      .withColumn("cy", floor(col("y") / eps).cast(LongType))
+    val probe = home
+      .withColumn("dxy", explode(array(offs.flatMap(dx => offs.map(dy =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)))
+      .select(col("vec_id").as("q_id"), col("x").as("qx"),
+        col("y").as("qy"),
+        (col("cx") + col("dxy.dx")).as("cx"),
+        (col("cy") + col("dxy.dy")).as("cy"))
+    probe.join(home, Seq("cx", "cy"))
+      .filter(col("vec_id") =!= col("q_id") &&
+        abs(col("qx") - col("x")) < eps && abs(col("qy") - col("y")) < eps)
+      .groupBy(col("q_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+      .withColumn("is_core", col("n_neighbors") >= 10)
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_ann_recall" -> annRecall,
     "q260_matryoshka_recall" -> matryoshkaRecall,
+    "q263_grid_neighbors" -> gridNeighbors,
     "q218_dim_stats" -> dimStats,
     "q219_knn_label_purity" -> knnLabelPurity,
     "q212_rank_fusion" -> rankFusion,
@@ -1068,6 +1111,16 @@ object Similarity {
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // deliberately the NAIVE all-pairs theta-join: matching it proves
+    // the Spark-side grid blocking lossless, boundary cases included
+    "q263_grid_neighbors" ->
+      """WITH p AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings)
+        |SELECT a.vec_id, COUNT(*) AS n_neighbors,
+        |  COUNT(*) >= 10 AS is_core
+        |FROM p a JOIN p b ON a.vec_id != b.vec_id
+        |  AND ABS(a.x - b.x) < 0.03125 AND ABS(a.y - b.y) < 0.03125
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q260_matryoshka_recall" ->
       s"""WITH v AS ($vSql),
         |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn FROM v WHERE vec_id < 5),

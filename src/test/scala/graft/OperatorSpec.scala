@@ -1489,6 +1489,17 @@ class OperatorSpec extends AnyFunSuite {
         t.toEpochSecond(java.time.ZoneOffset.UTC)))))
   }
 
+  test("grid neighbors: symmetric relation, bounded counts") {
+    val rows = run("q263_grid_neighbors").collect()
+    assert(rows.nonEmpty)
+    // neighborhood is symmetric => total directed count is even
+    assert(rows.map(_.getLong(1)).sum % 2 === 0L)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L, r.toString)
+      assert(r.getBoolean(2) === (r.getLong(1) >= 10L), r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()

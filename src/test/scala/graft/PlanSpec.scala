@@ -498,6 +498,12 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q263 grid neighbors joins on the cell key (no nested loop)") {
+    val plan = formatted(run("q263_grid_neighbors"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q184 replica diff pre-aggregates each side to 256 bucket rows") {
     val plan = formatted(run("q184_replica_bucket_diff"))
     assert(plan.contains("partial_bit_xor"), plan)
