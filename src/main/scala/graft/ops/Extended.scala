@@ -172,6 +172,46 @@ object Extended {
   /** JSON round-trip: struct → to_json (F7, the MinIO object body,
     * /root/reference/dags/get_prices_load_minio.py:77) → JSON files →
     * schema'd read → aggregate. */
+  /** PERMISSIVE malformed-record JSON ingestion — the operational
+    * surface every real feed needs and clean roundtrips (q48) never
+    * exercise: a JSONL batch where a deterministic slice
+    * (doc_id % 13 = 0) is TORN mid-record (a crashed producer's
+    * partial write), read back with mode=PERMISSIVE +
+    * columnNameOfCorruptRecord so bad lines land in `_corrupt_record`
+    * instead of failing the job (FAILFAST) or vanishing silently
+    * (DROPMALFORMED — the mode that turns a producer bug into silent
+    * data loss). Output quarantines corrupt lines as their own
+    * rollup row beside the per-lang totals; the oracle derives the
+    * SAME split from the base table and the tear rule, so a parser
+    * that misclassifies even one line hash-mismatches. Per-row
+    * parse + one partial-aggregable rollup; the staged file is the
+    * contract (schema-pinned read, no inference job). */
+  def corruptJson(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_corrupt_json$safe"
+    load(spark, dir, "documents")
+      .select(when(col("doc_id") % 13 === 0,
+          concat(lit("{\"doc_id\": "), col("doc_id").cast(StringType),
+            lit(", \"lang\": \"")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .select(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("lang")).as("lang"), col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
     val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip$safe"
@@ -892,6 +932,7 @@ object Extended {
     "q46_correlated_subquery" -> correlatedSubquery,
     "q47_csv_roundtrip" -> csvRoundtrip,
     "q48_json_roundtrip" -> jsonRoundtrip,
+    "q264_corrupt_json" -> corruptJson,
     "q49_bucketed_join" -> bucketedJoin,
     "q50_salted_skew_join" -> saltedSkewJoin,
     "q51_approx_distinct" -> approxDistinct,
@@ -1206,6 +1247,13 @@ object Extended {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q264_corrupt_json" ->
+      """SELECT CASE WHEN doc_id % 13 = 0 THEN '_corrupt' ELSE lang END
+        |    AS lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END)
+        |    AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q48_json_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

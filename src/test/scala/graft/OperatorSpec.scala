@@ -1500,6 +1500,17 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt json: torn slice quarantined exactly, clean rows all parsed") {
+    val rows = run("q264_corrupt_json").collect()
+    val docs = Tables.load(spark, sf, "documents")
+    val corrupt = rows.filter(_.getString(0) == "_corrupt")
+    assert(corrupt.length === 1)
+    assert(corrupt.head.getLong(1) ===
+      docs.filter(col("doc_id") % 13 === 0).count())
+    assert(corrupt.head.isNullAt(2), corrupt.head.toString)
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
