@@ -58,6 +58,33 @@ object Relational {
         .as("revenue"))
 
   /** TPC-H Q3-style: 3-way shuffle join + agg + top-k by revenue. */
+  /** PHYSICAL JOIN-STRATEGY OVERRIDE surface: q03's exact semantics
+    * with `hint("shuffle_hash")` on the dimension sides — the
+    * knob a tuner reaches for when sort-merge's per-partition sorts
+    * are the bottleneck and one side's partitions fit a hash table
+    * (hints outrank the planner's auto choice, including
+    * auto-broadcast, in Spark's JoinSelection). Hints change the
+    * PHYSICAL plan only, so the gate runs the SAME oracle string as
+    * q03 — the two can never fork semantically — and PlanSpec pins
+    * that ShuffledHashJoin was actually chosen (a silently ignored
+    * hint is the common failure mode of this surface). */
+  def topOrdersShuffleHash(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").hint("shuffle_hash")
+    val o = load(spark, dir, "orders")
+      .filter(col("o_orderdate") < tsLit("2000-03-15 00:00:00"))
+      .hint("shuffle_hash")
+    val l = load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > tsLit("2000-03-15 00:00:00"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsumExpr(d2(col("l_extendedprice")) * d4(lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   def topUnshippedOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = load(spark, dir, "orders")
@@ -420,6 +447,7 @@ object Relational {
     "q01_pricing_summary" -> pricingSummary,
     "q02_revenue_filter" -> revenueFilter,
     "q03_top_orders" -> topUnshippedOrders,
+    "q265_join_hints" -> topOrdersShuffleHash,
     "q04_semi_join" -> orderPriorityCheck,
     "q05_multiway_join" -> localSupplierVolume,
     "q06_outer_join_distribution" -> customerDistribution,
@@ -453,6 +481,18 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  private val q03Oracle: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q192_topn_other" ->
@@ -530,17 +570,10 @@ object Relational {
     "q214_pipe_syntax" -> pricingOracle,
     "q02_revenue_filter" -> revenueOracle,
     "q215_sql_variables" -> revenueOracle,
-    "q03_top_orders" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-        |  AND l_orderkey = o_orderkey
-        |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey
-        |LIMIT 10""".stripMargin,
+    "q03_top_orders" -> q03Oracle,
+    // hints are physical-only: same oracle STRING as q03 so the two
+    // forms can never fork semantically
+    "q265_join_hints" -> q03Oracle,
     "q04_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

@@ -498,6 +498,11 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q265 shuffle_hash hint is honored (not silently ignored)") {
+    val plan = formatted(run("q265_join_hints"))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("q263 grid neighbors joins on the cell key (no nested loop)") {
     val plan = formatted(run("q263_grid_neighbors"))
     assert(!plan.contains("CartesianProduct") &&
