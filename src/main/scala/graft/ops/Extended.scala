@@ -32,6 +32,22 @@ object Extended {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** DYNAMIC pivot — values INFERRED from the data (Spark runs a
+    * distinct-values job, sorts the values, and widens the schema),
+    * vs q44's explicitly pinned value list. The inference job is the
+    * surface being exercised: at 100 TB you pin the list (q44) to
+    * skip that extra scan, but exploratory pivots rely on inference
+    * and on its DETERMINISTIC column order (sorted values — an
+    * unsorted inference would make the output schema depend on
+    * partition order). Absent cells stay NULL (pivot's contract;
+    * q44 coalesces them away), mirrored by SUM(CASE) in the oracle. */
+  def dynamicPivot(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus")
+      .agg(count(lit(1)))
+      .orderBy(col("o_orderpriority"))
+
   /** SALTED TWO-PHASE AGGREGATION — q50's skew remedy applied to the
     * aggregation side: when one group key carries most of the rows
     * (l_returnflag has 3 values), the single-phase hash aggregate
@@ -929,6 +945,7 @@ object Extended {
     "q232_sql_unpivot" -> sqlUnpivot,
     "q243_salted_agg" -> saltedAgg,
     "q44_pivot" -> pivotOrders,
+    "q266_dynamic_pivot" -> dynamicPivot,
     "q46_correlated_subquery" -> correlatedSubquery,
     "q47_csv_roundtrip" -> csvRoundtrip,
     "q48_json_roundtrip" -> jsonRoundtrip,
@@ -1222,6 +1239,15 @@ object Extended {
     "q57_unpivot" -> unpivotOracle,
     "q232_sql_unpivot" -> unpivotOracle,
     "q44_pivot" -> pivotOracle,
+    "q266_dynamic_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+        |    AS "F",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+        |    AS "O",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+        |    AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q231_sql_pivot" -> pivotOracle,
     // the UNSALTED form is the oracle: salting must change nothing
     "q243_salted_agg" ->
