@@ -375,6 +375,31 @@ object Relational {
     * `spark.sql(text, args)` (SPARK-44680) — typed java.time binding,
     * not string splicing. Gated on a plain-SQL oracle of the same
     * aggregation. */
+  /** SQL SCRIPTING (Spark 4's SPARK-48338 procedural surface —
+    * BEGIN/END, DECLARE, WHILE): an iterative doubling search for the
+    * smallest power-of-two revenue threshold that keeps at most 10
+    * orders, run entirely AS a SQL script (the control flow lives in
+    * the engine, not the driver program — what a SQL-only caller can
+    * express without a Scala loop). Doubling stays on exact binary
+    * powers, so the loop is bit-deterministic; the oracle runs the
+    * CLOSED FORM (smallest 2^k with count ≤ 10 over a generated power
+    * table) — loop and closed form must agree or the gate fails. */
+  def sqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, dir, "orders").createOrReplaceTempView("graft_orders_scr")
+    spark.sql(
+      """BEGIN
+        |  DECLARE thr DOUBLE DEFAULT 1.0;
+        |  WHILE (SELECT COUNT(*) FROM graft_orders_scr
+        |         WHERE o_totalprice >= thr) > 10 DO
+        |    SET thr = thr * 2;
+        |  END WHILE;
+        |  SELECT thr AS threshold,
+        |    (SELECT COUNT(*) FROM graft_orders_scr
+        |     WHERE o_totalprice >= thr) AS n_above;
+        |END""".stripMargin)
+  }
+
   def sqlSurfaces(spark: SparkSession, dir: String): DataFrame = {
     load(spark, dir, "lineitem").createOrReplaceTempView("graft_li_idf")
     spark.sql(
@@ -448,6 +473,7 @@ object Relational {
     "q02_revenue_filter" -> revenueFilter,
     "q03_top_orders" -> topUnshippedOrders,
     "q265_join_hints" -> topOrdersShuffleHash,
+    "q267_sql_scripting" -> sqlScripting,
     "q04_semi_join" -> orderPriorityCheck,
     "q05_multiway_join" -> localSupplierVolume,
     "q06_outer_join_distribution" -> customerDistribution,
@@ -574,6 +600,17 @@ object Relational {
     // hints are physical-only: same oracle STRING as q03 so the two
     // forms can never fork semantically
     "q265_join_hints" -> q03Oracle,
+    // the loop's fixpoint in closed form: smallest 2^k keeping <= 10
+    "q267_sql_scripting" ->
+      """WITH ks AS (SELECT UNNEST(GENERATE_SERIES(0, 62)) AS k),
+        |t AS (SELECT CAST(CAST(1 AS BIGINT) << k AS DOUBLE) AS thr
+        |      FROM ks),
+        |c AS (SELECT thr,
+        |    (SELECT COUNT(*) FROM orders o WHERE o.o_totalprice >= t.thr)
+        |      AS n_above
+        |  FROM t)
+        |SELECT thr AS threshold, n_above FROM c
+        |WHERE n_above <= 10 ORDER BY thr LIMIT 1""".stripMargin,
     "q04_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders
