@@ -37,6 +37,29 @@ class DdlSpec extends AnyFunSuite {
     resetTable("gas_prices")
   }
 
+  test("column DEFAULT values: omitted columns fill from the declared default") {
+    // Spark 3.4+ DEFAULT surface on file-based tables (SPARK-38334):
+    // the warehouse-grade schema-evolution companion to q179 — new
+    // columns get declared defaults instead of an app-level COALESCE.
+    resetTable("graft_dflt")
+    spark.sql(
+      """CREATE TABLE graft_dflt (
+        |  id BIGINT,
+        |  status STRING DEFAULT 'new',
+        |  score BIGINT DEFAULT 0
+        |) USING parquet""".stripMargin)
+    spark.sql("INSERT INTO graft_dflt (id) VALUES (1), (2)")
+    spark.sql(
+      "INSERT INTO graft_dflt (id, status, score) VALUES (3, 'done', 9)")
+    spark.sql("INSERT INTO graft_dflt VALUES (4, DEFAULT, DEFAULT)")
+    val rows = spark.table("graft_dflt").orderBy(col("id")).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("new", "new", "done", "new"))
+    assert(rows.map(_.getLong(2)).toSeq === Seq(0L, 0L, 9L, 0L))
+    resetTable("graft_dflt")
+  }
+
   test("employee: the reference DDL type vocabulary maps cleanly") {
     resetTable("employee")
     Ddl.createEmployee(spark)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -496,6 +497,58 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted(run("q183_record_linkage"))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("runtime bloom-filter join injection prunes the fact side of a selective join") {
+    // Spark's AQE-era runtime filtering (spark.sql.optimizer.runtime.
+    // bloomFilter.*): a selective dim filter should inject a
+    // bloom-filter subquery probing the fact side before its shuffle —
+    // the engine-native cousin of q110's explicit Bloom prune.
+    val s = spark
+    val prev = s.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // at sf0.001 both sides are far below the production thresholds
+    // (app-side scan >= 10GB); zero them so the rewrite fires at test
+    // scale the way it would on a TB-scale fact table
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.load(s, sf, "lineitem")
+      val ord = Tables.load(s, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        plan.take(4000))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      s.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      prev match {
+        case Some(v) => s.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", v)
+        case None => s.conf.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      }
+    }
+  }
+
+  test("CACHE TABLE serves the second read from the in-memory columnar store") {
+    val s = spark
+    Tables.load(s, sf, "nation").createOrReplaceTempView("graft_nation_c")
+    s.sql("CACHE TABLE graft_nation_c")
+    try {
+      val plan = formatted(s.table("graft_nation_c")
+        .groupBy(col("n_regionkey")).agg(count(lit(1))))
+      assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("InMemoryRelation"), plan)
+    } finally s.sql("UNCACHE TABLE graft_nation_c")
   }
 
   test("q265 shuffle_hash hint is honored (not silently ignored)") {
