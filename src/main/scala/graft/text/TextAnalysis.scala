@@ -563,6 +563,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared q28/q268 oracle core: per doc the argmax marker language
+    * (LIST_SORT DESC on (hits, lang) structs = greatest(struct...) on
+    * the Spark side — both engines break hit ties by the LAST lang in
+    * lexicographic order). */
+  private val langIdInnerSql: String =
+    """SELECT doc_id, lang, LIST_SORT([
+      |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('der','die','das','und','ein'))) AS BIGINT), 'lang': 'de'},
+      |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','and','of','is','a'))) AS BIGINT), 'lang': 'en'},
+      |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('el','los','las','una','y'))) AS BIGINT), 'lang': 'es'},
+      |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('le','la','et','les','des'))) AS BIGINT), 'lang': 'fr'},
+      |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('de','shi','zai','le','wo'))) AS BIGINT), 'lang': 'zh'}
+      |  ], 'DESC')[1] AS best
+      |  FROM (SELECT doc_id, lang,
+      |          STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+      |        FROM documents)""".stripMargin
+
+  /** LANGUAGE-ID CONFUSION MATRIX — the eval artifact behind q28's
+    * predictions: predicted vs LABELED language counts (the documents
+    * table carries ground-truth `lang`), the reliability readout that
+    * decides whether the heuristic detector is fit to gate a corpus
+    * (which cells bleed, which languages it cannot separate).
+    * Composes q28's predictor verbatim — detector and eval can never
+    * fork — then ONE partial-aggregable rollup to O(langs²) cells. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    languageId(spark, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+
   /** KWIC (keyword-in-context) concordance — the search-result SNIPPET
     * renderer beside q108's conjunctive search and q242's phrase
     * search: every occurrence of the query term with its ±2-word
@@ -594,6 +623,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_kwic_snippets" -> kwicSnippets,
+    "q268_lang_confusion" -> langConfusion,
     "q241_bm25_topk" -> bm25TopK,
     "q242_phrase_search" -> phraseSearch,
     "q233_vocab_update" -> vocabUpdate,
@@ -877,21 +907,17 @@ object TextAnalysis {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q28_language_id" ->
-      """SELECT doc_id, lang AS labeled_lang,
+      s"""SELECT doc_id, lang AS labeled_lang,
         | best.lang AS predicted_lang, best.hits AS marker_hits
-        |FROM (
-        |  SELECT doc_id, lang, LIST_SORT([
-        |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('der','die','das','und','ein'))) AS BIGINT), 'lang': 'de'},
-        |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','and','of','is','a'))) AS BIGINT), 'lang': 'en'},
-        |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('el','los','las','una','y'))) AS BIGINT), 'lang': 'es'},
-        |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('le','la','et','les','des'))) AS BIGINT), 'lang': 'fr'},
-        |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('de','shi','zai','le','wo'))) AS BIGINT), 'lang': 'zh'}
-        |  ], 'DESC')[1] AS best
-        |  FROM (SELECT doc_id, lang,
-        |          STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
-        |        FROM documents)
-        |)
+        |FROM ($langIdInnerSql)
         |ORDER BY doc_id""".stripMargin,
+    // compose-don't-re-derive: the SAME inner predictor as q28, rolled
+    // to the (labeled, predicted) confusion cells
+    "q268_lang_confusion" ->
+      s"""SELECT lang AS labeled_lang, best.lang AS predicted_lang,
+        |  COUNT(*) AS n_docs
+        |FROM ($langIdInnerSql)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q45_word_topk" ->
       """SELECT word, COUNT(*) AS n_occurrences
         |FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS word

@@ -1511,6 +1511,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === docs.count())
   }
 
+  test("lang confusion cells reconcile with q28's per-doc predictions") {
+    val cells = run("q268_lang_confusion").collect()
+    val pred = run("q28_language_id").collect()
+    assert(cells.map(_.getLong(2)).sum === pred.length.toLong)
+    val expect = pred.groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length.toLong).toMap
+    cells.foreach { c =>
+      assert(expect((c.getString(0), c.getString(1))) === c.getLong(2),
+        c.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
