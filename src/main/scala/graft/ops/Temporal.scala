@@ -488,6 +488,7 @@ object Temporal {
     "q258_clamped_balance" -> clampedBalance,
     "q259_interval_conflicts" -> intervalConflicts,
     "q261_fifo_matching" -> fifoMatching,
+    "q269_token_bucket" -> tokenBucket,
     "q217_session_skipgrams" -> sessionSkipgrams,
     "q224_modal_behavior" -> modalBehavior,
     "q235_session_distance" -> sessionDistance,
@@ -842,6 +843,54 @@ object Temporal {
         sum(col("conflict")).as("n_conflicts"))
       .orderBy(col("user_id"))
   }
+
+  /** TOKEN-BUCKET RATE-LIMITER audit — [[clampedBalance]]'s one-sided
+    * clamp completed to the full two-sided recurrence every API
+    * gateway runs: tokens refill with ELAPSED TIME (1 per 120 s,
+    * integer-floor), cap at 100, each request costs its deterministic
+    * integer price, and an unaffordable request is REJECTED without
+    * consuming (count it, don't partially serve it). Replayed per
+    * user over the event history as the same codegen'd `aggregate`
+    * HOF fold (state = (prev_ts, tokens, throttle count) — carrying
+    * prev_ts in the accumulator is what makes time-based refill a
+    * fold, no self-join on adjacent rows); the answer to "which
+    * users would this rate-limit policy actually throttle, and how
+    * often" BEFORE deploying the policy. All-integer arithmetic
+    * (unix micros, floor division); oracle walks the identical
+    * recurrence as a per-user recursive CTE. */
+  def tokenBucket(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        ((d2(col("value")) * 100).cast(LongType) % 100 + 1).as("cost"))
+      .select(col("user_id"),
+        // ts is NTZ; the session TZ is pinned UTC, so the cast is the
+        // identity on the instant and matches DuckDB's epoch_us
+        struct(expr("unix_micros(cast(ts as timestamp))").as("us"),
+          col("event_id"),
+          col("cost")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"),
+        expr("""aggregate(evs,
+          named_struct('p', bigint(-1), 'tok', bigint(100),
+            'thr', bigint(0)),
+          (acc, x) -> named_struct(
+            'p', x.us,
+            'tok', least(bigint(100), acc.tok +
+                if(acc.p < bigint(0), bigint(0),
+                  (x.us - acc.p) div 120000000))
+              - if(least(bigint(100), acc.tok +
+                  if(acc.p < bigint(0), bigint(0),
+                    (x.us - acc.p) div 120000000)) >= x.cost,
+                x.cost, bigint(0)),
+            'thr', acc.thr +
+              if(least(bigint(100), acc.tok +
+                  if(acc.p < bigint(0), bigint(0),
+                    (x.us - acc.p) div 120000000)) >= x.cost,
+                bigint(0), bigint(1))))""").as("st"))
+      .select(col("user_id"), col("st.tok").as("final_tokens"),
+        col("st.thr").as("n_throttled"))
+      .orderBy(col("user_id"))
 
   /** FIFO LOT MATCHING via cumulative-interval overlap — the
     * cost-basis/inventory primitive ("match each sale to the oldest
@@ -1742,6 +1791,34 @@ object Temporal {
         |SELECT w1, w2, COUNT(*) AS n
         |FROM g GROUP BY 1, 2
         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q269_token_bucket" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS i,
+        |    epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 100 + 1
+        |      AS cost
+        |  FROM events),
+        |n AS (SELECT user_id, MAX(i) AS n FROM ev GROUP BY 1),
+        |walk(user_id, i, p, tok, thr) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+        |    CAST(100 AS BIGINT), CAST(0 AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.i + 1, e.us,
+        |    LEAST(100, w.tok + CASE WHEN w.p < 0 THEN 0
+        |        ELSE (e.us - w.p) // 120000000 END)
+        |      - CASE WHEN LEAST(100, w.tok + CASE WHEN w.p < 0 THEN 0
+        |          ELSE (e.us - w.p) // 120000000 END) >= e.cost
+        |        THEN e.cost ELSE 0 END,
+        |    w.thr + CASE WHEN LEAST(100, w.tok +
+        |        CASE WHEN w.p < 0 THEN 0
+        |          ELSE (e.us - w.p) // 120000000 END) >= e.cost
+        |      THEN 0 ELSE 1 END
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id
+        |    AND e.i = w.i + 1)
+        |SELECT w.user_id, w.tok AS final_tokens, w.thr AS n_throttled
+        |FROM walk w JOIN n ON w.user_id = n.user_id AND w.i = n.n
+        |ORDER BY 1""".stripMargin,
     "q261_fifo_matching" ->
       """WITH ev AS (SELECT user_id, ts, event_id, event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 100 + 1

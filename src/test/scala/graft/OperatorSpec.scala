@@ -1523,6 +1523,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("token bucket matches a brute-force replay of the refill/reject recurrence") {
+    val rows = run("q269_token_bucket").collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        ((expr("cast(value as decimal(18,2))") * 100).cast("long") % 100 + 1)
+          .as("cost"))
+      .collect()
+    def us(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    val expect = ev.groupBy(_.getLong(0)).map { case (u, rs) =>
+      val sorted = rs.sortBy(r =>
+        (us(r.getAs[java.time.LocalDateTime](1)), r.getLong(2)))
+      var p = -1L; var tok = 100L; var thr = 0L
+      sorted.foreach { r =>
+        val t = us(r.getAs[java.time.LocalDateTime](1))
+        val refill = if (p < 0) 0L else (t - p) / 120000000L
+        tok = math.min(100L, tok + refill); p = t
+        val cost = r.getLong(3)
+        if (tok >= cost) tok -= cost else thr += 1
+      }
+      u -> ((tok, thr))
+    }
+    assert(rows.length === expect.size)
+    // the policy must actually bite somewhere or the gate is vacuous
+    assert(rows.map(_.getLong(2)).sum > 0L)
+    rows.foreach { r =>
+      assert(expect(r.getLong(0)) === ((r.getLong(1), r.getLong(2))), r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
