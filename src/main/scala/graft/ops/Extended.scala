@@ -32,6 +32,35 @@ object Extended {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** SCHEMA-RECONCILING UNION — `unionByName(allowMissingColumns)`:
+    * the in-memory twin of q179's mergeSchema read, for when two
+    * FEEDS (not two file batches) drifted — one carries columns the
+    * other lacks, and positional UNION would silently misalign or
+    * fail. Names align the columns, missing ones null-extend. Here:
+    * the current orders projection unioned with a "legacy feed"
+    * lacking priority and carrying an extra legacy flag — both
+    * directions of drift at once. Rollup proves nothing misaligned
+    * (per-source counts + null accounting). Oracle: DuckDB's
+    * UNION ALL BY NAME, the SQL-standardized form of the same
+    * reconciliation. */
+  def unionByNameDrift(spark: SparkSession, dir: String): DataFrame = {
+    val orders = load(spark, dir, "orders")
+    val current = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        d2(col("o_totalprice")).as("price"), lit("current").as("src"))
+    val legacy = orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), d2(col("o_totalprice")).as("price"),
+        lit(true).as("legacy_flag"), lit("legacy").as("src"))
+    current.unionByName(legacy, allowMissingColumns = true)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderpriority").isNull.cast(LongType))
+          .as("null_priority"),
+        sum(col("legacy_flag").isNull.cast(LongType)).as("null_flag"),
+        sum(col("price")).cast(DoubleType).as("sum_price"))
+      .orderBy(col("src"))
+  }
+
   /** DYNAMIC pivot — values INFERRED from the data (Spark runs a
     * distinct-values job, sorts the values, and widens the schema),
     * vs q44's explicitly pinned value list. The inference job is the
@@ -946,6 +975,7 @@ object Extended {
     "q243_salted_agg" -> saltedAgg,
     "q44_pivot" -> pivotOrders,
     "q266_dynamic_pivot" -> dynamicPivot,
+    "q270_union_by_name" -> unionByNameDrift,
     "q46_correlated_subquery" -> correlatedSubquery,
     "q47_csv_roundtrip" -> csvRoundtrip,
     "q48_json_roundtrip" -> jsonRoundtrip,
@@ -1239,6 +1269,23 @@ object Extended {
     "q57_unpivot" -> unpivotOracle,
     "q232_sql_unpivot" -> unpivotOracle,
     "q44_pivot" -> pivotOracle,
+    "q270_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    'current' AS src
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    TRUE AS legacy_flag, 'legacy' AS src
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT src, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_priority,
+        |  CAST(SUM(CASE WHEN legacy_flag IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_flag,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q266_dynamic_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
