@@ -814,6 +814,96 @@ object Streams {
     }
   }
 
+  case class TwsTimerIn(user_id: Long, ts: java.sql.Timestamp, us: Long)
+  case class TwsTimerOut(user_id: Long, n_events: Long, last_ms: Long)
+
+  /** `transformWithState` with EVENT-TIME TIMERS — the fourth and
+    * final primitive of the Spark 4 typed-state API after the
+    * ValueState/MapState/ListState triad (q198/q199/q228): state that
+    * acts when the WATERMARK passes a registered instant, not when
+    * data arrives. Per user: accumulate (count, last event time),
+    * re-register a single timer at last + 30 min (delete-then-
+    * register keeps exactly one live timer per key); when the
+    * watermark overtakes a user's quiet point, [[handleExpiredTimer]]
+    * emits the user's summary and clears state — the
+    * inactivity-triggered flush every session-izing sink runs on. */
+  class QuietUserProc extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsTimerIn, TwsTimerOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("quiet",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsTimerIn],
+        timerValues: TimerValues): Iterator[TwsTimerOut] = {
+      val (pn, pl) = if (st.exists()) st.get() else (0L, 0L)
+      var n = pn; var lastUs = pl
+      rows.foreach { r => n += 1; if (r.us > lastUs) lastUs = r.us }
+      st.update((n, lastUs))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      // timers live in WATERMARK time = floor-to-millisecond event time
+      getHandle.registerTimer(lastUs / 1000L + 30L * 60 * 1000)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsTimerOut] = {
+      val out = if (st.exists()) {
+        val (n, lastUs) = st.get()
+        Iterator(TwsTimerOut(key, n, lastUs / 1000L))
+      } else Iterator.empty
+      st.clear()
+      out
+    }
+  }
+
+  /** INACTIVITY-TRIGGERED FLUSH via event-time timers
+    * ([[QuietUserProc]]): one data micro-batch registers each user's
+    * quiet-point timer; the final watermark (max event time − 1 h,
+    * floor-to-ms — a value the DATA determines) fires exactly the
+    * users whose last event + 30 min it overtook. The oracle models
+    * the emission rule in closed form: users with
+    * last_ms + 30 min ≤ max_ms − 1 h emit their full summary, the
+    * still-active tail stays open (same append-mode discipline as
+    * q262 — emitting an open user would be the bug). */
+  def streamTimerFlush(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_tws_timer$safe"
+    deleteRecursively(new java.io.File(base))
+    events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .write.mode("overwrite").parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = spark.readStream.schema(schema).parquet(s"$base/src")
+        .withWatermark("ts", "1 hour")
+        .as[TwsTimerIn]
+        .groupByKey(_.user_id)
+        .transformWithState(new QuietUserProc, TimeMode.EventTime(),
+          OutputMode.Append())
+      val name = "graft_tws_timer"
+      if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(name).orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** STREAMING RUNNING TOTALS via `transformWithState` — the third
     * implementation of the per-user balance/count semantics, gated on
     * the SAME oracle string as q188's foreachBatch MERGE (and the
@@ -917,6 +1007,7 @@ object Streams {
     "q40_stream_hourly" -> streamHourly,
     "q249_stream_union" -> streamUnion,
     "q262_stream_chained" -> streamChained,
+    "q271_stream_tws_timers" -> streamTimerFlush,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
@@ -992,6 +1083,17 @@ object Streams {
     // two-feed stream must reproduce the batch hourly rollup exactly
     // (same oracle STRING so the forms can never fork)
     "q249_stream_union" -> hourlyOracle,
+    // timer emission rule in closed form: users whose quiet point the
+    // final watermark overtook (both sides in floor-to-ms event time)
+    "q271_stream_tws_timers" ->
+      """WITH m AS (SELECT MAX(epoch_us(ts)) // 1000 AS mx FROM events),
+        |u AS (SELECT user_id, COUNT(*) AS n_events,
+        |    MAX(epoch_us(ts)) // 1000 AS last_ms
+        |  FROM events GROUP BY 1)
+        |SELECT u.user_id, u.n_events, CAST(u.last_ms AS BIGINT) AS last_ms
+        |FROM u, m
+        |WHERE u.last_ms + 1800000 <= m.mx - 3600000
+        |ORDER BY 1""".stripMargin,
     // append-mode emission rule modeled exactly: only days closed by
     // the final watermark (max ts − 1h, a data-determined value)
     "q262_stream_chained" ->
