@@ -62,7 +62,9 @@ object Bench {
     // this line in BENCH_r{N}.json keeps only the LAST 2000 chars of
     // stdout, so every byte of precision costs per-query entries in
     // the surviving window (r6 lost q01–q38 to exactly this).
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a non-English default JVM locale would format the
+    // decimal separator as a comma and corrupt the JSON line.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map {
       case (k, Right(v)) => s"${jstr(k)}:${r3(v)}"
       case (k, Left(_)) => s"${jstr(k)}:-1.0" // sentinel, excluded from total

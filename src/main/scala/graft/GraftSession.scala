@@ -13,9 +13,11 @@ import org.apache.spark.sql.SparkSession
   *  - session TZ pinned to UTC: the reference has a latent local-vs-UTC
   *    day-boundary bug (/root/reference/api/mongo/main.py:68 vs
   *    dags/get_prices_load_mongodb.py:41); we fix it by pinning.
-  *  - nanosAsLong: the events table stores TIMESTAMP(NANOS) which
-  *    Spark's parquet reader rejects; we read raw int64 nanos and
-  *    convert explicitly (see Tables.events).
+  *  - nanosAsLong: corpus generations that store events.ts as
+  *    TIMESTAMP(NANOS) (which Spark's parquet reader rejects) arrive
+  *    as raw int64 nanos and are converted explicitly; generations
+  *    that store TIMESTAMP(MICROS) are unaffected by this flag and
+  *    pass through natively (see Tables.tsToNtz — schema-adaptive).
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =

@@ -36,14 +36,28 @@ object Tables {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** `events` with its TIMESTAMP(NANOS) column surfaced as timestamp_ntz.
-    * Read as raw int64 nanos (spark.sql.legacy.parquet.nanosAsLong) and
-    * truncated ns->us, the same truncation DuckDB applies on read, so
-    * oracle comparisons agree. */
+  /** `events.ts` surfaced as timestamp_ntz regardless of the corpus'
+    * physical parquet type. The generator has shipped BOTH encodings
+    * across corpus regenerations: TIMESTAMP(NANOS) (which Spark's
+    * reader only accepts as raw int64 via
+    * spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (which arrives as timestamp_ntz natively).
+    * Branching on the *observed* schema keeps every events operator
+    * running on either corpus; the ns->us truncation matches what
+    * DuckDB applies on read, so oracle comparisons agree either way. */
   val tsFromNanos: String = "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"
 
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events").withColumn("ts", expr(tsFromNanos))
+  /** Adapter from the observed `ts` type to timestamp_ntz. */
+  def tsToNtz(dt: DataType): Column = dt match {
+    case LongType         => expr(tsFromNanos)          // int64 nanos
+    case TimestampNTZType => col("ts")                  // micros, naive
+    case _                => col("ts").cast(TimestampNTZType) // micros, UTC-adjusted
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    raw.withColumn("ts", tsToNtz(raw.schema("ts").dataType))
+  }
 
   /** Naive (NTZ) timestamp literal — the corpus stores naive timestamps,
     * which Spark reads as timestamp_ntz; literals must match that type. */

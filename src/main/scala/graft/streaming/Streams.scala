@@ -32,16 +32,27 @@ object Streams {
     * file stream source monitors a directory, so the stream reads the
     * containing dir with a glob pinned to the events file — the shape
     * a production job uses to tail a landing directory. `withTs = true`
-    * additionally surfaces the int64-nanos `ts` as a true TIMESTAMP
-    * (session TZ pinned UTC), the form watermarks require. */
+    * additionally surfaces `ts` (whatever its physical parquet type —
+    * see Tables.tsToNtz) as a true TIMESTAMP (session TZ pinned UTC),
+    * the form watermarks require. */
   private def eventsStream(spark: SparkSession, dir: String,
       withTs: Boolean = false): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (withTs) src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else src
+    if (withTs) {
+      // Schema-adaptive, mirroring Tables.tsToNtz: the corpus has
+      // shipped ts as both int64 TIMESTAMP(NANOS) and native
+      // TIMESTAMP(MICROS). Watermarks want a true TIMESTAMP; with the
+      // session TZ pinned UTC the ntz->tz cast is instant-preserving.
+      val tsCol = src.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      }
+      src.withColumn("ts", tsCol)
+    } else src
   }
 
   /** Event-time tumbling 1-hour aggregation executed as a stream

@@ -1334,11 +1334,17 @@ class OperatorSpec extends AnyFunSuite {
       .toMap
     rows.filter(!_.isNullAt(2)).foreach { r =>
       val (u, pts) = purchases(r.getLong(0))
-      val best = errs(u).map { e =>
+      val cands = errs(u).map { e =>
         val ets = us(e, 1)
         (math.abs(ets - pts), ets, e.getLong(2))
-      }.minBy(x => (x._1, x._2, x._3))
-      assert(r.getLong(2) === best._3, s"purchase ${r.getLong(0)}")
+      }
+      // operator+oracle tie-break among same-|Δt| same-ts errors:
+      // backward side takes the LAST of the (ts, event_id) ordering
+      // (largest id), forward side the FIRST (smallest id)
+      val bestKey = cands.map(x => (x._1, x._2)).min
+      val tied = cands.filter(x => (x._1, x._2) == bestKey).map(_._3)
+      val best = if (bestKey._2 <= pts) tied.max else tied.min
+      assert(r.getLong(2) === best, s"purchase ${r.getLong(0)}")
     }
   }
 

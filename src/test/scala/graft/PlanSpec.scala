@@ -507,6 +507,9 @@ class PlanSpec extends AnyFunSuite {
     val s = spark
     val prev = s.conf.getOption(
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val prevEnabled = s.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // at sf0.001 both sides are far below the production thresholds
     // (app-side scan >= 10GB); zero them so the rewrite fires at test
@@ -527,15 +530,17 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
         plan.take(4000))
     } finally {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      // restore every conf we touched to its pre-test value (not a
+      // hardcoded default) so later suites see an untouched session
+      def restore(key: String, saved: Option[String]): Unit = saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+      restore("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       s.conf.unset(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-      prev match {
-        case Some(v) => s.conf.set(
-          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", v)
-        case None => s.conf.unset(
-          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
-      }
+      restore("spark.sql.optimizer.runtime.bloomFilter.enabled", prevEnabled)
+      restore("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", prev)
     }
   }
 
