@@ -2057,9 +2057,12 @@ object Temporal {
         |r AS (SELECT day,
         |    COUNT(*) OVER w AS n,
         |    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
-        |    SUM(CAST(x * x AS DECIMAL(38,4))) OVER w AS sxx,
-        |    SUM(CAST(y * y AS DECIMAL(38,4))) OVER w AS syy,
-        |    SUM(CAST(x * y AS DECIMAL(38,4))) OVER w AS sxy
+        |    SUM(CAST(CAST(x AS DECIMAL(19,2))
+        |      * CAST(x AS DECIMAL(19,2)) AS DECIMAL(38,4))) OVER w AS sxx,
+        |    SUM(CAST(CAST(y AS DECIMAL(19,2))
+        |      * CAST(y AS DECIMAL(19,2)) AS DECIMAL(38,4))) OVER w AS syy,
+        |    SUM(CAST(CAST(x AS DECIMAL(19,2))
+        |      * CAST(y AS DECIMAL(19,2)) AS DECIMAL(38,4))) OVER w AS sxy
         |  FROM daily
         |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
         |f AS (SELECT day, n,
@@ -2167,10 +2170,13 @@ object Temporal {
         |lags AS (SELECT UNNEST(range(1, 8)) AS k),
         |g AS (SELECT k, COUNT(*) AS n,
         |    SUM(a.rev) AS sx,
-        |    SUM(CAST(a.rev * a.rev AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(CAST(a.rev AS DECIMAL(19,2))
+        |        * CAST(a.rev AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS sxx,
         |    SUM(b.rev) AS sy,
-        |    SUM(CAST(b.rev * b.rev AS DECIMAL(38,4))) AS syy,
-        |    SUM(CAST(a.rev * b.rev AS DECIMAL(38,4))) AS sxy
+        |    SUM(CAST(CAST(b.rev AS DECIMAL(19,2))
+        |        * CAST(b.rev AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS syy,
+        |    SUM(CAST(CAST(a.rev AS DECIMAL(19,2))
+        |        * CAST(b.rev AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS sxy
         |  FROM daily a CROSS JOIN lags
         |  JOIN daily b ON b.day = a.day + CAST(k AS INTEGER)
         |  GROUP BY 1)
@@ -2214,7 +2220,8 @@ object Temporal {
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ds
         |  FROM events GROUP BY 1, 2),
         |stats AS (SELECT event_type, COUNT(*) AS n_days,
-        |    SUM(ds) AS s1, SUM(ds * ds) AS s2
+        |    SUM(ds) AS s1,
+        |    SUM(CAST(ds AS DECIMAL(19,2)) * CAST(ds AS DECIMAL(19,2))) AS s2
         |  FROM daily GROUP BY 1),
         |st AS (SELECT event_type,
         |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
