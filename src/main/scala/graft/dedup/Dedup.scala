@@ -420,6 +420,62 @@ object Dedup {
     udaf(graft.functions.MinHashMerge,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
 
+  /** CROSS-DOC EXACT SUBSTRING-SPAN DEDUP — the Spark-shaped form of
+    * suffix-array exact-substring deduplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"; see
+    * PAPERS.md): instead of a corpus-wide suffix array (which needs a
+    * global sort of every suffix), hash L=40-char windows at
+    * CONTENT-DEFINED anchor positions — position i is an anchor iff
+    * the hash of its 8-char prefix is ≡ 0 mod 16 (expected gap 16
+    * chars), the content-defined-chunking trick. Because anchors
+    * depend only on LOCAL content, two copies of the same span select
+    * the SAME anchors whatever their byte offsets — a fixed-stride
+    * grid would only match copies whose offsets agree mod the stride.
+    * A shared run of R chars is missed only if none of its R-39
+    * window positions anchors: p ≈ (15/16)^(R-39), under 1% by
+    * R ≈ 110. Long verbatim cross-doc spans (boilerplate, licenses,
+    * templated text) are caught with O(1) hashes per character.
+    * Reported per doc: anchored-window count, cross-doc-duplicated
+    * window count (hash seen in >= 2 distinct docs), and the
+    * duplicated fraction — the signal a training pipeline thresholds
+    * to drop or trim span-contaminated docs (complementing whole-doc
+    * near-dup q31/q33: a doc can be 30% verbatim-duplicated yet far
+    * from any doc in Jaccard space).
+    *
+    * Scale shape: ONE pass per doc computes anchors + window hashes
+    * (filter/transform over a position sequence — the text is never
+    * row-multiplied before hashing); the dominant shuffle is the slim
+    * exploded (doc_id, hash8B) index at ~chars/16 rows per doc, the
+    * same shape as q33's inverted index; the duplicate-hash set comes
+    * from a two-level partial-aggregable distinct; the occurrence
+    * count is a semi-join on the 8-byte hash key. Never all-pairs,
+    * never a suffix sort. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val L = 40
+    def h(sub: String): String =
+      s"cast(conv(substring(md5(cast($sub as binary)), 1, 14), 16, 10) as bigint)"
+    val winHashes = expr(
+      s"""transform(
+         |  filter(sequence(1, length(text) - ${L - 1}),
+         |    i -> ${h(s"substring(text, i, 8)")} % 16 = 0),
+         |  i -> ${h(s"substring(text, i, $L)")})""".stripMargin)
+    val wins = spread(load(spark, dir, "documents"))
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), winHashes.as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast(LongType).as("n_windows"),
+        explode(col("hs")).as("h"))
+    val dupHashes = wins.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    wins.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"), col("n_windows"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast(DoubleType) /
+          col("n_windows").cast(DoubleType)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Orient an undirected edge set (doc_a, doc_b) by DEGREE order:
     * each edge points from its lower-(degree, id) endpoint to the
     * higher one. A total order makes the orientation acyclic, so every
@@ -1156,7 +1212,8 @@ object Dedup {
     "q79_simhash_neardup" -> simhashNearDup,
     "q178_kcore" -> kCore,
     "q257_weighted_sssp" -> weightedSssp,
-    "q183_record_linkage" -> recordLinkage)
+    "q183_record_linkage" -> recordLinkage,
+    "q272_span_dedup" -> spanDedup)
 
   /** Shared with q148's pure-SQL oracle: one definition of the DuckDB
     * trigram-shingle semantics, matching [[graft.functions.WordNGrams]]. */
@@ -1261,6 +1318,29 @@ object Dedup {
         |SELECT doc_a, doc_b, m_source, m_ntok, m_prefix, score
         |FROM s WHERE score >= 15
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q272: same L=40 content-anchored windows (anchor = 8-char-prefix
+    // hash ≡ 0 mod 16), same portable hash; a window is duplicated
+    // when its hash occurs in >= 2 distinct docs
+    "q272_span_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE LENGTH(text) >= 40),
+        |e AS (SELECT doc_id,
+        |    UNNEST(LIST_TRANSFORM(
+        |      LIST_FILTER(GENERATE_SERIES(1, LENGTH(text) - 39),
+        |        i -> ${phashSql("SUBSTRING(text, CAST(i AS INTEGER), 8)")}
+        |          % 16 = 0),
+        |      i -> ${phashSql("SUBSTRING(text, CAST(i AS INTEGER), 40)")})) AS h
+        |  FROM d),
+        |nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM e GROUP BY 1),
+        |dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+        |    FROM e GROUP BY 1) WHERE nd >= 2),
+        |nd AS (SELECT doc_id, COUNT(*) AS n_dup_windows
+        |  FROM e JOIN dup USING (h) GROUP BY 1)
+        |SELECT nw.doc_id, nw.n_windows, nd.n_dup_windows,
+        |  CAST(nd.n_dup_windows AS DOUBLE) / CAST(nw.n_windows AS DOUBLE)
+        |    AS dup_frac
+        |FROM nw JOIN nd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q124_two_hop_neighbors" -> twoHopOracle,
     "q201_pagerank" -> pageRankOracle,
     "q203_label_communities" -> labelCommunitiesOracle,

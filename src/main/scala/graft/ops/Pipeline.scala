@@ -723,7 +723,35 @@ object Pipeline {
       .orderBy(col("decile"))
   }
 
+  /** LENGTH-CURRICULUM STAGING: the corpus split into 4 ordered
+    * training stages by document length (shortest first) — the
+    * length-based curriculum schedule a pretraining pipeline feeds to
+    * the data loader (short/simple docs early, long docs late), with
+    * per-stage audit stats (doc count, char range, mean length). The
+    * total order is (n_chars, doc_id) — deterministic under ties.
+    *
+    * Scale shape: NTILE over a corpus-wide order WITHOUT a
+    * single-partition global sort — [[Windows.ntileNoGlobalSort]]'s
+    * two-level rank (per-bucket row_number + broadcast bucket
+    * offsets) gives the exact NTILE(4) split; the stage rollup is a
+    * 4-group partial-aggregable aggregate. The mean is an exact
+    * integer sum with ONE cast to double (both engines identical). */
+  def curriculumStages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_chars"))
+    Windows.ntileNoGlobalSort(docs, col("n_chars"), col("doc_id"),
+        k = 4, bucketWidth = 256L, out = "stage")
+      .groupBy(col("stage").cast(LongType).as("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (sum(col("n_chars")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_chars"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_curriculum_stages" -> curriculumStages,
     "q250_grouped_kfold" -> groupedKfold,
     "q251_calibration_deciles" -> calibrationDeciles,
     "q247_loo_target_encoding" -> looTargetEncoding,
@@ -800,6 +828,18 @@ object Pipeline {
       |FROM r, l ORDER BY r.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q273: NTILE(4) over the same (n_chars, doc_id) total order; the
+    // mean routes the exact integer sum through ONE cast to double
+    "q273_curriculum_stages" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    NTILE(4) OVER (ORDER BY n_chars, doc_id) AS stage
+        |  FROM documents)
+        |SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_docs,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q250_grouped_kfold" ->
       s"""WITH ev AS (SELECT
         |    (${phashModSql("CAST(user_id AS VARCHAR)")}) % 5 AS fold,

@@ -1559,6 +1559,54 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup: invariants hold and a planted verbatim span is caught") {
+    val rows = run("q272_span_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nd, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nd >= 1L && nd <= nw, r.toString)
+      assert(f > 0.0 && f <= 1.0, r.toString)
+    }
+    // fixture: two docs share a 120-char verbatim block at DIFFERENT
+    // offsets (100 vs 123 — no common residue mod any stride), which
+    // content-defined anchoring must still align; a third doc is unique
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_span_fixture")
+    rmTree(dir)
+    try {
+      import spark.implicits._
+      val block = ("the quick brown fox jumps over the lazy dog again and " +
+        "again until the whole paragraph repeats verbatim across both pages " +
+        "of the corpus fixture").take(120)
+      assert(block.length === 120)
+      val docs = Seq(
+        (1L, "unique preamble one " * 5 + block, "en", "web", 0L),
+        (2L, "a different lead-in text here, " * 4 + block + " trailing", "en", "web", 0L),
+        (3L, "entirely original content with no shared spans at all " * 6, "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = run2("q272_span_dedup", dir.getAbsolutePath).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got.keySet === Set(1L, 2L), got.toString)
+      assert(got.values.forall(_ >= 1L), got.toString)
+    } finally rmTree(dir)
+  }
+
+  test("curriculum stages: exact 4-way split, ordered non-overlapping char ranges") {
+    val rows = run("q273_curriculum_stages").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    // NTILE: tile sizes differ by at most 1
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1L, sizes.toSeq.toString)
+    // stages ordered by length: stage k's max <= stage k+1's min
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2),
+        s"stage ${a.getLong(0)} max ${a.getLong(3)} > stage ${b.getLong(0)} min ${b.getLong(2)}")
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()

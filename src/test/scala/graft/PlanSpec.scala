@@ -493,6 +493,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q272 span dedup joins on the window-hash key (no nested loop, semi join)") {
+    val plan = formatted(run("q272_span_dedup"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("q183 record linkage joins on the block key (no nested loop)") {
     val plan = formatted(run("q183_record_linkage"))
     assert(!plan.contains("CartesianProduct") &&
