@@ -420,6 +420,58 @@ object Dedup {
     udaf(graft.functions.MinHashMerge,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
 
+  /** SOURCE-OVERLAP MATRIX — "how much does feed A repeat feed B":
+    * for every unordered source pair, the MinHash-ESTIMATED Jaccard
+    * between the two sources' shingle UNIONS (per-source signature =
+    * the element-wise-min MERGE of its docs' signatures — the q74
+    * mergeable-sketch property applied at source granularity) beside
+    * the EXACT source-level Jaccard as the audit column (the
+    * q211/q234 estimate-vs-truth pattern). The curation question this
+    * answers — which feeds to down-weight because they re-serve each
+    * other's content — precedes any per-document dedup decision.
+    *
+    * Scale shape: the estimate path is ONE partial-aggregable sketch
+    * rollup to O(sources) rows of K longs, then an O(sources^2)
+    * comparison of 16-slot signatures — at 100 TB this is the ONLY
+    * affordable path (no pairwise corpus scan), which is why the
+    * exact audit column rides along at test scale: it certifies the
+    * estimator once, then production drops it. The exact path is the
+    * q33 inverted-index reduction at source granularity: distinct
+    * (source, hash8B) — far smaller than the doc-level index — with
+    * per-hash fan-out bounded by the source count. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+    val bySource = docs
+      .select(col("source"),
+        call_function("minhash_sig", shingleHashes(col("text"), mod = true))
+          .as("sig"))
+      .groupBy(col("source")).agg(minhashMergeAgg(col("sig")).as("ssig"))
+    val sh = docs
+      .select(col("source"), explode(shingleHashes(col("text"), mod = false)).as("h"))
+      .distinct()
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.alias("x").join(sh.alias("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = bySource.alias("a").join(bySource.alias("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.ssig").as("sa"), col("b.ssig").as("sb"))
+    pairs
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(counts.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(counts.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (coalesce(col("n_inter"), lit(0L)).cast(DoubleType) /
+          (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))
+            .cast(DoubleType)).as("exact_jaccard"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          m => m)).cast(DoubleType) / lit(K.toDouble)).as("est_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** CROSS-DOC EXACT SUBSTRING-SPAN DEDUP — the Spark-shaped form of
     * suffix-array exact-substring deduplication (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"; see
@@ -1213,7 +1265,8 @@ object Dedup {
     "q178_kcore" -> kCore,
     "q257_weighted_sssp" -> weightedSssp,
     "q183_record_linkage" -> recordLinkage,
-    "q272_span_dedup" -> spanDedup)
+    "q272_span_dedup" -> spanDedup,
+    "q275_source_overlap" -> sourceOverlap)
 
   /** Shared with q148's pure-SQL oracle: one definition of the DuckDB
     * trigram-shingle semantics, matching [[graft.functions.WordNGrams]]. */
@@ -1341,6 +1394,40 @@ object Dedup {
         |    AS dup_frac
         |FROM nw JOIN nd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q275: per-source element-wise-min signature (the merge of its
+    // docs' signatures) + exact source-level shingle Jaccard audit
+    "q275_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id, source, $shinglesSql AS sh FROM t),
+        |h AS (SELECT doc_id, source,
+        |    LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s),
+        |sig AS (SELECT doc_id, source, LIST_TRANSFORM($permsSql,
+        |    p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P})))
+        |    AS sig FROM h),
+        |m AS (SELECT source,
+        |    ${(1 to K).map(i => s"MIN(sig.sig[$i]) AS s$i").mkString(", ")}
+        |  FROM sig GROUP BY 1),
+        |eh AS (SELECT DISTINCT source,
+        |    UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS hx FROM s),
+        |cn AS (SELECT source, COUNT(*) AS n FROM eh GROUP BY 1),
+        |it AS (SELECT x.source AS source_a, y.source AS source_b,
+        |    COUNT(*) AS n_inter
+        |  FROM eh x JOIN eh y ON x.hx = y.hx AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COALESCE(it.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(COALESCE(it.n_inter, 0) AS DOUBLE)
+        |    / CAST(ca.n + cb.n - COALESCE(it.n_inter, 0) AS DOUBLE)
+        |    AS exact_jaccard,
+        |  CAST(${(1 to K).map(i =>
+             s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")}
+        |    AS DOUBLE) / ${K}.0 AS est_jaccard
+        |FROM m a JOIN m b ON a.source < b.source
+        |LEFT JOIN it ON it.source_a = a.source AND it.source_b = b.source
+        |JOIN cn ca ON ca.source = a.source
+        |JOIN cn cb ON cb.source = b.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "q124_two_hop_neighbors" -> twoHopOracle,
     "q201_pagerank" -> pageRankOracle,
     "q203_label_communities" -> labelCommunitiesOracle,

@@ -1592,6 +1592,43 @@ class OperatorSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("source overlap: full pair matrix, bounded estimates, identical sources read 1.0") {
+    val rows = run("q275_source_overlap").collect()
+    assert(rows.length === 190) // C(20, 2) unordered source pairs
+    rows.foreach { r =>
+      val (ex, est) = (r.getDouble(3), r.getDouble(4))
+      assert(ex >= 0.0 && ex <= 1.0, r.toString)
+      assert(est >= 0.0 && est <= 1.0, r.toString)
+    }
+    // with K=16 slots the estimator is coarse but must track the truth
+    // in aggregate: mean |est - exact| under 3 sketch slots' worth
+    val mae = rows.map(r => math.abs(r.getDouble(4) - r.getDouble(3))).sum /
+      rows.length
+    assert(mae <= 3.0 / 16.0, s"mean abs error $mae")
+    // fixture: A and B carry the SAME texts (union sets equal -> both
+    // jaccards exactly 1.0); C is disjoint from both
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_overlap_fixture")
+    rmTree(dir)
+    try {
+      import spark.implicits._
+      val shared = (1 to 30).map(i => s"shared corpus sentence number $i with stable words")
+      val docs =
+        shared.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "A", 0L) } ++
+        shared.zipWithIndex.map { case (t, i) => (100L + i, t, "en", "B", 0L) } ++
+        (1 to 30).map(i =>
+          (200L + i, s"disjoint vocabulary item $i entirely elsewhere", "en", "C", 0L))
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = run2("q275_source_overlap", dir.getAbsolutePath).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+      assert(got(("A", "B")) === ((1.0, 1.0)), got.toString)
+      assert(got(("A", "C"))._1 === 0.0, got.toString)
+      assert(got(("B", "C"))._1 === 0.0, got.toString)
+    } finally rmTree(dir)
+  }
+
   test("curriculum stages: exact 4-way split, ordered non-overlapping char ranges") {
     val rows = run("q273_curriculum_stages").collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
