@@ -420,6 +420,43 @@ object Dedup {
     udaf(graft.functions.MinHashMerge,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
 
+  /** EFFECTIVE TOKEN YIELD per source — what each feed actually
+    * contributes AFTER near-dup collapse: raw token mass beside the
+    * token mass of the feed's q67-CANONICAL documents (each duplicate
+    * cluster's content counted once, at its minimum-id survivor;
+    * unclustered docs count as themselves). The yield ratio is the
+    * curation number that re-prices a feed — a source with high raw
+    * volume but low yield mostly re-serves content other docs already
+    * carry, and its acquisition/storage cost is mispriced by raw
+    * counts. All-integer sums (the per-cluster charge goes WHOLLY to
+    * the canonical doc — no fractional apportioning, so no
+    * float-summation-order hazard) with ONE final division.
+    *
+    * Scale shape: one left join of the slim (doc_id, cluster_id)
+    * label table against per-doc token counts, then an O(sources)
+    * partial-aggregable rollup — the labels come from the bounded
+    * label-propagation machinery q67 already runs. */
+  def effectiveYield(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("ntok"))
+    val clusters = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("is_canonical",
+        col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("raw_tokens"),
+        sum(when(col("is_canonical"), col("ntok")).otherwise(lit(0L)))
+          .as("effective_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("effective_tokens"),
+        (col("effective_tokens").cast(DoubleType) /
+          col("raw_tokens").cast(DoubleType)).as("yield"))
+      .orderBy(col("source"))
+  }
+
   /** SOURCE-OVERLAP MATRIX — "how much does feed A repeat feed B":
     * for every unordered source pair, the MinHash-ESTIMATED Jaccard
     * between the two sources' shingle UNIONS (per-source signature =
@@ -1266,7 +1303,8 @@ object Dedup {
     "q257_weighted_sssp" -> weightedSssp,
     "q183_record_linkage" -> recordLinkage,
     "q272_span_dedup" -> spanDedup,
-    "q275_source_overlap" -> sourceOverlap)
+    "q275_source_overlap" -> sourceOverlap,
+    "q277_effective_yield" -> effectiveYield)
 
   /** Shared with q148's pure-SQL oracle: one definition of the DuckDB
     * trigram-shingle semantics, matching [[graft.functions.WordNGrams]]. */
@@ -1394,6 +1432,25 @@ object Dedup {
         |    AS dup_frac
         |FROM nw JOIN nd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q277: same q67 cluster labels (shared recursive CTE); the
+    // canonical charge makes the sums all-integer
+    "q277_effective_yield" ->
+      s"""WITH RECURSIVE $clusterLabCte,
+        |tok AS (SELECT doc_id, source,
+        |    LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS ntok
+        |  FROM documents),
+        |j AS (SELECT tok.source, tok.ntok,
+        |    CASE WHEN lab.doc_id IS NULL OR lab.cluster_id = tok.doc_id
+        |      THEN 1 ELSE 0 END AS can
+        |  FROM tok LEFT JOIN lab ON lab.doc_id = tok.doc_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS raw_tokens,
+        |  CAST(SUM(CASE WHEN can = 1 THEN ntok ELSE 0 END) AS BIGINT)
+        |    AS effective_tokens,
+        |  CAST(CAST(SUM(CASE WHEN can = 1 THEN ntok ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(SUM(ntok) AS BIGINT) AS DOUBLE) AS yield
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // q275: per-source element-wise-min signature (the merge of its
     // docs' signatures) + exact source-level shingle Jaccard audit
     "q275_source_overlap" ->

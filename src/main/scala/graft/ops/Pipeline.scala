@@ -750,7 +750,45 @@ object Pipeline {
       .orderBy(col("stage"))
   }
 
+  /** HELD-OUT TRIGRAM COVERAGE — the generalization-gap readout of the
+    * q69 split: for every val/test document, the fraction of its
+    * distinct trigram shingles that appear ANYWHERE in the train
+    * split. High coverage says the held-out slice is lexically easy
+    * (or leaked in paraphrase — q70 only catches verbatim 5-grams);
+    * low coverage says the eval measures genuinely novel text.
+    * The inverse view of q186's corpus-prefix novelty (reference set =
+    * a SPLIT, not the ingestion prefix) and the soft complement of
+    * q70's hard decontamination verdict.
+    *
+    * Scale shape: the train vocabulary is a distinct 8-byte-hash set
+    * (two-level partial-aggregable distinct); held-out docs explode to
+    * the same slim (doc_id, hash8B) stream and probe it with ONE
+    * left-semi hash join; zero-coverage docs are kept by a left join
+    * back to the per-doc shingle counts. Both sides reuse the q33
+    * codegen'd shingle kernel. */
+  def heldoutCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withSplit(spread(load(spark, dir, "documents")))
+    def hashes(c: Column) = graft.dedup.Dedup.shingleHashes(c, mod = false)
+    val train = docs.filter(col("split") === "train")
+      .select(explode(hashes(col("text"))).as("h")).distinct()
+    val held = docs.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), hashes(col("text")).as("hs"))
+      .select(col("doc_id"), col("split"),
+        size(col("hs")).cast(LongType).as("n_shingles"),
+        explode(col("hs")).as("h"))
+    val covered = held.join(train, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    held.select(col("doc_id"), col("split"), col("n_shingles")).distinct()
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("n_shingles"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (coalesce(col("n_covered"), lit(0L)).cast(DoubleType) /
+          col("n_shingles").cast(DoubleType)).as("coverage"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_heldout_coverage" -> heldoutCoverage,
     "q273_curriculum_stages" -> curriculumStages,
     "q250_grouped_kfold" -> groupedKfold,
     "q251_calibration_deciles" -> calibrationDeciles,
@@ -828,6 +866,34 @@ object Pipeline {
       |FROM r, l ORDER BY r.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q276: same q69 split rule, same trigram-shingle hash kernel;
+    // coverage = |doc shingles ∩ train vocabulary| / |doc shingles|
+    "q276_heldout_coverage" ->
+      s"""WITH d AS (SELECT doc_id, text,
+        |    CASE WHEN ${bucketSql("doc_id", 10)} < 8 THEN 'train'
+        |         WHEN ${bucketSql("doc_id", 10)} = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |t AS (SELECT doc_id, split,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM d),
+        |s AS (SELECT doc_id, split, ${graft.dedup.Dedup.shinglesSql} AS sh
+        |  FROM t),
+        |tr AS (SELECT DISTINCT
+        |    UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS h
+        |  FROM s WHERE split = 'train'),
+        |e AS (SELECT doc_id, split, LEN(sh) AS n_shingles,
+        |    UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS h
+        |  FROM s WHERE split <> 'train'),
+        |cv AS (SELECT doc_id, COUNT(*) AS n_covered
+        |  FROM e JOIN tr USING (h) GROUP BY 1),
+        |base AS (SELECT DISTINCT doc_id, split, n_shingles FROM e)
+        |SELECT base.doc_id, base.split,
+        |  CAST(base.n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(cv.n_covered, 0) AS BIGINT) AS n_covered,
+        |  CAST(COALESCE(cv.n_covered, 0) AS DOUBLE)
+        |    / CAST(base.n_shingles AS DOUBLE) AS coverage
+        |FROM base LEFT JOIN cv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q273: NTILE(4) over the same (n_chars, doc_id) total order; the
     // mean routes the exact integer sum through ONE cast to double
     "q273_curriculum_stages" ->

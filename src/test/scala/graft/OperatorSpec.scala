@@ -1629,6 +1629,40 @@ class OperatorSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("heldout coverage: covers exactly the non-train split, fractions well-formed") {
+    val rows = run("q276_heldout_coverage").collect()
+    // one row per val/test doc of the q69 split — reconcile counts
+    val splitCounts = run("q69_train_split").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length.toLong ===
+      splitCounts("val") + splitCounts("test"), splitCounts.toString)
+    rows.foreach { r =>
+      val (n, c, f) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(n >= 1L && c >= 0L && c <= n, r.toString)
+      assert(f >= 0.0 && f <= 1.0, r.toString)
+      assert(r.getString(1) === "val" || r.getString(1) === "test", r.toString)
+    }
+  }
+
+  test("effective yield: canonical charge reconciles with cluster structure") {
+    val rows = run("q277_effective_yield").collect()
+    assert(rows.length === 20) // one row per source
+    rows.foreach { r =>
+      val (raw, eff, y) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(eff >= 0L && eff <= raw, r.toString)
+      assert(y >= 0.0 && y <= 1.0, r.toString)
+    }
+    // total docs reconcile and dedup must bite somewhere: corpus-wide
+    // effective < raw exactly when near-dup clusters exist
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.load(spark, sf, "documents").count())
+    val nClustered = run("q67_dedup_clusters").collect().length
+    val nClusters = run("q137_cluster_sizes").collect()
+      .map(_.getLong(1)).sum
+    val (raw, eff) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    if (nClustered > nClusters) assert(eff < raw, s"$eff vs $raw")
+  }
+
   test("curriculum stages: exact 4-way split, ordered non-overlapping char ranges") {
     val rows = run("q273_curriculum_stages").collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
