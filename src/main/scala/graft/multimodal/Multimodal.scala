@@ -245,6 +245,69 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual hash of a media row. */
+  case class ImageHash(doc_id: Long, ahash: Long, real_decode: Boolean)
+
+  /** AVERAGE-HASH (aHash): decode → 8x8 nearest-neighbor luminance
+    * downsample → threshold each cell at the integer mean → 64 bits.
+    * The standard cheap perceptual fingerprint: re-encodes of the
+    * same pixels (PNG vs BMP) hash IDENTICALLY (decode-then-hash sees
+    * pixels, not bytes — a content-hash like q41's md5 cannot), and
+    * small edits flip few bits. All-integer (integer luminance,
+    * integer mean) so the hash is bit-stable across JVMs. Same
+    * partition-batched iterator shape as [[extractFeatures]]. */
+  def aHash(ds: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { r =>
+        val (px, w, h, real) = decodePixels(r)
+        val small = resizeKernel(px, math.max(w, 1), math.max(h, 1), 8, 8)
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += small(i); i += 1 }
+        val mean = sum / 64
+        var bits = 0L
+        i = 0
+        while (i < 64) { if (small(i) > mean) bits |= (1L << i); i += 1 }
+        ImageHash(r.doc_id, bits, real)
+      })
+    }
+  }
+
+  /** NEAR-DUPLICATE IMAGE pairs by Hamming distance over [[aHash]],
+    * blocked by q79's pigeonhole banding at image granularity: split
+    * the 64-bit hash into 4 x 16-bit bands — any pair within Hamming
+    * distance 3 agrees EXACTLY on at least one band (4 bands, 3
+    * differing bits), so the equi-join on (band, bkey) is a LOSSLESS
+    * prune and the quadratic pair space is never materialized. The
+    * visual twin of the q31/q79 text near-dup family: catches the
+    * same photo re-encoded, resized, or lightly edited across feeds,
+    * where byte/content hashes see three unrelated blobs. */
+  def imageNearDup(ds: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4x16 banding is lossless only for dist <= 3")
+    val hashes = aHash(ds).toDF()
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+    }: _*)
+    val bands = hashes
+      .select(col("doc_id"), col("ahash"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val x = bands.alias("x")
+    val y = bands.alias("y")
+    x.join(y, col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_multimodal_meta" -> mediaMeta)
 

@@ -111,6 +111,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(1).mean_pixel === (20 until 25).sum.toDouble / 5)
   }
 
+  test("aHash: re-encode invariant, one-cell edit flips one bit, banding finds pairs") {
+    import spark.implicits._
+    // 8x8 grayscale pattern of extremes: left half bright, right dark.
+    // Integer mean stays strictly between 0 and 255, so bits == the
+    // bright-cell mask exactly.
+    def px(bright: Set[Int]): Seq[(Int, Int, Int)] =
+      (0 until 64).map(i => if (bright(i)) (255, 255, 255) else (0, 0, 0))
+    val half = (0 until 64).filter(i => i % 8 < 4).toSet
+    val png1 = imageBytes("png", 8, 8, px(half))
+    val bmp2 = imageBytes("bmp", 8, 8, px(half)) // same pixels, other codec
+    val edited = imageBytes("png", 8, 8, px(half + 7)) // one dark cell flipped
+    val inverted = imageBytes("png", 8, 8, px((0 until 64).toSet -- half))
+    val ds = Seq(
+      MediaRecord(1L, png1, "img/png", 8, 8),
+      MediaRecord(2L, bmp2, "img/bmp", 8, 8),
+      MediaRecord(3L, edited, "img/png", 8, 8),
+      MediaRecord(4L, inverted, "img/png", 8, 8)).toDS()
+    val hs = Multimodal.aHash(ds).collect().map(h => h.doc_id -> h).toMap
+    assert(hs.values.forall(_.real_decode))
+    assert(hs(1L).ahash === hs(2L).ahash) // codec-invariant
+    assert(java.lang.Long.bitCount(hs(1L).ahash ^ hs(3L).ahash) === 1)
+    assert(java.lang.Long.bitCount(hs(1L).ahash ^ hs(4L).ahash) === 64)
+    val pairs = Multimodal.imageNearDup(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // exactly the near pairs, none involving the inverted image
+    assert(pairs === Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1),
+      pairs.toString)
+  }
+
   test("media records derive bounded dimensions from content hash") {
     val meta = Multimodal.mediaMeta(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions._
