@@ -45,5 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordNGrams(cs.head, intLit(cs(1), "word_shingles"), distinct = true))
     register(ext, "winnow_mins")(cs =>
       WinnowMins(cs.head, intLit(cs(1), "winnow_mins")))
+    register(ext, "span_window_hashes")(cs =>
+      SpanWindowHashes(cs.head, intLit(cs(1), "span_window_hashes")))
   }
 }

@@ -416,7 +416,10 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
-  private lazy val minhashMergeAgg =
+  /** The mergeable element-wise-min signature aggregate — shared with
+    * the streaming source-sketch (q278), which is the whole point of a
+    * MERGEABLE sketch: the same aggregate runs batch and incremental. */
+  private[graft] lazy val minhashMergeAgg =
     udaf(graft.functions.MinHashMerge,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
 
@@ -456,6 +459,19 @@ object Dedup {
           col("raw_tokens").cast(DoubleType)).as("yield"))
       .orderBy(col("source"))
   }
+
+  /** Batch per-source sketch — q278's one-shot twin, used by the spec
+    * to pin stream/batch agreement of the mergeable aggregate. */
+  private[graft] def sourceSketchBatch(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "documents"))
+      .select(col("source"),
+        call_function("minhash_sig", shingleHashes(col("text"), mod = true))
+          .as("sig"))
+      .groupBy(col("source"))
+      .agg(minhashMergeAgg(col("sig")).as("ssig"), count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        concat_ws(",", col("ssig").cast("array<string>")).as("source_sig"))
+      .orderBy(col("source"))
 
   /** SOURCE-OVERLAP MATRIX — "how much does feed A repeat feed B":
     * for every unordered source pair, the MinHash-ESTIMATED Jaccard
@@ -514,16 +530,20 @@ object Dedup {
     * "Deduplicating Training Data Makes Language Models Better"; see
     * PAPERS.md): instead of a corpus-wide suffix array (which needs a
     * global sort of every suffix), hash L=40-char windows at
-    * CONTENT-DEFINED anchor positions — position i is an anchor iff
-    * the hash of its 8-char prefix is ≡ 0 mod 16 (expected gap 16
-    * chars), the content-defined-chunking trick. Because anchors
-    * depend only on LOCAL content, two copies of the same span select
-    * the SAME anchors whatever their byte offsets — a fixed-stride
-    * grid would only match copies whose offsets agree mod the stride.
-    * A shared run of R chars is missed only if none of its R-39
-    * window positions anchors: p ≈ (15/16)^(R-39), under 1% by
-    * R ≈ 110. Long verbatim cross-doc spans (boilerplate, licenses,
-    * templated text) are caught with O(1) hashes per character.
+    * CONTENT-DEFINED anchor positions — position i anchors iff a
+    * 2-char integer probe (31·code(c_i) + code(c_{i+1})) ≡ 0 mod 16
+    * (expected gap 16 chars), the content-defined-chunking trick.
+    * Because anchors depend only on LOCAL content, two copies of the
+    * same span select the SAME anchors whatever their byte offsets —
+    * a fixed-stride grid would only match copies whose offsets agree
+    * mod the stride. A shared run of R chars is missed only if none
+    * of its R-39 window positions anchors: p ≈ (15/16)^(R-39), under
+    * 1% by R ≈ 110. The probe is two integer ops per character — the
+    * expensive md5 runs ONLY at anchors (~1/16 of positions), so the
+    * per-byte CPU cost stays near a plain scan at 100 TB where an
+    * every-position hash probe would be ~64x read amplification.
+    * Long verbatim cross-doc spans (boilerplate, licenses, templated
+    * text) are caught with O(1) integer work per character.
     * Reported per doc: anchored-window count, cross-doc-duplicated
     * window count (hash seen in >= 2 distinct docs), and the
     * duplicated fraction — the signal a training pipeline thresholds
@@ -541,13 +561,10 @@ object Dedup {
     * never a suffix sort. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     val L = 40
-    def h(sub: String): String =
-      s"cast(conv(substring(md5(cast($sub as binary)), 1, 14), 16, 10) as bigint)"
-    val winHashes = expr(
-      s"""transform(
-         |  filter(sequence(1, length(text) - ${L - 1}),
-         |    i -> ${h(s"substring(text, i, 8)")} % 16 = 0),
-         |  i -> ${h(s"substring(text, i, $L)")})""".stripMargin)
+    // the native one-pass kernel (graft.functions.SpanWindowHashes) —
+    // a filter/transform HOF spelling of the same rule is interpreted
+    // per position and ~4x slower at sf0.1
+    val winHashes = call_function("span_window_hashes", col("text"), lit(L))
     val wins = spread(load(spark, dir, "documents"))
       .filter(length(col("text")) >= L)
       .select(col("doc_id"), winHashes.as("hs"))
@@ -1313,7 +1330,7 @@ object Dedup {
       |      i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin
   private val toksSql =
     "SELECT doc_id, text, STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents"
-  private val permsSql = A.zip(B)
+  private[graft] val permsSql = A.zip(B)
     .map { case (a, b) => s"{'a': ${a}, 'b': ${b}}" }.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
@@ -1418,7 +1435,8 @@ object Dedup {
         |e AS (SELECT doc_id,
         |    UNNEST(LIST_TRANSFORM(
         |      LIST_FILTER(GENERATE_SERIES(1, LENGTH(text) - 39),
-        |        i -> ${phashSql("SUBSTRING(text, CAST(i AS INTEGER), 8)")}
+        |        i -> (ASCII(SUBSTRING(text, CAST(i AS INTEGER), 1)) * 31
+        |          + ASCII(SUBSTRING(text, CAST(i AS INTEGER) + 1, 1)))
         |          % 16 = 0),
         |      i -> ${phashSql("SUBSTRING(text, CAST(i AS INTEGER), 40)")})) AS h
         |  FROM d),

@@ -141,6 +141,38 @@ object Hashing {
     c
   }
 
+  /** Content-defined-anchor window hashes (graft.dedup.Dedup.spanDedup,
+    * q272) in ONE pass over the code points: position i (0-based)
+    * anchors iff (31*cp(i) + cp(i+1)) % 16 == 0, and each anchor with
+    * a full `win`-code-point window emits [[phash56]] of that window.
+    * Code-point indexing matches both engines' character semantics
+    * (Spark SUBSTRING and DuckDB SUBSTRING/ASCII); equals the DuckDB
+    * LIST_FILTER/LIST_TRANSFORM oracle spelling exactly. Replaces a
+    * filter/transform HOF chain whose per-position interpreted lambda
+    * + substring allocations dominated the query (the round-2 lesson:
+    * Catalyst does not compile HOF lambdas). */
+  def spanWindowHashes(text: UTF8String, win: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val last = cps.length - win
+    if (last < 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any]()
+    val md = mdLocal.get()
+    var i = 0
+    while (i <= last) {
+      if ((31L * cps(i) + cps(i + 1)) % 16 == 0) {
+        md.reset()
+        val d = md.digest(new String(cps, i, win)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var j = 0
+        while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        out.add(java.lang.Long.valueOf(v))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Winnowing: minimum of each w-wide sliding window over the hash
     * sequence (Schleimer et al. local fingerprinting). max(n-w+1, 1)
     * windows, the tail window clipped to the array end; null elements

@@ -145,3 +145,29 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
     copy(child = newChild)
 }
+
+/** `span_window_hashes(string, win) -> array<long>` — content-defined-
+  * anchor window hashes for cross-doc exact span dedup (q272): one
+  * codegen'd pass per document instead of a per-position interpreted
+  * HOF lambda. */
+case class SpanWindowHashes(child: Expression, win: Int)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_window_hashes requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_window_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Hashing.spanWindowHashes(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], win)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hashing.spanWindowHashes($c, $win);")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanWindowHashes =
+    copy(child = newChild)
+}

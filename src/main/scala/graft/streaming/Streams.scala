@@ -915,6 +915,40 @@ object Streams {
     }
   }
 
+  /** STREAMING SOURCE SKETCH — q275's per-source MinHash signature
+    * rollup run INCREMENTALLY: the corpus arrives as 4 micro-batches
+    * (maxFilesPerTrigger=1 over a 4-file split) and the per-source
+    * element-wise-min signature aggregate
+    * ([[graft.dedup.Dedup.minhashMergeAgg]]) merges across them —
+    * element-wise min is commutative/associative/idempotent, so batch
+    * order cannot change the final signature and state is BOUNDED at
+    * K longs per source, never a shingle set. This is the monitoring
+    * form of the source-overlap machinery: a landing-directory stream
+    * keeps every feed's content sketch current without recomputing
+    * the corpus. == the per-source signature the batch q275 oracle
+    * machinery computes (one oracle rule, two execution modes). */
+  def streamSourceSketch(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_src_sketch$safe"
+    deleteRecursively(new java.io.File(base))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val agg = src
+      .select(col("source"),
+        call_function("minhash_sig",
+          graft.dedup.Dedup.shingleHashes(col("text"), mod = true)).as("sig"))
+      .groupBy(col("source"))
+      .agg(graft.dedup.Dedup.minhashMergeAgg(col("sig")).as("ssig"),
+        count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        concat_ws(",", col("ssig").cast("array<string>")).as("source_sig"))
+    runToMemory(spark, agg, "graft_stream_src_sketch").orderBy(col("source"))
+  }
+
   /** STREAMING RUNNING TOTALS via `transformWithState` — the third
     * implementation of the per-user balance/count semantics, gated on
     * the SAME oracle string as q188's foreachBatch MERGE (and the
@@ -1019,6 +1053,7 @@ object Streams {
     "q249_stream_union" -> streamUnion,
     "q262_stream_chained" -> streamChained,
     "q271_stream_tws_timers" -> streamTimerFlush,
+    "q278_stream_source_sketch" -> streamSourceSketch,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
@@ -1057,6 +1092,25 @@ object Streams {
     * bit-for-bit (q104 reuses q39's oracle STRING so they can never
     * fork). */
   val oracles: Map[String, String] = Map(
+    // q278: the 4-batch incremental sketch merge must equal the
+    // one-shot per-source signature (element-wise min is order-free) —
+    // same CTE machinery as the q74/q275 batch oracles
+    "q278_stream_source_sketch" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id, source,
+        |    ${graft.dedup.Dedup.shinglesSql} AS sh FROM t),
+        |h AS (SELECT doc_id, source,
+        |    LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s),
+        |sig AS (SELECT doc_id, source,
+        |    LIST_TRANSFORM(${graft.dedup.Dedup.permsSql},
+        |      p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P})))
+        |    AS sig FROM h)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ARRAY_TO_STRING([${(1 to graft.dedup.Dedup.K).map(i =>
+             s"CAST(MIN(sig.sig[$i]) AS VARCHAR)").mkString(", ")}], ',')
+        |    AS source_sig
+        |FROM sig GROUP BY source ORDER BY source""".stripMargin,
     // associative per-key decimal addition: 4 incremental merges must
     // equal the one-shot batch aggregate exactly
     "q188_stream_merge" -> runningTotalsOracle,

@@ -23,6 +23,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaExpr === viaBuiltins)
   }
 
+  test("span_window_hashes via SQL equals the interpreted HOF formulation") {
+    // texts exercising: no anchors, anchors mid-string, text shorter
+    // than the window, exact-window-length text, repeated content
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again until done",
+      ("shared corpus sentence number one with stable words " * 4).trim,
+      "short",
+      "x" * 40,
+      "").toDF("text")
+    val L = 40
+    def h(sub: String): String =
+      s"cast(conv(substring(md5(cast($sub as binary)), 1, 14), 16, 10) as bigint)"
+    val hof = expr(
+      s"""transform(
+         |  filter(sequence(1, length(text) - ${L - 1}),
+         |    i -> (ascii(substring(text, i, 1)) * 31
+         |          + ascii(substring(text, i + 1, 1))) % 16 = 0),
+         |  i -> ${h(s"substring(text, i, $L)")})""".stripMargin)
+    val rows = docs.filter(length(col("text")) >= L).select(
+      call_function("span_window_hashes", col("text"), lit(L)).as("native"),
+      hof.as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), r.toString)
+    }
+    // below-window-length inputs yield an empty array, not an error
+    val short = docs.filter(length(col("text")) < L)
+      .select(call_function("span_window_hashes", col("text"), lit(L)))
+      .collect()
+    short.foreach(r => assert(r.getSeq[Long](0).isEmpty, r.toString))
+  }
+
   test("word_shingles via SQL equals the interpreted HOF formulation") {
     val docs = Seq("the quick brown fox jumps", "one", "a b", "").toDF("text")
     val toks = split(trim(col("text")), " +")

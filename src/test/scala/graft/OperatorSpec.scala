@@ -1629,6 +1629,23 @@ class OperatorSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("stream source sketch: 4-batch incremental merge equals the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val streamed = run("q278_stream_source_sketch").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // batch twin built directly from the same mergeable aggregate
+    val batch = graft.dedup.Dedup.sourceSketchBatch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(streamed === batch)
+    assert(streamed.size === 20)
+    // signatures are 16 comma-joined non-negative longs
+    streamed.values.foreach { case (_, sig) =>
+      val parts = sig.split(",")
+      assert(parts.length === graft.dedup.Dedup.K, sig)
+      assert(parts.forall(p => p.toLong >= 0L), sig)
+    }
+  }
+
   test("heldout coverage: covers exactly the non-train split, fractions well-formed") {
     val rows = run("q276_heldout_coverage").collect()
     // one row per val/test doc of the q69 split — reconcile counts
