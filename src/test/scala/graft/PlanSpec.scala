@@ -498,6 +498,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("LeftSemi"), plan)
+    // window hashing is the native one-pass expression, not a HOF chain
+    assert(plan.contains("span_window_hashes"), plan)
+    assert(!plan.contains("ArrayFilter"), plan)
+  }
+
+  test("q273 curriculum ranks without a single-partition corpus window") {
+    val plan = formatted(run("q273_curriculum_stages"))
+    // the per-doc row_number window must be partitioned by the bucket
+    assert("""row_number\(\) windowspecdefinition\(_bkt#\d+L"""
+      .r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q276 heldout coverage probes the train vocabulary with a semi join") {
+    val plan = formatted(run("q276_heldout_coverage"))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q277 effective yield never re-expands pairs (equi joins only)") {
+    val plan = formatted(run("q277_effective_yield"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("q183 record linkage joins on the block key (no nested loop)") {
