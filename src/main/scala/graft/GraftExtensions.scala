@@ -47,5 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WinnowMins(cs.head, intLit(cs(1), "winnow_mins")))
     register(ext, "span_window_hashes")(cs =>
       SpanWindowHashes(cs.head, intLit(cs(1), "span_window_hashes")))
+    register(ext, "span_anchor_positions")(cs =>
+      SpanAnchorPositions(cs.head, intLit(cs(1), "span_anchor_positions")))
   }
 }

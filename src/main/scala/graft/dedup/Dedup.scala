@@ -460,6 +460,60 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** SPAN-SCRUB PLAN — q272's detections turned into the per-doc
+    * REMOVAL plan a cleaning pipeline executes: flagged window
+    * occurrences (hash in >= 2 distinct docs) become [pos, pos+L)
+    * intervals, overlapping/adjacent intervals merge into islands
+    * (gaps-and-islands: an interval starts a new island iff its start
+    * exceeds the running max end of earlier intervals — one window
+    * aggregate over the per-doc (pos)-ordered frame, the q259 sweep
+    * shape), and each doc reports island count plus exact removed /
+    * kept character counts. All-integer; the actual text splice is a
+    * trivial substring walk the counts fully determine.
+    *
+    * Scale shape: anchor positions come from the no-hash twin of the
+    * window kernel (index-aligned arrays, zipped by posexplode +
+    * element_at — the text is scanned once per side, never
+    * row-multiplied); the interval merge runs on FLAGGED windows only
+    * (a small fraction of the corpus), partitioned by doc — state is
+    * one running max per doc, never the corpus. */
+  def spanScrubPlan(spark: SparkSession, dir: String): DataFrame = {
+    val L = 40
+    val e = spread(load(spark, dir, "documents"))
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("len"),
+        call_function("span_anchor_positions", col("text"), lit(L)).as("ps"),
+        call_function("span_window_hashes", col("text"), lit(L)).as("hs"))
+      .select(col("doc_id"), col("len"), col("ps"),
+        posexplode(col("hs")).as(Seq("i", "h")))
+      .select(col("doc_id"), col("len"),
+        element_at(col("ps"), col("i") + 1).as("pos"), col("h"))
+    val dup = e.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val flagged = e.join(dup, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (L - 1)).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = flagged
+      .withColumn("new_island",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("len"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (L - 1)).as("e"),
+        count(lit(1)).as("nw"))
+    islands.groupBy(col("doc_id"), col("len"))
+      .agg(sum(col("nw")).as("n_flagged"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s") + 1).as("removed_chars"))
+      .select(col("doc_id"), col("n_flagged"), col("n_islands"),
+        col("removed_chars"),
+        (col("len") - col("removed_chars")).as("kept_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batch per-source sketch — q278's one-shot twin, used by the spec
     * to pin stream/batch agreement of the mergeable aggregate. */
   private[graft] def sourceSketchBatch(spark: SparkSession, dir: String): DataFrame =
@@ -1321,7 +1375,8 @@ object Dedup {
     "q183_record_linkage" -> recordLinkage,
     "q272_span_dedup" -> spanDedup,
     "q275_source_overlap" -> sourceOverlap,
-    "q277_effective_yield" -> effectiveYield)
+    "q277_effective_yield" -> effectiveYield,
+    "q279_span_scrub_plan" -> spanScrubPlan)
 
   /** Shared with q148's pure-SQL oracle: one definition of the DuckDB
     * trigram-shingle semantics, matching [[graft.functions.WordNGrams]]. */
@@ -1469,6 +1524,42 @@ object Dedup {
         |      AS DOUBLE)
         |    / CAST(CAST(SUM(ntok) AS BIGINT) AS DOUBLE) AS yield
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q279: same anchors/hashes as q272, positionally unnested; the
+    // interval merge is the standard gaps-and-islands window
+    "q279_span_scrub_plan" ->
+      s"""WITH d AS (SELECT doc_id, text, LENGTH(text) AS len
+        |  FROM documents WHERE LENGTH(text) >= 40),
+        |p AS (SELECT doc_id, len, text,
+        |    LIST_FILTER(GENERATE_SERIES(1, LENGTH(text) - 39),
+        |      i -> (ASCII(SUBSTRING(text, CAST(i AS INTEGER), 1)) * 31
+        |        + ASCII(SUBSTRING(text, CAST(i AS INTEGER) + 1, 1)))
+        |        % 16 = 0) AS ps
+        |  FROM d),
+        |e AS (SELECT doc_id, len, UNNEST(ps) AS pos,
+        |    UNNEST(LIST_TRANSFORM(ps,
+        |      i -> ${phashSql("SUBSTRING(text, CAST(i AS INTEGER), 40)")})) AS h
+        |  FROM p),
+        |dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+        |    FROM e GROUP BY 1) WHERE nd >= 2),
+        |f AS (SELECT doc_id, len, pos FROM e JOIN dup USING (h)),
+        |g AS (SELECT doc_id, len, pos,
+        |    MAX(pos + 39) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM f),
+        |i2 AS (SELECT doc_id, len, pos,
+        |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM g),
+        |j AS (SELECT doc_id, len, isl, MIN(pos) AS s,
+        |    MAX(pos) + 39 AS e2, COUNT(*) AS nw
+        |  FROM i2 GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  CAST(SUM(nw) AS BIGINT) AS n_flagged,
+        |  COUNT(*) AS n_islands,
+        |  CAST(SUM(e2 - s + 1) AS BIGINT) AS removed_chars,
+        |  CAST(len - SUM(e2 - s + 1) AS BIGINT) AS kept_chars
+        |FROM j GROUP BY doc_id, len ORDER BY doc_id""".stripMargin,
     // q275: per-source element-wise-min signature (the merge of its
     // docs' signatures) + exact source-level shingle Jaccard audit
     "q275_source_overlap" ->

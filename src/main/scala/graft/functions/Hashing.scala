@@ -173,6 +173,25 @@ object Hashing {
     new GenericArrayData(out.toArray)
   }
 
+  /** The 1-based anchor POSITIONS selected by [[spanWindowHashes]]'s
+    * rule — same filter, no hashing (two integer ops per character).
+    * Emitted as longs so positional zips against the hash array and
+    * SQL arithmetic need no casts; aligned index-for-index with the
+    * hashes by construction (one rule, two projections). */
+  def spanAnchorPositions(text: UTF8String, win: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val last = cps.length - win
+    if (last < 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i <= last) {
+      if ((31L * cps(i) + cps(i + 1)) % 16 == 0)
+        out.add(java.lang.Long.valueOf((i + 1).toLong))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Winnowing: minimum of each w-wide sliding window over the hash
     * sequence (Schleimer et al. local fingerprinting). max(n-w+1, 1)
     * windows, the tail window clipped to the array end; null elements

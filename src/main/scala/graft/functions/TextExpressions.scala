@@ -171,3 +171,30 @@ case class SpanWindowHashes(child: Expression, win: Int)
   override protected def withNewChildInternal(newChild: Expression): SpanWindowHashes =
     copy(child = newChild)
 }
+
+/** `span_anchor_positions(string, win) -> array<long>` — the 1-based
+  * anchor positions behind `span_window_hashes`, index-aligned with
+  * its output (same rule, no hashing). Used by the q279 scrub plan to
+  * recover WHERE each flagged window sits. */
+case class SpanAnchorPositions(child: Expression, win: Int)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_anchor_positions requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_anchor_positions"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Hashing.spanAnchorPositions(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], win)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hashing.spanAnchorPositions($c, $win);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SpanAnchorPositions =
+    copy(child = newChild)
+}

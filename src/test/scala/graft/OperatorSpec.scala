@@ -1629,6 +1629,40 @@ class OperatorSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("span scrub plan: reconciles with q272 and a brute-force interval merge") {
+    val scrub = run("q279_span_scrub_plan").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val detect = run("q272_span_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // same doc set, and flagged-window counts agree with the detector
+    assert(scrub.keySet === detect.keySet)
+    scrub.foreach { case (doc, (nf, ni, removed, kept)) =>
+      assert(nf === detect(doc), s"doc $doc")
+      assert(ni >= 1L && ni <= nf, s"doc $doc")
+      // islands merge overlapping L=40 windows: each island spans at
+      // least one window and at most the whole flagged range
+      assert(removed >= 40L * ni - 39L * (ni - 1L) || ni === 0L, s"doc $doc")
+      assert(removed + kept >= 40L, s"doc $doc") // len reconstructed
+    }
+    // brute-force the merge on a synthetic position set
+    def brute(ps: Seq[Long], L: Long): (Long, Long) = {
+      var islands = 0L; var removed = 0L
+      var s = -1L; var e = -1L
+      ps.sorted.foreach { p =>
+        if (s < 0 || p > e) {
+          if (s >= 0) removed += e - s + 1
+          islands += 1; s = p; e = p + L - 1
+        } else e = math.max(e, p + L - 1)
+      }
+      if (s >= 0) removed += e - s + 1
+      (islands, removed)
+    }
+    // [1,49] (1+10 merged), [60,119] (60+80 merged), [200,239]
+    assert(brute(Seq(1L, 10L, 60L, 80L, 200L), 40L) === ((3L, 149L)))
+    assert(brute(Seq(5L), 40L) === ((1L, 40L)))
+  }
+
   test("stream source sketch: 4-batch incremental merge equals the batch sketch") {
     import org.apache.spark.sql.functions._
     val streamed = run("q278_stream_source_sketch").collect()
