@@ -96,6 +96,31 @@ object Pipeline {
     (bench, train)
   }
 
+  /** LEAK SEVERITY per benchmark item — q70's rollup INVERTED: for
+    * every bench document (leaked or clean), how many TRAIN documents
+    * share at least one 5-gram with it and how many of its distinct
+    * shingles leak. q70 answers "which training docs to drop"; this
+    * answers "which EVAL items are compromised however the corpus is
+    * cleaned" — the ranking an eval owner uses to retire or re-split
+    * items, and the zero rows certify the still-trustworthy slice.
+    * Same broadcast-bench join as q70 (the corpus side never
+    * shuffles); the bench-id rollup is partial-aggregable; clean
+    * items survive via one left join against the tiny bench-id list. */
+  def leakSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val (bench, train) = benchTrainShingles(spark, dir)
+    val hits = train.join(broadcast(bench), "h")
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+        countDistinct(col("h")).as("n_leaked_shingles"))
+    load(spark, dir, "documents").filter(isBench(col("doc_id")))
+      .select(col("doc_id").as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_leaked_shingles"), lit(0L)).as("n_leaked_shingles"))
+      .orderBy(col("bench_id"))
+  }
+
   private def contaminationRollup(matches: DataFrame): DataFrame =
     matches.groupBy(col("doc_id"))
       .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
@@ -788,6 +813,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_leak_severity" -> leakSeverity,
     "q276_heldout_coverage" -> heldoutCoverage,
     "q273_curriculum_stages" -> curriculumStages,
     "q250_grouped_kfold" -> groupedKfold,
@@ -1131,6 +1157,7 @@ object Pipeline {
     // prune is lossless (no false negatives), so one oracle serves both.
     "q70_decontaminate" -> decontaminateOracle,
     "q81_bloom_decontaminate" -> decontaminateOracle,
+    "q280_leak_severity" -> leakSeverityOracle,
     "q71_rep_signals" ->
       """WITH tok AS (SELECT doc_id,
         |               UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
@@ -1145,6 +1172,34 @@ object Pipeline {
         |FROM c
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin)
+
+  /** q280: the same 5-gram CTE machinery as q70, rolled to the BENCH
+    * side with clean items kept by a left join. */
+  private[graft] lazy val leakSeverityOracle: String =
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        LIST_DISTINCT(LIST_TRANSFORM(
+        |          GENERATE_SERIES(1, GREATEST(LEN(toks)-4, 1)),
+        |          i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2],
+        |                         toks[i+3], toks[i+4]))) AS sh
+        |      FROM t),
+        |h AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS h
+        |      FROM s),
+        |hits AS (SELECT b.doc_id AS bench_id,
+        |    COUNT(DISTINCT t.doc_id) AS n_train_docs,
+        |    COUNT(DISTINCT b.h) AS n_leaked_shingles
+        |  FROM h t JOIN h b ON t.h = b.h
+        |    AND b.doc_id % 20 = 0 AND t.doc_id % 20 <> 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS bench_id,
+        |  CAST(COALESCE(hits.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+        |  CAST(COALESCE(hits.n_leaked_shingles, 0) AS BIGINT)
+        |    AS n_leaked_shingles
+        |FROM documents d LEFT JOIN hits ON hits.bench_id = d.doc_id
+        |WHERE d.doc_id % 20 = 0
+        |ORDER BY 1""".stripMargin
 
   private lazy val decontaminateOracle: String =
       s"""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks

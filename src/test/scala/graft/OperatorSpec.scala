@@ -1629,6 +1629,26 @@ class OperatorSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("leak severity: covers every bench doc, marginals reconcile with q70") {
+    val sev = run("q280_leak_severity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one row per bench doc (doc_id % 20 == 0), clean items included
+    val nBench = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 20 === 0).count()
+    assert(sev.length.toLong === nBench)
+    assert(sev.forall { case (_, nt, ns) =>
+      (nt == 0L) == (ns == 0L) && nt >= 0L && ns >= 0L })
+    // both directions see the same bipartite leak graph: a bench item
+    // leaks iff some q70-contaminated train doc shares a 5-gram, so
+    // leaking-bench-docs > 0 exactly when q70 flags any train doc
+    val contaminated = run("q70_decontaminate").collect()
+    assert((sev.count(_._2 > 0L) > 0) === contaminated.nonEmpty)
+    // and every contaminated train doc's bench partners are counted:
+    // sum over bench of n_train_docs == sum over train of n_bench_docs
+    // (both count distinct (train, bench) sharing pairs)
+    assert(sev.map(_._2).sum === contaminated.map(_.getLong(1)).sum)
+  }
+
   test("span scrub plan: reconciles with q272 and a brute-force interval merge") {
     val scrub = run("q279_span_scrub_plan").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
