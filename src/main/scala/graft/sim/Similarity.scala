@@ -904,7 +904,57 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The labels the corpus carries — fixed so the Fisher scalar
+    * expression below can be expanded label-by-label in a FIXED
+    * textual order (see determinism note on [[fisherSeparation]]). */
+  private val FisherLabels = 0 until 10
+
+  /** PER-DIMENSION FISHER CLASS SEPARATION — the feature-quality audit
+    * of an embedding space: for every dimension, the one-way-ANOVA
+    * ratio SSB/SSW (between-class / within-class sum of squares) over
+    * the label classes. High-Fisher dimensions carry the class signal
+    * (keep them under Matryoshka truncation, q260); near-zero ones are
+    * noise a projection can drop — the readout that decides WHICH
+    * dims survive dimensionality reduction, not just how many.
+    *
+    * Determinism: float row-aggregation is summation-order-dependent,
+    * so embeddings are first quantized to integers with a fixed global
+    * rule (floor(x*1000 + 0.5) — NOT q101's per-vector scale, which
+    * would make codes row-dependent); all per-(dim,label) sufficient
+    * statistics are exact integer sums (partial-aggregable, one
+    * shuffle on dim after a posexplode); the Fisher ratio is then ONE
+    * scalar expression per dim whose label terms are expanded in
+    * fixed left-to-right order — both engines evaluate the identical
+    * IEEE sequence on identical integers. Squared sums stay < 2^53,
+    * so every double is exact until the final divisions. */
+  def fisherSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(load(spark, dir, "embeddings"))
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000 + lit(0.5)).cast(LongType)))
+          .as(Seq("dim", "q")))
+    val aggs = FisherLabels.flatMap { l =>
+      Seq(sum(when(col("label") === l, 1L).otherwise(0L)).as(s"n_$l"),
+        sum(when(col("label") === l, col("q")).otherwise(0L)).as(s"s_$l"))
+    } ++ Seq(sum(col("q")).as("s1"), sum(col("q") * col("q")).as("s2"),
+      count(lit(1)).as("n"))
+    val g = e.groupBy(col("dim")).agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast(DoubleType)
+    val terms = FisherLabels.map { l =>
+      when(col(s"n_$l") === 0L, lit(0.0))
+        .otherwise(d(s"s_$l") * d(s"s_$l") / d(s"n_$l"))
+    }
+    val sumTerms = terms.reduceLeft(_ + _)
+    val ssb = sumTerms - d("s1") * d("s1") / d("n")
+    val ssw = d("s2") - sumTerms
+    g.select(col("dim").cast(LongType).as("dim"),
+        when(ssw > 0, ssb / ssw).otherwise(lit(null).cast(DoubleType))
+          .as("fisher"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_fisher_separation" -> fisherSeparation,
     "q234_ann_recall" -> annRecall,
     "q260_matryoshka_recall" -> matryoshkaRecall,
     "q263_grid_neighbors" -> gridNeighbors,
@@ -979,6 +1029,38 @@ object Similarity {
   private lazy val pqCtes = s"WITH $pqCtesBody"
 
   val oracles: Map[String, String] = Map(
+    // q281: integer sufficient statistics; the Fisher scalar expands
+    // its label terms in the SAME left-to-right order as the Spark
+    // reduceLeft, so the double sequences are identical
+    "q281_fisher_separation" -> {
+      val labelAggs = FisherLabels.map { l =>
+        s"""SUM(CASE WHEN label = $l THEN 1 ELSE 0 END) AS n_$l,
+           |    SUM(CASE WHEN label = $l THEN q ELSE 0 END) AS s_$l""".stripMargin
+      }.mkString(",\n    ")
+      val terms = FisherLabels.map { l =>
+        s"""CASE WHEN n_$l = 0 THEN 0.0
+           |    ELSE CAST(s_$l AS DOUBLE) * CAST(s_$l AS DOUBLE)
+           |      / CAST(n_$l AS DOUBLE) END""".stripMargin
+      }.mkString("(", "\n    + ", ")")
+      s"""WITH e AS (SELECT label,
+        |    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+        |      i -> {'dim': CAST(i - 1 AS BIGINT),
+        |            'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000
+        |                  + 0.5) AS BIGINT)})) AS u
+        |  FROM embeddings),
+        |f AS (SELECT u.dim AS dim, u.q AS q, label FROM e),
+        |g AS (SELECT dim,
+        |    $labelAggs,
+        |    SUM(q) AS s1, SUM(q * q) AS s2, COUNT(*) AS n
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  CASE WHEN CAST(s2 AS DOUBLE) - $terms > 0
+        |    THEN ($terms
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(s2 AS DOUBLE) - $terms)
+        |    ELSE NULL END AS fisher
+        |FROM g ORDER BY dim""".stripMargin
+    },
     // ×2^20 is exact in binary FP; one floor(x+0.5) rounding; integer
     // sums; then the identical double division sequence in both engines
     "q185_class_centroids" ->

@@ -1629,6 +1629,31 @@ class OperatorSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("fisher separation: one ratio per dim, nonnegative, matches a brute force") {
+    val rows = run("q281_fisher_separation").collect()
+    assert(rows.length === 64)
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 64L))
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      assert(r.getDouble(1) >= -1e-9, r.toString) // SSB >= 0 up to FP noise
+    }
+    // brute-force dim 0 from the same quantization rule
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0),
+        math.floor(r.getSeq[Float](1).head.toDouble * 1000 + 0.5).toLong))
+    val byLabel = vecs.groupBy(_._1)
+    val n = vecs.length.toDouble
+    val s1 = vecs.map(_._2).sum.toDouble
+    val s2 = vecs.map(v => v._2 * v._2).sum.toDouble
+    val sumTerms = byLabel.toSeq.sortBy(_._1).map { case (_, vs) =>
+      val s = vs.map(_._2).sum.toDouble
+      s * s / vs.length
+    }.sum
+    val expect = (sumTerms - s1 * s1 / n) / (s2 - sumTerms)
+    val got = rows.head.getDouble(1)
+    assert(math.abs(got - expect) < 1e-9, s"$got vs $expect")
+  }
+
   test("leak severity: covers every bench doc, marginals reconcile with q70") {
     val sev = run("q280_leak_severity").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
