@@ -953,7 +953,35 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** q284 — SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): duplicate
+    * CLUSTERS in embedding space. q99's IVF-bucket-blocked cosine
+    * pairs (the affordable candidate generator — Σ|bucket|² ≈ n²/k
+    * work, never all-pairs) become edges of the semantic near-dup
+    * graph; connected components (the q67 min-label propagation, one
+    * action per round off lazy localCheckpoints) label each cluster;
+    * the min-vec_id member is the kept CANONICAL, everything else is
+    * the semantic-duplicate mass a dedup pass drops. The embedding
+    * twin of q67's lexical clusters: paraphrases and re-encodings
+    * that share no shingles land here.
+    *
+    * Scale shape: edge generation is q99's equi-join on bucket ids;
+    * propagation cost is O(rounds · edges) with bounded rounds; the
+    * keep flag is a projection of the label — no extra shuffle.
+    * Only vectors with >= 1 near-dup edge appear (q67's contract);
+    * at production scale the absent rows ARE the corpus majority, so
+    * the output stays O(duplicates), not O(n). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = semanticNearDupIvf(spark, dir)
+      .select(col("vec_a"), col("vec_b"))
+    graft.dedup.Dedup.connectedComponents(pairs)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+        col("n_members"),
+        (col("id") === col("label")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_semantic_dedup" -> semanticDedup,
     "q281_fisher_separation" -> fisherSeparation,
     "q234_ann_recall" -> annRecall,
     "q260_matryoshka_recall" -> matryoshkaRecall,
@@ -1183,6 +1211,25 @@ object Similarity {
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q284: q99's pair CTE verbatim as the edge set, then the q67
+    // transitive-reachability labeling (LEAST(src, MIN(reachable)))
+    "q284_semantic_dedup" ->
+      s"""WITH RECURSIVE ${ivfAsgCtes.stripPrefix("WITH ")},
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |      WHERE ${cosSql(dotSql("a.embedding", "b.embedding"), "a.n2", "b.n2")} >= 0.4),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
+        |          UNION SELECT vec_b, vec_a FROM p),
+        |reach(src, dst) AS (SELECT src, dst FROM edges
+        |  UNION SELECT r.src, e.dst FROM reach r
+        |        JOIN edges e ON r.dst = e.src AND e.dst <> r.src),
+        |lab AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+        |        FROM reach GROUP BY src)
+        |SELECT vec_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |  vec_id = cluster_id AS keep
+        |FROM lab
+        |ORDER BY vec_id""".stripMargin,
     // exact answer — the oracle stays the naive all-pairs formulation;
     // only the Spark-side physical plan is tiled
     "q34_embedding_neardup" ->

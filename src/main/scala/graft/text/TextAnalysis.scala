@@ -621,7 +621,79 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** q282 — WITHIN-DOCUMENT repeated-bigram mass (the Gopher/
+    * MassiveText repetition gate "fraction of tokens inside duplicated
+    * n-grams", n=2): per doc, the share of bigram occurrences whose
+    * bigram appears >= 2 times in that same doc. The q71 top-token
+    * share catches a single hammered word; this catches the looping
+    * PHRASE (boilerplate, template spam, decoding loops) a unigram
+    * signal misses.
+    *
+    * Scale shape: bigram generation is a per-row `zip_with` over the
+    * token array (codegen'd HOF, no position self-join), then ONE
+    * (doc_id, bigram) partial-agg rollup and its per-doc fold — both
+    * map-side-combinable; the text column never shuffles, only the
+    * slim (doc_id, bigram) stream does. All counts are integers;
+    * the fraction is ONE double division so both engines perform the
+    * identical IEEE op. Docs with < 2 tokens have no bigrams and drop
+    * out in both engines. */
+  def repeatedBigramMass(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L)))
+          .as("dup_occ"))
+      .select(col("doc_id"),
+        col("n_bigrams").cast(LongType).as("n_bigrams"),
+        col("dup_occ").cast(LongType).as("dup_occ"),
+        (col("dup_occ").cast(DoubleType) / col("n_bigrams"))
+          .as("dup_bigram_mass"))
+      .orderBy(col("doc_id"))
+
+  /** q283 — SIMPSON lexical diversity per document: 1 − Σ(c_i/n)² over
+    * the token distribution, plus its inverse (the "effective
+    * vocabulary size" n²/Σc²). The standard diversity gate that, unlike
+    * q71's unique_ratio, weights by the full distribution shape — a doc
+    * half-filled by two alternating tokens scores low here while its
+    * unique_ratio can still look healthy. Entropy would be the textbook
+    * choice but rides transcendental log (not bit-portable across
+    * engines); Simpson is pure rational arithmetic: exact integer Σc²
+    * and n, then ONE division (and one identical-order subtraction /
+    * second independent division), so the gate hash-matches.
+    *
+    * Scale shape: same two-level (doc, tok) → doc partial-agg rollup
+    * as q71 — map-side-combinable, text never shuffles. Σc² ≤ n² so
+    * BIGINT never overflows for any doc under ~3B tokens. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("doc_id"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        col("n_unique").cast(LongType).as("n_unique"),
+        col("sum_c2").cast(LongType).as("sum_c2"),
+        (lit(1.0) - col("sum_c2").cast(DoubleType) /
+          (col("n_tokens") * col("n_tokens"))).as("simpson_diversity"),
+        ((col("n_tokens") * col("n_tokens")).cast(DoubleType) /
+          col("sum_c2")).as("effective_vocab"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_repeated_bigram_mass" -> repeatedBigramMass,
+    "q283_simpson_diversity" -> simpsonDiversity,
     "q252_kwic_snippets" -> kwicSnippets,
     "q268_lang_confusion" -> langConfusion,
     "q241_bm25_topk" -> bm25TopK,
@@ -651,6 +723,36 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q282_repeated_bigram_mass" ->
+      """WITH t AS (SELECT doc_id,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+        |  FROM (SELECT doc_id, toks,
+        |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i
+        |        FROM t WHERE LEN(toks) >= 2)),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |    AS dup_occ,
+        |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c) AS BIGINT) AS dup_bigram_mass
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q283_simpson_diversity" ->
+      """WITH t AS (SELECT doc_id,
+        |    UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        COUNT(*) AS n_unique,
+        |        CAST(SUM(c * c) AS BIGINT) AS sum_c2
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_unique, sum_c2,
+        |  1.0e0 - CAST(sum_c2 AS DOUBLE) / (n_tokens * n_tokens)
+        |    AS simpson_diversity,
+        |  CAST(n_tokens * n_tokens AS DOUBLE) / sum_c2
+        |    AS effective_vocab
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q252_kwic_snippets" ->
       """WITH t AS (SELECT doc_id,
         |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),

@@ -1774,6 +1774,62 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated bigram mass: matches a brute-force per-doc recount") {
+    val rows = run("q282_repeated_bigram_mass").collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val toks = docs(r.getLong(0)).trim.split(" +")
+      val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val byBg = bgs.groupBy(identity).view.mapValues(_.size)
+      val dup = byBg.values.filter(_ >= 2).sum
+      assert(r.getLong(1) === bgs.size.toLong, s"doc ${r.getLong(0)} n_bigrams")
+      assert(r.getLong(2) === dup.toLong, s"doc ${r.getLong(0)} dup_occ")
+      assert(r.getDouble(3) === dup.toDouble / bgs.size, s"doc ${r.getLong(0)} mass")
+    }
+    // every doc with >= 2 tokens appears exactly once
+    val expected = docs.count(_._2.trim.split(" +").length >= 2)
+    assert(rows.length === expected)
+  }
+
+  test("simpson diversity: bounded, matches brute force, penalizes repetition") {
+    val rows = run("q283_simpson_diversity").collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val toks = docs(r.getLong(0)).trim.split(" +").toSeq
+      val c2 = toks.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      val n = toks.size.toLong
+      assert(r.getLong(1) === n)
+      assert(r.getLong(3) === c2)
+      assert(r.getDouble(4) === 1.0 - c2.toDouble / (n * n))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+      // inverse Simpson is bounded by the distinct-token count
+      assert(r.getDouble(5) <= r.getLong(2).toDouble + 1e-9)
+    }
+  }
+
+  test("semantic dedup: q99 pair endpoints co-clustered, one min-id keeper per cluster") {
+    val rows = run("q284_semantic_dedup").collect()
+    assert(rows.nonEmpty, "sf0.001 must yield at least one semantic near-dup edge")
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every q99 edge's endpoints share a cluster label
+    run("q99_semantic_neardup_ivf").collect().foreach { p =>
+      assert(label(p.getLong(0)) === label(p.getLong(1)), p.toString)
+    }
+    // per cluster: keeper is exactly the min member; n_members is the size
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      val keeps = members.filter(_.getBoolean(3)).map(_.getLong(0))
+      assert(keeps.toSeq === Seq(members.map(_.getLong(0)).min))
+      assert(cid === members.map(_.getLong(0)).min)
+      members.foreach(m => assert(m.getLong(2) === members.length.toLong))
+      assert(members.length >= 2, s"cluster $cid is a singleton")
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
