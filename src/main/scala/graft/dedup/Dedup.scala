@@ -104,17 +104,23 @@ object Dedup {
     * candidates; the signature-estimated Jaccard >= 0.5 confirms. The
     * band join is the scale path — pair generation never touches
     * non-colliding docs. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = withSignature(spread(load(spark, dir, "documents")))
+  /** LSH band keys of a (doc_id, sig) frame — ONE definition of the
+    * band split serving q31's self-join and q285's delta-vs-corpus
+    * probe (the two must never fork). */
+  private def bandKeys(sigs: DataFrame): DataFrame = {
     val bandStructs = array((0 until BANDS).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until R).map(r =>
           element_at(col("sig"), b * R + r + 1).cast(StringType)): _*).as("bkey"))
     }: _*)
-    val bands = sigs
-      .select(col("doc_id"), col("sig"), explode(bandStructs).as("bk"))
+    sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = withSignature(spread(load(spark, dir, "documents")))
+    val bands = bandKeys(sigs)
     bandedPairs(bands, "sig")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
@@ -1344,7 +1350,67 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q285 — INCREMENTAL dedup probe: the production shape of
+    * near-duplicate detection, where a NEW batch (the daily delta —
+    * here doc_id % 10 == 0) is checked against the ALREADY-INGESTED
+    * corpus (the rest), not against itself. q31's band keys become an
+    * INDEX PROBE: delta band keys equi-join corpus band keys, so the
+    * delta never touches non-colliding corpus docs; collided
+    * candidates are verified with the EXACT shingle-set Jaccard
+    * (q33's definition), and every delta doc comes back with its
+    * verdict — match count, best match, best Jaccard, or a clean
+    * (0, NULL, NULL) row via the left join.
+    *
+    * Scale shape: at 100 TB the corpus band table is a persisted,
+    * bucketed-by-bkey asset (built once, like saveTextIndex); the
+    * per-batch cost is O(delta) signature computation + a band-key
+    * equi-join whose right side prunes to colliding keys + exact
+    * verification on candidates only. The full-corpus self-join q31
+    * runs never happens on the ingest path. Shingle arrays are
+    * fetched (by doc-key join) only for candidate docs, so the wide
+    * arrays never ride the band shuffle. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+    val isDelta = col("doc_id") % 10 === 0
+    val bands = bandKeys(withSignature(docs)).select(
+      col("doc_id"), col("band"), col("bkey"))
+    val cand = bands.filter(isDelta).alias("d")
+      .join(bands.filter(!isDelta).alias("c"),
+        col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
+      .select(col("d.doc_id").as("new_doc"), col("c.doc_id").as("match_doc"))
+      .distinct()
+    val sets = docs.select(col("doc_id"),
+      shingleHashes(col("text"), mod = false).as("hx"))
+      .withColumn("n", size(col("hx")).cast(LongType))
+    val ver = cand
+      .join(sets.select(col("doc_id").as("new_doc"), col("hx").as("ha"),
+        col("n").as("na")), "new_doc")
+      .join(sets.select(col("doc_id").as("match_doc"), col("hx").as("hb"),
+        col("n").as("nb")), "match_doc")
+      .withColumn("c", size(array_intersect(col("ha"), col("hb")))
+        .cast(LongType))
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.5)
+    val wBest = Window.partitionBy(col("new_doc"))
+      .orderBy(col("jaccard").desc, col("match_doc").desc)
+    val best = ver
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy(col("new_doc"))))
+      .filter(col("rn") === 1)
+      .select(col("new_doc"), col("n_matches"),
+        col("match_doc").as("best_match"), col("jaccard").as("best_jaccard"))
+    docs.select(col("doc_id").as("new_doc")).filter(col("new_doc") % 10 === 0)
+      .join(best, Seq("new_doc"), "left")
+      .select(col("new_doc"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match"), col("best_jaccard"))
+      .orderBy(col("new_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_incremental_dedup" -> incrementalDedup,
     "q201_pagerank" -> pageRank,
     "q203_label_communities" -> labelCommunities,
     "q211_dedup_agreement" -> dedupAgreement,
@@ -1389,6 +1455,40 @@ object Dedup {
     .map { case (a, b) => s"{'a': ${a}, 'b': ${b}}" }.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // q285: q31's signature/band CTEs with a delta/corpus split, then
+    // the exact q33 shingle-set Jaccard on candidates only
+    "q285_incremental_dedup" ->
+      s"""WITH t AS ($toksSql),
+        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        |hm AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s),
+        |hx AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n,
+        |         LIST_TRANSFORM(sh, x -> ${phashSql("x")}) AS hx FROM s),
+        |sig AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
+        |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
+        |        FROM hm),
+        |bands AS (SELECT doc_id, b.band,
+        |            ARRAY_TO_STRING(sig[b.band*${R}+1 : b.band*${R}+${R}], ',') AS bkey
+        |          FROM sig, (SELECT UNNEST([0,1,2,3]) AS band) b),
+        |cand AS (SELECT DISTINCT d.doc_id AS new_doc, c.doc_id AS match_doc
+        |         FROM bands d JOIN bands c
+        |           ON d.band = c.band AND d.bkey = c.bkey
+        |         WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+        |ver AS (SELECT new_doc, match_doc,
+        |          CAST(LEN(LIST_INTERSECT(a.hx, b.hx)) AS DOUBLE)
+        |            / (a.n + b.n - LEN(LIST_INTERSECT(a.hx, b.hx))) AS jaccard
+        |        FROM cand JOIN hx a ON a.doc_id = cand.new_doc
+        |          JOIN hx b ON b.doc_id = cand.match_doc),
+        |m AS (SELECT new_doc, match_doc, jaccard,
+        |        ROW_NUMBER() OVER (PARTITION BY new_doc
+        |          ORDER BY jaccard DESC, match_doc DESC) AS rn,
+        |        COUNT(*) OVER (PARTITION BY new_doc) AS n_matches
+        |      FROM ver WHERE jaccard >= 0.5)
+        |SELECT d.doc_id AS new_doc,
+        |  COALESCE(m.n_matches, 0) AS n_matches,
+        |  m.match_doc AS best_match, m.jaccard AS best_jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.new_doc = d.doc_id
+        |ORDER BY new_doc""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT doc_id,
         | MIN(doc_id) OVER (PARTITION BY content_key) AS dup_group,

@@ -1830,6 +1830,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: every delta doc gets a verdict; matches are exact q33 pairs") {
+    val rows = run("q285_incremental_dedup").collect()
+    val deltaIds = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === deltaIds, "one verdict per delta doc")
+    // exact-Jaccard ground truth (q33 emits J >= 0.5 pairs corpus-wide)
+    val exact = run("q33_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val matched = rows.filter(!_.isNullAt(2))
+    assert(matched.nonEmpty, "sf0.001 must produce at least one incremental match")
+    matched.foreach { r =>
+      val (nd, bm) = (r.getLong(0), r.getLong(2))
+      val key = (math.min(nd, bm), math.max(nd, bm))
+      // precision 1: every emitted match is a true exact-Jaccard pair
+      assert(exact.contains(key), s"pair $key not in exact q33 set")
+      assert(r.getDouble(3) === exact(key), s"jaccard mismatch for $key")
+      assert(r.getLong(1) >= 1L)
+    }
+    rows.filter(_.isNullAt(2)).foreach(r => assert(r.getLong(1) === 0L))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
