@@ -716,7 +716,63 @@ object Validate {
           (col("n") * col("n")).cast(DoubleType))
       .orderBy(col("dow"))
 
+  /** q287 — TUKEY/IQR outlier audit per event_type, ALL-INTEGER: exact
+    * discrete quartiles from the value-histogram CDF (the q95 trick —
+    * never a per-row global sort), fences at Q1 − 1.5·IQR / Q3 +
+    * 1.5·IQR evaluated in DOUBLED cents so the ×1.5 stays integer,
+    * and the per-group outlier mass counted by ONE broadcast join of
+    * the O(types) fence table back to the histogram. The robust
+    * anomaly gate a telemetry load runs before trusting `value`:
+    * mean/stddev fences (q161's moment machinery) move with the very
+    * outliers they hunt; rank-based fences don't.
+    *
+    * Quartile definition (both engines, exactly): Q_k = the smallest
+    * value whose cumulative count reaches ceil(k·n/4). Everything is
+    * BIGINT — no doubles anywhere in the result, so there is no
+    * op-order hazard at all.
+    *
+    * Scale shape: the histogram rollup is partial-aggregated on
+    * (type, cents); the CDF window runs per type over O(distinct
+    * values) histogram rows, not raw events; fences are O(types) and
+    * broadcast. */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), (d2(col("value")) * 100).cast(LongType)
+        .as("cents"))
+    val hist = ev.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val wCdf = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = hist
+      .withColumn("cum", sum(col("c")).over(wCdf))
+      .withColumn("n_grp", sum(col("c")).over(wTot))
+    val fences = cdf.groupBy(col("event_type"))
+      .agg(max(col("n_grp")).as("n"),
+        min(when(col("cum") >= expr("(n_grp + 3) div 4"), col("cents")))
+          .as("q1"),
+        min(when(col("cum") >= expr("(3 * n_grp + 3) div 4"), col("cents")))
+          .as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    val out = hist.join(broadcast(fences), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1_cents"),
+        max(col("q3")).as("q3_cents"), max(col("iqr")).as("iqr_cents"),
+        sum(when(col("cents") * 2 < col("q1") * 2 - col("iqr") * 3,
+          col("c")).otherwise(lit(0L))).as("n_low_outliers"),
+        sum(when(col("cents") * 2 > col("q3") * 2 + col("iqr") * 3,
+          col("c")).otherwise(lit(0L))).as("n_high_outliers"))
+      .select(col("event_type"), col("n"), col("q1_cents"), col("q3_cents"),
+        col("iqr_cents"),
+        col("n_low_outliers").cast(LongType).as("n_low_outliers"),
+        col("n_high_outliers").cast(LongType).as("n_high_outliers"))
+      .orderBy(col("event_type"))
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_iqr_outliers" -> iqrOutliers,
     "q244_ks_drift" -> ksDrift,
     "q245_gini_purity" -> giniPurity,
     "q229_observed_metrics" -> observedMetrics,
@@ -755,6 +811,32 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    // q287: identical integer quartile rule — smallest value whose
+    // cumulative count reaches ceil(k·n/4); fences in doubled cents
+    "q287_iqr_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT event_type, cents, COUNT(*) AS c
+        |      FROM e GROUP BY 1, 2),
+        |cdf AS (SELECT event_type, cents, c,
+        |          SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |          SUM(c) OVER (PARTITION BY event_type) AS n_grp
+        |        FROM h),
+        |f AS (SELECT event_type, CAST(MAX(n_grp) AS BIGINT) AS n,
+        |        MIN(CASE WHEN cum >= (n_grp + 3) // 4 THEN cents END) AS q1,
+        |        MIN(CASE WHEN cum >= (3 * n_grp + 3) // 4 THEN cents END)
+        |          AS q3
+        |      FROM cdf GROUP BY 1)
+        |SELECT h.event_type, f.n, f.q1 AS q1_cents, f.q3 AS q3_cents,
+        |  f.q3 - f.q1 AS iqr_cents,
+        |  CAST(SUM(CASE WHEN h.cents * 2 < f.q1 * 2 - (f.q3 - f.q1) * 3
+        |    THEN h.c ELSE 0 END) AS BIGINT) AS n_low_outliers,
+        |  CAST(SUM(CASE WHEN h.cents * 2 > f.q3 * 2 + (f.q3 - f.q1) * 3
+        |    THEN h.c ELSE 0 END) AS BIGINT) AS n_high_outliers
+        |FROM h JOIN f USING (event_type)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY event_type""".stripMargin,
     "q244_ks_drift" ->
       """WITH o AS (SELECT
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,

@@ -691,7 +691,45 @@ object TextAnalysis {
           col("sum_c2")).as("effective_vocab"))
       .orderBy(col("doc_id"))
 
+  /** q286 — VOCABULARY COVERAGE curve (Zipf budget audit): the share
+    * of corpus token MASS covered by the top-N vocabulary, for a
+    * ladder of candidate vocab caps. The number a tokenizer budget
+    * decision reads first: how much of the stream becomes <unk> (or
+    * falls to byte-fallback) at each vocabulary size — q194's growth
+    * curve asks how fast NEW types appear, this asks how much MASS
+    * the head already holds; q202/q233 then assign the actual ids.
+    *
+    * Scale shape: one (tok) partial-agg rollup (map-side combined) to
+    * O(|V|) counts; the frequency rank rides the shared two-level
+    * globalRankNoSort — no single-partition sort anywhere; the per-cap
+    * sums are ONE conditional aggregation over the ranked vocab
+    * (O(|V|), output O(caps)). Exact integer masses; each coverage is
+    * ONE double division. Caps are config constants sized to the
+    * synthetic corpus' ~40-type vocabulary (production uses 2^k
+    * ladders to 256k). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = spread(load(spark, dir, "documents"))
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val ranked = graft.ops.Windows.globalRankNoSort(
+      counts, -col("n"), col("tok"), 1024L, "rk", "nv")
+    val caps = Seq(5, 10, 20, 40)
+    val aggCols = sum(col("n")).as("total") +:
+      caps.map(k => sum(when(col("rk") <= k, col("n")).otherwise(lit(0L)))
+        .as(s"c$k"))
+    val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val stacked = caps.map(k =>
+      s"struct(CAST($k AS BIGINT) AS cap, CAST(c$k AS BIGINT) AS covered)")
+      .mkString("array(", ", ", ")")
+    agg.select(explode(expr(stacked)).as("s"), col("total"))
+      .select(col("s.cap").as("vocab_cap"), col("s.covered").as("covered"),
+        col("total").cast(LongType).as("total"),
+        (col("s.covered").cast(DoubleType) / col("total")).as("coverage"))
+      .orderBy(col("vocab_cap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_vocab_coverage" -> vocabCoverage,
     "q282_repeated_bigram_mass" -> repeatedBigramMass,
     "q283_simpson_diversity" -> simpsonDiversity,
     "q252_kwic_snippets" -> kwicSnippets,
@@ -723,6 +761,27 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    "q286_vocab_coverage" -> {
+      val caps = Seq(5, 10, 20, 40)
+      val sums = caps.map(k =>
+        s"CAST(SUM(CASE WHEN rk <= $k THEN n ELSE 0 END) AS BIGINT) AS c$k")
+        .mkString(",\n|       ")
+      val rows = caps.map(k =>
+        s"SELECT CAST($k AS BIGINT) AS vocab_cap, c$k AS covered, total, " +
+          s"CAST(c$k AS DOUBLE) / total AS coverage FROM s")
+        .mkString("\n|UNION ALL ")
+      s"""WITH t AS (SELECT
+        |    UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY 1),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+        |      FROM c),
+        |s AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |       $sums
+        |      FROM r)
+        |$rows
+        |ORDER BY vocab_cap""".stripMargin
+    },
     "q282_repeated_bigram_mass" ->
       """WITH t AS (SELECT doc_id,
         |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),

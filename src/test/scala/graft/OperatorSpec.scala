@@ -1852,6 +1852,49 @@ class OperatorSpec extends AnyFunSuite {
     rows.filter(_.isNullAt(2)).foreach(r => assert(r.getLong(1) === 0L))
   }
 
+  test("vocab coverage: monotone in cap, exact masses, max cap covers full vocab mass") {
+    val rows = run("q286_vocab_coverage").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(5L, 10L, 20L, 40L))
+    val total = rows.head.getLong(2)
+    // brute-force token mass
+    val toks = Tables.load(spark, sf, "documents").selectExpr("text")
+      .collect().flatMap(_.getString(0).trim.split(" +"))
+    assert(total === toks.length.toLong)
+    val byCount = toks.groupBy(identity).map { case (t, g) => (t, g.length) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }
+    rows.foreach { r =>
+      val cap = r.getLong(0).toInt
+      val covered = byCount.take(cap).map(_._2.toLong).sum
+      assert(r.getLong(1) === covered, s"cap $cap")
+      assert(r.getDouble(3) === covered.toDouble / total)
+    }
+    // coverage is monotone non-decreasing in the cap
+    rows.map(_.getDouble(3)).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+    }
+  }
+
+  test("iqr outliers: quartile rule matches a per-group sorted brute force") {
+    val rows = run("q287_iqr_outliers").collect()
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
+      .collect().groupBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSet === ev.keySet)
+    rows.foreach { r =>
+      val vs = ev(r.getString(0)).map(_.getLong(1)).sorted
+      val n = vs.length
+      def qAt(k: Int): Long = vs((k * n + 3) / 4 - 1) // ceil(k n/4)-th, 1-based
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === qAt(1), s"${r.getString(0)} q1")
+      assert(r.getLong(3) === qAt(3), s"${r.getString(0)} q3")
+      val (q1, q3) = (qAt(1), qAt(3))
+      val iqr = q3 - q1
+      assert(r.getLong(5) === vs.count(v => 2 * v < 2 * q1 - 3 * iqr).toLong)
+      assert(r.getLong(6) === vs.count(v => 2 * v > 2 * q3 + 3 * iqr).toLong)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
