@@ -771,7 +771,58 @@ object Validate {
     out
   }
 
+  /** q288 — MANN-WHITNEY U (Wilcoxon rank-sum): the NONPARAMETRIC A/B
+    * readout on purchase VALUES, completing q161 (which compares
+    * conversion proportions): does variant 1 stochastically dominate
+    * variant 0, with no normality assumption and total robustness to
+    * the heavy tails q287 flags? Users split by the same q69/q161
+    * hash-parity rule so the experiment families can never fork.
+    *
+    * Exactness: ranks come from the shared value-HISTOGRAM CDF, and
+    * midranks are kept in DOUBLED units (2·below + t + 1, integer) so
+    * tied ranks never produce a .5 float — the rank sum R, U = R −
+    * n(n+1)/2 (both doubled) and the tie-correction term Σ(t³−t) are
+    * ALL exact BIGINT. Only the final z-score is double, computed in
+    * ONE spelled IEEE sequence mirrored verbatim in the oracle
+    * (sqrt is correctly rounded in both engines).
+    *
+    * Scale shape: one (cents) partial-agg histogram rollup with
+    * per-variant conditional counts; the CDF window runs over the
+    * O(distinct values) histogram — bounded by the value DOMAIN
+    * (~20k cents cells), not the row count — then ONE fold to a
+    * single row. (At extreme scale the doubled rank sum approaches
+    * 2n²; production widens r2 to DECIMAL(38) — the corpus stays far
+    * inside int64.) */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).filter(col("event_type") === "purchase")
+      .select((phash(col("user_id").cast(StringType)) % 2).as("variant"),
+        (d2(col("value")) * 100).cast(LongType).as("cents"))
+    val hist = e.groupBy(col("cents")).agg(
+      sum(when(col("variant") === 0, lit(1L)).otherwise(lit(0L))).as("ca"),
+      sum(when(col("variant") === 1, lit(1L)).otherwise(lit(0L))).as("cb"))
+    val wBelow = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = hist.withColumn("t", col("ca") + col("cb"))
+      .withColumn("below", coalesce(sum(col("t")).over(wBelow), lit(0L)))
+    val s = c.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      sum(col("ca") * (col("below") * 2 + col("t") + 1)).as("r2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+    val d = (x: Column) => x.cast(DoubleType)
+    val nn = col("na") + col("nb")
+    val u2 = col("r2") - col("na") * (col("na") + 1)
+    val v1 = d(col("na")) * d(col("nb")) / lit(12.0)
+    val v2 = d(nn + 1) - d(col("tt")) / (d(nn) * d(nn - 1))
+    s.select(col("na").cast(LongType).as("na"),
+      col("nb").cast(LongType).as("nb"),
+      u2.cast(LongType).as("u_x2"),
+      when(col("na") > 0 && col("nb") > 0 && v1 * v2 > 0,
+        d(u2 - col("na") * col("nb")) / (lit(2.0) * sqrt(v1 * v2)))
+        .as("z_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_mann_whitney" -> mannWhitney,
     "q287_iqr_outliers" -> iqrOutliers,
     "q244_ks_drift" -> ksDrift,
     "q245_gini_purity" -> giniPurity,
@@ -811,6 +862,39 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    // q288: identical doubled-midrank machinery; the z expression is
+    // the verbatim IEEE sequence of the Spark side
+    "q288_mann_whitney" ->
+      s"""WITH e AS (SELECT
+        |    ${phashSql("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT cents,
+        |        SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ca,
+        |        SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS cb
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT ca, cb, ca + cb AS t,
+        |        COALESCE(SUM(ca + cb) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS below
+        |      FROM h),
+        |s AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |        CAST(SUM(cb) AS BIGINT) AS nb,
+        |        CAST(SUM(ca * (below * 2 + t + 1)) AS BIGINT) AS r2,
+        |        CAST(SUM(t * t * t - t) AS BIGINT) AS tt
+        |      FROM c)
+        |SELECT na, nb, r2 - na * (na + 1) AS u_x2,
+        |  CASE WHEN na > 0 AND nb > 0
+        |        AND (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+        |          * (CAST(na + nb + 1 AS DOUBLE) - CAST(tt AS DOUBLE)
+        |             / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))) > 0
+        |  THEN CAST(r2 - na * (na + 1) - na * nb AS DOUBLE)
+        |    / (2.0 * SQRT(
+        |        (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+        |        * (CAST(na + nb + 1 AS DOUBLE) - CAST(tt AS DOUBLE)
+        |           / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
+        |  END AS z_score
+        |FROM s""".stripMargin,
     // q287: identical integer quartile rule — smallest value whose
     // cumulative count reaches ceil(k·n/4); fences in doubled cents
     "q287_iqr_outliers" ->

@@ -1895,6 +1895,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("mann-whitney: doubled rank sums match a brute-force midrank computation") {
+    val r = run("q288_mann_whitney").collect()(0)
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("cast(conv(substring(md5(cast(cast(user_id as string) as binary)),1,14),16,10) as bigint) % 2 as variant",
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val a = vals.filter(_._1 == 0L).map(_._2)
+    val b = vals.filter(_._1 == 1L).map(_._2)
+    assert(r.getLong(0) === a.length.toLong && r.getLong(1) === b.length.toLong)
+    // doubled midrank of value v in the pooled sample
+    val all = (a ++ b).sorted
+    def mid2(v: Long): Long = {
+      val below = all.count(_ < v).toLong
+      val t = all.count(_ == v).toLong
+      2 * below + t + 1
+    }
+    val r2 = a.map(mid2).sum
+    val u2 = r2 - a.length.toLong * (a.length + 1)
+    assert(r.getLong(2) === u2)
+    // z is bounded and defined for this two-sided non-degenerate sample
+    assert(!r.isNullAt(3) && math.abs(r.getDouble(3)) < 50.0)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
