@@ -821,7 +821,60 @@ object Validate {
         .as("z_score"))
   }
 
+  /** q289 — WASSERSTEIN-1 (earth mover's) drift of each source's
+    * doc-length distribution against the pooled corpus — the metric
+    * that completes the drift family: q207's TVD saturates when
+    * supports barely overlap and q244's KS reads only the worst single
+    * point, while W1 = ∫|F_s − F_pool| dv prices HOW FAR the mass
+    * moved in character units (the number you alert on when one feed
+    * starts shipping truncated docs).
+    *
+    * Exactness: the pooled value grid contains every source's values,
+    * so both CDFs are step functions constant between consecutive grid
+    * points and the integral is EXACT: Σ |cumS·nP − cumP·nS| · gap —
+    * all integer (cross-multiplied CDF difference, never a float
+    * fraction per row), summed as BIGINT, then ONE double division by
+    * nS·nP. Grid size is bounded by the VALUE DOMAIN (distinct
+    * n_chars), not the row count.
+    *
+    * Scale shape: one (source, v) histogram partial-agg + one pooled
+    * histogram; the dense per-source grid is sources × grid (both
+    * tiny, broadcast); CDF windows run over grid rows only. */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("source"), col("n_chars").as("v"))
+    val pooled = docs.groupBy(col("v")).agg(count(lit(1)).as("cp"))
+    val srcHist = docs.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("cs"))
+    val sources = docs.select(col("source")).distinct()
+    val grid = sources.crossJoin(broadcast(pooled))
+      .join(srcHist, Seq("source", "v"), "left")
+      .withColumn("cs", coalesce(col("cs"), lit(0L)))
+    val wS = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLead = Window.partitionBy(col("source")).orderBy(col("v"))
+    val cdf = grid
+      .withColumn("cum_s", sum(col("cs")).over(wS))
+      .withColumn("cum_p", sum(col("cp")).over(wS))
+      .withColumn("n_s", sum(col("cs")).over(wTot))
+      .withColumn("n_p", sum(col("cp")).over(wTot))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(wLead) - col("v"),
+        lit(0L)))
+    cdf.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+        sum(abs(col("cum_s") * col("n_p") - col("cum_p") * col("n_s"))
+          * col("gap")).as("s1"),
+        max(col("n_s") * col("n_p")).as("den"))
+      .select(col("source"), col("n_docs"),
+        (col("s1").cast(DoubleType) / col("den").cast(DoubleType))
+          .as("w1_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_wasserstein_drift" -> wassersteinDrift,
     "q288_mann_whitney" -> mannWhitney,
     "q287_iqr_outliers" -> iqrOutliers,
     "q244_ks_drift" -> ksDrift,
@@ -862,6 +915,29 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    // q289: the same exact cross-multiplied step-function integral
+    "q289_wasserstein_drift" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |p AS (SELECT v, COUNT(*) AS cp FROM d GROUP BY 1),
+        |sh AS (SELECT source, v, COUNT(*) AS cs FROM d GROUP BY 1, 2),
+        |g AS (SELECT s.source, p.v, p.cp, COALESCE(sh.cs, 0) AS cs
+        |      FROM (SELECT DISTINCT source FROM d) s
+        |      CROSS JOIN p
+        |      LEFT JOIN sh ON sh.source = s.source AND sh.v = p.v),
+        |c AS (SELECT source, v, cp, cs,
+        |        SUM(cs) OVER (PARTITION BY source ORDER BY v) AS cum_s,
+        |        SUM(cp) OVER (PARTITION BY source ORDER BY v) AS cum_p,
+        |        SUM(cs) OVER (PARTITION BY source) AS n_s,
+        |        SUM(cp) OVER (PARTITION BY source) AS n_p,
+        |        COALESCE(LEAD(v, 1) OVER (PARTITION BY source ORDER BY v)
+        |          - v, 0) AS gap
+        |      FROM g)
+        |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+        |  CAST(CAST(SUM(ABS(cum_s * n_p - cum_p * n_s) * gap) AS BIGINT)
+        |       AS DOUBLE)
+        |    / CAST(CAST(MAX(n_s * n_p) AS BIGINT) AS DOUBLE) AS w1_chars
+        |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin,
     // q288: identical doubled-midrank machinery; the z expression is
     // the verbatim IEEE sequence of the Spark side
     "q288_mann_whitney" ->

@@ -1919,6 +1919,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(!r.isNullAt(3) && math.abs(r.getDouble(3)) < 50.0)
   }
 
+  test("wasserstein drift: matches the brute-force step integral per source") {
+    val rows = run("q289_wasserstein_drift").collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val pooled = docs.map(_._2).sorted
+    val grid = pooled.distinct.sorted
+    assert(rows.map(_.getString(0)).toSeq === docs.map(_._1).distinct.sorted.toSeq)
+    rows.foreach { r =>
+      val mine = docs.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(1) === mine.length.toLong)
+      val (ns, np) = (mine.length.toLong, pooled.length.toLong)
+      val s1 = grid.sliding(2).collect { case Array(v, nx) =>
+        val cumS = mine.count(_ <= v).toLong
+        val cumP = pooled.count(_ <= v).toLong
+        math.abs(cumS * np - cumP * ns) * (nx - v)
+      }.sum
+      assert(r.getDouble(2) === s1.toDouble / (ns * np).toDouble,
+        s"source ${r.getString(0)}")
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
