@@ -460,7 +460,48 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q290 — MARKET-BASKET co-purchase affinity: support and lift of
+    * part PAIRS bought in the same order — q112's collocation lift
+    * moved to the transactional side (baskets, not token adjacency):
+    * the cross-sell / "bought-together" primitive. Lift stays
+    * LOG-FREE (a pure count ratio — the q112 rule): ranking is
+    * unchanged by the monotone log and the doubles stay bit-portable.
+    *
+    * Scale shape: pair generation is a SELF-EQUI-JOIN on the basket
+    * key, so per-basket fan-out is C(items-per-order, 2) — bounded by
+    * basket size (TPC-H ≤ 7 lines), never corpus-quadratic; the
+    * support floor prunes before the O(parts) count joins; final
+    * ranking is a heap top-20 (TakeOrderedAndProject), no global
+    * sort. All counts exact BIGINT; lift is ONE spelled double
+    * ratio. */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nBaskets = li.agg(countDistinct(col("ok")).as("nb"))
+    val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val d = (x: org.apache.spark.sql.Column) => x.cast(DoubleType)
+    li.alias("a")
+      .join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .join(itemCnt.select(col("pk").as("part_a"), col("cnt").as("ca")),
+        "part_a")
+      .join(itemCnt.select(col("pk").as("part_b"), col("cnt").as("cb")),
+        "part_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("support"),
+        (d(col("support")) * d(col("nb")) / (d(col("ca")) * d(col("cb"))))
+          .as("lift"))
+      .orderBy(col("support").desc, col("lift").desc,
+        col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_copurchase_pairs" -> copurchasePairs,
     "q226_keyset_pagination" -> keysetPagination,
     "q227_lateral_alias" -> lateralAlias,
     "q220_sql_surfaces" -> sqlSurfaces,
@@ -521,6 +562,22 @@ object Relational {
       |LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q290_copurchase_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS nb FROM li),
+        |ic AS (SELECT pk, COUNT(*) AS cnt FROM li GROUP BY 1),
+        |p AS (SELECT a.pk AS part_a, b.pk AS part_b,
+        |        CAST(COUNT(*) AS BIGINT) AS support
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT part_a, part_b, support,
+        |  CAST(support AS DOUBLE) * CAST(nb AS DOUBLE)
+        |    / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) AS lift
+        |FROM p JOIN ic ca ON ca.pk = part_a
+        |       JOIN ic cb ON cb.pk = part_b, n
+        |ORDER BY support DESC, lift DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
     "q192_topn_other" ->
       """WITH s AS (SELECT o_custkey AS key,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp

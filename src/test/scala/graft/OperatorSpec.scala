@@ -1942,6 +1942,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("copurchase pairs: support/lift match a brute-force basket recount") {
+    val rows = run("q290_copurchase_pairs").collect()
+    assert(rows.nonEmpty)
+    val baskets = Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nb = baskets.map(_._1).distinct.length.toLong
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val itemCnt = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val (pa, pb) = (r.getLong(0), r.getLong(1))
+      val support = byOrder.values.count(s => s(pa) && s(pb)).toLong
+      assert(r.getLong(2) === support, s"($pa,$pb)")
+      assert(support >= 2L)
+      assert(r.getDouble(3) ===
+        support.toDouble * nb.toDouble / (itemCnt(pa).toDouble * itemCnt(pb).toDouble))
+    }
+    // ordering contract: support desc first
+    rows.map(_.getLong(2)).sliding(2).foreach { case Array(x, y) => assert(x >= y) }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
