@@ -452,7 +452,49 @@ object Temporal {
         col("anchor_orderkey"), col("valid_from"))
       .orderBy(col("o_custkey"))
 
+  /** q291 — FORECAST-BASELINE evaluation (MASE, Hyndman & Koehler):
+    * score the SEASONAL-NAIVE forecast (ŷ_d = y_{d−7}) of the daily
+    * event-count series per event_type against the one-step-naive
+    * scale (ŷ_d = y_{d−1}). q248 reads the seasonality; this prices
+    * it: MASE < 1 means the weekly pattern genuinely predicts — the
+    * go/no-go a capacity-planning model is judged against before
+    * anyone fits anything. Lags are ROW lags over the observed daily
+    * series (a day with zero events is absent, not zero-filled —
+    * q61's gap-fill is the densifier when calendar lags are wanted).
+    *
+    * Exactness: both absolute-error masses are exact BIGINT sums over
+    * integer daily counts; MASE is ONE double division. Scale shape:
+    * one (type, day) partial-agg rollup — O(types × days) series
+    * rows — then per-type lag windows over that tiny series and a
+    * one-row-per-type fold. */
+  def maseForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily
+      .withColumn("y7", lag(col("y"), 7).over(w))
+      .withColumn("y1", lag(col("y"), 1).over(w))
+    lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("y7").isNotNull, abs(col("y") - col("y7")))
+          .otherwise(lit(0L))).as("sae_seasonal"),
+        sum(when(col("y1").isNotNull, abs(col("y") - col("y1")))
+          .otherwise(lit(0L))).as("sae_naive1"),
+        count(col("y7")).as("n_eval7"), count(col("y1")).as("n_eval1"))
+      .select(col("event_type"), col("n_days"),
+        col("sae_seasonal").cast(LongType).as("sae_seasonal"),
+        col("sae_naive1").cast(LongType).as("sae_naive1"),
+        col("n_eval7"), col("n_eval1"),
+        when(col("sae_naive1") > 0 && col("n_eval7") > 0 && col("n_eval1") > 0,
+          (col("sae_seasonal").cast(DoubleType) / col("n_eval7"))
+            / (col("sae_naive1").cast(DoubleType) / col("n_eval1")))
+          .as("mase"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
     "q91_cohort_retention" -> cohortRetention,
@@ -1578,6 +1620,29 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q291: identical row-lag series; MASE mirrors the Spark division
+    // sequence verbatim
+    "q291_mase_forecast" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, y,
+        |        LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7,
+        |        LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1
+        |      FROM daily),
+        |s AS (SELECT event_type, COUNT(*) AS n_days,
+        |        CAST(SUM(CASE WHEN y7 IS NOT NULL THEN ABS(y - y7)
+        |          ELSE 0 END) AS BIGINT) AS sae_seasonal,
+        |        CAST(SUM(CASE WHEN y1 IS NOT NULL THEN ABS(y - y1)
+        |          ELSE 0 END) AS BIGINT) AS sae_naive1,
+        |        COUNT(y7) AS n_eval7, COUNT(y1) AS n_eval1
+        |      FROM l GROUP BY 1)
+        |SELECT event_type, n_days, sae_seasonal, sae_naive1,
+        |  n_eval7, n_eval1,
+        |  CASE WHEN sae_naive1 > 0 AND n_eval7 > 0 AND n_eval1 > 0 THEN
+        |    (CAST(sae_seasonal AS DOUBLE) / n_eval7)
+        |      / (CAST(sae_naive1 AS DOUBLE) / n_eval1) END AS mase
+        |FROM s ORDER BY event_type""".stripMargin,
     "q168_longest_streak" ->
       """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |  FROM events),

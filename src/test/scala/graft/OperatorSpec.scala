@@ -1963,6 +1963,26 @@ class OperatorSpec extends AnyFunSuite {
     rows.map(_.getLong(2)).sliding(2).foreach { case Array(x, y) => assert(x >= y) }
   }
 
+  test("mase forecast eval: error masses match a brute-force series walk") {
+    val rows = run("q291_mase_forecast").collect()
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "to_date(ts) as day")
+      .groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    assert(rows.map(_.getString(0)).toSet === daily.map(_._1).toSet)
+    rows.foreach { r =>
+      val ys = daily.filter(_._1 == r.getString(0)).sortBy(_._2.toEpochDay)
+        .map(_._3)
+      assert(r.getLong(1) === ys.length.toLong)
+      def sae(k: Int) = ys.drop(k).zip(ys.dropRight(k))
+        .map { case (y, yk) => math.abs(y - yk) }.sum
+      assert(r.getLong(2) === sae(7), s"${r.getString(0)} seasonal")
+      assert(r.getLong(3) === sae(1), s"${r.getString(0)} naive1")
+      assert(r.getLong(4) === math.max(ys.length - 7, 0).toLong)
+      assert(r.getLong(5) === math.max(ys.length - 1, 0).toLong)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
