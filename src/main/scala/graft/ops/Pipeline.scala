@@ -812,7 +812,55 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q292 — QUANTILE NORMALIZATION across sources (the microarray /
+    * batch-effect corrector applied to corpus stats): each doc's
+    * length is replaced by the POOLED distribution's value at the
+    * matching quantile of its OWN source, so every source ends up
+    * with the same length distribution while each doc keeps its
+    * within-source rank. The normalizer a mixture build applies
+    * before length-based curriculum (q273) or quality gates compare
+    * docs ACROSS feeds whose length profiles differ wholesale
+    * (q289's W1 tells you THAT they drifted; this removes it).
+    *
+    * Exactness: everything is a rank — the target index is the
+    * integer rule ceil(r·N/n_s), the mapped value an equi-join into
+    * the pooled rank table. No floats at all.
+    *
+    * Scale shape: the pooled rank is the shared two-level
+    * globalRankNoSort; the per-source rank comes from the (source,
+    * value)-histogram CDF plus a within-tie ordinal whose window
+    * partitions are tie groups — never one sorted partition per
+    * source (the skew trap of a naive PARTITION BY source
+    * row_number at 100 TB). */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").as("v"))
+    val pooled = Windows.globalRankNoSort(d, col("v"), col("doc_id"),
+      64L, "gr", "n").select(col("gr"), col("v").as("pv"))
+    val hist = d.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val wB = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wT = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = hist
+      .withColumn("below", coalesce(sum(col("c")).over(wB), lit(0L)))
+      .withColumn("ns", sum(col("c")).over(wT))
+      .drop("c")
+    val wTie = Window.partitionBy(col("source"), col("v"))
+      .orderBy(col("doc_id"))
+    d.withColumn("tie_rn", row_number().over(wTie).cast(LongType))
+      .join(cdf, Seq("source", "v"))
+      .withColumn("r", col("below") + col("tie_rn"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+      .withColumn("tgt", expr("(r * n + ns - 1) div ns"))
+      .join(pooled, col("tgt") === col("gr"))
+      .select(col("doc_id"), col("source"), col("v").as("n_chars"),
+        col("pv").as("v_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_quantile_normalize" -> quantileNormalize,
     "q280_leak_severity" -> leakSeverity,
     "q276_heldout_coverage" -> heldoutCoverage,
     "q273_curriculum_stages" -> curriculumStages,
@@ -1158,6 +1206,21 @@ object Pipeline {
     "q70_decontaminate" -> decontaminateOracle,
     "q81_bloom_decontaminate" -> decontaminateOracle,
     "q280_leak_severity" -> leakSeverityOracle,
+    // q292: oracle uses plain windows — same ranks, simpler plan
+    "q292_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars AS v FROM documents),
+        |p AS (SELECT v AS pv,
+        |        ROW_NUMBER() OVER (ORDER BY v, doc_id) AS gr FROM d),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |s AS (SELECT doc_id, source, v,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY v, doc_id) AS r,
+        |        COUNT(*) OVER (PARTITION BY source) AS ns
+        |      FROM d)
+        |SELECT s.doc_id, s.source, s.v AS n_chars, p.pv AS v_norm
+        |FROM s CROSS JOIN nn
+        |JOIN p ON p.gr = (s.r * nn.n + s.ns - 1) // s.ns
+        |ORDER BY s.doc_id""".stripMargin,
     "q71_rep_signals" ->
       """WITH tok AS (SELECT doc_id,
         |               UNNEST(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS tok

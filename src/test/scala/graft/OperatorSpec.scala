@@ -1983,6 +1983,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile normalize: rank-preserving within source, pooled value at matched quantile") {
+    val rows = run("q292_quantile_normalize").collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === docs.length)
+    val pooled = docs.sortBy(d => (d._3, d._1)).map(_._3)
+    val n = pooled.length.toLong
+    val bySource = docs.groupBy(_._2)
+    val normOf = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    bySource.foreach { case (_, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._1))
+      val ns = sorted.length.toLong
+      sorted.zipWithIndex.foreach { case (d, i) =>
+        val r = i + 1L
+        val tgt = (r * n + ns - 1) / ns
+        assert(normOf(d._1) === pooled((tgt - 1).toInt), s"doc ${d._1}")
+      }
+      // within-source order is preserved by the normalized value
+      sorted.map(d => normOf(d._1)).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b); case _ => ()
+      }
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
