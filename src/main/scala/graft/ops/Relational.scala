@@ -500,7 +500,44 @@ object Relational {
       .limit(20)
   }
 
+  /** q293 — ABC / PARETO classification of parts by revenue: rank
+    * parts by revenue DESC, take the exact cumulative revenue share,
+    * and cut classes at 80% (A) and 95% (B) — the inventory-priority
+    * readout behind "20% of SKUs carry 80% of revenue" (q155's Gini
+    * gives the one-number inequality; this names WHICH items are the
+    * head). Class membership is decided in EXACT integers by
+    * cross-multiplication (cum·100 ≤ 80·total), never a float share
+    * per row; the per-class shares at the end are one double division
+    * each.
+    *
+    * Scale shape: revenue rollup is one partial-agg on partkey; the
+    * cumulative curve rides [[Windows.globalCumSumNoSort]] (two-level
+    * prefix sum — per-bucket totals + broadcast offsets, NO global
+    * sorted window); the class rollup is O(parts) → 3 rows. */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val rev = load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(d2(col("l_extendedprice"))).as("money"))
+      .select(col("pk"), (col("money") * 100).cast(LongType).as("cents"))
+    val cum = Windows.globalCumSumNoSort(rev, -col("cents"), col("pk"),
+      col("cents"), 1L << 22, "cum", "tot")
+    val cls = cum.withColumn("abc_class",
+      when(col("cum") * 100 <= col("tot") * 80, lit("A"))
+        .when(col("cum") * 100 <= col("tot") * 95, lit("B"))
+        .otherwise(lit("C")))
+    cls.groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("cents")).as("revenue_cents"),
+        max(col("tot")).as("tot"))
+      .select(col("abc_class"), col("n_parts"),
+        col("revenue_cents").cast(LongType).as("revenue_cents"),
+        (col("revenue_cents").cast(DoubleType) / col("tot").cast(DoubleType))
+          .as("revenue_share"))
+      .orderBy(col("abc_class"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_abc_classification" -> abcClassification,
     "q290_copurchase_pairs" -> copurchasePairs,
     "q226_keyset_pagination" -> keysetPagination,
     "q227_lateral_alias" -> lateralAlias,
@@ -562,6 +599,25 @@ object Relational {
       |LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q293: oracle states the naive global-sorted window; the
+    // two-level prefix sum is the same total order
+    "q293_abc_classification" ->
+      """WITH rev AS (SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT pk, cents,
+        |        SUM(cents) OVER (ORDER BY cents DESC, pk) AS cum,
+        |        SUM(cents) OVER () AS tot FROM rev),
+        |k AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |             WHEN cum * 100 <= tot * 95 THEN 'B'
+        |             ELSE 'C' END AS abc_class,
+        |        cents, tot FROM c)
+        |SELECT abc_class, COUNT(*) AS n_parts,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(MAX(tot) AS BIGINT) AS DOUBLE) AS revenue_share
+        |FROM k GROUP BY 1 ORDER BY abc_class""".stripMargin,
     "q290_copurchase_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |           FROM lineitem),

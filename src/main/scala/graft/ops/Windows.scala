@@ -89,6 +89,38 @@ object Windows {
            |END""".stripMargin))
       .drop("_rank", "_nt")
 
+  /** GLOBAL RUNNING SUM without a global sort — [[globalRankNoSort]]'s
+    * two-level trick carried to prefix sums: per-bucket totals roll
+    * into broadcast cumulative offsets (the only unpartitioned window
+    * runs over O(buckets) rows), the intra-bucket running sum runs in
+    * parallel per bucket, and the global prefix sum is offset +
+    * in-bucket sum. `value` orders (ascending; negate for DESC),
+    * `tie` totalizes, `weight` is what gets summed (Long). Appends
+    * `cumOut` (inclusive prefix sum) and `totOut` (grand total).
+    * Serves q293's Pareto share curve. */
+  private[graft] def globalCumSumNoSort(df: DataFrame, value: Column,
+      tie: Column, weight: Column, bucketWidth: Long,
+      cumOut: String, totOut: String): DataFrame = {
+    val b = df.withColumn("_v", value).withColumn("_t", tie)
+      .withColumn("_w", weight)
+      .withColumn("_bkt",
+        floor(col("_v").cast(DoubleType) / bucketWidth).cast(LongType))
+    val sums = b.groupBy(col("_bkt")).agg(sum(col("_w")).as("_s"))
+    val wOff = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = sums
+      .withColumn("_off", coalesce(sum(col("_s")).over(wOff), lit(0L)))
+      .withColumn("_tot", sum(col("_s")).over(wAll)).drop("_s")
+    val wIn = Window.partitionBy(col("_bkt")).orderBy(col("_v"), col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offs), "_bkt")
+      .withColumn(cumOut, col("_off") + sum(col("_w")).over(wIn))
+      .withColumn(totOut, col("_tot"))
+      .drop("_v", "_t", "_w", "_bkt", "_off", "_tot")
+  }
+
   /** RFM SEGMENTATION: customers scored 1–4 on Recency (days since
     * last order), Frequency (order count) and Monetary (lifetime
     * spend), rolled up to segment sizes + revenue — the classic CRM

@@ -2008,6 +2008,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("abc classification: classes partition parts, boundaries honor the 80/95 rule") {
+    val rows = run("q293_abc_classification").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("A", "B", "C"))
+    val rev = Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_partkey", "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) as cents")
+      .groupBy("l_partkey").agg(sum("cents").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = rev.sortBy(x => (-x._2, x._1))
+    val tot = sorted.map(_._2).sum
+    var cum = 0L
+    val classes = sorted.map { case (_, c) =>
+      cum += c
+      if (cum * 100 <= tot * 80) "A" else if (cum * 100 <= tot * 95) "B" else "C"
+    }
+    val expect = classes.groupBy(identity).view.mapValues(_.length.toLong)
+    rows.foreach { r =>
+      assert(r.getLong(1) === expect(r.getString(0)), r.getString(0))
+    }
+    assert(rows.map(_.getLong(1)).sum === rev.length.toLong)
+    assert(rows.map(_.getLong(2)).sum === tot)
+    // head class carries the dominant share
+    assert(rows.head.getDouble(3) > rows.last.getDouble(3))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
