@@ -311,7 +311,41 @@ object Windows {
       .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
   }
 
+  /** q294 — DECILE MIGRATION matrix: customers' lifetime-spend decile
+    * in the first half of the order period (orderdate < 1998-07-01)
+    * crossed with their decile in the second half — the churn/growth
+    * readout behind "did our top decile stay top?". Decile 0 means
+    * inactive in that half (kept by the full-outer join — silently
+    * dropping them is exactly the churn you came to measure). Both
+    * decile assignments ride [[ntileNoGlobalSort]] (equal to standard
+    * NTILE(10) over (cents, custkey) — the rfm/q251 contract), so
+    * nothing funnels through a single sorted partition.
+    *
+    * Scale shape: two partial-agg spend rollups, two two-level ntile
+    * passes, ONE full-outer key join, and an O(11²)-row matrix
+    * rollup. Money exact in cents throughout. */
+  def decileMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"), col("o_orderdate").as("dt"),
+        d2(col("o_totalprice")).as("m"))
+    val split = to_date(lit("1998-07-01"))
+    def half(pred: Column, out: String): DataFrame = {
+      val s = o.filter(pred).groupBy(col("ck"))
+        .agg((sum(col("m")) * 100).cast(LongType).as("cents"))
+      ntileNoGlobalSort(s, col("cents"), col("ck"), 10, 1L << 22, out)
+        .select(col("ck"), col(out).cast(LongType).as(out))
+    }
+    half(col("dt") < split, "d1")
+      .join(half(col("dt") >= split, "d2"), Seq("ck"), "full_outer")
+      .select(coalesce(col("d1"), lit(0L)).as("decile_h1"),
+        coalesce(col("d2"), lit(0L)).as("decile_h2"))
+      .groupBy(col("decile_h1"), col("decile_h2"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("decile_h1"), col("decile_h2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_decile_migration" -> decileMigration,
     "q16_window_topn" -> topOrdersPerCustomer,
     "q17_window_running_sum" -> runningQuantityPerSupplier,
     "q18_window_analytics" -> orderHistoryAnalytics,
@@ -325,6 +359,26 @@ object Windows {
     "q187_running_distinct" -> runningDistinctTypes)
 
   val oracles: Map[String, String] = Map(
+    // q294: the oracle states the naive NTILE windows; the two-level
+    // ntile is pinned equal to standard NTILE on the same total order
+    "q294_decile_migration" ->
+      """WITH o AS (SELECT o_custkey AS ck, o_orderdate AS dt,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS m FROM orders),
+        |h1 AS (SELECT ck, CAST(SUM(m) * 100 AS BIGINT) AS cents
+        |       FROM o WHERE dt < DATE '1998-07-01' GROUP BY 1),
+        |n1 AS (SELECT ck,
+        |        CAST(NTILE(10) OVER (ORDER BY cents, ck) AS BIGINT) AS d1
+        |       FROM h1),
+        |h2 AS (SELECT ck, CAST(SUM(m) * 100 AS BIGINT) AS cents
+        |       FROM o WHERE dt >= DATE '1998-07-01' GROUP BY 1),
+        |n2 AS (SELECT ck,
+        |        CAST(NTILE(10) OVER (ORDER BY cents, ck) AS BIGINT) AS d2
+        |       FROM h2)
+        |SELECT COALESCE(d1, 0) AS decile_h1, COALESCE(d2, 0) AS decile_h2,
+        |  COUNT(*) AS n_customers
+        |FROM n1 FULL JOIN n2 USING (ck)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // set semantics: the distinct count is frame-order-independent, so
     // DuckDB's native COUNT(DISTINCT) OVER equals Spark's
     // size(collect_set() OVER) on the same total order

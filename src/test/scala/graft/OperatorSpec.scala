@@ -2032,6 +2032,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.head.getDouble(3) > rows.last.getDouble(3))
   }
 
+  test("decile migration: cells partition customers, deciles near-equal-frequency") {
+    val rows = run("q294_decile_migration").collect()
+    val custs = Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === custs, "every active customer lands in one cell")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 10L)
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 10L)
+    }
+    // per-half decile sizes differ by at most 1 (NTILE contract), half 1
+    val h1Sizes = rows.filter(_.getLong(0) > 0L).groupBy(_.getLong(0))
+      .map { case (_, g) => g.map(_.getLong(2)).sum }
+    assert(h1Sizes.max - h1Sizes.min <= 1L, h1Sizes.toSeq.sorted.toString)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
