@@ -622,4 +622,45 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("partial_min"), plan)
   }
+
+  test("q282/q283 repetition signals aggregate partially and never shuffle text") {
+    Seq("q282_repeated_bigram_mass", "q283_simpson_diversity").foreach { q =>
+      val plan = formatted(run(q))
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$q\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+    }
+  }
+
+  test("q285 incremental dedup probes the band index on equi keys (no nested loop)") {
+    val plan = formatted(run("q285_incremental_dedup"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q290 copurchase pairs ride the basket equi-join; top-20 is a bounded sort") {
+    val plan = formatted(run("q290_copurchase_pairs"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q293 abc classification's only unpartitioned window runs over bucket rows") {
+    // the per-row cumulative sum must ride the bucket-partitioned
+    // window; the O(buckets) offset window is the single exception
+    val plan = formatted(run("q293_abc_classification"))
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q292 quantile normalize maps through equi-joins only") {
+    val plan = formatted(run("q292_quantile_normalize"))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q287/q289 histogram-CDF audits pre-aggregate before their windows") {
+    Seq("q287_iqr_outliers", "q289_wasserstein_drift").foreach { q =>
+      val plan = formatted(run(q))
+      assert(plan.contains("partial_count"), s"$q\n$plan")
+    }
+  }
 }
