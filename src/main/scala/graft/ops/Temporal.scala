@@ -493,7 +493,66 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** q296 — OUT-OF-ORDER LATENESS histogram: for each event, how far
+    * its event time lags the maximum event time already seen in
+    * ARRIVAL order — THE watermark-tuning readout:
+    * `withWatermark("ts", X)` silently drops every event whose
+    * lateness exceeds X, so you read this histogram FIRST and pick
+    * the band that covers the mass you can't afford to lose (the
+    * §2.10 streaming family consumes the number; this batch audit
+    * produces it). The corpus' event_id order is perfectly
+    * time-sorted, so arrival models the transport that actually
+    * causes lateness: events ship in 256-event micro-batches within
+    * which each connection's (user's) rows arrive contiguously —
+    * arrival order (batch, user_id, event_id), the per-connection
+    * regrouping every fan-in collector exhibits.
+    *
+    * The running prefix-max rides the SAME two-level shape as
+    * globalRankNoSort/globalCumSumNoSort (max is associative): per
+    * batch maxima roll into broadcast prefix offsets (the only
+    * unpartitioned window is O(batches)), the intra-batch running
+    * max runs in parallel, and prev-max = greatest(batch prefix,
+    * intra max). All integer microseconds; the first arrival (no
+    * predecessor, sentinel −1) is excluded in both engines.
+    * Output: O(bands). */
+  def latenessHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("event_id"), col("user_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .withColumn("blk", expr("event_id div 256"))
+    val blkMax = e.groupBy(col("blk")).agg(max(col("us")).as("bm"))
+    val wOff = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blkMax
+      .withColumn("off", coalesce(max(col("bm")).over(wOff), lit(-1L)))
+      .drop("bm")
+    val wIn = Window.partitionBy(col("blk"))
+      .orderBy(col("user_id"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = e.join(broadcast(offs), "blk")
+      .withColumn("intra", coalesce(max(col("us")).over(wIn), lit(-1L)))
+      .withColumn("prevmax", greatest(col("off"), col("intra")))
+      .filter(col("prevmax") >= 0)
+      .withColumn("late_us", greatest(lit(0L), col("prevmax") - col("us")))
+    late.select(col("late_us"),
+      when(col("late_us") === 0, struct(lit(0L).as("band_rank"),
+        lit("on_time").as("band")))
+        .when(col("late_us") <= 60L * 1000000L,
+          struct(lit(1L).as("band_rank"), lit("lt_1m").as("band")))
+        .when(col("late_us") <= 600L * 1000000L,
+          struct(lit(2L).as("band_rank"), lit("lt_10m").as("band")))
+        .when(col("late_us") <= 3600L * 1000000L,
+          struct(lit(3L).as("band_rank"), lit("lt_1h").as("band")))
+        .otherwise(struct(lit(4L).as("band_rank"), lit("gte_1h").as("band")))
+        .as("b"))
+      .groupBy(col("b.band_rank").as("band_rank"), col("b.band").as("band"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("ml"))
+      .select(col("band_rank"), col("band"), col("n_events"),
+        expr("ml div 1000000").as("max_late_s"))
+      .orderBy(col("band_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_lateness_histogram" -> latenessHistogram,
     "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
@@ -1620,6 +1679,35 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q296: the oracle states the naive global prefix-max window; the
+    // two-level block/offset form computes the same running max
+    "q296_lateness_histogram" ->
+      """WITH e AS (SELECT event_id, user_id, event_id // 256 AS blk,
+        |    epoch_us(ts) AS us FROM events),
+        |p AS (SELECT event_id, us,
+        |        COALESCE(MAX(us) OVER (ORDER BY blk, user_id, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |          AS prevmax
+        |      FROM e),
+        |l AS (SELECT GREATEST(0, prevmax - us) AS late_us FROM p
+        |      WHERE prevmax >= 0),
+        |b AS (SELECT late_us,
+        |        CASE WHEN late_us = 0 THEN 0
+        |             WHEN late_us <= CAST(60000000 AS BIGINT) THEN 1
+        |             WHEN late_us <= CAST(600000000 AS BIGINT) THEN 2
+        |             WHEN late_us <= CAST(3600000000 AS BIGINT) THEN 3
+        |             ELSE 4 END AS band_rank,
+        |        CASE WHEN late_us = 0 THEN 'on_time'
+        |             WHEN late_us <= CAST(60000000 AS BIGINT) THEN 'lt_1m'
+        |             WHEN late_us <= CAST(600000000 AS BIGINT) THEN 'lt_10m'
+        |             WHEN late_us <= CAST(3600000000 AS BIGINT) THEN 'lt_1h'
+        |             ELSE 'gte_1h' END AS band
+        |      FROM l)
+        |SELECT CAST(band_rank AS BIGINT) AS band_rank, band,
+        |  COUNT(*) AS n_events,
+        |  CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s
+        |FROM b GROUP BY 1, 2
+        |ORDER BY band_rank""".stripMargin,
     // q291: identical row-lag series; MASE mirrors the Spark division
     // sequence verbatim
     "q291_mase_forecast" ->

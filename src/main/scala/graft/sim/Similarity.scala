@@ -980,7 +980,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q295 — IVF INDEX MAINTENANCE for a delta batch: the vector-side
+    * twin of q285's incremental ingest. New vectors (vec_id % 10 == 0)
+    * are assigned to the EXISTING quantizer — centroids built from the
+    * base corpus only, the production invariant: a delta never retrains
+    * the quantizer mid-flight — and the per-bucket report (base size,
+    * delta growth, total) carries the REBALANCE flag an index operator
+    * acts on: a bucket holding more than 2× the mean (n_total·k >
+    * 2·N, exact integer cross-multiplication) is the probe-latency
+    * hot spot that schedules a split/retrain. Empty buckets survive
+    * via the left joins — a centroid nothing maps to anymore is the
+    * other maintenance signal.
+    *
+    * Scale shape: two O(n·k) assignment passes (broadcast centroids),
+    * two O(k) count rollups, output O(k). The delta pass touches only
+    * the batch. */
+  def ivfMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val base = v.filter(col("vec_id") % 10 =!= 0)
+    val delta = v.filter(col("vec_id") % 10 === 0)
+    val cent = hashCentroids(base)
+    val nb = assignToCentroids(base, cent)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+    val nd = assignToCentroids(delta, cent)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_delta"))
+    cent.select(col("cid"))
+      .join(nb, Seq("cid"), "left")
+      .join(nd, Seq("cid"), "left")
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("nn"))))
+      .select(col("cid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"), col("nn"))
+      .withColumn("n_total", col("n_base") + col("n_delta"))
+      .withColumn("needs_split",
+        col("n_total") * IvfK > lit(2L) * col("nn"))
+      .drop("nn")
+      .orderBy(col("cid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_ivf_maintenance" -> ivfMaintenance,
     "q284_semantic_dedup" -> semanticDedup,
     "q281_fisher_separation" -> fisherSeparation,
     "q234_ann_recall" -> annRecall,
@@ -1211,6 +1250,39 @@ object Similarity {
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q295: base-only quantizer (the frozen-index invariant), both
+    // assignment passes mirror asg0's tie rule (csim DESC, cid DESC)
+    "q295_ivf_maintenance" ->
+      s"""WITH v AS ($vSql),
+        |vb AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+        |vd AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        |cent AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn FROM vb
+        |         ORDER BY ${phashSql("CAST(vec_id AS VARCHAR)")}, vec_id
+        |         LIMIT ${IvfK}),
+        |ab0 AS (SELECT vb.vec_id, cent.cid,
+        |          ROW_NUMBER() OVER (PARTITION BY vb.vec_id ORDER BY
+        |            ${cosSql(dotSql("vb.embedding", "ce"), "vb.n2", "cn")} DESC,
+        |            cid DESC) AS arn
+        |        FROM vb, cent),
+        |nb AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_base
+        |       FROM ab0 WHERE arn = 1 GROUP BY 1),
+        |ad0 AS (SELECT vd.vec_id, cent.cid,
+        |          ROW_NUMBER() OVER (PARTITION BY vd.vec_id ORDER BY
+        |            ${cosSql(dotSql("vd.embedding", "ce"), "vd.n2", "cn")} DESC,
+        |            cid DESC) AS arn
+        |        FROM vd, cent),
+        |nd AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_delta
+        |       FROM ad0 WHERE arn = 1 GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+        |SELECT cent.cid, COALESCE(nb.n_base, 0) AS n_base,
+        |  COALESCE(nd.n_delta, 0) AS n_delta,
+        |  COALESCE(nb.n_base, 0) + COALESCE(nd.n_delta, 0) AS n_total,
+        |  (COALESCE(nb.n_base, 0) + COALESCE(nd.n_delta, 0)) * ${IvfK}
+        |    > 2 * nn.n AS needs_split
+        |FROM cent LEFT JOIN nb ON nb.cid = cent.cid
+        |     LEFT JOIN nd ON nd.cid = cent.cid
+        |     CROSS JOIN nn
+        |ORDER BY cent.cid""".stripMargin,
     // q284: q99's pair CTE verbatim as the edge set, then the q67
     // transitive-reachability labeling (LEAST(src, MIN(reachable)))
     "q284_semantic_dedup" ->

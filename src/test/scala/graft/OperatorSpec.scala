@@ -2047,6 +2047,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(h1Sizes.max - h1Sizes.min <= 1L, h1Sizes.toSeq.sorted.toString)
   }
 
+  test("ivf maintenance: one row per centroid, counts partition base and delta") {
+    val rows = run("q295_ivf_maintenance").collect()
+    assert(rows.length === 32, "IvfK centroid rows")
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val nDelta = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(rows.map(_.getLong(1)).sum === n - nDelta, "base mass")
+    assert(rows.map(_.getLong(2)).sum === nDelta, "delta mass")
+    rows.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1) + r.getLong(2))
+      assert(r.getBoolean(4) === (r.getLong(3) * 32 > 2 * n), r.toString)
+    }
+  }
+
+  test("lateness histogram: bands partition late-able events, brute-force prefix max agrees") {
+    val rows = run("q296_lateness_histogram").collect()
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id",
+        "unix_micros(cast(ts as timestamp)) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(e => (e._1 / 256, e._2, e._1)) // arrival: (batch, user, id)
+    assert(rows.map(_.getLong(2)).sum === ev.length.toLong - 1,
+      "every event except the first arrival is scored")
+    var prevmax = Long.MinValue
+    val lates = ev.flatMap { case (_, _, us) =>
+      val l = if (prevmax == Long.MinValue) None
+        else Some(math.max(0L, prevmax - us))
+      prevmax = math.max(prevmax, us)
+      l
+    }
+    assert(lates.exists(_ > 0L), "the arrival model must produce real disorder")
+    def band(l: Long): Long =
+      if (l == 0) 0 else if (l <= 60000000L) 1 else if (l <= 600000000L) 2
+      else if (l <= 3600000000L) 3 else 4
+    val expect = lates.groupBy(band).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === expect(r.getLong(0)), r.getString(1))
+      val maxL = lates.filter(l => band(l) == r.getLong(0)).max
+      assert(r.getLong(3) === maxL / 1000000L)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
