@@ -1043,7 +1043,44 @@ object Streams {
       runToMemory(spark, agg, "graft_stream_bitmap"))
   }
 
+  /** q297 — STREAMING EXACT QUANTILES via histogram state: the stream
+    * maintains only the (event_type, cents) value HISTOGRAM as its
+    * aggregation state — bounded by the VALUE DOMAIN (~types × 20k
+    * cells), never by the row count — and the exact discrete quartiles
+    * (q287's ceil(k·n/4) rule, same machinery) finalize from that
+    * state. The design statement: when the domain is bounded you need
+    * NO approximate sketch (t-digest/GK) to get percentiles from an
+    * unbounded stream — the histogram is a commutative monoid, so the
+    * streamed state equals the batch rollup bit-for-bit and the gate
+    * proves it. Complete-mode memory sink materializes the final
+    * state under AvailableNow; an unbounded deployment emits the same
+    * state in update mode to an upsert sink. */
+  def streamQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = eventsStream(spark, dir)
+      .select(col("event_type"),
+        (d2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val h = runToMemory(spark, hist, "graft_stream_quartiles")
+    val wCdf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Long.MinValue, 0)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    h.withColumn("cum", sum(col("c")).over(wCdf))
+      .withColumn("n_grp", sum(col("c")).over(wTot))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_grp")).cast("long").as("n"),
+        min(when(col("cum") >= expr("(n_grp + 3) div 4"), col("cents")))
+          .as("q1_cents"),
+        min(when(col("cum") >= expr("(3 * n_grp + 3) div 4"), col("cents")))
+          .as("q3_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_stream_quartiles" -> streamQuartiles,
     "q188_stream_merge" -> streamMerge,
     "q198_stream_tws_totals" -> streamRunningTotals,
     "q199_stream_tws_distinct" -> streamDistinctTypes,
@@ -1092,6 +1129,24 @@ object Streams {
     * bit-for-bit (q104 reuses q39's oracle STRING so they can never
     * fork). */
   val oracles: Map[String, String] = Map(
+    // q297: the streamed histogram state must finalize to the exact
+    // batch quartiles — q287's ceil(k·n/4) rule, quartile columns only
+    "q297_stream_quartiles" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT event_type, cents, COUNT(*) AS c
+        |      FROM e GROUP BY 1, 2),
+        |cdf AS (SELECT event_type, cents, c,
+        |          SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |          SUM(c) OVER (PARTITION BY event_type) AS n_grp
+        |        FROM h)
+        |SELECT event_type, CAST(MAX(n_grp) AS BIGINT) AS n,
+        |  MIN(CASE WHEN cum >= (n_grp + 3) // 4 THEN cents END) AS q1_cents,
+        |  MIN(CASE WHEN cum >= (3 * n_grp + 3) // 4 THEN cents END)
+        |    AS q3_cents
+        |FROM cdf GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     // q278: the 4-batch incremental sketch merge must equal the
     // one-shot per-source signature (element-wise min is order-free) —
     // same CTE machinery as the q74/q275 batch oracles

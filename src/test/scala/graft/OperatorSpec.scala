@@ -2089,6 +2089,14 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("stream quartiles: streamed histogram state finalizes to the batch quartiles") {
+    val s = run("q297_stream_quartiles").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val b = run("q287_iqr_outliers").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(s === b, "stream state must equal the batch rollup exactly")
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
