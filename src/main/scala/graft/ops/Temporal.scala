@@ -551,7 +551,57 @@ object Temporal {
       .orderBy(col("band_rank"))
   }
 
+  /** q298 — MARKOV NEXT-EVENT PREDICTION, evaluated in-engine: train
+    * the order-1 model (most frequent successor per current type,
+    * q141's transition counts) on the FIRST time half (q207's
+    * integer-microsecond midpoint split, anchored at the current
+    * event), predict every second-half transition, and score per-type
+    * accuracy — the complete train/predict/evaluate loop of the
+    * simplest sequence model, run as three aggregations with no ML
+    * runtime. The baseline number any sequence model must beat, and
+    * the leakage discipline (the model never sees an eval-half
+    * anchor) is the point.
+    *
+    * Determinism: the argmax successor is rank-1 of (count DESC,
+    * next_type) — total order, same rule both engines; counts exact
+    * BIGINT; accuracy ONE division. Scale shape: transitions ride ONE
+    * user-key shuffle (q141's lead window); the model is O(types²)
+    * counts → O(types) rows, broadcast to the eval join. */
+  def markovEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+          .as("us"))
+    val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val pairs = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("is_train", col("us") <= expr("(lo + hi) DIV 2"))
+    val wArg = Window.partitionBy(col("event_type"))
+      .orderBy(col("c").desc, col("next_type"))
+    val model = pairs.filter(col("is_train"))
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("next_type").as("pred_type"))
+    pairs.filter(!col("is_train"))
+      .join(broadcast(model), Seq("event_type"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred_type") === col("next_type"), lit(1L))
+          .otherwise(lit(0L))).as("n_hits"))
+      .select(col("event_type"), col("n_eval"),
+        col("n_hits").cast(LongType).as("n_hits"),
+        (col("n_hits").cast(DoubleType) / col("n_eval")).as("accuracy"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_markov_eval" -> markovEval,
     "q296_lateness_histogram" -> latenessHistogram,
     "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
@@ -1679,6 +1729,32 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q298: identical midpoint split, argmax rule, and eval join
+    "q298_markov_eval" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |p0 AS (SELECT user_id, event_type, us,
+        |        LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS next_type
+        |      FROM ev),
+        |p AS (SELECT p0.*, us <= (lo + hi) // 2 AS is_train
+        |      FROM p0 CROSS JOIN b WHERE next_type IS NOT NULL),
+        |tc AS (SELECT event_type, next_type, COUNT(*) AS c
+        |       FROM p WHERE is_train GROUP BY 1, 2),
+        |m AS (SELECT event_type, next_type AS pred_type FROM (
+        |        SELECT event_type, next_type,
+        |          ROW_NUMBER() OVER (PARTITION BY event_type
+        |            ORDER BY c DESC, next_type) AS rn
+        |        FROM tc) WHERE rn = 1)
+        |SELECT p.event_type, COUNT(*) AS n_eval,
+        |  CAST(SUM(CASE WHEN m.pred_type = p.next_type THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN m.pred_type = p.next_type THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS accuracy
+        |FROM p LEFT JOIN m USING (event_type)
+        |WHERE NOT is_train
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q296: the oracle states the naive global prefix-max window; the
     // two-level block/offset form computes the same running max
     "q296_lateness_histogram" ->

@@ -2097,6 +2097,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(s === b, "stream state must equal the batch rollup exactly")
   }
 
+  test("markov eval: accuracy is hits/evals, model argmax matches brute force") {
+    val rows = run("q298_markov_eval").collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val (lo, hi) = (ev.map(_._4).min, ev.map(_._4).max)
+    val mid = Math.floorDiv(lo + hi, 2L)
+    val pairs = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._4, e._2))
+      s.zip(s.drop(1)).map { case (a, b) => (a._3, b._3, a._4) }
+    }.toSeq
+    val model = pairs.filter(_._3 <= mid).groupBy(_._1).map { case (t, g) =>
+      t -> g.groupBy(_._2).toSeq.map { case (nt, xs) => (xs.size, nt) }
+        .sortBy { case (c, nt) => (-c, nt) }.head._2
+    }
+    val evalP = pairs.filter(_._3 > mid)
+    rows.foreach { r =>
+      val mine = evalP.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) === mine.size.toLong)
+      val hits = mine.count(p => model.get(p._1).contains(p._2))
+      assert(r.getLong(2) === hits.toLong, r.getString(0))
+      assert(r.getDouble(3) === hits.toDouble / mine.size)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
