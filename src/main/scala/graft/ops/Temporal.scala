@@ -600,7 +600,44 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** q299 — RETENTION HALF-LIFE per cohort: the first day offset at
+    * which a cohort retains fewer than half its day-0 users — the
+    * single decay number product reviews quote, distilled from q91's
+    * full retention matrix (which this query composes verbatim, so
+    * matrix and summary can never disagree). The offset grid is
+    * DENSIFIED to 0..7 before the scan — a day with ZERO returning
+    * users has no q91 row, yet it is precisely a below-half day, so
+    * skipping densification would silently overestimate longevity.
+    * The 50% cut is exact-integer (n_users·2 < n0), never a float
+    * retention rate per row; day-7 retention ships beside it with ONE
+    * division.
+    *
+    * Scale shape: q91's rollup (one user-key shuffle) + an
+    * O(cohorts × 8) dense grid join + one cohort rollup. */
+  def retentionHalfLife(spark: SparkSession, dir: String): DataFrame = {
+    val grid = cohortRetention(spark, dir)
+    val n0 = grid.filter(col("k") === 0)
+      .select(col("cohort_day"), col("n_users").as("n0"))
+    n0.select(col("cohort_day"), col("n0"),
+        explode(sequence(lit(0L), lit(7L))).as("k"))
+      .join(grid, Seq("cohort_day", "k"), "left")
+      .withColumn("n_users", coalesce(col("n_users"), lit(0L)))
+      .groupBy(col("cohort_day"))
+      .agg(max(col("n0")).as("cohort_size"),
+        min(when(col("k") >= 1 && col("n_users") * 2 < col("n0"),
+          col("k"))).as("half_life_day"),
+        sum(when(col("k") === 7, col("n_users")).otherwise(lit(0L)))
+          .as("n_day7"))
+      .select(col("cohort_day"), col("cohort_size"),
+        col("half_life_day"),
+        col("n_day7").cast(LongType).as("n_day7"),
+        (col("n_day7").cast(DoubleType) / col("cohort_size"))
+          .as("day7_retention"))
+      .orderBy(col("cohort_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_retention_half_life" -> retentionHalfLife,
     "q298_markov_eval" -> markovEval,
     "q296_lateness_histogram" -> latenessHistogram,
     "q291_mase_forecast" -> maseForecastEval,
@@ -1729,6 +1766,32 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q299: q91's CTEs verbatim + the densified 0..7 grid
+    "q299_retention_half_life" ->
+      """WITH du AS (SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id
+        |            FROM events),
+        |cohorts AS (SELECT user_id, MIN(day) AS cohort_day
+        |            FROM du GROUP BY 1),
+        |g AS (SELECT c.cohort_day, DATE_DIFF('day', c.cohort_day, u.day) AS k,
+        |        COUNT(DISTINCT u.user_id) AS n_users
+        |      FROM du u JOIN cohorts c ON u.user_id = c.user_id
+        |      WHERE DATE_DIFF('day', c.cohort_day, u.day) <= 7
+        |      GROUP BY 1, 2),
+        |n0 AS (SELECT cohort_day, n_users AS n0 FROM g WHERE k = 0),
+        |dense AS (SELECT n0.cohort_day, n0.n0, s.k,
+        |            COALESCE(g.n_users, 0) AS n_users
+        |          FROM n0
+        |          CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS k) s
+        |          LEFT JOIN g ON g.cohort_day = n0.cohort_day
+        |            AND g.k = s.k)
+        |SELECT cohort_day, CAST(MAX(n0) AS BIGINT) AS cohort_size,
+        |  CAST(MIN(CASE WHEN k >= 1 AND n_users * 2 < n0 THEN k END)
+        |    AS BIGINT) AS half_life_day,
+        |  CAST(SUM(CASE WHEN k = 7 THEN n_users ELSE 0 END) AS BIGINT)
+        |    AS n_day7,
+        |  CAST(SUM(CASE WHEN k = 7 THEN n_users ELSE 0 END) AS DOUBLE)
+        |    / CAST(MAX(n0) AS BIGINT) AS day7_retention
+        |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
     // q298: identical midpoint split, argmax rule, and eval join
     "q298_markov_eval" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, ts,

@@ -2124,6 +2124,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("retention half-life: reconciles with the q91 matrix incl. densified zero days") {
+    val grid = run("q91_cohort_retention").collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+    val rows = run("q299_retention_half_life").collect()
+    assert(rows.map(_.get(0).toString).toSet === grid.filter(_._2 == 0L).map(_._1).toSet)
+    rows.foreach { r =>
+      val c = r.get(0).toString
+      val byK = grid.filter(_._1 == c).map(x => x._2 -> x._3).toMap
+      val n0 = byK(0L)
+      assert(r.getLong(1) === n0)
+      val hl = (1L to 7L).find(k => byK.getOrElse(k, 0L) * 2 < n0)
+      if (hl.isEmpty) assert(r.isNullAt(2), s"$c half-life should be null")
+      else assert(r.getLong(2) === hl.get, c)
+      assert(r.getLong(3) === byK.getOrElse(7L, 0L))
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
