@@ -636,7 +636,35 @@ object Temporal {
       .orderBy(col("cohort_day"))
   }
 
+  /** q300 — TIMEZONE-CORRECT local-hour activity profile: events
+    * bucketed by each user's LOCAL wall-clock hour (home zone assigned
+    * deterministically per user), not the warehouse's UTC hour — the
+    * difference between "traffic peaks at 19:00 in every market" and
+    * the UTC-naive smear every global rollup sees. Conversion is
+    * full-IANA (`from_utc_timestamp` with a per-row zone COLUMN), so
+    * DST transitions inside the corpus window shift the mapping
+    * mid-range exactly as real clocks do — both engines resolve rules
+    * from the same tzdata, and the oracle's
+    * `timezone(tz, ts::TIMESTAMPTZ)` is the identical UTC→local
+    * direction under the pinned-UTC session both sides run with.
+    *
+    * Scale shape: one codegen'd projection (zone lookup + convert +
+    * hour) and one partial-agg rollup to O(zones × 24) rows. */
+  def localHourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val tzs = array(lit("UTC"), lit("America/New_York"),
+      lit("Europe/Paris"), lit("Asia/Tokyo"))
+    events(spark, dir)
+      .withColumn("tz", element_at(tzs, (col("user_id") % 4).cast("int") + 1))
+      .withColumn("local_hour",
+        hour(from_utc_timestamp(col("ts").cast(TimestampType), col("tz")))
+          .cast(LongType))
+      .groupBy(col("tz"), col("local_hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("tz"), col("local_hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_local_hour_profile" -> localHourProfile,
     "q299_retention_half_life" -> retentionHalfLife,
     "q298_markov_eval" -> markovEval,
     "q296_lateness_histogram" -> latenessHistogram,
@@ -1766,6 +1794,19 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q300: same zone table, same UTC→local direction (session tz is
+    // UTC in both engines' containers)
+    "q300_local_hour_profile" ->
+      """WITH e AS (SELECT ts,
+        |    (['UTC', 'America/New_York', 'Europe/Paris', 'Asia/Tokyo'])
+        |      [CAST(user_id % 4 AS INT) + 1] AS tz
+        |  FROM events)
+        |SELECT tz,
+        |  CAST(HOUR(timezone(tz, ts::TIMESTAMPTZ)) AS BIGINT)
+        |    AS local_hour,
+        |  COUNT(*) AS n_events
+        |FROM e GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q299: q91's CTEs verbatim + the densified 0..7 grid
     "q299_retention_half_life" ->
       """WITH du AS (SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id

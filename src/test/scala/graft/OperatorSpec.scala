@@ -2141,6 +2141,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("local hour profile: masses reconcile per zone, non-UTC zones actually shift") {
+    val rows = run("q300_local_hour_profile").collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 23L)
+    }
+    // UTC rows must equal the plain hour() histogram for users % 4 == 0
+    val utc = Tables.events(spark, sf).filter(col("user_id") % 4 === 0)
+      .selectExpr("cast(hour(ts) as bigint) as h").groupBy("h").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mineUtc = rows.filter(_.getString(0) == "UTC")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(mineUtc === utc)
+    // Tokyo (UTC+9, no DST) is a pure rotation of its users' UTC histogram
+    val tokyoUtc = Tables.events(spark, sf).filter(col("user_id") % 4 === 3)
+      .selectExpr("cast(hour(ts) as bigint) as h").groupBy("h").count()
+      .collect().map(r => (r.getLong(0) + 9L) % 24L -> r.getLong(1)).toMap
+    val mineTokyo = rows.filter(_.getString(0) == "Asia/Tokyo")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(mineTokyo === tokyoUtc)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
