@@ -1409,7 +1409,38 @@ object Dedup {
       .orderBy(col("new_doc"))
   }
 
+  /** q302 — NEAR-DUP PAIR EVIDENCE: q33's exact pairs re-emitted as a
+    * reviewable artifact — shared-shingle count, the Jaccard, and one
+    * concrete EXHIBIT (the lexicographically smallest shared shingle)
+    * per pair. Dedup decisions that delete training data need an
+    * audit trail a human can spot-check without re-running the
+    * pipeline; "these two docs share 17 trigrams, e.g. “the fast
+    * key”" is that trail. Same inverted-index reduction as q33 (the
+    * shuffle key stays the 8-byte hash; the shingle string rides as
+    * the payload only to the MIN aggregate), so pair set and scores
+    * can never diverge from the detector. */
+  def pairEvidence(spark: SparkSession, dir: String): DataFrame = {
+    val inv = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), shingles(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast(LongType).as("n"),
+        explode(col("shs")).as("sh"))
+      .withColumn("h", phash(col("sh")))
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("c"), min(col("a.sh")).as("evidence_shingle"))
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("c").as("n_shared"),
+        col("jaccard"), col("evidence_shingle"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_pair_evidence" -> pairEvidence,
     "q285_incremental_dedup" -> incrementalDedup,
     "q201_pagerank" -> pageRank,
     "q203_label_communities" -> labelCommunities,
@@ -1455,6 +1486,25 @@ object Dedup {
     .map { case (a, b) => s"{'a': ${a}, 'b': ${b}}" }.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // q302: q33's reduction joined on the shingle itself (injective
+    // with phash on this corpus — a collision would hash-mismatch)
+    "q302_pair_evidence" ->
+      s"""WITH t AS ($toksSql),
+        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        |inv AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n,
+        |          UNNEST(sh) AS sh FROM s),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             a.n AS na, b.n AS nb,
+        |             CAST(COUNT(*) AS BIGINT) AS c, MIN(a.sh) AS ev
+        |           FROM inv a JOIN inv b
+        |             ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, c AS n_shared,
+        |  CAST(c AS DOUBLE) / (na + nb - c) AS jaccard,
+        |  ev AS evidence_shingle
+        |FROM common
+        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q285: q31's signature/band CTEs with a delta/corpus split, then
     // the exact q33 shingle-set Jaccard on candidates only
     "q285_incremental_dedup" ->

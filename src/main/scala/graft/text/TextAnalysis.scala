@@ -68,20 +68,24 @@ object TextAnalysis {
     * hits from a tiny per-language marker lexicon, argmax via greatest
     * struct — one pass, no shuffle, no UDF. (An n-gram model slots in
     * the same shape; the corpus is synthetic so markers are heuristic.) */
+  /** Marker lexicon shared by q28/q268/q301 — one definition so the
+    * detector and every eval built on it can never fork. */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "una", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "zh" -> Seq("de", "shi", "zai", "le", "wo"))
+
+  private def langScore(lang: String): Column =
+    struct(
+      size(filter(tokens(col("text")),
+        t => t.isin(langMarkers(lang).map(lit(_)): _*))).cast(LongType)
+        .as("hits"),
+      lit(lang).as("lang"))
+
   def languageId(spark: SparkSession, dir: String): DataFrame = {
-    val markers: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "and", "of", "is", "a"),
-      "fr" -> Seq("le", "la", "et", "les", "des"),
-      "es" -> Seq("el", "los", "las", "una", "y"),
-      "de" -> Seq("der", "die", "das", "und", "ein"),
-      "zh" -> Seq("de", "shi", "zai", "le", "wo"))
-    def score(lang: String): Column =
-      struct(
-        size(filter(tokens(col("text")),
-          t => t.isin(markers(lang).map(lit(_)): _*))).cast(LongType)
-          .as("hits"),
-        lit(lang).as("lang"))
-    val best = greatest(markers.keys.toSeq.sorted.map(score): _*)
+    val best = greatest(langMarkers.keys.toSeq.sorted.map(langScore): _*)
     spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         best.getField("lang").as("predicted_lang"),
@@ -567,14 +571,19 @@ object TextAnalysis {
     * (LIST_SORT DESC on (hits, lang) structs = greatest(struct...) on
     * the Spark side — both engines break hit ties by the LAST lang in
     * lexicographic order). */
-  private val langIdInnerSql: String =
-    """SELECT doc_id, lang, LIST_SORT([
+  /** The sorted score-struct LIST (one definition — q28's argmax is
+    * [1], q301's margin is [1].hits − [2].hits). */
+  private val langScoresSql: String =
+    """LIST_SORT([
       |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('der','die','das','und','ein'))) AS BIGINT), 'lang': 'de'},
       |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','and','of','is','a'))) AS BIGINT), 'lang': 'en'},
       |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('el','los','las','una','y'))) AS BIGINT), 'lang': 'es'},
       |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('le','la','et','les','des'))) AS BIGINT), 'lang': 'fr'},
       |    {'hits': CAST(LEN(LIST_FILTER(toks, t -> t IN ('de','shi','zai','le','wo'))) AS BIGINT), 'lang': 'zh'}
-      |  ], 'DESC')[1] AS best
+      |  ], 'DESC')""".stripMargin
+
+  private val langIdInnerSql: String =
+    s"""SELECT doc_id, lang, $langScoresSql[1] AS best
       |  FROM (SELECT doc_id, lang,
       |          STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
       |        FROM documents)""".stripMargin
@@ -728,7 +737,30 @@ object TextAnalysis {
       .orderBy(col("vocab_cap"))
   }
 
+  /** q301 — LANGUAGE-ID CONFIDENCE MARGIN: the gap between the best
+    * and second-best marker scores per doc — q28 says WHAT the
+    * detector picked, q268 says how often it's right overall; this
+    * says WHICH individual docs it barely decided (margin ≤ 1), the
+    * triage queue a human-review or stronger-model pass works
+    * through. Composes the SAME marker lexicon and struct-sort rule
+    * (detector, eval, and triage can never fork); all-integer margin.
+    * One codegen'd projection (score array + sort of 5 structs per
+    * row), shuffle-free, text never leaves the scan. */
+  def langMargin(spark: SparkSession, dir: String): DataFrame = {
+    val scores = sort_array(
+      array(langMarkers.keys.toSeq.sorted.map(langScore): _*), asc = false)
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), scores.as("s"))
+      .select(col("doc_id"),
+        element_at(col("s"), 1).getField("lang").as("predicted_lang"),
+        (element_at(col("s"), 1).getField("hits") -
+          element_at(col("s"), 2).getField("hits")).as("margin"))
+      .withColumn("is_uncertain", col("margin") <= 1)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_lang_margin" -> langMargin,
     "q286_vocab_coverage" -> vocabCoverage,
     "q282_repeated_bigram_mass" -> repeatedBigramMass,
     "q283_simpson_diversity" -> simpsonDiversity,
@@ -761,6 +793,16 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    // q301: the same sorted score list; margin = [1].hits − [2].hits
+    "q301_lang_margin" ->
+      s"""WITH s AS (SELECT doc_id, $langScoresSql AS sc
+        |  FROM (SELECT doc_id,
+        |          STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |        FROM documents))
+        |SELECT doc_id, sc[1].lang AS predicted_lang,
+        |  sc[1].hits - sc[2].hits AS margin,
+        |  (sc[1].hits - sc[2].hits) <= 1 AS is_uncertain
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q286_vocab_coverage" -> {
       val caps = Seq(5, 10, 20, 40)
       val sums = caps.map(k =>

@@ -2164,6 +2164,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(mineTokyo === tokyoUtc)
   }
 
+  test("lang margin: predictions equal q28's, margins nonnegative and honest") {
+    val m = run("q301_lang_margin").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val q28 = run("q28_language_id").collect()
+    assert(q28.length === m.size)
+    q28.foreach { r =>
+      val (pred, margin, unc) = m(r.getLong(0))
+      assert(pred === r.getString(2), s"doc ${r.getLong(0)} prediction forked")
+      assert(margin >= 0L)
+      assert(unc === (margin <= 1L))
+    }
+    assert(m.values.exists(_._3) && m.values.exists(!_._3),
+      "corpus must contain both confident and uncertain docs")
+  }
+
+  test("pair evidence: same pair set and scores as q33, exhibit really is shared") {
+    val ev = run("q302_pair_evidence").collect()
+    val q33 = run("q33_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ev.map(r => (r.getLong(0), r.getLong(1))).toSet === q33.keySet)
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" +").toSeq
+        .sliding(3).map(_.mkString(" ")).toSet).toMap
+    ev.foreach { r =>
+      assert(r.getDouble(3) === q33((r.getLong(0), r.getLong(1))))
+      val shared = docs(r.getLong(0)).intersect(docs(r.getLong(1)))
+      assert(r.getLong(2) === shared.size.toLong, "shared count")
+      assert(r.getString(4) === shared.min, "exhibit is the lex-min shared shingle")
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
