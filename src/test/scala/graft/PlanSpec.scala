@@ -663,4 +663,28 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains("partial_count"), s"$q\n$plan")
     }
   }
+
+  test("q295/q298 broadcast their O(k)/O(types) model sides to the eval joins") {
+    Seq("q295_ivf_maintenance", "q298_markov_eval").foreach { q =>
+      val plan = formatted(run(q))
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastExchange"), s"$q\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+    }
+  }
+
+  test("q300/q301 are single-pass projections + one partial-agg rollup") {
+    Seq("q300_local_hour_profile", "q301_lang_margin").foreach { q =>
+      val plan = formatted(run(q))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q\n$plan")
+    }
+  }
+
+  test("q302 pair evidence joins the inverted index on the hash key (no nested loop)") {
+    val plan = formatted(run("q302_pair_evidence"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
+  }
 }
