@@ -859,7 +859,35 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q303 — TOKEN-BUDGET GREEDY SELECTION: fill a fixed training
+    * budget (15k tokens) with the highest-quality docs first — the
+    * doc-level greedy knapsack every "best data under N tokens" cut
+    * runs (q221 apportions a budget ACROSS sources; this picks WHICH
+    * docs inside one). Quality here is the distinct-token count (the
+    * q71 diversity proxy — any integer score slots in); the take-while
+    * rule is the INCLUSIVE cumulative token mass ≤ budget along the
+    * (quality DESC, doc_id) total order, so the boundary doc that
+    * overflows the budget is excluded deterministically.
+    *
+    * Scale shape: per-doc stats are one shuffle-free projection; the
+    * cumulative mass rides [[Windows.globalCumSumNoSort]] (two-level
+    * prefix sum — NO global sorted window); output is the per-doc
+    * audit (rank mass + selected flag), all-integer. */
+  def budgetSelection(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        size(array_distinct(graft.text.TextAnalysis.tokens(col("text"))))
+          .cast(LongType).as("quality"))
+    Windows.globalCumSumNoSort(d, -col("quality"), col("doc_id"),
+        col("n_tokens"), 8L, "cum_tokens", "tot")
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_tokens"), (col("cum_tokens") <= 15000L).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_budget_selection" -> budgetSelection,
     "q292_quantile_normalize" -> quantileNormalize,
     "q280_leak_severity" -> leakSeverity,
     "q276_heldout_coverage" -> heldoutCoverage,
@@ -1206,6 +1234,23 @@ object Pipeline {
     "q70_decontaminate" -> decontaminateOracle,
     "q81_bloom_decontaminate" -> decontaminateOracle,
     "q280_leak_severity" -> leakSeverityOracle,
+    // q303: the naive sorted-window cumsum; the two-level prefix sum
+    // computes the same total order
+    "q303_budget_selection" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(LEN(toks) AS BIGINT) AS n_tokens,
+        |    CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS quality
+        |  FROM (SELECT doc_id,
+        |          STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+        |        FROM documents)),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+        |          AS cum_tokens
+        |      FROM d)
+        |SELECT doc_id, quality, n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  cum_tokens <= 15000 AS selected
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q292: oracle uses plain windows — same ranks, simpler plan
     "q292_quantile_normalize" ->
       """WITH d AS (SELECT doc_id, source, n_chars AS v FROM documents),

@@ -536,7 +536,43 @@ object Relational {
       .orderBy(col("abc_class"))
   }
 
+  /** q304 — SKYLINE (2-D Pareto front): the parts no other part beats
+    * on BOTH revenue and order count — the multi-criteria shortlist
+    * (top-k forces one weighting; the skyline is every defensible
+    * answer at once). Dominance: p dominates q iff p ≥ q in both
+    * dimensions and > in at least one; equal points are mutually
+    * non-dominated and both survive.
+    *
+    * Scale shape: the classic sort-scan skyline made distributed —
+    * per-revenue-group max count (one partial-agg-sized window per
+    * group), then ONE prefix-max over the O(distinct revenues) group
+    * rows (the only unpartitioned window), and a point survives iff
+    * it tops its own revenue group AND strictly beats every
+    * higher-revenue group's best count. Never the naive O(n²)
+    * dominance self-join the oracle states. All-integer. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val parts = load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sum(d2(col("l_extendedprice"))) * 100).cast(LongType)
+        .as("revenue_cents"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    val wGrp = Window.partitionBy(col("revenue_cents"))
+    val grp = parts.withColumn("gmax", max(col("n_orders")).over(wGrp))
+    val gRows = grp.select(col("revenue_cents"), col("gmax")).distinct()
+    val wPre = Window.orderBy(col("revenue_cents").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = gRows.withColumn("premax",
+      coalesce(max(col("gmax")).over(wPre), lit(-1L)))
+      .select(col("revenue_cents"), col("premax"))
+    grp.join(broadcast(pre), "revenue_cents")
+      .filter(col("n_orders") === col("gmax") &&
+        col("n_orders") > col("premax"))
+      .select(col("pk"), col("revenue_cents"), col("n_orders"))
+      .orderBy(col("pk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_skyline_parts" -> skylineParts,
     "q293_abc_classification" -> abcClassification,
     "q290_copurchase_pairs" -> copurchasePairs,
     "q226_keyset_pagination" -> keysetPagination,
@@ -599,6 +635,21 @@ object Relational {
       |LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q304: deliberately the NAIVE quadratic dominance anti-join —
+    // matching it proves the sort-scan skyline exact
+    "q304_skyline_parts" ->
+      """WITH p AS (SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS revenue_cents,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM lineitem GROUP BY 1)
+        |SELECT pk, revenue_cents, n_orders FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.revenue_cents >= a.revenue_cents
+        |    AND b.n_orders >= a.n_orders
+        |    AND (b.revenue_cents > a.revenue_cents
+        |         OR b.n_orders > a.n_orders))
+        |ORDER BY pk""".stripMargin,
     // q293: oracle states the naive global-sorted window; the
     // two-level prefix sum is the same total order
     "q293_abc_classification" ->

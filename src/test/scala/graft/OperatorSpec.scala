@@ -2197,6 +2197,42 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("budget selection: greedy take-while matches brute force, budget never exceeded") {
+    val rows = run("q303_budget_selection").collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect().map { r =>
+        val toks = r.getString(1).trim.split(" +")
+        (r.getLong(0), toks.length.toLong, toks.distinct.length.toLong)
+      }
+    assert(rows.length === docs.length)
+    val order = docs.sortBy(d => (-d._3, d._1))
+    var cum = 0L
+    val expectSel = order.map { d => cum += d._2; d._1 -> (cum <= 15000L) }.toMap
+    val selMass = order.map(d => (d._1, d._2)).filter(x => expectSel(x._1)).map(_._2).sum
+    assert(selMass <= 15000L)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) === expectSel(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+    assert(rows.count(_.getBoolean(4)) > 0 && rows.exists(!_.getBoolean(4)))
+  }
+
+  test("skyline: sort-scan front equals the brute-force dominance check") {
+    val rows = run("q304_skyline_parts").collect()
+    val parts = Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_partkey",
+        "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) as c",
+        "l_orderkey")
+      .groupBy("l_partkey")
+      .agg(sum("c").as("rev"), countDistinct("l_orderkey").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sky = parts.filter { a =>
+      !parts.exists(b => b._2 >= a._2 && b._3 >= a._3 &&
+        (b._2 > a._2 || b._3 > a._3))
+    }.map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet === sky)
+    assert(rows.nonEmpty && rows.length < parts.length)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
