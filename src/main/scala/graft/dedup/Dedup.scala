@@ -192,7 +192,11 @@ object Dedup {
     * collisions are identical in both engines (the oracle hashes the
     * same way), and at 2^56 the expected collision count is ~0 for any
     * realistic shingle universe. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** The unfiltered exact-Jaccard pair scores (every pair sharing at
+    * least one shingle) — ONE definition feeding q33's >= 0.5 filter
+    * and q307's threshold sweep, so detector and tuning curve can
+    * never fork. */
+  private def jaccardScoredPairs(spark: SparkSession, dir: String): DataFrame = {
     val inv = spread(load(spark, dir, "documents"))
       .select(col("doc_id"),
         shingleHashes(col("text"), mod = false).as("shs"))
@@ -206,9 +210,36 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardScoredPairs(spark, dir)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** q307 — DEDUP THRESHOLD SWEEP: the pair count the detector would
+    * emit at each candidate Jaccard threshold, in ONE pass over the
+    * scored pairs — the tuning curve read before committing a τ (too
+    * low deletes paraphrases, too high keeps boilerplate; the elbow
+    * is in this table). Conditional aggregation over the SAME scored
+    * pairs q33 filters (shared via [[jaccardScoredPairs]]), so the
+    * τ = 0.5 row is by construction q33's pair count. O(thresholds)
+    * output. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val aggCols = ts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("jaccard") >= t, lit(1L)).otherwise(lit(0L)))
+        .as(s"c$i")
+    }
+    val agg = jaccardScoredPairs(spark, dir)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val stacked = ts.zipWithIndex.map { case (t, i) =>
+      s"struct(CAST($t AS DOUBLE) AS threshold, CAST(c$i AS BIGINT) AS n_pairs)"
+    }.mkString("array(", ", ", ")")
+    agg.select(explode(expr(stacked)).as("s"))
+      .select(col("s.threshold").as("threshold"), col("s.n_pairs").as("n_pairs"))
+      .orderBy(col("threshold"))
   }
 
   /** PPJoin-style prefix-filtered exact Jaccard (same answer as q33,
@@ -1440,6 +1471,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_threshold_sweep" -> thresholdSweep,
     "q302_pair_evidence" -> pairEvidence,
     "q285_incremental_dedup" -> incrementalDedup,
     "q201_pagerank" -> pageRank,
@@ -1486,6 +1518,22 @@ object Dedup {
     .map { case (a, b) => s"{'a': ${a}, 'b': ${b}}" }.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // q307: one conditional-aggregation pass over the q33 CTEs
+    "q307_threshold_sweep" -> {
+      val ts = Seq("0.5", "0.6", "0.7", "0.8", "0.9")
+      val sums = ts.zipWithIndex.map { case (t, i) =>
+        s"CAST(SUM(CASE WHEN j >= ${t}e0 THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+      }.mkString(",\n|        ")
+      val rows = ts.zipWithIndex.map { case (t, i) =>
+        s"SELECT CAST($t AS DOUBLE) AS threshold, c$i AS n_pairs FROM sw"
+      }.mkString("\n|UNION ALL ")
+      s"""WITH $jaccardCommonCte,
+        |jp AS (SELECT CAST(c AS DOUBLE) / (na + nb - c) AS j FROM common),
+        |sw AS (SELECT $sums
+        |       FROM jp)
+        |$rows
+        |ORDER BY threshold""".stripMargin
+    },
     // q302: q33's reduction joined on the shingle itself (injective
     // with phash on this corpus — a collision would hash-mismatch)
     "q302_pair_evidence" ->

@@ -663,7 +663,41 @@ object Temporal {
       .orderBy(col("tz"), col("local_hour"))
   }
 
+  /** q306 — BITEMPORAL RESTATEMENT report: monthly revenue as it was
+    * KNOWN at a cutoff (transaction time — each order lands in the
+    * warehouse `orderkey % 7` days after its business date) versus as
+    * known NOW, and the restatement between them — the late-arriving-
+    * data audit behind "why did last month's number change?": valid
+    * time says WHEN revenue happened, transaction time says when we
+    * LEARNED of it, and every as-of-then report is a filter on the
+    * second while grouping by the first (q76/q190's SCD2 machinery
+    * tracks attribute history; this tracks FACT arrival). One
+    * conditional aggregation pass, exact cents, O(months) output,
+    * restated share ONE division. */
+  def restatementReport(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_date(lit("1998-07-01"))
+    load(spark, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).cast(DateType)
+        .as("month"),
+        date_add(col("o_orderdate").cast(DateType),
+          (col("o_orderkey") % 7).cast(IntegerType)).as("tx_day"),
+        (d2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("month"))
+      .agg(sum(when(col("tx_day") <= cutoff, col("cents")).otherwise(lit(0L)))
+        .as("cents_known"),
+        sum(col("cents")).as("cents_now"))
+      .select(col("month"),
+        col("cents_known").cast(LongType).as("cents_known"),
+        col("cents_now").cast(LongType).as("cents_now"),
+        (col("cents_now") - col("cents_known")).cast(LongType)
+          .as("restated_cents"),
+        ((col("cents_now") - col("cents_known")).cast(DoubleType) /
+          col("cents_now").cast(DoubleType)).as("restated_share"))
+      .orderBy(col("month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_restatement_report" -> restatementReport,
     "q300_local_hour_profile" -> localHourProfile,
     "q299_retention_half_life" -> retentionHalfLife,
     "q298_markov_eval" -> markovEval,
@@ -1794,6 +1828,28 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q306: identical synthetic transaction-time rule and cutoff
+    "q306_restatement_report" ->
+      """WITH o AS (SELECT
+        |    CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 7 AS INT)
+        |      AS tx_day,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT month,
+        |  CAST(SUM(CASE WHEN tx_day <= DATE '1998-07-01' THEN cents
+        |    ELSE 0 END) AS BIGINT) AS cents_known,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_now,
+        |  CAST(SUM(cents) AS BIGINT)
+        |    - CAST(SUM(CASE WHEN tx_day <= DATE '1998-07-01' THEN cents
+        |        ELSE 0 END) AS BIGINT) AS restated_cents,
+        |  CAST(CAST(SUM(cents) AS BIGINT)
+        |    - CAST(SUM(CASE WHEN tx_day <= DATE '1998-07-01' THEN cents
+        |        ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+        |    AS restated_share
+        |FROM o GROUP BY 1 ORDER BY month""".stripMargin,
     // q300: same zone table, same UTC→local direction (session tz is
     // UTC in both engines' containers)
     "q300_local_hour_profile" ->

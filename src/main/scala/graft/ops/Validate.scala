@@ -873,7 +873,40 @@ object Validate {
       .orderBy(col("source"))
   }
 
+  /** q305 — DAILY PERCENTILE BANDS (p50/p90/p99 of event value per
+    * day): the SRE/ops dashboard series — q287 fences one
+    * distribution per type, this tracks the distribution of every DAY
+    * so a drifting tail shows up as a moving p99 line. Same exact
+    * histogram-CDF machinery (percentile = smallest value whose
+    * cumulative count reaches ceil(q·n/100)), grouped by day: the CDF
+    * windows run over O(days × distinct values) histogram rows, all
+    * outputs exact integer cents — no approximate percentile sketch
+    * and no float rank arithmetic anywhere. */
+  def dailyPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = events(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        (d2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("day"), col("cents")).agg(count(lit(1)).as("c"))
+    val wCdf = Window.partitionBy(col("day")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum", sum(col("c")).over(wCdf))
+      .withColumn("n_day", sum(col("c")).over(wTot))
+      .groupBy(col("day"))
+      .agg(max(col("n_day")).as("n_events"),
+        min(when(col("cum") >= expr("(50 * n_day + 99) div 100"),
+          col("cents"))).as("p50_cents"),
+        min(when(col("cum") >= expr("(90 * n_day + 99) div 100"),
+          col("cents"))).as("p90_cents"),
+        min(when(col("cum") >= expr("(99 * n_day + 99) div 100"),
+          col("cents"))).as("p99_cents"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_daily_percentiles" -> dailyPercentiles,
     "q289_wasserstein_drift" -> wassersteinDrift,
     "q288_mann_whitney" -> mannWhitney,
     "q287_iqr_outliers" -> iqrOutliers,
@@ -915,6 +948,24 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    // q305: identical ceil(q·n/100) discrete-percentile rule
+    "q305_daily_percentiles" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT day, cents, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cdf AS (SELECT day, cents, c,
+        |          SUM(c) OVER (PARTITION BY day ORDER BY cents) AS cum,
+        |          SUM(c) OVER (PARTITION BY day) AS n_day
+        |        FROM h)
+        |SELECT day, CAST(MAX(n_day) AS BIGINT) AS n_events,
+        |  MIN(CASE WHEN cum >= (50 * n_day + 99) // 100 THEN cents END)
+        |    AS p50_cents,
+        |  MIN(CASE WHEN cum >= (90 * n_day + 99) // 100 THEN cents END)
+        |    AS p90_cents,
+        |  MIN(CASE WHEN cum >= (99 * n_day + 99) // 100 THEN cents END)
+        |    AS p99_cents
+        |FROM cdf GROUP BY 1 ORDER BY day""".stripMargin,
     // q289: the same exact cross-multiplied step-function integral
     "q289_wasserstein_drift" ->
       """WITH d AS (SELECT source, n_chars AS v FROM documents),

@@ -2233,6 +2233,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.length < parts.length)
   }
 
+  test("daily percentiles: rank rule matches a per-day sorted brute force, bands ordered") {
+    val rows = run("q305_daily_percentiles").collect()
+    val byDay = Tables.events(spark, sf)
+      .selectExpr("to_date(ts) as day",
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
+      .collect().groupBy(_.getDate(0).toString)
+    assert(rows.map(_.getDate(0).toString).toSet === byDay.keySet)
+    rows.take(30).foreach { r =>
+      val vs = byDay(r.getDate(0).toString).map(_.getLong(1)).sorted
+      val n = vs.length
+      def pAt(q: Int): Long = vs(((q * n + 99) / 100 - 1).max(0))
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === pAt(50))
+      assert(r.getLong(3) === pAt(90))
+      assert(r.getLong(4) === pAt(99))
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  test("restatement report: known+restated reconcile, pre-cutoff months fully known") {
+    val rows = run("q306_restatement_report").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) === r.getLong(2), r.toString)
+      assert(r.getLong(1) >= 0L && r.getLong(3) >= 0L)
+    }
+    // months ending well before the cutoff (minus the 6-day max delay)
+    // must be fully known; months starting after it fully restated
+    val cut = java.time.LocalDate.parse("1998-07-01")
+    rows.foreach { r =>
+      val m = r.getDate(0).toLocalDate
+      if (m.plusMonths(1).plusDays(6).isBefore(cut))
+        assert(r.getLong(3) === 0L, s"$m should be fully known")
+      if (m.isAfter(cut)) assert(r.getLong(1) === 0L, s"$m should be unknown")
+    }
+    assert(rows.exists(_.getLong(3) > 0L) && rows.exists(_.getLong(3) === 0L))
+  }
+
+  test("threshold sweep: monotone decreasing, tau=0.5 row equals q33's pair count") {
+    val rows = run("q307_threshold_sweep").collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    rows.map(_.getLong(1)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => ()
+    }
+    assert(rows.head.getLong(1) === run("q33_ngram_jaccard").count())
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
