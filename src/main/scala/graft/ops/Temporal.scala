@@ -696,7 +696,34 @@ object Temporal {
       .orderBy(col("month"))
   }
 
+  /** q309 — SEASONAL INDEX by calendar month: each month-of-year's
+    * order count and revenue relative to a uniform year (index 1.0 =
+    * no seasonality) — the classic retail seasonality readout that
+    * complements q248 (autocorrelation detects the cycle) and q291
+    * (MASE prices predicting with it): this names WHICH months carry
+    * the cycle. Counts and cents exact; each index is the exact
+    * integer mass cross-multiplied by 12, then ONE division. One
+    * partial-agg rollup, O(12) output. */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+      .select(month(col("o_orderdate")).cast(LongType).as("month_of_year"),
+        (d2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val m = o.groupBy(col("month_of_year"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev"))
+    val tot = m.agg(sum(col("n_orders")).as("tn"),
+      sum(col("rev")).as("tr"))
+    m.crossJoin(broadcast(tot))
+      .select(col("month_of_year"), col("n_orders"),
+        col("rev").cast(LongType).as("revenue_cents"),
+        ((col("n_orders") * 12).cast(DoubleType) / col("tn"))
+          .as("order_index"),
+        ((col("rev") * 12).cast(DoubleType) / col("tr"))
+          .as("revenue_index"))
+      .orderBy(col("month_of_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_seasonal_index" -> seasonalIndex,
     "q306_restatement_report" -> restatementReport,
     "q300_local_hour_profile" -> localHourProfile,
     "q299_retention_half_life" -> retentionHalfLife,
@@ -1828,6 +1855,22 @@ object Temporal {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q309: same exact masses, ×12 cross-multiplication, one division
+    "q309_seasonal_index" ->
+      """WITH o AS (SELECT MONTH(o_orderdate) AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |g AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |        CAST(SUM(cents) AS BIGINT) AS rev
+        |      FROM o GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tn,
+        |        CAST(SUM(rev) AS BIGINT) AS tr FROM g)
+        |SELECT CAST(m AS BIGINT) AS month_of_year, n_orders,
+        |  rev AS revenue_cents,
+        |  CAST(n_orders * 12 AS DOUBLE) / tn AS order_index,
+        |  CAST(rev * 12 AS DOUBLE) / tr AS revenue_index
+        |FROM g CROSS JOIN t ORDER BY month_of_year""".stripMargin,
     // q306: identical synthetic transaction-time rule and cutoff
     "q306_restatement_report" ->
       """WITH o AS (SELECT

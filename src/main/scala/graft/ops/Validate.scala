@@ -905,7 +905,41 @@ object Validate {
       .orderBy(col("day"))
   }
 
+  /** q310 — JOIN-CARDINALITY ESTIMATE audit: the textbook equi-join
+    * estimator |L⋈R| ≈ |L|·|R| / max(ndv_L, ndv_R) (the
+    * uniform-distribution + containment assumption every cost-based
+    * optimizer starts from) computed NEXT TO the exact answer
+    * Σ_k n_L(k)·n_R(k) — the calibration readout that tells you how
+    * far skew bends the planner's guess on YOUR data (q157 lists the
+    * guilty keys; this prices the aggregate misestimate). Exact side
+    * runs on the COUNT tables, never the fact rows; estimate and
+    * ratio are a fixed double sequence off exact integers. */
+  def joinCardinalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    def side(t: String): DataFrame = e.filter(col("event_type") === t)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val l = side("click")
+    val r = side("purchase")
+    val d = (x: Column) => x.cast(DoubleType)
+    val stats = l.agg(sum(col("c")).as("n_left"),
+        count(lit(1)).as("ndv_left"))
+      .crossJoin(r.agg(sum(col("c")).as("n_right"),
+        count(lit(1)).as("ndv_right")))
+    val actual = l.select(col("user_id"), col("c").as("cl"))
+      .join(r.select(col("user_id"), col("c").as("cr")), "user_id")
+      .agg(sum(col("cl") * col("cr")).as("actual_rows"))
+    stats.crossJoin(actual)
+      .withColumn("est_rows", d(col("n_left")) * d(col("n_right")) /
+        d(greatest(col("ndv_left"), col("ndv_right"))))
+      .select(col("n_left").cast(LongType).as("n_left"),
+        col("n_right").cast(LongType).as("n_right"),
+        col("ndv_left"), col("ndv_right"), col("est_rows"),
+        col("actual_rows").cast(LongType).as("actual_rows"),
+        (d(col("actual_rows")) / col("est_rows")).as("actual_over_est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_join_cardinality" -> joinCardinalityAudit,
     "q305_daily_percentiles" -> dailyPercentiles,
     "q289_wasserstein_drift" -> wassersteinDrift,
     "q288_mann_whitney" -> mannWhitney,
@@ -948,6 +982,27 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    // q310: identical estimator spelling and exact count-table join
+    "q310_join_cardinality" ->
+      """WITH l AS (SELECT user_id, COUNT(*) AS c FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |r AS (SELECT user_id, COUNT(*) AS c FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |sl AS (SELECT CAST(SUM(c) AS BIGINT) AS n_left,
+        |        CAST(COUNT(*) AS BIGINT) AS ndv_left FROM l),
+        |sr AS (SELECT CAST(SUM(c) AS BIGINT) AS n_right,
+        |        CAST(COUNT(*) AS BIGINT) AS ndv_right FROM r),
+        |a AS (SELECT CAST(SUM(l.c * r.c) AS BIGINT) AS actual_rows
+        |      FROM l JOIN r USING (user_id))
+        |SELECT n_left, n_right, ndv_left, ndv_right,
+        |  CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+        |    / CAST(GREATEST(ndv_left, ndv_right) AS DOUBLE) AS est_rows,
+        |  actual_rows,
+        |  CAST(actual_rows AS DOUBLE)
+        |    / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+        |       / CAST(GREATEST(ndv_left, ndv_right) AS DOUBLE))
+        |    AS actual_over_est
+        |FROM sl CROSS JOIN sr CROSS JOIN a""".stripMargin,
     // q305: identical ceil(q·n/100) discrete-percentile rule
     "q305_daily_percentiles" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day,

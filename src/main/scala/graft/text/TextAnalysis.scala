@@ -759,7 +759,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q308 — RARE-TRIGRAM RATE (the log-free perplexity surrogate):
+    * per doc, the fraction of its trigram OCCURRENCES whose corpus
+    * count is below 5 — a doc full of trigrams the corpus has barely
+    * seen reads as disfluent/garbled to exactly the degree a real LM
+    * would assign it high perplexity, and the ratio needs no
+    * transcendental (the q82/q241 rule). The cheap fluency gate run
+    * before paying for model-scored filtering; q210 builds the same
+    * counts into an LM table, q276 reads split coverage — this scores
+    * EVERY doc against the whole corpus.
+    *
+    * Scale shape: trigram generation is a per-row HOF (no position
+    * self-join); the corpus count table is one (ctx,nxt)-rollup
+    * joined back to the slim per-doc trigram stream; counts exact,
+    * the rate ONE division. Docs with < 3 tokens drop in both
+    * engines. */
+  def rareTrigramRate(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 2), i ->
+          |  concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |         ' ', element_at(toks, i + 2)))""".stripMargin)).as("tg"))
+    val docGrams = grams(spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    val corpus = docGrams.groupBy(col("tg")).agg(count(lit(1)).as("n"))
+    docGrams.join(corpus, "tg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("n") < 5, lit(1L)).otherwise(lit(0L))).as("n_rare"))
+      .select(col("doc_id"),
+        col("n_trigrams").cast(LongType).as("n_trigrams"),
+        col("n_rare").cast(LongType).as("n_rare"),
+        (col("n_rare").cast(DoubleType) / col("n_trigrams"))
+          .as("rare_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_rare_trigram_rate" -> rareTrigramRate,
     "q301_lang_margin" -> langMargin,
     "q286_vocab_coverage" -> vocabCoverage,
     "q282_repeated_bigram_mass" -> repeatedBigramMass,
@@ -793,6 +831,24 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    // q308: same trigram stream, same corpus-count join
+    "q308_rare_trigram_rate" ->
+      """WITH t AS (SELECT doc_id,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+        |          i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2])))
+        |          AS tg
+        |      FROM t WHERE LEN(toks) >= 3),
+        |c AS (SELECT tg, COUNT(*) AS n FROM g GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rare,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS BIGINT) AS rare_rate
+        |FROM g JOIN c USING (tg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q301: the same sorted score list; margin = [1].hits − [2].hits
     "q301_lang_margin" ->
       s"""WITH s AS (SELECT doc_id, $langScoresSql AS sc

@@ -2279,6 +2279,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) === run("q33_ngram_jaccard").count())
   }
 
+  test("rare trigram rate: matches a brute-force corpus recount") {
+    val rows = run("q308_rare_trigram_rate").collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" +").toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq).toMap
+    val corpus = docs.values.flatten.groupBy(identity).view.mapValues(_.size)
+    assert(rows.length === docs.count(_._2.nonEmpty))
+    rows.take(50).foreach { r =>
+      val gs = docs(r.getLong(0))
+      val rare = gs.count(g => corpus(g) < 5)
+      assert(r.getLong(1) === gs.size.toLong)
+      assert(r.getLong(2) === rare.toLong, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(3) === rare.toDouble / gs.size)
+    }
+  }
+
+  test("seasonal index: indices average to 1 under the month masses") {
+    val rows = run("q309_seasonal_index").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 12L))
+    val tn = rows.map(_.getLong(1)).sum
+    // sum of n_m * 12 / tn over months == 12 => mean index 1
+    val meanIdx = rows.map(_.getDouble(3)).sum / 12.0
+    assert(math.abs(meanIdx - 1.0) < 1e-9, meanIdx.toString)
+    rows.foreach { r =>
+      assert(r.getDouble(3) === r.getLong(1).toDouble * 12 / tn)
+    }
+  }
+
+  test("join cardinality audit: exact side equals the real join count") {
+    val r = run("q310_join_cardinality").collect()(0)
+    val e = Tables.events(spark, sf)
+    val real = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("a"))
+      .join(e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("b")), "user_id")
+      .count()
+    assert(r.getLong(5) === real, "actual_rows must equal the materialized join")
+    assert(r.getDouble(4) > 0.0 && r.getDouble(6) > 0.0)
+    assert(r.getDouble(6) === r.getLong(5).toDouble / r.getDouble(4))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
