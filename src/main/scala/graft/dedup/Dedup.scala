@@ -1470,7 +1470,66 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q311 — LSH BAND-CONFIGURATION sweep: empirical recall and
+    * precision of every (bands × rows) split of the SAME K=16 MinHash
+    * signature — {1×16, 2×8, 4×4, 8×2, 16×1} — against the exact
+    * J ≥ 0.5 truth (q33). The S-curve theory says more bands → more
+    * recall, fewer → more precision; this measures it ON YOUR corpus
+    * in one query, which is how the 4×4 production setting (q31)
+    * gets justified rather than assumed. Signatures are computed
+    * ONCE; each config just re-slices them, so the sweep costs five
+    * band-key self-joins over slim (config, band, key) rows — run on
+    * a sample at 100 TB, the config generalizes.
+    *
+    * All counts exact; recall/precision ONE division each,
+    * NULL-guarded for a config with zero candidates. */
+  def lshConfigSweep(spark: SparkSession, dir: String): DataFrame = {
+    val configs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    val sigs = withSignature(spread(load(spark, dir, "documents")))
+    val bandStructs = array(configs.flatMap { case (b, r) =>
+      (0 until b).map { bi =>
+        struct(lit(s"${b}x$r").as("config"), lit(b.toLong).as("n_bands"),
+          lit(bi).as("band"),
+          concat_ws(",", (0 until r).map(j =>
+            element_at(col("sig"), bi * r + j + 1).cast(StringType)): _*)
+            .as("bkey"))
+      }
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.config").as("config"),
+        col("bk.n_bands").as("n_bands"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val cand = bands.alias("x").join(bands.alias("y"),
+        col("x.config") === col("y.config") &&
+        col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.config").as("config"), col("x.n_bands").as("n_bands"),
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val exact = jaccardScoredPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))
+    val d = (x: org.apache.spark.sql.Column) => x.cast(DoubleType)
+    cand.groupBy(col("config"), col("n_bands"))
+      .agg(count(lit(1)).as("n_candidates"))
+      .join(cand.join(exact, Seq("doc_a", "doc_b"))
+        .groupBy(col("config")).agg(count(lit(1)).as("n_hits")),
+        Seq("config"), "left")
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_true"))))
+      .select(col("config"), col("n_bands"),
+        col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_true").cast(LongType).as("n_true"),
+        (d(coalesce(col("n_hits"), lit(0L))) / col("n_true"))
+          .as("recall"),
+        when(col("n_candidates") > 0,
+          d(coalesce(col("n_hits"), lit(0L))) / col("n_candidates"))
+          .as("precision"))
+      .orderBy(col("n_bands"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_lsh_config_sweep" -> lshConfigSweep,
     "q307_threshold_sweep" -> thresholdSweep,
     "q302_pair_evidence" -> pairEvidence,
     "q285_incremental_dedup" -> incrementalDedup,
@@ -1518,6 +1577,46 @@ object Dedup {
     .map { case (a, b) => s"{'a': ${a}, 'b': ${b}}" }.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // q311: q31's sig CTEs + one bands branch per config, exact truth
+    // from the q33 CTEs
+    "q311_lsh_config_sweep" -> {
+      val configs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+      val bandSelects = configs.map { case (b, r) =>
+        s"""SELECT doc_id, '${b}x$r' AS config,
+           |    CAST($b AS BIGINT) AS n_bands, bb.band AS band,
+           |    ARRAY_TO_STRING(sig[bb.band*$r+1 : bb.band*$r+$r], ',')
+           |      AS bkey
+           |  FROM sig, (SELECT UNNEST(GENERATE_SERIES(0, ${b - 1}))
+           |             AS band) bb""".stripMargin
+      }.mkString("\n|UNION ALL ")
+      s"""WITH $jaccardCommonCte,
+        |hm AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s),
+        |sig AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
+        |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
+        |        FROM hm),
+        |bands AS ($bandSelects),
+        |cand AS (SELECT DISTINCT x.config, x.n_bands,
+        |           x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y
+        |           ON x.config = y.config AND x.band = y.band
+        |           AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |exactp AS (SELECT doc_a, doc_b FROM common
+        |           WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM exactp),
+        |pc AS (SELECT config, n_bands,
+        |         CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |       FROM cand GROUP BY 1, 2),
+        |hh AS (SELECT config, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |      FROM cand JOIN exactp USING (doc_a, doc_b) GROUP BY 1)
+        |SELECT pc.config, pc.n_bands, pc.n_candidates,
+        |  COALESCE(hh.n_hits, 0) AS n_hits, nt.n_true,
+        |  CAST(COALESCE(hh.n_hits, 0) AS DOUBLE) / nt.n_true AS recall,
+        |  CASE WHEN pc.n_candidates > 0 THEN
+        |    CAST(COALESCE(hh.n_hits, 0) AS DOUBLE) / pc.n_candidates
+        |  END AS "precision"
+        |FROM pc LEFT JOIN hh ON hh.config = pc.config CROSS JOIN nt
+        |ORDER BY pc.n_bands""".stripMargin
+    },
     // q307: one conditional-aggregation pass over the q33 CTEs
     "q307_threshold_sweep" -> {
       val ts = Seq("0.5", "0.6", "0.7", "0.8", "0.9")

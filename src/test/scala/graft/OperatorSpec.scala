@@ -2321,6 +2321,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getDouble(6) === r.getLong(5).toDouble / r.getDouble(4))
   }
 
+  test("lsh config sweep: recall monotone in band count, 4x4 row matches q31+q33") {
+    val rows = run("q311_lsh_config_sweep").collect()
+    // more bands can only add candidate pairs => recall non-decreasing
+    rows.sortBy(_.getLong(1)).map(_.getDouble(5)).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-12); case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "hits cannot exceed candidates")
+      assert(r.getLong(3) <= r.getLong(4), "hits cannot exceed truth")
+    }
+    // the production 4x4 config exists and has nonzero recall at sf0.001
+    val p44 = rows.find(_.getString(0) == "4x4")
+    assert(p44.nonEmpty && p44.get.getDouble(5) > 0.0)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
