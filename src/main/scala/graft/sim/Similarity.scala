@@ -149,14 +149,15 @@ object Similarity {
   /** Coarse probe shared by q36's IVF search and q138's IVF-PQ: each
     * query's IvfNProbe best buckets by centroid cosine (one rule —
     * the two must never fork). */
-  private def probeBuckets(q: DataFrame, cent: DataFrame): DataFrame = {
+  private def probeBuckets(q: DataFrame, cent: DataFrame,
+      nprobe: Int = IvfNProbe): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("cid").desc)
     q.join(broadcast(cent), lit(true))
       .withColumn("psim", cosine(dot(col("qe"), col("ce")),
         col("qn"), col("cn")))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= IvfNProbe)
+      .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("qe"), col("qn"), col("cid"))
   }
 
@@ -164,8 +165,8 @@ object Similarity {
     * query ranks the centroids, searches its IvfNProbe best buckets
     * only, and keeps its top-10. */
   private def probeIvf(q: DataFrame, cent: DataFrame,
-      assign: DataFrame): DataFrame = {
-    val probes = probeBuckets(q, cent)
+      assign: DataFrame, nprobe: Int = IvfNProbe): DataFrame = {
+    val probes = probeBuckets(q, cent, nprobe)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(probes).join(assign, "cid")
@@ -1018,7 +1019,41 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** q312 — IVF NPROBE sweep: recall@10 of the q36 index at nprobe ∈
+    * {1, 2, 4, 8} against the exact q35 top-10 — the latency/recall
+    * tuning curve every ANN rollout reads before fixing its probe
+    * budget (probe cost scales ~nprobe/k of the corpus, so this table
+    * IS the price list). q234 audits the one production setting; this
+    * sweeps the knob. Index built ONCE (same quantizer + assignment
+    * for every setting — only the probe cutoff moves, exactly how a
+    * deployed index is tuned); overlaps are exact integers, recall
+    * ONE division. */
+  def nprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cent = hashCentroids(v)
+    val asg = assignToCentroids(v, cent)
+    val q = queryVecs(v)
+    val exact = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val d = (x: Column) => x.cast(DoubleType)
+    Seq(1, 2, 4, 8).map { np =>
+      probeIvf(q, cent, asg, np)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("sum_overlap"))
+        .select(lit(np.toLong).as("nprobe"),
+          col("sum_overlap").cast(LongType).as("sum_overlap"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(
+        exact.agg(count(lit(1)).as("n_exact"))))
+      .select(col("nprobe"), col("sum_overlap"),
+        col("n_exact").cast(LongType).as("n_exact"),
+        (d(col("sum_overlap")) / d(col("n_exact"))).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_nprobe_sweep" -> nprobeSweep,
     "q295_ivf_maintenance" -> ivfMaintenance,
     "q284_semantic_dedup" -> semanticDedup,
     "q281_fisher_separation" -> fisherSeparation,
@@ -1250,6 +1285,46 @@ object Similarity {
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q312: q234's probe/exact CTEs with one ivf branch per nprobe
+    "q312_nprobe_sweep" -> {
+      val nps = Seq(1, 2, 4, 8)
+      val branches = nps.map { np =>
+        s"""iv$np AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT ic.query_id, ic.neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY ic.query_id
+           |      ORDER BY ic.cosine DESC, ic.neighbor_id) AS rank
+           |  FROM (SELECT pr0.query_id, asg.vec_id AS neighbor_id,
+           |          ${cosSql(dotSql("pr0.qe", "asg.embedding"), "pr0.qn", "asg.n2")} AS cosine
+           |        FROM pr0 JOIN asg ON pr0.prn <= $np
+           |          AND pr0.cid = asg.cid
+           |          AND asg.vec_id != pr0.query_id) ic) WHERE rank <= 10),
+           |s$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+           |        CAST(COUNT(*) AS BIGINT) AS sum_overlap
+           |      FROM iv$np JOIN ex USING (query_id, neighbor_id))""".stripMargin
+      }.mkString(",\n|")
+      val union = nps.map(np => s"SELECT * FROM s$np")
+        .mkString("\n|UNION ALL ")
+      s"""$ivfAsgCtes,
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn
+        |      FROM v WHERE vec_id < 5),
+        |pr0 AS (SELECT query_id, qe, qn, cent.cid,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+        |            ${cosSql(dotSql("qe", "ce"), "qn", "cn")} DESC, cid DESC) AS prn
+        |        FROM q, cent),
+        |ec AS (SELECT query_id, v.vec_id AS neighbor_id,
+        |        ${cosSql(dotSql("qe", "v.embedding"), "qn", "v.n2")} AS cosine
+        |      FROM q JOIN v ON v.vec_id != query_id),
+        |er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM ec),
+        |ex AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 10),
+        |net AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+        |$branches
+        |SELECT u.nprobe, u.sum_overlap, net.n_exact,
+        |  CAST(u.sum_overlap AS DOUBLE) / CAST(net.n_exact AS DOUBLE)
+        |    AS recall
+        |FROM ($union) u CROSS JOIN net
+        |ORDER BY u.nprobe""".stripMargin
+    },
     // q295: base-only quantizer (the frozen-index invariant), both
     // assignment passes mirror asg0's tie rule (csim DESC, cid DESC)
     "q295_ivf_maintenance" ->

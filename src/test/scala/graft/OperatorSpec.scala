@@ -2336,6 +2336,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(p44.nonEmpty && p44.get.getDouble(5) > 0.0)
   }
 
+  test("nprobe sweep: recall monotone in nprobe, nprobe=8 matches q234's aggregate") {
+    val rows = run("q312_nprobe_sweep").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))
+    rows.map(_.getDouble(3)).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-12); case _ => ()
+    }
+    // the nprobe=8 row must agree with q234's per-query recall audit
+    val agg234 = run("q234_ann_recall").collect().map(_.getLong(1)).sum
+    assert(rows.last.getLong(1) === agg234, "sweep forked from q234")
+    assert(rows.last.getDouble(3) > 0.0)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
