@@ -2280,7 +2280,9 @@ object Dedup {
     * labels via recursive transitive closure + min over the reachable
     * set, SQL's declarative twin of the Spark-side label propagation /
     * star contraction (identical fixpoint by construction). */
-  private lazy val clusterLabCte: String =
+  // private[graft]: q313's build-waterfall oracle composes the SAME
+  // cluster labeling so pipeline metrics can never fork from q67
+  private[graft] lazy val clusterLabCte: String =
       s"""$jaccardCommonCte,
         |pairs AS (SELECT doc_a, doc_b FROM common
         |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),

@@ -886,7 +886,47 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q313 — CORPUS-BUILD WATERFALL: the stage-by-stage survivor count
+    * of the end-to-end build ([[prepareCorpus]]'s exact stage rules,
+    * restated as counts): total → bench slice held out →
+    * decontaminated → length gate → exact-dedup canonical → near-dup
+    * cluster representative. THE number-one dashboard of a data
+    * pipeline ("we started with 10M docs and trained on 6.1M —
+    * where did 39% go?"), and the regression tripwire when a rule
+    * change silently eats a feed. Every stage count is an exact
+    * integer; stage rules compose the SAME shared definitions
+    * (isBench, decontaminate, contentKey, dedupClusters) the build
+    * uses, so report and build can never disagree. */
+  def buildWaterfall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val s2 = docs.filter(!isBench(col("doc_id")))
+    val s3 = s2.join(decontaminate(spark, dir).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val s4 = s3.filter(size(tokens(col("text"))) >= 10)
+    val wC = Window.partitionBy(col("ck"))
+    val s5 = s4.withColumn("ck", graft.dedup.Dedup.contentKey(col("text")))
+      .withColumn("m", min(col("doc_id")).over(wC))
+      .filter(col("doc_id") === col("m")).drop("ck", "m")
+    val clusters = graft.dedup.Dedup.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val j = s5.join(broadcast(clusters), Seq("doc_id"), "left")
+    val wCl = Window.partitionBy(col("cluster_id"))
+    val s6 = j.filter(col("cluster_id").isNull).select(col("doc_id"))
+      .unionByName(j.filter(col("cluster_id").isNotNull)
+        .withColumn("m", min(col("doc_id")).over(wCl))
+        .filter(col("doc_id") === col("m")).select(col("doc_id")))
+    Seq(("1_total", docs), ("2_non_bench", s2), ("3_decontaminated", s3),
+      ("4_min_length", s4), ("5_exact_canonical", s5), ("6_neardup_rep", s6))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      }.reduce(_ unionAll _)
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_build_waterfall" -> buildWaterfall,
     "q303_budget_selection" -> budgetSelection,
     "q292_quantile_normalize" -> quantileNormalize,
     "q280_leak_severity" -> leakSeverity,
@@ -1234,6 +1274,49 @@ object Pipeline {
     "q70_decontaminate" -> decontaminateOracle,
     "q81_bloom_decontaminate" -> decontaminateOracle,
     "q280_leak_severity" -> leakSeverityOracle,
+    // q313: prepareCorpus's stage rules restated; cluster labels come
+    // from Dedup.clusterLabCte (the q67 CTEs verbatim). CTE names t/s/
+    // inv/common/pairs/edges/reach/lab belong to that fragment — the
+    // waterfall's own CTEs use fresh names.
+    "q313_build_waterfall" ->
+      s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabCte},
+        |h5 AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(LIST_DISTINCT(LIST_TRANSFORM(
+        |          GENERATE_SERIES(1, GREATEST(LEN(toks)-4, 1)),
+        |          i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2],
+        |                         toks[i+3], toks[i+4]))),
+        |          x -> ${phashSql("x")})) AS h
+        |      FROM t),
+        |cont AS (SELECT DISTINCT tr.doc_id FROM h5 tr JOIN h5 be
+        |         ON tr.h = be.h AND be.doc_id % 20 = 0
+        |          AND tr.doc_id % 20 <> 0),
+        |d0 AS (SELECT doc_id, text,
+        |        LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS ntok
+        |      FROM documents),
+        |w2 AS (SELECT * FROM d0 WHERE doc_id % 20 <> 0),
+        |w3 AS (SELECT * FROM w2
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |w4 AS (SELECT * FROM w3 WHERE ntok >= 10),
+        |w5 AS (SELECT doc_id FROM (
+        |        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+        |          md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))))
+        |          AS m
+        |        FROM w4) WHERE doc_id = m),
+        |w6 AS (SELECT doc_id FROM w5
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+        |       UNION ALL
+        |       SELECT doc_id FROM (
+        |         SELECT w5.doc_id, MIN(w5.doc_id) OVER (PARTITION BY
+        |           lab.cluster_id) AS m
+        |         FROM w5 JOIN lab USING (doc_id)) WHERE doc_id = m)
+        |SELECT '1_total' AS stage,
+        |  CAST((SELECT COUNT(*) FROM d0) AS BIGINT) AS n_docs
+        |UNION ALL SELECT '2_non_bench', (SELECT COUNT(*) FROM w2)
+        |UNION ALL SELECT '3_decontaminated', (SELECT COUNT(*) FROM w3)
+        |UNION ALL SELECT '4_min_length', (SELECT COUNT(*) FROM w4)
+        |UNION ALL SELECT '5_exact_canonical', (SELECT COUNT(*) FROM w5)
+        |UNION ALL SELECT '6_neardup_rep', (SELECT COUNT(*) FROM w6)
+        |ORDER BY stage""".stripMargin,
     // q303: the naive sorted-window cumsum; the two-level prefix sum
     // computes the same total order
     "q303_budget_selection" ->
