@@ -1528,7 +1528,42 @@ object Dedup {
       .orderBy(col("n_bands"))
   }
 
+  /** q314 — DUP RATE BY QUALITY DECILE: for each decile of the
+    * quality ranking (distinct-token count, q303's selection metric),
+    * the share of docs that near-dup dedup would REMOVE (non-minimal
+    * members of a q67 cluster) — the cross-signal audit answering "is
+    * the quality filter already doing the dedup's job?". If dup rate
+    * concentrates in the bottom deciles, a corpus cut at quality
+    * already sheds most duplicates and the expensive near-dup pass
+    * can run on the survivors only; a flat curve says the two filters
+    * are independent and both must run. The reference has no notion
+    * of either signal; this is the north-star corpus-curation readout.
+    *
+    * Scale shape: deciles ride [[graft.ops.Windows.ntileNoGlobalSort]]
+    * (two-level rank — no global sorted window); the removed set is
+    * O(duplicates) and broadcast into the left join; one O(10) rollup.
+    * All counts exact, the rate ONE division. */
+  def qualityDupAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        size(array_distinct(graft.text.TextAnalysis.tokens(col("text"))))
+          .cast(LongType).as("quality"))
+    val deciled = graft.ops.Windows.ntileNoGlobalSort(
+      d, -col("quality"), col("doc_id"), 10, 8L, "decile")
+    val removed = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("dup"))
+    deciled.join(broadcast(removed), Seq("doc_id"), "left")
+      .groupBy(col("decile").cast(LongType).as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_members"))
+      .withColumn("dup_rate",
+        col("n_dup_members").cast(DoubleType) / col("n_docs"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_quality_dup_audit" -> qualityDupAudit,
     "q311_lsh_config_sweep" -> lshConfigSweep,
     "q307_threshold_sweep" -> thresholdSweep,
     "q302_pair_evidence" -> pairEvidence,
@@ -1985,6 +2020,26 @@ object Dedup {
         |FROM g WHERE rn = 1
         |ORDER BY dup_group""".stripMargin,
     "q67_dedup_clusters" -> clustersOracle,
+    // q314: same cluster fixpoint; NTILE(10) == ntileNoGlobalSort
+    "q314_quality_dup_audit" ->
+      s"""WITH RECURSIVE $clusterLabCte,
+        |q AS (SELECT doc_id,
+        |        CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), ' +')))
+        |          AS BIGINT) AS quality
+        |      FROM documents),
+        |dd AS (SELECT doc_id,
+        |         CAST(NTILE(10) OVER (ORDER BY quality DESC, doc_id)
+        |           AS BIGINT) AS decile
+        |       FROM q),
+        |rem AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        |SELECT decile, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_members,
+        |  CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS dup_rate
+        |FROM dd LEFT JOIN rem r ON dd.doc_id = r.doc_id
+        |GROUP BY decile
+        |ORDER BY decile""".stripMargin,
     "q74_cluster_minhash" -> clusterMinhashOracle,
     // exact answer: the oracle is the naive all-pairs formulation; only
     // the Spark plan blocks by fingerprint bands (losslessly)

@@ -263,20 +263,56 @@ object Pipeline {
     * stay deterministic because shard assignment is a pure hash of
     * doc_id — same packs on any cluster layout. Emits per-pack
     * occupancy stats (the packer's quality signal). */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 2000
+  /** Token budget of one packed training sequence (q78/q316). */
+  private val PackBudget = 2000
+
+  /** Shared q78/q316 fragment: per-doc next-fit pack assignment — the
+    * per-shard running token offset and the pack where each doc's
+    * FIRST token lands. One window per shard partition, parallel
+    * across shards. */
+  private def packedDocs(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     load(spark, dir, "documents")
       .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tok"))
       .withColumn("shard", hashBucket(col("doc_id"), 8))
       .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $PackBudget"))
+  }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packedDocs(spark, dir)
       .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("shard"), col("pack_id"))
-  }
+
+  /** q316 — PACK FRAGMENTATION audit: how many documents the q78
+    * packer SPLITS across sequence boundaries, per shard — the
+    * training-quality cost of fixed-length packing (a doc cut in half
+    * loses cross-boundary context; attention masking only fixes
+    * what's inside one sequence). Offset packing wastes no tokens by
+    * construction, so fragmentation is THE packer metric: a doc
+    * fragments iff its token span [cum−n_tok, cum) crosses a
+    * PackBudget boundary, and its fragment count is the number of
+    * pack ranges the span touches — both closed-form integer
+    * expressions off the SAME [[packedDocs]] offsets q78 groups by,
+    * so audit and packer can never disagree. Per shard: doc count,
+    * split-doc count, total fragments, split rate (ONE division).
+    * O(shards) output, one partial-agg rollup over the shared
+    * window pass. */
+  def packFragmentation(spark: SparkSession, dir: String): DataFrame =
+    packedDocs(spark, dir)
+      .withColumn("frags",
+        expr(s"(cum - 1) div $PackBudget") - col("pack_id") + 1L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(when(col("frags") > 1L, 1L).otherwise(0L)).as("n_split_docs"),
+        sum(col("frags")).as("n_fragments"))
+      .withColumn("split_rate",
+        col("n_split_docs").cast(DoubleType) / col("n_docs"))
+      .orderBy(col("shard"))
 
   /** EXACT order-statistic SELECTION without a global sort: the lower
     * median of lineitem's price column via two-level bucket selection
@@ -948,6 +984,7 @@ object Pipeline {
     "q139_median_selection" -> medianSelection,
     "q77_chunk_docs" -> chunkDocs,
     "q78_pack_sequences" -> packSequences,
+    "q316_pack_fragmentation" -> packFragmentation,
     "q75_stratified_sample" -> stratifiedSample,
     "q66_pii_scrub" -> piiScrub,
     "q68_hash_sample" -> hashSample,
@@ -1230,6 +1267,28 @@ object Pipeline {
         |FROM c
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // q316: q78's offset CTEs + the closed-form fragment count
+    "q316_pack_fragmentation" ->
+      s"""WITH d AS (SELECT doc_id,
+        |             CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT) AS n_tok,
+        |             ${bucketSql("doc_id", 8)} AS shard
+        |           FROM documents),
+        |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |p AS (SELECT shard, n_tok,
+        |        CAST((cum - 1) // 2000 AS BIGINT)
+        |          - CAST((cum - n_tok) // 2000 AS BIGINT) + 1 AS frags
+        |      FROM c)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(CASE WHEN frags > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split_docs,
+        |  CAST(SUM(frags) AS BIGINT) AS n_fragments,
+        |  CAST(SUM(CASE WHEN frags > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS split_rate
+        |FROM p
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q75_stratified_sample" ->
       s"""SELECT doc_id, lang, sample_rank FROM (
         |  SELECT doc_id, lang,

@@ -184,6 +184,46 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("n2").as("qn"))
 
+  /** q317 — SEMANTIC DECONTAMINATION: the embedding-space twin of
+    * q70's verbatim n-gram decontamination — for every corpus vector,
+    * its maximum cosine to the held-out benchmark slice (vec_id % 20
+    * = 0, the q69/q70 bench rule carried to the vector store), which
+    * bench item achieves it, and the contamination verdict at the
+    * q34 near-dup threshold (0.4). Catches the leaks n-gram overlap
+    * misses: paraphrased or translated eval items share no 5-gram
+    * but sit next to their source in embedding space — the check
+    * modern corpus builds run beside the lexical one.
+    *
+    * Scale shape: the bench side is a FIXED eval suite — small by
+    * construction — so it broadcasts and the corpus NEVER shuffles
+    * (q35's regime: one scan, per-row codegen'd `vec_dot` against
+    * the broadcast array). The per-vector argmax is a partial-
+    * aggregable max(struct(cosine, −bench_id)) — no window, ties to
+    * the smallest bench id deterministically. If the bench side ever
+    * outgrows broadcast, the q138 IVF probe slots in unchanged.
+    * Output is O(corpus) verdict rows, the shape a quarantine join
+    * consumes. */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val bench = v.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"),
+        col("n2").as("bn"))
+    v.filter(col("vec_id") % 20 =!= 0)
+      .join(broadcast(bench), col("vec_id") =!= col("bench_id"))
+      .withColumn("cosine",
+        cosine(dot(col("embedding"), col("be")), col("n2"), col("bn")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cosine").as("c"), (-col("bench_id")).as("nb")))
+          .as("m"),
+        sum(when(col("cosine") >= 0.4, 1L).otherwise(0L))
+          .as("n_bench_hits"))
+      .select(col("vec_id"), (-col("m.nb")).as("best_bench"),
+        col("m.c").as("max_cosine"), col("n_bench_hits"),
+        (col("m.c") >= 0.4).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF approximate top-10, index built inline: quantize, assign every
     * vector to its nearest centroid once, probe the best buckets. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -1068,6 +1108,7 @@ object Similarity {
     "q185_class_centroids" -> classCentroids,
     "q145_vector_profile" -> vectorProfile,
     "q34_embedding_neardup" -> embeddingNearDup,
+    "q317_semantic_decontam" -> semanticDecontam,
     "q35_knn_bruteforce" -> knnBruteForce,
     "q36_ann_ivf" -> annIvf,
     "q99_semantic_neardup_ivf" -> semanticNearDupIvf,
@@ -1379,6 +1420,30 @@ object Similarity {
         |ORDER BY vec_id""".stripMargin,
     // exact answer — the oracle stays the naive all-pairs formulation;
     // only the Spark-side physical plan is tiled
+    // q317: same strict-fold dot; argmax tie resolved to MIN bench_id
+    // via the float-equality join back to the max (identical doubles
+    // in both engines, the q34/q35 determinism argument)
+    "q317_semantic_decontam" ->
+      s"""WITH v AS ($vSql),
+        |b AS (SELECT vec_id AS bench_id, embedding AS be, n2 AS bn
+        |      FROM v WHERE vec_id % 20 = 0),
+        |c AS (SELECT * FROM v WHERE vec_id % 20 <> 0),
+        |p AS (SELECT c.vec_id, b.bench_id,
+        |        ${cosSql(dotSql("c.embedding", "b.be"), "c.n2", "b.bn")}
+        |          AS cosine
+        |      FROM c, b),
+        |a AS (SELECT vec_id, MAX(cosine) AS max_cosine,
+        |        CAST(SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_bench_hits
+        |      FROM p GROUP BY 1),
+        |best AS (SELECT p.vec_id, MIN(p.bench_id) AS best_bench
+        |         FROM p JOIN a ON p.vec_id = a.vec_id
+        |           AND p.cosine = a.max_cosine
+        |         GROUP BY 1)
+        |SELECT a.vec_id, best.best_bench, a.max_cosine, a.n_bench_hits,
+        |  a.max_cosine >= 0.4 AS contaminated
+        |FROM a JOIN best ON a.vec_id = best.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "q34_embedding_neardup" ->
       s"""WITH v AS ($vSql),
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

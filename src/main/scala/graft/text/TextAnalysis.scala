@@ -796,7 +796,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q315 — FILTER-GATE AGREEMENT (Cohen's kappa): chance-corrected
+    * agreement between two document quality gates — the q27 heuristic
+    * rule (n_tokens ≥ 10 ∧ 2 ≤ mean_token_len ≤ 12, restated
+    * verbatim) and a lexical-diversity gate (2·distinct ≥ tokens, the
+    * integer Simpson-ish rule) — the audit run before adding a new
+    * filter to a pipeline: κ near 1 says the new gate is redundant
+    * (it re-rejects what the old one rejects), κ near 0 says it
+    * carries independent signal and both must run. Raw agreement
+    * (p_o) alone overstates overlap when both gates pass nearly
+    * everything; κ subtracts the chance term, which is why annotation
+    * pipelines report it.
+    *
+    * Scale shape: ONE conditional-aggregation pass over the corpus →
+    * a 2×2 table of exact BIGINT counts; κ's numerator N·agree −
+    * (a1·b1 + a0·b0) and denominator N² − (a1·b1 + a0·b0) are exact
+    * DECIMAL(38) products (no BIGINT overflow at corpus scale), each
+    * ratio ONE correctly-rounded decimal→double cast + division,
+    * mirrored digit-for-digit by the oracle's HUGEINT-via-VARCHAR
+    * casts (the q236 pattern). Output is one row. */
+  def gateKappa(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast(LongType)
+    val mtl = length(regexp_replace(trim(col("text")), " +", ""))
+      .cast(DoubleType) / nTok
+    val gateA = nTok >= 10L && mtl >= 2.0 && mtl <= 12.0
+    val gateB = size(array_distinct(tokens(col("text"))))
+      .cast(LongType) * 2L >= nTok
+    val cell = (p: Column, n: String) =>
+      sum(when(p, 1L).otherwise(0L)).as(n)
+    val g = spread(load(spark, dir, "documents")).agg(
+      cell(gateA && gateB, "n11"), cell(gateA && !gateB, "n10"),
+      cell(!gateA && gateB, "n01"), cell(!gateA && !gateB, "n00"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    g.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        (col("n11") + col("n10") + col("n01") + col("n00")).as("n"),
+        (col("n11") + col("n00")).as("agree"),
+        (col("n11") + col("n10")).as("a1"),
+        (col("n11") + col("n01")).as("b1"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        (dec(col("a1")) * dec(col("b1")) +
+          dec(col("n") - col("a1")) * dec(col("n") - col("b1"))).as("pe_num"),
+        col("n"), col("agree"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        (col("agree").cast(DoubleType) / col("n")).as("po"),
+        (col("pe_num").cast(DoubleType) /
+          (dec(col("n")) * dec(col("n"))).cast(DoubleType)).as("pe"),
+        ((dec(col("n")) * dec(col("agree")) - col("pe_num")).cast(DoubleType) /
+          (dec(col("n")) * dec(col("n")) - col("pe_num")).cast(DoubleType))
+          .as("kappa"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_gate_kappa" -> gateKappa,
     "q308_rare_trigram_rate" -> rareTrigramRate,
     "q301_lang_margin" -> langMargin,
     "q286_vocab_coverage" -> vocabCoverage,
@@ -831,6 +882,39 @@ object TextAnalysis {
     * with (hits, lang) field order, which both engines compare
     * lexicographically field-by-field. */
   val oracles: Map[String, String] = Map(
+    // q315: same gate rules; HUGEINT products, VARCHAR-detour casts
+    // (DuckDB's HUGEINT->DOUBLE direct cast is not correctly rounded)
+    "q315_gate_kappa" ->
+      """WITH d AS (SELECT STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks,
+        |             text FROM documents),
+        |c AS (SELECT CAST(LEN(toks) AS BIGINT) AS nt,
+        |        CAST(LENGTH(REGEXP_REPLACE(TRIM(text), ' +', '', 'g'))
+        |          AS DOUBLE) / CAST(LEN(toks) AS BIGINT) AS mtl,
+        |        CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS nd
+        |      FROM d),
+        |f AS (SELECT (nt >= 10 AND mtl >= 2.0 AND mtl <= 12.0) AS ga,
+        |        (nd * 2 >= nt) AS gb FROM c),
+        |g AS (SELECT
+        |    CAST(SUM(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(SUM(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM f),
+        |h AS (SELECT n11, n10, n01, n00,
+        |    n11 + n10 + n01 + n00 AS n, n11 + n00 AS agree,
+        |    CAST(n11 + n10 AS HUGEINT) AS a1,
+        |    CAST(n11 + n01 AS HUGEINT) AS b1
+        |  FROM g),
+        |k AS (SELECT n11, n10, n01, n00, n, agree,
+        |    a1 * b1 + (n - a1) * (n - b1) AS pe_num FROM h)
+        |SELECT n11, n10, n01, n00,
+        |  CAST(agree AS DOUBLE) / n AS po,
+        |  CAST(CAST(pe_num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n AS HUGEINT) * n AS VARCHAR) AS DOUBLE) AS pe,
+        |  CAST(CAST(CAST(n AS HUGEINT) * agree - pe_num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n AS HUGEINT) * n - pe_num AS VARCHAR) AS DOUBLE)
+        |    AS kappa
+        |FROM k""".stripMargin,
     // q308: same trigram stream, same corpus-count join
     "q308_rare_trigram_rate" ->
       """WITH t AS (SELECT doc_id,

@@ -2370,6 +2370,87 @@ class OperatorSpec extends AnyFunSuite {
     assert(n(5) <= n(4) && s5.nonEmpty && clusters.nonEmpty)
   }
 
+  test("quality dup audit: deciles partition the corpus, dup total equals q67's removals") {
+    val rows = run("q314_quality_dup_audit").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum === docs)
+    // NTILE split: tile sizes differ by at most 1, non-increasing
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1L)
+    val removed = run("q67_dedup_clusters")
+      .filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(rows.map(_.getLong(2)).sum === removed)
+    rows.foreach { r =>
+      assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
+  test("gate kappa: cells partition the corpus, kappa matches the closed form") {
+    val r = run("q315_gate_kappa").collect()(0)
+    val (n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val n = n11 + n10 + n01 + n00
+    assert(n === Tables.load(spark, sf, "documents").count())
+    val agree = n11 + n00
+    val (a1, b1) = (n11 + n10, n11 + n01)
+    val peNum = BigInt(a1) * b1 + BigInt(n - a1) * (n - b1)
+    assert(r.getDouble(4) === agree.toDouble / n)
+    assert(r.getDouble(5) === peNum.toDouble / (BigInt(n) * BigInt(n)).toDouble)
+    val kappa = (BigInt(n) * BigInt(agree) - peNum).toDouble /
+      (BigInt(n) * BigInt(n) - peNum).toDouble
+    assert(r.getDouble(6) === kappa)
+    assert(r.getDouble(6) >= -1.0 && r.getDouble(6) <= 1.0)
+  }
+
+  test("pack fragmentation: reconciles with q78 and the boundary-count bound") {
+    val rows = run("q316_pack_fragmentation").collect()
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum === docs)
+    val packs = run("q78_pack_sequences").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(rs => (rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum))
+    rows.foreach { r =>
+      val (shard, nDocs, sumTok, nSplit, nFrag) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (pDocs, pTok) = packs(shard)
+      assert(nDocs === pDocs && sumTok === pTok, s"shard $shard forked from q78")
+      // offset packing: each pack boundary is crossed by at most ONE
+      // doc, so extra fragments <= interior boundary count
+      assert(nFrag - nDocs <= (sumTok - 1) / 2000, r.toString)
+      assert(nSplit <= nFrag - nDocs, "a split doc has >= 2 fragments")
+      assert(r.getDouble(5) === nSplit.toDouble / nDocs)
+    }
+  }
+
+  test("semantic decontam: equals a brute-force max-cosine scan against the bench slice") {
+    val rows = run("q317_semantic_decontam").collect()
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val bench = vecs.filter(_._1 % 20 == 0)
+    val corpus = vecs.filter(_._1 % 20 != 0).toMap
+    assert(rows.length === corpus.size)
+    rows.foreach { r =>
+      val e = corpus(r.getLong(0))
+      val n2 = dot(e, e)
+      val scored = bench.map { case (bid, be) =>
+        (bid, dot(e, be) / math.sqrt(n2 * dot(be, be)))
+      }
+      val mx = scored.map(_._2).max
+      val bestId = scored.filter(_._2 == mx).map(_._1).min
+      assert(r.getDouble(2) === mx, s"vec ${r.getLong(0)}")
+      assert(r.getLong(1) === bestId)
+      assert(r.getLong(3) === scored.count(_._2 >= 0.4).toLong)
+      assert(r.getBoolean(4) === (mx >= 0.4))
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
