@@ -107,7 +107,7 @@ object Dedup {
   /** LSH band keys of a (doc_id, sig) frame — ONE definition of the
     * band split serving q31's self-join and q285's delta-vs-corpus
     * probe (the two must never fork). */
-  private def bandKeys(sigs: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sigs: DataFrame): DataFrame = {
     val bandStructs = array((0 until BANDS).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until R).map(r =>
@@ -1528,6 +1528,38 @@ object Dedup {
       .orderBy(col("n_bands"))
   }
 
+  /** q318 — DEDUP LOSER/WINNER MATRIX ("who pays for dedup"): per
+    * (loser source, winner source) cell, the documents and token mass
+    * a source LOSES under q67's min-id canonicalization because the
+    * surviving copy lives in the winner source — the attribution
+    * readout behind a licensing/feed decision: q222 says which feeds
+    * MIRROR each other, this says which feed's copies actually get
+    * dropped and who keeps the canonical. Diagonal cells are internal
+    * redundancy; an asymmetric off-diagonal cell means one feed is
+    * systematically the copy of the other.
+    *
+    * Scale shape: the removed set is O(duplicates), and both joins
+    * carry only (doc_id, source, ntok) — the canonical-side join key
+    * is the cluster label itself (min-id == a doc_id), so no extra
+    * canonical derivation pass; one partial-agg rollup to
+    * O(sources²). All counts exact integers. */
+  def dedupLoserMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("ntok"))
+    val removed = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"))
+    removed
+      .join(docs, Seq("doc_id"))
+      .join(docs.select(col("doc_id").as("cluster_id"),
+        col("source").as("winner_source")), Seq("cluster_id"))
+      .groupBy(col("source").as("loser_source"), col("winner_source"))
+      .agg(count(lit(1)).as("n_docs_removed"),
+        sum(col("ntok")).as("n_tokens_removed"))
+      .orderBy(col("loser_source"), col("winner_source"))
+  }
+
   /** q314 — DUP RATE BY QUALITY DECILE: for each decile of the
     * quality ranking (distinct-token count, q303's selection metric),
     * the share of docs that near-dup dedup would REMOVE (non-minimal
@@ -1563,6 +1595,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_dedup_loser_matrix" -> dedupLoserMatrix,
     "q314_quality_dup_audit" -> qualityDupAudit,
     "q311_lsh_config_sweep" -> lshConfigSweep,
     "q307_threshold_sweep" -> thresholdSweep,
@@ -1730,25 +1763,7 @@ object Dedup {
         |        md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS content_key
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
-    "q31_minhash_lsh" ->
-      s"""WITH t AS ($toksSql),
-        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-        |h AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s),
-        |sig AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
-        |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
-        |        FROM h),
-        |bands AS (SELECT doc_id, sig, b.band,
-        |            ARRAY_TO_STRING(sig[b.band*${R}+1 : b.band*${R}+${R}], ',') AS bkey
-        |          FROM sig, (SELECT UNNEST([0,1,2,3]) AS band) b),
-        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |            x.sig AS sa, y.sig AS sb
-        |          FROM bands x JOIN bands y
-        |            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}), i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 AS est_jaccard
-        |FROM pairs
-        |WHERE CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}), i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q31_minhash_lsh" -> lshOracle,
     "q32_simhash" ->
       s"""SELECT doc_id,
         | CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 31), b ->
@@ -2020,6 +2035,20 @@ object Dedup {
         |FROM g WHERE rn = 1
         |ORDER BY dup_group""".stripMargin,
     "q67_dedup_clusters" -> clustersOracle,
+    // q318: same cluster fixpoint; winner looked up by the label
+    "q318_dedup_loser_matrix" ->
+      s"""WITH RECURSIVE $clusterLabCte,
+        |rem AS (SELECT doc_id, cluster_id FROM lab
+        |        WHERE doc_id <> cluster_id)
+        |SELECT dl.source AS loser_source, dw.source AS winner_source,
+        |  COUNT(*) AS n_docs_removed,
+        |  CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(dl.text), ' +')))
+        |    AS BIGINT) AS n_tokens_removed
+        |FROM rem r
+        |JOIN documents dl ON dl.doc_id = r.doc_id
+        |JOIN documents dw ON dw.doc_id = r.cluster_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q314: same cluster fixpoint; NTILE(10) == ntileNoGlobalSort
     "q314_quality_dup_audit" ->
       s"""WITH RECURSIVE $clusterLabCte,
@@ -2348,6 +2377,29 @@ object Dedup {
         |        JOIN edges e ON r.dst = e.src AND e.dst <> r.src),
         |lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
         |        FROM reach GROUP BY src)""".stripMargin
+
+  /** q31's oracle, shared VERBATIM with the streaming twin q319 — the
+    * batch and incremental forms must produce the identical pair set
+    * (the q144/q196 same-string pattern). */
+  private[graft] lazy val lshOracle: String =
+      s"""WITH t AS ($toksSql),
+        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        |h AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s),
+        |sig AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
+        |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
+        |        FROM h),
+        |bands AS (SELECT doc_id, sig, b.band,
+        |            ARRAY_TO_STRING(sig[b.band*${R}+1 : b.band*${R}+${R}], ',') AS bkey
+        |          FROM sig, (SELECT UNNEST([0,1,2,3]) AS band) b),
+        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |            x.sig AS sa, y.sig AS sb
+        |          FROM bands x JOIN bands y
+        |            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}), i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 AS est_jaccard
+        |FROM pairs
+        |WHERE CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}), i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
 
   private lazy val clustersOracle: String =
       s"""WITH RECURSIVE $clusterLabCte

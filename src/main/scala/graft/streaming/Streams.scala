@@ -949,6 +949,75 @@ object Streams {
     runToMemory(spark, agg, "graft_stream_src_sketch").orderBy(col("source"))
   }
 
+  /** q319 — STREAMING LSH NEAR-DUP DETECTION: the incremental twin of
+    * q31 — documents arrive in micro-batches, each doc's MinHash
+    * signature is banded with the SAME split as the batch detector
+    * ([[graft.dedup.Dedup.bandKeys]]), and per band-bucket state
+    * (flatMapGroupsWithState) holds the signatures already seen, so a
+    * new arrival is compared ONLY against its bucket's residents —
+    * the production ingest-dedup shape: "is this incoming doc a
+    * near-copy of anything already ingested?", answered per batch
+    * without rescanning the corpus. Emitted candidate pairs verify by
+    * the identical signature-overlap estimate (≥ 0.5), and the final
+    * pair set must equal batch q31's EXACTLY — the oracle is q31's
+    * string verbatim, so the two forms can never fork.
+    *
+    * Scale shape: state is partitioned by band bucket (the shuffle
+    * key a 1000-executor job scales on); each bucket holds only its
+    * colliding signatures — for near-uniform buckets that is O(1)
+    * docs, and a hot bucket is exactly a real duplicate cluster. In
+    * an unbounded run, state TTL (GroupStateTimeout / the q271
+    * transformWithState timer path) ages out cold buckets; within-
+    * batch pairs are found by comparing each doc against residents +
+    * earlier same-batch arrivals in doc_id order, so batching cannot
+    * change the result. Cross-band duplicate emissions collapse in
+    * the final distinct. */
+  def streamLshDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val K = graft.dedup.Dedup.K
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_lsh_dedup$safe"
+    deleteRecursively(new java.io.File(base))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val sigs = src.select(col("doc_id"),
+      call_function("minhash_sig",
+        graft.dedup.Dedup.shingleHashes(col("text"), mod = true)).as("sig"))
+    val banded = graft.dedup.Dedup.bandKeys(sigs)
+      .select(concat_ws("|", col("band"), col("bkey")).as("bucket"),
+        col("doc_id"), col("sig"))
+      .as[(String, Long, Array[Long])]
+    val pairs = banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[(Long, Array[Long])],
+        (Long, Long, Double)](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var seen = state.getOption.getOrElse(Array.empty[(Long, Array[Long])])
+        rows.map(r => (r._2, r._3)).toVector.sortBy(_._1).foreach {
+          case (id, sg) =>
+            seen.foreach { case (pid, psg) =>
+              var eq = 0; var i = 0
+              while (i < K) { if (sg(i) == psg(i)) eq += 1; i += 1 }
+              val est = eq.toDouble / K
+              if (est >= 0.5)
+                out += ((math.min(pid, id), math.max(pid, id), est))
+            }
+            seen = seen :+ ((id, sg))
+        }
+        state.update(seen)
+        out.result().iterator
+      }
+    runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b", "est_jaccard"),
+        "graft_stream_lsh_dedup")
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** STREAMING RUNNING TOTALS via `transformWithState` — the third
     * implementation of the per-user balance/count semantics, gated on
     * the SAME oracle string as q188's foreachBatch MERGE (and the
@@ -1091,6 +1160,7 @@ object Streams {
     "q262_stream_chained" -> streamChained,
     "q271_stream_tws_timers" -> streamTimerFlush,
     "q278_stream_source_sketch" -> streamSourceSketch,
+    "q319_stream_lsh_dedup" -> streamLshDedup,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
@@ -1150,6 +1220,9 @@ object Streams {
     // q278: the 4-batch incremental sketch merge must equal the
     // one-shot per-source signature (element-wise min is order-free) —
     // same CTE machinery as the q74/q275 batch oracles
+    // q319: q31's oracle VERBATIM — the streaming detector must emit
+    // exactly the batch pair set
+    "q319_stream_lsh_dedup" -> graft.dedup.Dedup.lshOracle,
     "q278_stream_source_sketch" ->
       s"""WITH t AS (SELECT doc_id, source,
         |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),

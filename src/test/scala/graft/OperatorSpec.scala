@@ -2451,6 +2451,46 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup loser matrix: totals reconcile with q67 removals and q277's yield gap") {
+    val rows = run("q318_dedup_loser_matrix").collect()
+    val removed = run("q67_dedup_clusters")
+      .filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(rows.map(_.getLong(2)).sum === removed)
+    // per loser source, removed token mass == q277's raw - effective
+    val byLoser = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    run("q277_effective_yield").collect().foreach { y =>
+      val gap = y.getLong(2) - y.getLong(3)
+      assert(byLoser.getOrElse(y.getString(0), 0L) === gap,
+        s"source ${y.getString(0)} forked from q277")
+    }
+  }
+
+  test("streaming LSH dedup emits exactly the batch q31 pair set") {
+    val stream = run("q319_stream_lsh_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = run("q31_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream === batch)
+  }
+
+  test("reshard plan: ring moves only to new nodes and moves less than mod") {
+    val rows = run("q320_reshard_plan").collect()
+    val docs = Tables.load(spark, sf, "documents").count()
+    def tot(s: String, moved: Option[Boolean] = None) = rows
+      .filter(r => r.getString(0) == s &&
+        moved.forall(_ == r.getBoolean(4)))
+      .map(_.getLong(3)).sum
+    assert(tot("mod") === docs && tot("ring") === docs)
+    // every ring-moved doc lands on one of the two ADDED nodes
+    rows.filter(r => r.getString(0) == "ring" && r.getBoolean(4))
+      .foreach(r => assert(r.getLong(2) >= 8L, r.toString))
+    // consistent hashing must beat mod-rehash on migration volume
+    assert(tot("ring", Some(true)) < tot("mod", Some(true)))
+    // ring expectation: ~2/10 of docs move (generous 3x bound)
+    assert(tot("ring", Some(true)) < docs * 6 / 10)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
