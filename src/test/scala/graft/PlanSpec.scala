@@ -687,4 +687,35 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
   }
+
+  test("q314/q318 dup audits keep every join keyed (no nested loop)") {
+    Seq("q314_quality_dup_audit", "q318_dedup_loser_matrix").foreach { q =>
+      val plan = formatted(run(q))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q\n$plan")
+    }
+  }
+
+  test("q315 gate kappa is one scan + one partial-aggregable rollup to a single row") {
+    val df = run("q315_gate_kappa")
+    val plan = formatted(df)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
+    assert(countShuffles(df.queryExecution.executedPlan) <= 2, plan)
+  }
+
+  test("q317 semantic decontam broadcasts the bench slice; corpus side never shuffles pre-agg") {
+    val plan = formatted(run("q317_semantic_decontam"))
+    // brute-force regime: bench is the broadcast side (q35's shape)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_max") || plan.contains("partial_sum"), plan)
+  }
+
+  test("q320 reshard plan is join-free: constant-struct successor arithmetic + one rollup") {
+    val df = run("q320_reshard_plan")
+    val plan = formatted(df)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Union"), plan)
+  }
 }
