@@ -1528,6 +1528,30 @@ object Dedup {
       .orderBy(col("n_bands"))
   }
 
+  /** q323 — LSH BUCKET-SIZE HISTOGRAM (index health): per band, the
+    * distribution of bucket sizes and the candidate-pair work each
+    * size class contributes (n_buckets × C(size, 2)) — the readout
+    * that catches a DEGENERATE band before it melts the join: one
+    * low-entropy hash slot (constant-ish signature rows, boilerplate
+    * floods) shows up as a giant bucket whose C(s,2) dwarfs the rest,
+    * and THAT band's equi-join is the q31 stage that would OOM at
+    * 100 TB. q311 tunes the (bands × rows) split for recall; this
+    * audits the split's runtime cost on the actual corpus.
+    *
+    * Scale shape: one rollup to O(buckets), one to O(bands × distinct
+    * sizes); the signature/band machinery is q31's verbatim. All
+    * counts exact; pair work is exact integer n·s·(s−1)/2. */
+  def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
+    bandKeys(withSignature(spread(load(spark, dir, "documents"))))
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band").cast(LongType).as("band"),
+        col("sz").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("n_candidate_pairs",
+        col("n_buckets") * expr("bucket_size * (bucket_size - 1) div 2"))
+      .orderBy(col("band"), col("bucket_size"))
+
   /** q318 — DEDUP LOSER/WINNER MATRIX ("who pays for dedup"): per
     * (loser source, winner source) cell, the documents and token mass
     * a source LOSES under q67's min-id canonicalization because the
@@ -1596,6 +1620,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q318_dedup_loser_matrix" -> dedupLoserMatrix,
+    "q323_lsh_bucket_stats" -> lshBucketStats,
     "q314_quality_dup_audit" -> qualityDupAudit,
     "q311_lsh_config_sweep" -> lshConfigSweep,
     "q307_threshold_sweep" -> thresholdSweep,
@@ -1764,6 +1789,18 @@ object Dedup {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q31_minhash_lsh" -> lshOracle,
+    // q323: q31's band CTEs verbatim + two rollups
+    "q323_lsh_bucket_stats" ->
+      s"""WITH $lshBandsCte,
+        |b AS (SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS sz
+        |      FROM bands GROUP BY 1, 2)
+        |SELECT band, sz AS bucket_size,
+        |  COUNT(*) AS n_buckets,
+        |  CAST(COUNT(*) * (sz * (sz - 1) // 2) AS BIGINT)
+        |    AS n_candidate_pairs
+        |FROM b
+        |GROUP BY band, sz
+        |ORDER BY band, sz""".stripMargin,
     "q32_simhash" ->
       s"""SELECT doc_id,
         | CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 31), b ->
@@ -2381,8 +2418,10 @@ object Dedup {
   /** q31's oracle, shared VERBATIM with the streaming twin q319 — the
     * batch and incremental forms must produce the identical pair set
     * (the q144/q196 same-string pattern). */
-  private[graft] lazy val lshOracle: String =
-      s"""WITH t AS ($toksSql),
+  /** The t→s→h→sig→bands CTE chain of the MinHash band split — shared
+    * by [[lshOracle]] and the q323 bucket-stats oracle. */
+  private lazy val lshBandsCte: String =
+      s"""t AS ($toksSql),
         |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
         |h AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s),
         |sig AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
@@ -2390,7 +2429,10 @@ object Dedup {
         |        FROM h),
         |bands AS (SELECT doc_id, sig, b.band,
         |            ARRAY_TO_STRING(sig[b.band*${R}+1 : b.band*${R}+${R}], ',') AS bkey
-        |          FROM sig, (SELECT UNNEST([0,1,2,3]) AS band) b),
+        |          FROM sig, (SELECT UNNEST([0,1,2,3]) AS band) b)""".stripMargin
+
+  private[graft] lazy val lshOracle: String =
+      s"""WITH $lshBandsCte,
         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |            x.sig AS sa, y.sig AS sb
         |          FROM bands x JOIN bands y

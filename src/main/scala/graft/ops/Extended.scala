@@ -357,6 +357,63 @@ object Extended {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Target probe rows per (key, salt) task for q321/q322 — the knob a
+    * real job sets to its executor's comfortable task size. 600 sits
+    * at this corpus's ~600-rows-per-key natural density, so both
+    * factor-1 and factor-2 keys occur at every SF. */
+  private val SaltTarget = 600L
+
+  /** q321 — ADAPTIVE SALT PLAN: the per-key salt-factor table a
+    * skew-aware join consumes, DERIVED from measured key counts
+    * (q131 profiles the skew; this turns the profile into the plan):
+    * factor(key) = ceil(probe_rows / SaltTarget), so a hot key is
+    * split over exactly the tasks it needs while uniform keys pay NO
+    * replication — the by-hand form of AQE's skew-join split, needed
+    * whenever the skewed operation isn't a plain join (grouped aggs,
+    * window pre-buckets) or the engine's heuristic must be pinned.
+    * One partial-aggregable count rollup, O(keys) output — the plan
+    * table is what q322 broadcasts. */
+  def saltPlan(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("n_probe_rows"))
+      .withColumn("salt_factor",
+        expr(s"(n_probe_rows + ${SaltTarget - 1}) div $SaltTarget"))
+      .orderBy(col("key"))
+
+  /** q322 — ADAPTIVE SALTED JOIN (q50 completed): the build side is
+    * replicated PER KEY by the q321 plan's factor (explode over
+    * sequence(0, factor−1)) and the probe side salted mod its own
+    * key's factor, so replication cost is paid ONLY where measured
+    * skew demands it — q50's uniform S×8 replication blows up the
+    * entire build side to split one hot key; this plan's blowup is
+    * Σ factor(key) ≈ |build| + (hot mass / SaltTarget). The result is
+    * IDENTICAL to the plain join (the oracle is the unsalted
+    * formulation, shared verbatim with q50 — the two salting
+    * disciplines can never fork). The plan table is O(keys) slim and
+    * broadcast to both sides; at 100 TB it carries only factor>1
+    * keys with a default-1 fallback via the left join's coalesce. */
+  def adaptiveSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val plan = saltPlan(spark, dir)
+      .select(col("key"), col("salt_factor"))
+    val s = load(spark, dir, "supplier")
+      .join(broadcast(plan), col("s_suppkey") === col("key"), "left")
+      .withColumn("f", coalesce(col("salt_factor"), lit(1L)))
+      .withColumn("salt", explode(expr("sequence(0L, f - 1L)")))
+      .drop("key", "salt_factor", "f")
+    val l = load(spark, dir, "lineitem")
+      .join(broadcast(plan), col("l_suppkey") === col("key"), "left")
+      .withColumn("salt",
+        pmod(col("l_orderkey"), coalesce(col("salt_factor"), lit(1L))))
+      .drop("key", "salt_factor")
+    l.join(s, l("l_suppkey") === s("s_suppkey") && l("salt") === s("salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        dsumExpr(d2(col("l_extendedprice")) * d4(lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** HLL sketch distinct-count next to the exact answer. The sketch is
     * deterministic for fixed data; the emitted check is that it lands
     * within 10% of exact (typical HLL error at default rsd is ~2%),
@@ -982,6 +1039,8 @@ object Extended {
     "q264_corrupt_json" -> corruptJson,
     "q49_bucketed_join" -> bucketedJoin,
     "q50_salted_skew_join" -> saltedSkewJoin,
+    "q321_salt_plan" -> saltPlan,
+    "q322_adaptive_salted_join" -> adaptiveSaltedJoin,
     "q51_approx_distinct" -> approxDistinct,
     "q52_percentiles" -> medians,
     "q179_schema_evolution" -> schemaEvolutionRead)
@@ -1346,6 +1405,21 @@ object Extended {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q321_salt_plan" ->
+      """SELECT l_suppkey AS key, COUNT(*) AS n_probe_rows,
+        | CAST((COUNT(*) + 599) // 600 AS BIGINT) AS salt_factor
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // q322: the oracle is the UNSALTED join — adaptive salting must be
+    // result-invariant (the q50 contract, per-key factors this time)
+    "q322_adaptive_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "q51_approx_distinct" ->
       """SELECT l_returnflag,
         | COUNT(DISTINCT l_partkey) AS n_exact,

@@ -2491,6 +2491,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(tot("ring", Some(true)) < docs * 6 / 10)
   }
 
+  test("salt plan mixes factors and the adaptive join is result-invariant") {
+    val plan = run("q321_salt_plan").collect()
+    val factors = plan.map(_.getLong(2)).toSet
+    assert(factors.size >= 2, s"degenerate plan: $factors")
+    plan.foreach(r => assert(r.getLong(2) === (r.getLong(1) + 599) / 600))
+    // the salted rollup equals the plain-join rollup bit-for-bit
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getLong(1), r.getDouble(2))
+    val salted = run("q322_adaptive_salted_join").collect().map(key).toSeq
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        Tables.dsumExpr(Tables.d2(col("l_extendedprice")) *
+          Tables.d4(lit(1.0) - col("l_discount"))).as("rev"))
+      .orderBy(col("s_nationkey")).collect().map(key).toSeq
+    assert(salted === plain)
+  }
+
+  test("lsh bucket stats: each band partitions the corpus; candidates bound q31's pairs") {
+    val rows = run("q323_lsh_bucket_stats").collect()
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    (0L to 3L).foreach { b =>
+      val inBand = rows.filter(_.getLong(0) == b)
+        .map(r => r.getLong(2) * r.getLong(1)).sum
+      assert(inBand === docs, s"band $b does not partition the corpus")
+    }
+    rows.foreach(r => assert(r.getLong(3) ===
+      r.getLong(2) * (r.getLong(1) * (r.getLong(1) - 1) / 2)))
+    // every verified q31 pair collides in >= 1 band => candidate work
+    // across bands bounds the verified pair count from above
+    assert(rows.map(_.getLong(3)).sum >= run("q31_minhash_lsh").count())
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
