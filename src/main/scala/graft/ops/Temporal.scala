@@ -515,6 +515,40 @@ object Temporal {
     * intra max). All integer microseconds; the first arrival (no
     * predecessor, sentinel −1) is excluded in both engines.
     * Output: O(bands). */
+  /** q325 — PEAK CONCURRENCY per day: the maximum number of
+    * simultaneously-active 30-minute presence windows, per calendar
+    * day — THE capacity-planning number (connection pools, rate
+    * limits, serving replicas are sized to the peak, not the mean;
+    * q25 counts events per hour, this counts OVERLAP). Classic
+    * interval sweep: each event contributes (+1 at ts, −1 at
+    * ts+30min), concurrency is the running sum over the global
+    * endpoint order, the peak is a per-day max of that sum.
+    *
+    * Scale shape: the global running sum rides
+    * [[Windows.globalCumSumNoSort]] — per-time-bucket partial sums
+    * roll into broadcast prefix offsets, so NO single-partition
+    * global window ever materializes (the naive ORDER BY over every
+    * endpoint is the thing that dies at 100 TB). End-before-start at
+    * an exact boundary is encoded into the sort key itself (v =
+    * 2·micros + kind), making the order total and both engines'
+    * sweep identical. All-integer; output O(days). */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val W = 30L * 60 * 1000000
+    val e = events(spark, dir).select(col("event_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val pts = e.select(col("event_id"), (col("us") * 2 + 1).as("v"),
+        lit(1L).as("delta"))
+      .unionByName(e.select(col("event_id"),
+        ((col("us") + W) * 2).as("v"), lit(-1L).as("delta")))
+    Windows.globalCumSumNoSort(pts, col("v"), col("event_id"),
+        col("delta"), 1L << 38, "conc", "tot")
+      .withColumn("day", to_date(expr("timestamp_micros(v div 2)")))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("day"))
+  }
+
   def latenessHistogram(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir).select(col("event_id"), col("user_id"),
       expr("unix_micros(cast(ts as timestamp))").as("us"))
@@ -729,6 +763,7 @@ object Temporal {
     "q299_retention_half_life" -> retentionHalfLife,
     "q298_markov_eval" -> markovEval,
     "q296_lateness_histogram" -> latenessHistogram,
+    "q325_peak_concurrency" -> peakConcurrency,
     "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
@@ -1960,6 +1995,21 @@ object Temporal {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q296: the oracle states the naive global prefix-max window; the
     // two-level block/offset form computes the same running max
+    // q325: plain-window sweep — same total order (v encodes
+    // end-before-start), same per-day max
+    "q325_peak_concurrency" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT event_id, us * 2 + 1 AS v, 1 AS delta FROM e
+        |      UNION ALL
+        |      SELECT event_id, (us + 1800000000) * 2 AS v, -1 FROM e),
+        |c AS (SELECT v, CAST(SUM(delta) OVER (ORDER BY v, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |      FROM p)
+        |SELECT CAST(make_timestamp(v // 2) AS DATE) AS day,
+        |  MAX(conc) AS peak_concurrency, COUNT(*) AS n_points
+        |FROM c
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q296_lateness_histogram" ->
       """WITH e AS (SELECT event_id, user_id, event_id // 256 AS blk,
         |    epoch_us(ts) AS us FROM events),

@@ -411,6 +411,40 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q324 — PQ CODEBOOK UTILIZATION (quantizer health): per subspace,
+    * how many of the K codewords are actually USED, the hottest/
+    * coldest assignment counts, and the hot codeword's share — the
+    * retrain tripwire for a product quantizer: a dead codeword wastes
+    * a code point (the subspace is effectively K−1), a hot one means
+    * many vectors share a reconstruction and ADC distances collapse
+    * — both degrade recall silently until THIS table says why. Audits
+    * the same assignment q105 encodes and q106/q138 search (verbatim
+    * [[pqAssign]], so audit and index can never fork).
+    *
+    * Scale shape: the assignment pass is q105's O(n·M·K) against the
+    * broadcast codebook; the audit adds one rollup to O(M·K) cells
+    * (unused codewords kept by the left join against the codebook
+    * grid) and one to O(M) rows. Counts exact; the share is ONE
+    * double division. */
+  def pqCodebookStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = pqVecs(spark, dir)
+    val cb = pqCodebook(v)
+    val counts = pqAssign(v, cb)
+      .groupBy(col("m"), col("code_id")).agg(count(lit(1)).as("c"))
+    val grid = cb.select(col("code_id"),
+      explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+    grid.join(counts, Seq("m", "code_id"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .groupBy(col("m").cast(LongType).as("m"))
+      .agg(sum(when(col("c") > 0L, 1L).otherwise(0L)).as("n_codes_used"),
+        max(col("c")).as("max_assigned"),
+        min(col("c")).as("min_assigned"),
+        sum(col("c")).as("n_vectors"))
+      .withColumn("max_share",
+        col("max_assigned").cast(DoubleType) / col("n_vectors"))
+      .orderBy(col("m"))
+  }
+
   /** PQ ASYMMETRIC-distance (ADC) top-10 search over the encoded
     * store — the query side of q105 (Jégou/Douze/Schmid, TPAMI'11
     * "Product Quantization for Nearest Neighbor Search"): each query
@@ -1114,6 +1148,7 @@ object Similarity {
     "q99_semantic_neardup_ivf" -> semanticNearDupIvf,
     "q101_quantize_int8" -> quantizeInt8,
     "q105_pq_encode" -> pqEncode,
+    "q324_pq_codebook_stats" -> pqCodebookStats,
     "q106_pq_adc_search" -> pqAdcSearch,
     "q138_ivfpq_search" -> ivfPqSearch)
 
@@ -1293,6 +1328,27 @@ object Similarity {
         |SELECT query_id, neighbor_id, adc_dist, rank FROM rk
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // q324: q105's assignment CTEs verbatim + the utilization rollups
+    "q324_pq_codebook_stats" ->
+      s"""$pqCtes,
+        |a AS (SELECT m, code_id FROM r WHERE rn = 1),
+        |g AS (SELECT mm.m, c.code_id FROM cw c
+        |      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${PqM - 1}))
+        |                  AS m) mm),
+        |cnt AS (SELECT g.m, g.code_id,
+        |          CAST(COUNT(a.code_id) AS BIGINT) AS c
+        |        FROM g LEFT JOIN a
+        |          ON a.m = g.m AND a.code_id = g.code_id
+        |        GROUP BY 1, 2)
+        |SELECT m,
+        |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_codes_used,
+        |  MAX(c) AS max_assigned, MIN(c) AS min_assigned,
+        |  CAST(SUM(c) AS BIGINT) AS n_vectors,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS max_share
+        |FROM cnt
+        |GROUP BY m
+        |ORDER BY m""".stripMargin,
     "q105_pq_encode" ->
       s"""$pqCtes
         |SELECT vec_id,

@@ -2527,6 +2527,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum >= run("q31_minhash_lsh").count())
   }
 
+  test("pq codebook stats: every subspace accounts for all vectors within K codes") {
+    val rows = run("q324_pq_codebook_stats").collect()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 7L))
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 16L)
+      assert(r.getLong(4) === n, "assignment must cover every vector")
+      assert(r.getLong(2) >= r.getLong(3))
+      assert(r.getDouble(5) === r.getLong(2).toDouble / n)
+    }
+  }
+
+  test("peak concurrency equals a brute-force interval sweep") {
+    val rows = run("q325_peak_concurrency").collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val W = 30L * 60 * 1000000
+    val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+    val evs = Tables.events(spark, sf).select(col("event_id"), col("ts"))
+      .collect().map { r =>
+        val us = java.time.temporal.ChronoUnit.MICROS.between(
+          epoch, r.getAs[java.time.LocalDateTime](1))
+        (r.getLong(0), us)
+      }
+    val pts = (evs.map { case (id, us) => (us * 2 + 1, id, 1L) } ++
+      evs.map { case (id, us) => ((us + W) * 2, id, -1L) })
+      .sortBy(p => (p._1, p._2))
+    var conc = 0L
+    val peaks = scala.collection.mutable.Map[java.time.LocalDate, Long]()
+    pts.foreach { case (v, _, d) =>
+      conc += d
+      val day = java.time.LocalDateTime.ofEpochSecond(
+        v / 2 / 1000000, 0, java.time.ZoneOffset.UTC).toLocalDate
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), conc)
+    }
+    assert(rows === peaks.toMap)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
