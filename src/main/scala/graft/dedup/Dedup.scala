@@ -1552,6 +1552,37 @@ object Dedup {
         col("n_buckets") * expr("bucket_size * (bucket_size - 1) div 2"))
       .orderBy(col("band"), col("bucket_size"))
 
+  /** q327 — CLUSTER HUB CANONICAL: for each q67 duplicate cluster,
+    * the MOST-CONNECTED member (max near-dup degree, ties to the
+    * smallest id) — the exemplar a curation pipeline keeps when it
+    * wants the most REPRESENTATIVE copy rather than an arbitrary one:
+    * min-id (q67) is deterministic but meaningless, quality-canonical
+    * (q130) needs a quality model; the hub is the copy most similar
+    * to the rest of its cluster, by the graph the detector already
+    * built — zero new similarity computation. `hub_is_min_id` flags
+    * where the cheap choice and the representative choice disagree,
+    * the audit run before switching retention rules on a live corpus.
+    *
+    * Scale shape: degree is one rollup over the O(duplicates) edge
+    * endpoints; the per-cluster argmax is a partial-aggregable
+    * max(struct(degree, −doc_id)) — no window over members. All
+    * integer. */
+  def clusterHub(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    dedupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+      .join(deg, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("degree"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("m.nd")).as("hub_doc"), col("m.degree").as("hub_degree"))
+      .withColumn("hub_is_min_id", col("hub_doc") === col("cluster_id"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** q318 — DEDUP LOSER/WINNER MATRIX ("who pays for dedup"): per
     * (loser source, winner source) cell, the documents and token mass
     * a source LOSES under q67's min-id canonicalization because the
@@ -1621,6 +1652,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q318_dedup_loser_matrix" -> dedupLoserMatrix,
     "q323_lsh_bucket_stats" -> lshBucketStats,
+    "q327_cluster_hub" -> clusterHub,
     "q314_quality_dup_audit" -> qualityDupAudit,
     "q311_lsh_config_sweep" -> lshConfigSweep,
     "q307_threshold_sweep" -> thresholdSweep,
@@ -2072,6 +2104,23 @@ object Dedup {
         |FROM g WHERE rn = 1
         |ORDER BY dup_group""".stripMargin,
     "q67_dedup_clusters" -> clustersOracle,
+    // q327: same fixpoint + the symmetric edge degree; argmax via
+    // the (degree DESC, doc_id) window mirror of the struct max
+    "q327_cluster_hub" ->
+      s"""WITH RECURSIVE $clusterLabCte,
+        |deg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM edges GROUP BY 1),
+        |j AS (SELECT lab.doc_id, lab.cluster_id, deg.degree
+        |      FROM lab JOIN deg ON lab.doc_id = deg.doc_id),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |          ORDER BY degree DESC, doc_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        |      FROM j)
+        |SELECT cluster_id, n_members, doc_id AS hub_doc,
+        |  degree AS hub_degree, doc_id = cluster_id AS hub_is_min_id
+        |FROM r WHERE rn = 1
+        |ORDER BY cluster_id""".stripMargin,
     // q318: same cluster fixpoint; winner looked up by the label
     "q318_dedup_loser_matrix" ->
       s"""WITH RECURSIVE $clusterLabCte,

@@ -515,6 +515,41 @@ object Temporal {
     * intra max). All integer microseconds; the first arrival (no
     * predecessor, sentinel −1) is excluded in both engines.
     * Output: O(bands). */
+  /** q326 — TIME-BOXED FUNNEL (q84 with a conversion window): each
+    * hop must land within 7 days of the previous stage's first event
+    * — the form every product-analytics funnel actually uses, because
+    * an unbounded funnel (q84) credits a purchase months after the
+    * view to the "funnel" when it is really a separate visit. Same
+    * first-event-per-stage reduction (partial-aggregable MIN per
+    * user, one equi-join per hop carrying only (user_id, ts)); the
+    * window is one interval predicate pushed into each hop join, so
+    * the plan cost is identical to q84's while the semantics tighten.
+    * Dropout between the two forms is itself meaningful: q84.stage −
+    * q326.stage counts conversions that only an unbounded window
+    * would claim. */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def typed(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"))
+    val v = typed("view").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = typed("click").join(v, "user_id")
+      .filter(col("ts") > col("t_view") &&
+        col("ts") <= col("t_view") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = typed("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        (lit(1L) + col("t_click").isNotNull.cast(LongType) +
+          col("t_purchase").isNotNull.cast(LongType)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** q325 — PEAK CONCURRENCY per day: the maximum number of
     * simultaneously-active 30-minute presence windows, per calendar
     * day — THE capacity-planning number (connection pools, rate
@@ -764,6 +799,7 @@ object Temporal {
     "q298_markov_eval" -> markovEval,
     "q296_lateness_histogram" -> latenessHistogram,
     "q325_peak_concurrency" -> peakConcurrency,
+    "q326_funnel_windowed" -> funnelWindowed,
     "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
@@ -1995,6 +2031,26 @@ object Temporal {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q296: the oracle states the naive global prefix-max window; the
     // two-level block/offset form computes the same running max
+    // q326: q84's CTEs + the 7-day hop windows
+    "q326_funnel_windowed" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL 7 DAY
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 7 DAY
+        |      GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  1 + CAST(t_click IS NOT NULL AS BIGINT)
+        |    + CAST(t_purchase IS NOT NULL AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     // q325: plain-window sweep — same total order (v encodes
     // end-before-start), same per-day max
     "q325_peak_concurrency" ->

@@ -2564,6 +2564,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows === peaks.toMap)
   }
 
+  test("windowed funnel never outranks the unbounded q84 funnel and honors the 7-day box") {
+    val w = run("q326_funnel_windowed").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u = run("q84_funnel_stages").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(w.keySet === u.keySet, "stage-1 population must match q84")
+    w.foreach { case (uid, r) =>
+      assert(r.getLong(4) <= u(uid), s"user $uid gained a stage from the window")
+      if (!r.isNullAt(2)) {
+        val gap = java.time.temporal.ChronoUnit.MICROS.between(
+          r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2))
+        assert(gap > 0 && gap <= 7L * 24 * 3600 * 1000000, s"user $uid")
+      }
+    }
+    // the corpus must actually exercise the dropout (else q326==q84)
+    assert(w.values.map(_.getLong(4)).sum < u.values.sum)
+  }
+
+  test("cluster hub: one hub per q67 cluster, and no member out-degrees it") {
+    val hubs = run("q327_cluster_hub").collect()
+    val clusters = run("q67_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(hubs.map(_.getLong(0)).toSet === clusters.map(_._2).toSet)
+    val pairs = run("q33_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byCluster = clusters.groupBy(_._2)
+    hubs.foreach { r =>
+      val (cid, hub, hubDeg) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val members = byCluster(cid).map(_._1)
+      assert(members.contains(hub), s"hub $hub outside cluster $cid")
+      assert(deg(hub) === hubDeg)
+      members.foreach { m =>
+        assert(deg(m) < hubDeg ||
+          (deg(m) == hubDeg && m >= hub), s"member $m beats hub in $cid")
+      }
+      assert(r.getBoolean(4) === (hub === cid))
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
