@@ -895,6 +895,43 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** q328 — ANN INDEX SCOREBOARD: recall@10 of every ANN family the
+    * library ships — IVF (q36), full-corpus PQ-ADC (q106), composed
+    * IVF-PQ (q138) and Matryoshka 8-dim truncation (q260) — against
+    * the ONE exact q35 ranking, as a four-row dashboard. The index
+    * A/B an ANN rollout actually reads: each method trades a
+    * different resource (probe fraction, code bytes, dims) and this
+    * table prices them side by side on the SAME queries and corpus.
+    * Every ranking is the gated operator COMPOSED VERBATIM (q234's
+    * compose-don't-re-derive rule), so the scoreboard can never
+    * disagree with the per-method audits.
+    *
+    * Scale shape: each method's plan is its own query's (all
+    * broadcast-query regimes, corpus never shuffles); the scoreboard
+    * adds four left-semi joins against the slim exact top-10 and a
+    * 4-row union. Counts exact; recall ONE division. */
+  def annScoreboard(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    def hitRow(df: DataFrame, method: String) = df
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(method).as("method"), col("n_hits"))
+    val mat = matryoshkaRecall(spark, dir)
+      .agg(sum(col("n_hits")).as("n_hits"))
+      .select(lit("matryoshka").as("method"), col("n_hits"))
+    val kTot = exact.agg(count(lit(1)).as("k_total"))
+    hitRow(annIvf(spark, dir), "ivf")
+      .unionByName(hitRow(pqAdcSearch(spark, dir), "pq_adc"))
+      .unionByName(hitRow(ivfPqSearch(spark, dir), "ivfpq"))
+      .unionByName(mat)
+      .crossJoin(broadcast(kTot))
+      .withColumn("recall_at_10",
+        col("n_hits").cast(DoubleType) / col("k_total").cast(DoubleType))
+      .orderBy(col("method"))
+  }
+
   /** MATRYOSHKA-TRUNCATION recall audit: search with only the FIRST 8
     * of 64 dimensions (the MRL deployment trick — embeddings trained
     * so prefixes are usable sub-embeddings; at serving time a
@@ -1150,6 +1187,7 @@ object Similarity {
     "q105_pq_encode" -> pqEncode,
     "q324_pq_codebook_stats" -> pqCodebookStats,
     "q106_pq_adc_search" -> pqAdcSearch,
+    "q328_ann_scoreboard" -> annScoreboard,
     "q138_ivfpq_search" -> ivfPqSearch)
 
   /** SQL fragment: strict left-fold dot product of two vector
@@ -1304,6 +1342,87 @@ object Similarity {
         |SELECT query_id, neighbor_id, adc_dist, rank FROM rk
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // q328: all four method pipelines (q36/q106/q138/q260 CTE chains
+    // verbatim) + the q35 exact chain, rolled to one row per method
+    "q328_ann_scoreboard" ->
+      s"""$ivfAsgCtes,
+        |$pqCtesBody,
+        |codes AS (SELECT vec_id, m, code_id FROM r WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn
+        |      FROM v WHERE vec_id < 5),
+        |ec AS (SELECT query_id, v.vec_id AS neighbor_id,
+        |        ${cosSql(dotSql("qe", "v.embedding"), "qn", "v.n2")} AS cosine
+        |      FROM q JOIN v ON v.vec_id != query_id),
+        |er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM ec),
+        |ex AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 10),
+        |pr0 AS (SELECT query_id, qe, qn, cent.cid,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+        |            ${cosSql(dotSql("qe", "ce"), "qn", "cn")} DESC, cid DESC) AS prn
+        |        FROM q, cent),
+        |pr AS (SELECT query_id, qe, qn, cid FROM pr0 WHERE prn <= ${IvfNProbe}),
+        |ic AS (SELECT query_id, asg.vec_id AS neighbor_id,
+        |        ${cosSql(dotSql("qe", "asg.embedding"), "qn", "asg.n2")} AS cosine
+        |      FROM pr JOIN asg ON pr.cid = asg.cid AND asg.vec_id != pr.query_id),
+        |ir AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM ic),
+        |ivfm AS (SELECT query_id, neighbor_id FROM ir WHERE rank <= 10),
+        |qd AS (SELECT vec_id AS query_id, e AS qe2 FROM vd WHERE vec_id < 5),
+        |qm AS (SELECT query_id, qe2, m FROM qd
+        |       CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${PqM - 1})) AS m)),
+        |dtab AS (SELECT query_id, qm.m, c.code_id,
+        |        LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+        |          LIST_TRANSFORM(GENERATE_SERIES(1, ${PqDsub}), i ->
+        |            (qm.qe2[qm.m*${PqDsub}+i] - c.cw[qm.m*${PqDsub}+i]) *
+        |            (qm.qe2[qm.m*${PqDsub}+i] - c.cw[qm.m*${PqDsub}+i]))),
+        |          (x, y) -> x + y) AS d
+        |      FROM qm, cw c),
+        |padc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+        |          LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+        |            LIST(t.d ORDER BY t.m)), (x, y) -> x + y) AS adc_dist
+        |        FROM codes c JOIN dtab t ON t.m = c.m AND t.code_id = c.code_id
+        |        WHERE c.vec_id <> t.query_id
+        |        GROUP BY t.query_id, c.vec_id),
+        |prk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY adc_dist, neighbor_id) AS rank FROM padc),
+        |p10 AS (SELECT query_id, neighbor_id FROM prk WHERE rank <= 10),
+        |icand AS (SELECT p.query_id, a.vec_id FROM pr p
+        |          JOIN asg a ON a.cid = p.cid
+        |          WHERE a.vec_id <> p.query_id),
+        |iadc AS (SELECT cn.query_id, cn.vec_id AS neighbor_id,
+        |          LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+        |            LIST(t.d ORDER BY t.m)), (x, y) -> x + y) AS adc_dist
+        |        FROM icand cn
+        |        JOIN codes co ON co.vec_id = cn.vec_id
+        |        JOIN dtab t ON t.query_id = cn.query_id
+        |          AND t.m = co.m AND t.code_id = co.code_id
+        |        GROUP BY cn.query_id, cn.vec_id),
+        |irk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY adc_dist, neighbor_id) AS rank FROM iadc),
+        |i10 AS (SELECT query_id, neighbor_id FROM irk WHERE rank <= 10),
+        |v8 AS (SELECT vec_id, emb, ${dotSql("emb", "emb")} AS n2
+        |       FROM (SELECT vec_id, embedding[1:8] AS emb FROM embeddings)),
+        |q8 AS (SELECT vec_id AS query_id, emb AS qe8, n2 AS qn8
+        |       FROM v8 WHERE vec_id < 5),
+        |c8 AS (SELECT query_id, v8.vec_id AS neighbor_id,
+        |        ${cosSql(dotSql("qe8", "v8.emb"), "qn8", "v8.n2")} AS cosine
+        |      FROM q8 JOIN v8 ON v8.vec_id != query_id),
+        |r8 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM c8),
+        |m10 AS (SELECT query_id, neighbor_id FROM r8 WHERE rank <= 10),
+        |u AS (SELECT 'ivf' AS method, COUNT(*) AS nh
+        |        FROM ivfm JOIN ex USING (query_id, neighbor_id)
+        |      UNION ALL SELECT 'pq_adc', COUNT(*)
+        |        FROM p10 JOIN ex USING (query_id, neighbor_id)
+        |      UNION ALL SELECT 'ivfpq', COUNT(*)
+        |        FROM i10 JOIN ex USING (query_id, neighbor_id)
+        |      UNION ALL SELECT 'matryoshka', COUNT(*)
+        |        FROM m10 JOIN ex USING (query_id, neighbor_id)),
+        |kt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_total FROM ex)
+        |SELECT method, CAST(nh AS BIGINT) AS n_hits, k_total,
+        |  CAST(nh AS DOUBLE) / CAST(k_total AS DOUBLE) AS recall_at_10
+        |FROM u, kt
+        |ORDER BY method""".stripMargin,
     "q106_pq_adc_search" ->
       s"""$pqCtes,
         |codes AS (SELECT vec_id, m, code_id FROM r WHERE rn = 1),

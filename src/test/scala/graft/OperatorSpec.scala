@@ -2605,6 +2605,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ann scoreboard reconciles with the per-method recall audits") {
+    val rows = run("q328_ann_scoreboard").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet === Set("ivf", "pq_adc", "ivfpq", "matryoshka"))
+    val ivf234 = run("q234_ann_recall").collect().map(_.getLong(1)).sum
+    assert(rows("ivf")._1 === ivf234, "ivf row forked from q234")
+    val mat260 = run("q260_matryoshka_recall").collect().map(_.getLong(1)).sum
+    assert(rows("matryoshka")._1 === mat260, "matryoshka row forked from q260")
+    val k = run("q35_knn_bruteforce").count()
+    rows.values.foreach { case (nh, kt, rec) =>
+      assert(kt === k)
+      assert(nh <= kt)
+      assert(rec === nh.toDouble / kt)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
