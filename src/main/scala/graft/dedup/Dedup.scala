@@ -1780,31 +1780,7 @@ object Dedup {
     // q285: q31's signature/band CTEs with a delta/corpus split, then
     // the exact q33 shingle-set Jaccard on candidates only
     "q285_incremental_dedup" ->
-      s"""WITH t AS ($toksSql),
-        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-        |hm AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s),
-        |hx AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n,
-        |         LIST_TRANSFORM(sh, x -> ${phashSql("x")}) AS hx FROM s),
-        |sig AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
-        |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
-        |        FROM hm),
-        |bands AS (SELECT doc_id, b.band,
-        |            ARRAY_TO_STRING(sig[b.band*${R}+1 : b.band*${R}+${R}], ',') AS bkey
-        |          FROM sig, (SELECT UNNEST([0,1,2,3]) AS band) b),
-        |cand AS (SELECT DISTINCT d.doc_id AS new_doc, c.doc_id AS match_doc
-        |         FROM bands d JOIN bands c
-        |           ON d.band = c.band AND d.bkey = c.bkey
-        |         WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
-        |ver AS (SELECT new_doc, match_doc,
-        |          CAST(LEN(LIST_INTERSECT(a.hx, b.hx)) AS DOUBLE)
-        |            / (a.n + b.n - LEN(LIST_INTERSECT(a.hx, b.hx))) AS jaccard
-        |        FROM cand JOIN hx a ON a.doc_id = cand.new_doc
-        |          JOIN hx b ON b.doc_id = cand.match_doc),
-        |m AS (SELECT new_doc, match_doc, jaccard,
-        |        ROW_NUMBER() OVER (PARTITION BY new_doc
-        |          ORDER BY jaccard DESC, match_doc DESC) AS rn,
-        |        COUNT(*) OVER (PARTITION BY new_doc) AS n_matches
-        |      FROM ver WHERE jaccard >= 0.5)
+      s"""WITH $deltaProbeCte
         |SELECT d.doc_id AS new_doc,
         |  COALESCE(m.n_matches, 0) AS n_matches,
         |  m.match_doc AS best_match, m.jaccard AS best_jaccard
@@ -2467,6 +2443,37 @@ object Dedup {
   /** q31's oracle, shared VERBATIM with the streaming twin q319 — the
     * batch and incremental forms must produce the identical pair set
     * (the q144/q196 same-string pattern). */
+  /** The q285 delta-vs-corpus probe chain (t→s→hm/hx→sig→bands→cand→
+    * ver→m) — shared verbatim by q285's oracle and q329's ingest
+    * waterfall so the two can never fork. `m` holds every verified
+    * J ≥ 0.5 (new_doc, match_doc) with per-new_doc rank and count. */
+  private[graft] lazy val deltaProbeCte: String =
+      s"""t AS ($toksSql),
+        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        |hm AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s),
+        |hx AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n,
+        |         LIST_TRANSFORM(sh, x -> ${phashSql("x")}) AS hx FROM s),
+        |sig AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
+        |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
+        |        FROM hm),
+        |bands AS (SELECT doc_id, b.band,
+        |            ARRAY_TO_STRING(sig[b.band*${R}+1 : b.band*${R}+${R}], ',') AS bkey
+        |          FROM sig, (SELECT UNNEST([0,1,2,3]) AS band) b),
+        |cand AS (SELECT DISTINCT d.doc_id AS new_doc, c.doc_id AS match_doc
+        |         FROM bands d JOIN bands c
+        |           ON d.band = c.band AND d.bkey = c.bkey
+        |         WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+        |ver AS (SELECT new_doc, match_doc,
+        |          CAST(LEN(LIST_INTERSECT(a.hx, b.hx)) AS DOUBLE)
+        |            / (a.n + b.n - LEN(LIST_INTERSECT(a.hx, b.hx))) AS jaccard
+        |        FROM cand JOIN hx a ON a.doc_id = cand.new_doc
+        |          JOIN hx b ON b.doc_id = cand.match_doc),
+        |m AS (SELECT new_doc, match_doc, jaccard,
+        |        ROW_NUMBER() OVER (PARTITION BY new_doc
+        |          ORDER BY jaccard DESC, match_doc DESC) AS rn,
+        |        COUNT(*) OVER (PARTITION BY new_doc) AS n_matches
+        |      FROM ver WHERE jaccard >= 0.5)""".stripMargin
+
   /** The t→s→h→sig→bands CTE chain of the MinHash band split — shared
     * by [[lshOracle]] and the q323 bucket-stats oracle. */
   private lazy val lshBandsCte: String =

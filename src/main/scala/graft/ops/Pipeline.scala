@@ -314,6 +314,51 @@ object Pipeline {
         col("n_split_docs").cast(DoubleType) / col("n_docs"))
       .orderBy(col("shard"))
 
+  /** q329 — DELTA-INGEST REPORT: the q313 waterfall re-shaped for the
+    * INCREMENTAL path — a new batch (q285's delta rule, doc_id % 10
+    * = 0) marched through the ingest gauntlet against the EXISTING
+    * corpus: batch total → bench held out → length gate →
+    * decontaminated → exact-new (content key unseen in the corpus) →
+    * near-dup-new (no q285 banded-probe match at J ≥ 0.5). This is
+    * the daily-ingest dashboard ("we received N docs, accepted M")
+    * where q313 is the from-scratch build's; cheap gates run first
+    * (length before the decontamination join) because on the ingest
+    * path every survivor costs an index probe. Every stage composes
+    * the SAME shared rules (isBench, decontaminate, contentKey,
+    * incrementalDedup), so report and ingest can never disagree.
+    *
+    * Scale shape: all stages are filters/semi-joins on the O(delta)
+    * batch; the near-dup stage rides q285's band-index probe (the
+    * corpus is never self-joined); the exact stage probes a distinct
+    * content-key set. Output O(stages). */
+  def deltaIngestReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val s1 = docs.filter(col("doc_id") % 10 === 0)
+    val s2 = s1.filter(!isBench(col("doc_id")))
+    val s3 = s2.filter(size(tokens(col("text"))) >= 10)
+    val s4 = s3.join(decontaminate(spark, dir).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val corpusKeys = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(graft.dedup.Dedup.contentKey(col("text")).as("ck")).distinct()
+    val s5 = s4.withColumn("ck", graft.dedup.Dedup.contentKey(col("text")))
+      .join(corpusKeys, Seq("ck"), "left_anti")
+    val dupNew = graft.dedup.Dedup.incrementalDedup(spark, dir)
+      .filter(col("n_matches") > 0)
+      .select(col("new_doc").as("doc_id"))
+    val s6 = s5.join(broadcast(dupNew), Seq("doc_id"), "left_anti")
+    def st(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    st("1_delta_total", s1)
+      .unionByName(st("2_non_bench", s2))
+      .unionByName(st("3_min_length", s3))
+      .unionByName(st("4_decontaminated", s4))
+      .unionByName(st("5_exact_new", s5))
+      .unionByName(st("6_neardup_new", s6))
+      .orderBy(col("stage"))
+  }
+
   /** EXACT order-statistic SELECTION without a global sort: the lower
     * median of lineitem's price column via two-level bucket selection
     * (the distributed quickselect shape): (1) one partial-aggregable
@@ -963,6 +1008,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q313_build_waterfall" -> buildWaterfall,
+    "q329_delta_ingest_report" -> deltaIngestReport,
     "q303_budget_selection" -> budgetSelection,
     "q292_quantile_normalize" -> quantileNormalize,
     "q280_leak_severity" -> leakSeverity,
@@ -1337,6 +1383,43 @@ object Pipeline {
     // from Dedup.clusterLabCte (the q67 CTEs verbatim). CTE names t/s/
     // inv/common/pairs/edges/reach/lab belong to that fragment — the
     // waterfall's own CTEs use fresh names.
+    // q329: q285's probe chain (Dedup.deltaProbeCte, verbatim) + the
+    // q313-style stage counts over the delta slice
+    "q329_delta_ingest_report" ->
+      s"""WITH ${graft.dedup.Dedup.deltaProbeCte},
+        |h5 AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(LIST_DISTINCT(LIST_TRANSFORM(
+        |          GENERATE_SERIES(1, GREATEST(LEN(toks)-4, 1)),
+        |          i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2],
+        |                         toks[i+3], toks[i+4]))),
+        |          x -> ${phashSql("x")})) AS h
+        |      FROM t),
+        |cont AS (SELECT DISTINCT tr.doc_id FROM h5 tr JOIN h5 be
+        |         ON tr.h = be.h AND be.doc_id % 20 = 0
+        |          AND tr.doc_id % 20 <> 0),
+        |d1 AS (SELECT doc_id, text,
+        |        LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS ntok
+        |      FROM documents WHERE doc_id % 10 = 0),
+        |w2 AS (SELECT * FROM d1 WHERE doc_id % 20 <> 0),
+        |w3 AS (SELECT * FROM w2 WHERE ntok >= 10),
+        |w4 AS (SELECT * FROM w3
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |ckk AS (SELECT md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+        |          AS k
+        |        FROM documents WHERE doc_id % 10 <> 0),
+        |w5 AS (SELECT * FROM w4
+        |       WHERE md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+        |         NOT IN (SELECT k FROM ckk)),
+        |w6 AS (SELECT * FROM w5
+        |       WHERE doc_id NOT IN (SELECT DISTINCT new_doc FROM m))
+        |SELECT '1_delta_total' AS stage,
+        |  CAST((SELECT COUNT(*) FROM d1) AS BIGINT) AS n_docs
+        |UNION ALL SELECT '2_non_bench', (SELECT COUNT(*) FROM w2)
+        |UNION ALL SELECT '3_min_length', (SELECT COUNT(*) FROM w3)
+        |UNION ALL SELECT '4_decontaminated', (SELECT COUNT(*) FROM w4)
+        |UNION ALL SELECT '5_exact_new', (SELECT COUNT(*) FROM w5)
+        |UNION ALL SELECT '6_neardup_new', (SELECT COUNT(*) FROM w6)
+        |ORDER BY stage""".stripMargin,
     "q313_build_waterfall" ->
       s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabCte},
         |h5 AS (SELECT doc_id,

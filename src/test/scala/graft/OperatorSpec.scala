@@ -2622,6 +2622,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("delta ingest report: stages monotone and reconciled with q285's verdicts") {
+    val rows = run("q329_delta_ingest_report").collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("1_delta_total", "2_non_bench", "3_min_length",
+        "4_decontaminated", "5_exact_new", "6_neardup_new"))
+    val n = rows.map(_.getLong(1))
+    n.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => () }
+    val docs = Tables.load(spark, sf, "documents")
+    assert(n(0) === docs.filter(col("doc_id") % 10 === 0).count())
+    assert(n(1) === docs.filter(col("doc_id") % 10 === 0 &&
+      col("doc_id") % 20 =!= 0).count())
+    // stage 6 drop == q285-flagged docs among stage-5 survivors
+    val dup285 = run("q285_incremental_dedup")
+      .filter(col("n_matches") > 0).collect().map(_.getLong(0)).toSet
+    assert(n(4) - n(5) <= dup285.size)
+    assert(n(4) - n(5) >= 0)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
