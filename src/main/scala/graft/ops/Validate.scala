@@ -464,6 +464,51 @@ object Validate {
       .filter(col("n") < 5)
       .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
 
+  /** q330 — T-CLOSENESS audit (completing the privacy trio: q182
+    * k-anonymity counts group sizes, q209 l-diversity counts distinct
+    * sensitive values, this measures DISTRIBUTION distance): per
+    * quasi-identifier group (nation, balance band — q209's grouping),
+    * the total-variation distance between the group's market-segment
+    * distribution and the global one. l-diversity is fooled by a
+    * group with 3 segments at 98%/1%/1% — an attacker still learns
+    * the segment with near certainty; t-closeness catches exactly
+    * that skew. Groups with TVD > t = 0.25 are flagged for
+    * generalization/suppression.
+    *
+    * Scale shape: one rollup to O(groups × segments) cells, the
+    * grid completed by a broadcast cross of the tiny segment
+    * marginal (absent cells matter: a MISSING segment is maximal
+    * information). TVD is computed in exact integer cross-products
+    * — |n_gs·N − n_s·n_g| summed in DECIMAL(38) — with ONE
+    * correctly-rounded division at the end, mirrored by the oracle's
+    * HUGEINT-via-VARCHAR casts (the q236/q315 pattern). */
+  def tClosenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer").select(col("c_nationkey"),
+      floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"),
+      col("c_mktsegment").as("seg"))
+    val gs = c.groupBy(col("c_nationkey"), col("bal_band"), col("seg"))
+      .agg(count(lit(1)).as("n_gs"))
+    val g = gs.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("n_gs")).as("n_g"))
+    val s = gs.groupBy(col("seg")).agg(sum(col("n_gs")).as("n_s"))
+    val tot = s.agg(sum(col("n_s")).as("nn"))
+    val dec = (x: Column) => x.cast(DecimalType(38, 0))
+    g.crossJoin(broadcast(s))
+      .join(gs, Seq("c_nationkey", "bal_band", "seg"), "left")
+      .withColumn("n_gs", coalesce(col("n_gs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", abs(dec(col("n_gs")) * dec(col("nn")) -
+        dec(col("n_s")) * dec(col("n_g"))))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(max(col("n_g")).as("n"), sum(col("num")).as("tvd_num"),
+        max(col("nn")).as("nn2"))
+      .select(col("c_nationkey"), col("bal_band"), col("n"),
+        (col("tvd_num").cast(DoubleType) /
+          (dec(col("n")) * dec(col("nn2")) * 2).cast(DoubleType)).as("tvd"))
+      .withColumn("violates_t", col("tvd") > 0.25)
+      .orderBy(col("c_nationkey"), col("bal_band"))
+  }
+
   /** REPLICA DIVERGENCE LOCATOR — q98's order-independent checksums
     * pushed down one level: both replicas roll (count, bit_xor, Z_p
     * sum) of the row hash into 256 KEY-HASH buckets, and a full-outer
@@ -954,6 +999,7 @@ object Validate {
     "q184_replica_bucket_diff" -> replicaBucketDiff,
     "q181_zonemap_skip" -> zoneMapSkipAudit,
     "q182_k_anonymity" -> kAnonymityAudit,
+    "q330_t_closeness" -> tClosenessAudit,
     "q150_chi_square" -> chiSquare,
     "q175_venn_overlap" -> vennOverlap,
     "q161_ab_test_readout" -> abTestReadout,
@@ -1154,6 +1200,38 @@ object Validate {
         |  CAST(SUM(CASE WHEN isodow(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow_6,
         |  CAST(SUM(CASE WHEN isodow(ts) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS dow_7
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q330: exact integer cross-products; HUGEINT-via-VARCHAR casts
+    "q330_t_closeness" ->
+      """WITH c AS (SELECT c_nationkey,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    c_mktsegment AS seg FROM customer),
+        |gs AS (SELECT c_nationkey, bal_band, seg, COUNT(*) AS n_gs
+        |       FROM c GROUP BY 1, 2, 3),
+        |g AS (SELECT c_nationkey, bal_band,
+        |        CAST(SUM(n_gs) AS BIGINT) AS n_g
+        |      FROM gs GROUP BY 1, 2),
+        |s AS (SELECT seg, CAST(SUM(n_gs) AS BIGINT) AS n_s
+        |      FROM gs GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn FROM s),
+        |grid AS (SELECT g.c_nationkey, g.bal_band, g.n_g, s.seg, s.n_s,
+        |           COALESCE(gs.n_gs, 0) AS n_gs
+        |         FROM g CROSS JOIN s
+        |         LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey
+        |           AND gs.bal_band = g.bal_band AND gs.seg = s.seg),
+        |agg AS (SELECT c_nationkey, bal_band, MAX(n_g) AS n,
+        |          SUM(ABS(CAST(n_gs AS HUGEINT) * tt.nn
+        |              - CAST(n_s AS HUGEINT) * n_g)) AS tvd_num,
+        |          MAX(tt.nn) AS nn2
+        |        FROM grid, tt GROUP BY 1, 2)
+        |SELECT c_nationkey, bal_band, n,
+        |  CAST(CAST(tvd_num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n AS HUGEINT) * nn2 * 2 AS VARCHAR) AS DOUBLE)
+        |    AS tvd,
+        |  CAST(CAST(tvd_num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n AS HUGEINT) * nn2 * 2 AS VARCHAR) AS DOUBLE)
+        |    > 0.25 AS violates_t
+        |FROM agg
+        |ORDER BY c_nationkey, bal_band""".stripMargin,
     "q209_l_diversity" ->
       """SELECT c_nationkey,
         |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,

@@ -2640,6 +2640,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(n(4) - n(5) >= 0)
   }
 
+  test("t-closeness equals a brute-force TVD over the full group x segment grid") {
+    val rows = run("q330_t_closeness").collect()
+    val cust = Tables.load(spark, sf, "customer")
+      .selectExpr("c_nationkey", "cast(floor(c_acctbal / 1000) as long) b",
+        "c_mktsegment").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getString(2)))
+    val nn = cust.length.toLong
+    val segTot = cust.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val byGroup = cust.groupBy(c => (c._1, c._2))
+    assert(rows.length === byGroup.size)
+    rows.foreach { r =>
+      val g = byGroup((r.getAs[Number](0).longValue, r.getLong(1)))
+      val nG = g.length.toLong
+      assert(r.getLong(2) === nG)
+      val segCnt = g.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val num = segTot.map { case (seg, nS) =>
+        (BigInt(segCnt.getOrElse(seg, 0L)) * nn - BigInt(nS) * nG).abs
+      }.sum
+      val tvd = num.toDouble / (BigInt(nG) * nn * 2).toDouble
+      assert(r.getDouble(3) === tvd, s"group ${r.get(0)}/${r.getLong(1)}")
+      assert(r.getBoolean(4) === (tvd > 0.25))
+    }
+    // the corpus must exercise both verdicts
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
