@@ -1410,13 +1410,26 @@ object Dedup {
         col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
       .select(col("d.doc_id").as("new_doc"), col("c.doc_id").as("match_doc"))
       .distinct()
-    val sets = docs.select(col("doc_id"),
+    probeVerdict(cand, probeSets(docs, isDelta), probeSets(docs, !isDelta),
+      docs.select(col("doc_id").as("new_doc")).filter(col("new_doc") % 10 === 0))
+  }
+
+  /** (doc_id, shingle-hash set, set size) for the probe's exact verify
+    * — one rule for both the inline (q285) and persisted (q331)
+    * forms. */
+  private def probeSets(docs: DataFrame, pred: Column): DataFrame =
+    docs.filter(pred).select(col("doc_id"),
       shingleHashes(col("text"), mod = false).as("hx"))
       .withColumn("n", size(col("hx")).cast(LongType))
+
+  /** The probe's exact-verify + per-delta-doc verdict tail, shared by
+    * q285 and q331 verbatim (band candidates in, verdict rows out). */
+  private def probeVerdict(cand: DataFrame, deltaSets: DataFrame,
+      corpusSets: DataFrame, deltaIds: DataFrame): DataFrame = {
     val ver = cand
-      .join(sets.select(col("doc_id").as("new_doc"), col("hx").as("ha"),
+      .join(deltaSets.select(col("doc_id").as("new_doc"), col("hx").as("ha"),
         col("n").as("na")), "new_doc")
-      .join(sets.select(col("doc_id").as("match_doc"), col("hx").as("hb"),
+      .join(corpusSets.select(col("doc_id").as("match_doc"), col("hx").as("hb"),
         col("n").as("nb")), "match_doc")
       .withColumn("c", size(array_intersect(col("ha"), col("hb")))
         .cast(LongType))
@@ -1432,12 +1445,63 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("new_doc"), col("n_matches"),
         col("match_doc").as("best_match"), col("jaccard").as("best_jaccard"))
-    docs.select(col("doc_id").as("new_doc")).filter(col("new_doc") % 10 === 0)
-      .join(best, Seq("new_doc"), "left")
+    deltaIds.join(best, Seq("new_doc"), "left")
       .select(col("new_doc"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         col("best_match"), col("best_jaccard"))
       .orderBy(col("new_doc"))
+  }
+
+  /** Persist the corpus side of the q285 probe as an on-disk index:
+    * the band table (partitioned by band, so a probe prunes to its
+    * band's files) and the shingle-hash sets (fetched by doc-key join
+    * only for verified candidates). At 100 TB this is the asset an
+    * ingest pipeline builds ONCE and probes per batch — the
+    * `saveTextIndex`/`saveIvfIndex` lifecycle carried to dedup. */
+  def saveLshIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val corpus = spread(load(spark, dir, "documents"))
+      .filter(col("doc_id") % 10 =!= 0)
+    bandKeys(withSignature(corpus))
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$indexDir/bands")
+    probeSets(corpus, lit(true))
+      .write.mode("overwrite").parquet(s"$indexDir/shingles")
+  }
+
+  /** q331 — INCREMENTAL DEDUP FROM THE PERSISTED INDEX: the q285
+    * probe with its corpus side READ from [[saveLshIndex]]'s parquet
+    * instead of recomputed — the actual production ingest shape
+    * (signatures for the corpus are paid once, not per batch). The
+    * registered query builds the index into a temp dir and probes it
+    * in one call; verdicts must be byte-identical to q285 (same
+    * oracle string, the never-fork pattern), which the gate enforces
+    * every round. Band files are partition-pruned by the probe's
+    * band column; shingle sets are joined only for candidates. */
+  def incrementalDedupFromIndex(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+    val isDelta = col("doc_id") % 10 === 0
+    val deltaBands = bandKeys(withSignature(docs.filter(isDelta)))
+      .select(col("doc_id"), col("band"), col("bkey"))
+    val corpusBands = spark.read.parquet(s"$indexDir/bands")
+    val cand = deltaBands.alias("d")
+      .join(corpusBands.alias("c"),
+        col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
+      .select(col("d.doc_id").as("new_doc"), col("c.doc_id").as("match_doc"))
+      .distinct()
+    probeVerdict(cand, probeSets(docs, isDelta),
+      spark.read.parquet(s"$indexDir/shingles"),
+      docs.select(col("doc_id").as("new_doc")).filter(col("new_doc") % 10 === 0))
+  }
+
+  /** q331's registered form: build the index fresh in a temp dir,
+    * probe from it. */
+  def lshIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft_lsh_index$safe"
+    saveLshIndex(spark, dir, indexDir)
+    incrementalDedupFromIndex(spark, dir, indexDir)
   }
 
   /** q302 — NEAR-DUP PAIR EVIDENCE: q33's exact pairs re-emitted as a
@@ -1658,6 +1722,7 @@ object Dedup {
     "q307_threshold_sweep" -> thresholdSweep,
     "q302_pair_evidence" -> pairEvidence,
     "q285_incremental_dedup" -> incrementalDedup,
+    "q331_lsh_index_probe" -> lshIndexProbe,
     "q201_pagerank" -> pageRank,
     "q203_label_communities" -> labelCommunities,
     "q211_dedup_agreement" -> dedupAgreement,
@@ -1779,14 +1844,10 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin,
     // q285: q31's signature/band CTEs with a delta/corpus split, then
     // the exact q33 shingle-set Jaccard on candidates only
-    "q285_incremental_dedup" ->
-      s"""WITH $deltaProbeCte
-        |SELECT d.doc_id AS new_doc,
-        |  COALESCE(m.n_matches, 0) AS n_matches,
-        |  m.match_doc AS best_match, m.jaccard AS best_jaccard
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-        |LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.new_doc = d.doc_id
-        |ORDER BY new_doc""".stripMargin,
+    "q285_incremental_dedup" -> deltaVerdictOracle,
+    // q331: the persisted-index probe must emit q285's verdicts
+    // byte-identically — same oracle string, the never-fork pattern
+    "q331_lsh_index_probe" -> deltaVerdictOracle,
     "q30_exact_dedup" ->
       """SELECT doc_id,
         | MIN(doc_id) OVER (PARTITION BY content_key) AS dup_group,
@@ -2473,6 +2534,17 @@ object Dedup {
         |          ORDER BY jaccard DESC, match_doc DESC) AS rn,
         |        COUNT(*) OVER (PARTITION BY new_doc) AS n_matches
         |      FROM ver WHERE jaccard >= 0.5)""".stripMargin
+
+  /** q285's full verdict oracle — shared VERBATIM with q331 (the
+    * persisted-index probe must reproduce the inline probe exactly). */
+  private[graft] lazy val deltaVerdictOracle: String =
+      s"""WITH $deltaProbeCte
+        |SELECT d.doc_id AS new_doc,
+        |  COALESCE(m.n_matches, 0) AS n_matches,
+        |  m.match_doc AS best_match, m.jaccard AS best_jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.new_doc = d.doc_id
+        |ORDER BY new_doc""".stripMargin
 
   /** The t→s→h→sig→bands CTE chain of the MinHash band split — shared
     * by [[lshOracle]] and the q323 bucket-stats oracle. */
