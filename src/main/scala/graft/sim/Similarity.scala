@@ -256,6 +256,31 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q332 — SEMANTIC DEDUP THRESHOLD SWEEP (q307's tuning curve for
+    * the embedding side): the pair count the q99 bucket-blocked
+    * detector would emit at each candidate cosine threshold, in ONE
+    * conditional-aggregation pass over the SAME scored pairs — the
+    * curve read before committing the SemDeDup ε (too low merges
+    * topically-related docs, too high keeps paraphrases; the elbow is
+    * in this table). The τ = 0.4 row equals q99's pair count by
+    * construction. O(thresholds) output; the scan cost is q99's
+    * bucket-blocked join, never all-pairs. */
+  def semanticThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    val aggCols = ts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("cosine") >= t, lit(1L)).otherwise(lit(0L))).as(s"c$i")
+    }
+    val agg = semanticNearDupIvf(spark, dir)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val stacked = ts.zipWithIndex.map { case (t, i) =>
+      s"struct(CAST($t AS DOUBLE) AS threshold, CAST(c$i AS BIGINT) AS n_pairs)"
+    }.mkString("array(", ", ", ")")
+    agg.select(explode(expr(stacked)).as("s"))
+      .select(col("s.threshold").as("threshold"),
+        col("s.n_pairs").as("n_pairs"))
+      .orderBy(col("threshold"))
+  }
+
   /** Materialize the IVF index — build once, probe many: the centroid
     * table and the bucket assignment land as parquet under `indexDir`
     * (`centroids/`, `assign/`). At scale the assignment write is the
@@ -1183,6 +1208,7 @@ object Similarity {
     "q35_knn_bruteforce" -> knnBruteForce,
     "q36_ann_ivf" -> annIvf,
     "q99_semantic_neardup_ivf" -> semanticNearDupIvf,
+    "q332_semantic_threshold_sweep" -> semanticThresholdSweep,
     "q101_quantize_int8" -> quantizeInt8,
     "q105_pq_encode" -> pqEncode,
     "q324_pq_codebook_stats" -> pqCodebookStats,
@@ -1493,6 +1519,23 @@ object Similarity {
         |    ABS(e[i] - CAST(codes[i] AS DOUBLE) / scale))) AS max_err
         |FROM c
         |ORDER BY vec_id""".stripMargin,
+    // q332: q99's bucket-blocked pair CTEs + one conditional agg
+    "q332_semantic_threshold_sweep" -> {
+      val ts = Seq("0.4", "0.5", "0.6", "0.7", "0.8", "0.9")
+      val sums = ts.zipWithIndex.map { case (t, i) =>
+        s"CAST(SUM(CASE WHEN cosine >= ${t}e0 THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+      }.mkString(",\n|        ")
+      val rows = ts.zipWithIndex.map { case (t, i) =>
+        s"SELECT CAST($t AS DOUBLE) AS threshold, c$i AS n_pairs FROM sw"
+      }.mkString("\n|UNION ALL ")
+      s"""$ivfAsgCtes,
+        |p AS (SELECT ${cosSql(dotSql("a.embedding", "b.embedding"), "a.n2", "b.n2")} AS cosine
+        |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |sw AS (SELECT $sums
+        |       FROM (SELECT cosine FROM p WHERE cosine >= 0.4))
+        |$rows
+        |ORDER BY threshold""".stripMargin
+    },
     "q99_semantic_neardup_ivf" ->
       s"""$ivfAsgCtes,
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -2666,6 +2666,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
   }
 
+  test("semantic threshold sweep: monotone, tau=0.4 row equals q99's pair count") {
+    val rows = run("q332_semantic_threshold_sweep").collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    rows.map(_.getLong(1)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => ()
+    }
+    assert(rows.head.getLong(1) === run("q99_semantic_neardup_ivf").count())
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
