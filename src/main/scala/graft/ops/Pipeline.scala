@@ -359,6 +359,39 @@ object Pipeline {
       .orderBy(col("stage"))
   }
 
+  /** q333 — SOURCE-INTERLEAVED TRAINING ORDER: the deterministic
+    * round-robin that stops a training run from seeing an hour of one
+    * source back-to-back (source-clumped batches bias gradients; the
+    * fix is ordering, not sampling): each doc takes its rank WITHIN
+    * its source (round), and the global order is (round, source) — so
+    * round r emits one doc from every source that still has one. The
+    * global position is materialized WITHOUT a global sort: round and
+    * a broadcast source ordinal pack into one integer key for
+    * [[Windows.globalRankNoSort]]'s two-level rank (the in-source
+    * rank windows are per-source partitions; the only unpartitioned
+    * window is over the O(sources) ordinal table).
+    *
+    * Deterministic and refresh-stable (hash-free total order), so the
+    * order survives recomputation on any layout — the q93 shuffle's
+    * structured sibling. Output O(n): position, round, source,
+    * doc_id. */
+  def interleaveOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = docs.withColumn("round",
+      row_number().over(wSrc).cast(LongType))
+    val wOrd = Window.orderBy(col("source"))
+    val ordinals = docs.select(col("source")).distinct()
+      .withColumn("src_ord", row_number().over(wOrd).cast(LongType))
+    val keyed = ranked.join(broadcast(ordinals), "source")
+      .withColumn("k", col("round") * 1024L + col("src_ord"))
+    Windows.globalRankNoSort(keyed, col("k"), col("doc_id"),
+        1L << 14, "position", "_n")
+      .select(col("position"), col("round"), col("source"), col("doc_id"))
+      .orderBy(col("position"))
+  }
+
   /** EXACT order-statistic SELECTION without a global sort: the lower
     * median of lineitem's price column via two-level bucket selection
     * (the distributed quickselect shape): (1) one partial-aggregable
@@ -1009,6 +1042,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q313_build_waterfall" -> buildWaterfall,
     "q329_delta_ingest_report" -> deltaIngestReport,
+    "q333_interleave_order" -> interleaveOrder,
     "q303_budget_selection" -> budgetSelection,
     "q292_quantile_normalize" -> quantileNormalize,
     "q280_leak_severity" -> leakSeverity,
@@ -1383,6 +1417,17 @@ object Pipeline {
     // from Dedup.clusterLabCte (the q67 CTEs verbatim). CTE names t/s/
     // inv/common/pairs/edges/reach/lab belong to that fragment — the
     // waterfall's own CTEs use fresh names.
+    // q333: plain-window mirror of the two-level interleave rank
+    "q333_interleave_order" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS round
+        |  FROM documents)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, source, doc_id)
+        |    AS BIGINT) AS position,
+        |  round, source, doc_id
+        |FROM r
+        |ORDER BY position""".stripMargin,
     // q329: q285's probe chain (Dedup.deltaProbeCte, verbatim) + the
     // q313-style stage counts over the delta slice
     "q329_delta_ingest_report" ->

@@ -2675,6 +2675,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) === run("q99_semantic_neardup_ivf").count())
   }
 
+  test("interleave order: contiguous positions, rounds emit each live source once") {
+    val rows = run("q333_interleave_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1L to rows.length))
+    // within a round every source appears at most once, sources sorted
+    rows.groupBy(_._2).foreach { case (round, rs) =>
+      val srcs = rs.sortBy(_._1).map(_._3)
+      assert(srcs.distinct.length === srcs.length, s"round $round repeats a source")
+      assert(srcs.sorted.toSeq === srcs.toSeq, s"round $round not source-sorted")
+    }
+    // rounds are non-increasing in width (sources exhaust, never revive)
+    val widths = rows.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.length)
+    widths.sliding(2).foreach { case Seq(a, b) => assert(a >= b); case _ => () }
+    // no same-source adjacency while >= 2 sources are live
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) =>
+        if (widths(b._2.toInt - 1) >= 2)
+          assert(a._3 != b._3, s"positions ${a._1},${b._1} same source")
+      case _ => ()
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
