@@ -392,6 +392,42 @@ object Pipeline {
       .orderBy(col("position"))
   }
 
+  /** q334 — INTERLEAVED SEQUENCE PACKING: q78's fixed-budget packer
+    * run in q333's source-interleaved order instead of doc-id order —
+    * so consecutive packs draw from rotating sources and a training
+    * step never sees a single-source sequence batch. Emits the
+    * per-pack audit that proves it: doc count, token mass, DISTINCT
+    * SOURCE count per pack (the diversity number doc-id-ordered q78
+    * cannot deliver when ids correlate with sources).
+    *
+    * Scale shape: the global running token offset over the interleave
+    * order rides [[Windows.globalCumSumNoSort]] on the same packed
+    * (round, source-ordinal) key q333 ranks by — NO single-partition
+    * window; the pack rollup is partial-aggregable. Pack boundaries
+    * partition the offset line, so the packing is lossless exactly as
+    * q78's. */
+  def interleavedPacking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = docs.withColumn("round",
+      row_number().over(wSrc).cast(LongType))
+    val wOrd = Window.orderBy(col("source"))
+    val ordinals = docs.select(col("source")).distinct()
+      .withColumn("src_ord", row_number().over(wOrd).cast(LongType))
+    val keyed = ranked.join(broadcast(ordinals), "source")
+      .withColumn("k", col("round") * 1024L + col("src_ord"))
+    Windows.globalCumSumNoSort(keyed, col("k"), col("doc_id"),
+        col("n_tok"), 1L << 14, "cum", "_tot")
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $PackBudget"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("pack_id"))
+  }
+
   /** EXACT order-statistic SELECTION without a global sort: the lower
     * median of lineitem's price column via two-level bucket selection
     * (the distributed quickselect shape): (1) one partial-aggregable
@@ -1043,6 +1079,7 @@ object Pipeline {
     "q313_build_waterfall" -> buildWaterfall,
     "q329_delta_ingest_report" -> deltaIngestReport,
     "q333_interleave_order" -> interleaveOrder,
+    "q334_interleaved_packing" -> interleavedPacking,
     "q303_budget_selection" -> budgetSelection,
     "q292_quantile_normalize" -> quantileNormalize,
     "q280_leak_severity" -> leakSeverity,
@@ -1417,6 +1454,23 @@ object Pipeline {
     // from Dedup.clusterLabCte (the q67 CTEs verbatim). CTE names t/s/
     // inv/common/pairs/edges/reach/lab belong to that fragment — the
     // waterfall's own CTEs use fresh names.
+    // q334: same interleave order, plain-window cumsum mirror
+    "q334_interleaved_packing" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT) AS n_tok,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS round
+        |  FROM documents),
+        |c AS (SELECT *, SUM(n_tok) OVER (ORDER BY round, source, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM r)
+        |SELECT CAST((cum - n_tok) // 2000 AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  MIN(doc_id) AS first_doc
+        |FROM c
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q333: plain-window mirror of the two-level interleave rank
     "q333_interleave_order" ->
       """WITH r AS (SELECT doc_id, source,

@@ -2697,6 +2697,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("interleaved packing: lossless total, and packs draw from many sources") {
+    val rows = run("q334_interleaved_packing").collect()
+    val docs = Tables.load(spark, sf, "documents")
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    val totTok = docs
+      .selectExpr("cast(size(split(trim(text), ' +')) as long) t")
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getLong(2)).sum === totTok)
+    assert(rows.map(_.getLong(0)).toSeq === rows.indices.map(_.toLong))
+    // the point of interleaving: every full pack mixes sources (the
+    // corpus has 20; a 2000-token pack holds ~26 docs)
+    val nSources = docs.select(col("source")).distinct().count()
+    rows.dropRight(1).foreach { r =>
+      assert(r.getLong(3) >= math.min(nSources, 5L),
+        s"pack ${r.getLong(0)} is source-clumped: ${r.getLong(3)} sources")
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
