@@ -1616,6 +1616,42 @@ object Dedup {
         col("n_buckets") * expr("bucket_size * (bucket_size - 1) div 2"))
       .orderBy(col("band"), col("bucket_size"))
 
+  /** q335 — PLANTED-CANARY DETECTION RATE: seed the corpus with known
+    * near-duplicates (every doc_id % 97 == 0 doc re-entered under a
+    * shifted id with one appended token) and measure what fraction
+    * the PRODUCTION detector (q31's MinHash+LSH path, verbatim
+    * machinery) recovers — the end-to-end acceptance test a dedup
+    * deployment runs continuously: sketches, banding, thresholds and
+    * code paths are all exercised together, and a detection rate
+    * below 1.0 pages someone before real duplicates leak. Planting is
+    * in-query and deterministic (no fixture files), so the canary set
+    * scales with the corpus.
+    *
+    * Scale shape: the augmented corpus is |docs| + |docs|/97 rows
+    * through the same banded equi-join as q31 — the canary adds ~1%
+    * load. One-row output, exact counts, rate ONE division. */
+  def plantedCanaries(spark: SparkSession, dir: String): DataFrame = {
+    val Shift = 1000000000L
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + Shift).as("doc_id"),
+        concat(col("text"), lit(" canaryx")).as("text"))
+    val pairs = bandedPairs(bandKeys(withSignature(docs.unionByName(planted))),
+        "sig")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          m => m)).cast(DoubleType) / lit(K.toDouble))
+      .filter(col("est_jaccard") >= 0.5)
+    val det = pairs
+      .filter(col("doc_a") % 97 === 0 && col("doc_b") === col("doc_a") + Shift)
+      .agg(count(lit(1)).as("n_detected"))
+    planted.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(broadcast(det))
+      .withColumn("detection_rate",
+        col("n_detected").cast(DoubleType) / col("n_planted"))
+  }
+
   /** q327 — CLUSTER HUB CANONICAL: for each q67 duplicate cluster,
     * the MOST-CONNECTED member (max near-dup degree, ties to the
     * smallest id) — the exemplar a curation pipeline keeps when it
@@ -1717,6 +1753,7 @@ object Dedup {
     "q318_dedup_loser_matrix" -> dedupLoserMatrix,
     "q323_lsh_bucket_stats" -> lshBucketStats,
     "q327_cluster_hub" -> clusterHub,
+    "q335_planted_canaries" -> plantedCanaries,
     "q314_quality_dup_audit" -> qualityDupAudit,
     "q311_lsh_config_sweep" -> lshConfigSweep,
     "q307_threshold_sweep" -> thresholdSweep,
@@ -2141,6 +2178,37 @@ object Dedup {
         |FROM g WHERE rn = 1
         |ORDER BY dup_group""".stripMargin,
     "q67_dedup_clusters" -> clustersOracle,
+    // q335: the q31 chain re-run over the canary-augmented corpus
+    "q335_planted_canaries" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+        |       UNION ALL
+        |       SELECT doc_id + 1000000000, text || ' canaryx'
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |t2 AS (SELECT doc_id, text,
+        |         STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM aug),
+        |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t2),
+        |h2 AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s2),
+        |sig2 AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
+        |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
+        |        FROM h2),
+        |bands2 AS (SELECT doc_id, sig, b.band,
+        |            ARRAY_TO_STRING(sig[b.band*${R}+1 : b.band*${R}+${R}], ',') AS bkey
+        |          FROM sig2, (SELECT UNNEST([0,1,2,3]) AS band) b),
+        |pairs2 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |            x.sig AS sa, y.sig AS sb
+        |          FROM bands2 x JOIN bands2 y
+        |            ON x.band = y.band AND x.bkey = y.bkey
+        |             AND x.doc_id < y.doc_id),
+        |est AS (SELECT doc_a, doc_b FROM pairs2
+        |        WHERE CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}),
+        |            i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 >= 0.5),
+        |det AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_detected FROM est
+        |        WHERE doc_a % 97 = 0 AND doc_b = doc_a + 1000000000),
+        |pl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted
+        |       FROM documents WHERE doc_id % 97 = 0)
+        |SELECT pl.n_planted, det.n_detected,
+        |  CAST(det.n_detected AS DOUBLE) / pl.n_planted AS detection_rate
+        |FROM pl, det""".stripMargin,
     // q327: same fixpoint + the symmetric edge degree; argmax via
     // the (degree DESC, doc_id) window mirror of the struct max
     "q327_cluster_hub" ->

@@ -2715,6 +2715,17 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("planted canaries: every seeded near-dup is recovered by the q31 path") {
+    val r = run("q335_planted_canaries").collect()(0)
+    val planted = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 97 === 0).count()
+    assert(r.getLong(0) === planted)
+    // one appended token on a >=50-token doc keeps J far above 0.5;
+    // the deterministic 16-perm estimate must recover every canary
+    assert(r.getLong(1) === planted, "detector missed a planted canary")
+    assert(r.getDouble(2) === 1.0)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
