@@ -1668,7 +1668,11 @@ object Dedup {
     * max(struct(degree, −doc_id)) — no window over members. All
     * integer. */
   def clusterHub(spark: SparkSession, dir: String): DataFrame = {
+    // the slim O(duplicates) pair set feeds BOTH the component labels
+    // and the degree rollup — persist it so the inverted-index join
+    // (the expensive upstream) runs once, not twice
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .persist()
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
