@@ -957,6 +957,45 @@ object Similarity {
       .orderBy(col("method"))
   }
 
+  /** q336 — MATRYOSHKA DIMS SWEEP: recall@10 at every truncation rung
+    * {8, 16, 32, 64 = full} of the embedding — the last knob the
+    * sweep family had not priced (q307 lexical τ, q311 bands, q312
+    * nprobe, q332 semantic ε, THIS dims): the serving question is
+    * "how many dims can the index drop", and the answer is a curve,
+    * not q260's single point. The 64-dim rung IS the exact ranking
+    * (recall 1.0 by construction — the in-table sanity anchor).
+    * Each rung is q260's plan over `slice(embedding, 1, d)` (corpus
+    * never shuffles, q35's broadcast-query regime); hits join the ONE
+    * exact top-10. Exact counts; recall ONE division. */
+  def matryoshkaSweep(spark: SparkSession, dir: String): DataFrame = {
+    val full = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val kTot = full.agg(count(lit(1)).as("k_total"))
+    def rung(d: Int): DataFrame = {
+      val vd = spread(load(spark, dir, "embeddings"))
+        .select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+        .withColumn("n2", dot(col("embedding"), col("embedding")))
+      val qd = queryVecs(vd)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(qd).join(vd, col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine(dot(col("qe"), col("embedding")),
+          col("qn"), col("n2")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dims"), col("n_hits"))
+    }
+    Seq(8, 16, 32, 64).map(rung).reduce(_.unionByName(_))
+      .crossJoin(broadcast(kTot))
+      .withColumn("recall_at_10",
+        col("n_hits").cast(DoubleType) / col("k_total").cast(DoubleType))
+      .orderBy(col("dims"))
+  }
+
   /** MATRYOSHKA-TRUNCATION recall audit: search with only the FIRST 8
     * of 64 dimensions (the MRL deployment trick — embeddings trained
     * so prefixes are usable sub-embeddings; at serving time a
@@ -1209,6 +1248,7 @@ object Similarity {
     "q36_ann_ivf" -> annIvf,
     "q99_semantic_neardup_ivf" -> semanticNearDupIvf,
     "q332_semantic_threshold_sweep" -> semanticThresholdSweep,
+    "q336_matryoshka_sweep" -> matryoshkaSweep,
     "q101_quantize_int8" -> quantizeInt8,
     "q105_pq_encode" -> pqEncode,
     "q324_pq_codebook_stats" -> pqCodebookStats,
@@ -1519,6 +1559,43 @@ object Similarity {
         |    ABS(e[i] - CAST(codes[i] AS DOUBLE) / scale))) AS max_err
         |FROM c
         |ORDER BY vec_id""".stripMargin,
+    // q336: one truncated q260-style chain per rung + the exact chain
+    "q336_matryoshka_sweep" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val rungs = dims.map { d =>
+        s"""v$d AS (SELECT vec_id, emb, ${dotSql("emb", "emb")} AS n2
+           |       FROM (SELECT vec_id, embedding[1:$d] AS emb FROM embeddings)),
+           |q$d AS (SELECT vec_id AS query_id, emb AS qe, n2 AS qn
+           |        FROM v$d WHERE vec_id < 5),
+           |c$d AS (SELECT query_id, v$d.vec_id AS neighbor_id,
+           |        ${cosSql(dotSql("qe", s"v$d.emb"), "qn", s"v$d.n2")} AS cosine
+           |      FROM q$d JOIN v$d ON v$d.vec_id != query_id),
+           |r$d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, neighbor_id) AS rank FROM c$d),
+           |t$d AS (SELECT query_id, neighbor_id FROM r$d WHERE rank <= 10)""".stripMargin
+      }.mkString(",\n")
+      val unions = dims.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dims,
+           |  (SELECT CAST(COUNT(*) AS BIGINT)
+           |   FROM t$d JOIN ex USING (query_id, neighbor_id)) AS n_hits""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH v AS ($vSql),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn
+        |      FROM v WHERE vec_id < 5),
+        |ec AS (SELECT query_id, v.vec_id AS neighbor_id,
+        |        ${cosSql(dotSql("qe", "v.embedding"), "qn", "v.n2")} AS cosine
+        |      FROM q JOIN v ON v.vec_id != query_id),
+        |er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM ec),
+        |ex AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 10),
+        |$rungs,
+        |kt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_total FROM ex),
+        |u AS ($unions)
+        |SELECT dims, n_hits, kt.k_total,
+        |  CAST(n_hits AS DOUBLE) / CAST(kt.k_total AS DOUBLE) AS recall_at_10
+        |FROM u, kt
+        |ORDER BY dims""".stripMargin
+    },
     // q332: q99's bucket-blocked pair CTEs + one conditional agg
     "q332_semantic_threshold_sweep" -> {
       val ts = Seq("0.4", "0.5", "0.6", "0.7", "0.8", "0.9")

@@ -2726,6 +2726,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1.0)
   }
 
+  test("matryoshka sweep: monotone in dims, full-dim rung exact, 8-dim rung == q260") {
+    val rows = run("q336_matryoshka_sweep").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(8L, 16L, 32L, 64L))
+    rows.map(_.getDouble(3)).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-12); case _ => ()
+    }
+    assert(rows.last.getDouble(3) === 1.0, "64-dim rung must be exact")
+    val q260 = run("q260_matryoshka_recall").collect().map(_.getLong(1)).sum
+    assert(rows.head.getLong(1) === q260, "8-dim rung forked from q260")
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
