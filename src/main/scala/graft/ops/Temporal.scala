@@ -550,6 +550,25 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** q337 — FUNNEL SUMMARY: the q326 windowed funnel rolled to the
+    * one-row report every dashboard actually shows — users per stage
+    * and the per-hop conversion rates ("view→click 34%, click→buy
+    * 11%") — computed FROM the gated per-user operator (compose,
+    * don't re-derive), so the report can never disagree with the
+    * drill-down. One partial-aggregable pass over q326's output;
+    * rates ONE division each, null-guarded for an empty hop. */
+  def funnelSummary(spark: SparkSession, dir: String): DataFrame =
+    funnelWindowed(spark, dir)
+      .agg(count(lit(1)).as("n_view"),
+        sum(col("t_click").isNotNull.cast(LongType)).as("n_click"),
+        sum(col("t_purchase").isNotNull.cast(LongType)).as("n_purchase"))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        (col("n_click").cast(DoubleType) / col("n_view"))
+          .as("view_to_click"),
+        when(col("n_click") > 0L,
+          col("n_purchase").cast(DoubleType) / col("n_click"))
+          .as("click_to_purchase"))
+
   /** q325 — PEAK CONCURRENCY per day: the maximum number of
     * simultaneously-active 30-minute presence windows, per calendar
     * day — THE capacity-planning number (connection pools, rate
@@ -800,6 +819,7 @@ object Temporal {
     "q296_lateness_histogram" -> latenessHistogram,
     "q325_peak_concurrency" -> peakConcurrency,
     "q326_funnel_windowed" -> funnelWindowed,
+    "q337_funnel_summary" -> funnelSummary,
     "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
@@ -2031,6 +2051,35 @@ object Temporal {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q296: the oracle states the naive global prefix-max window; the
     // two-level block/offset form computes the same running max
+    // q337: q326's CTEs + the one-row rollup
+    "q337_funnel_summary" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL 7 DAY
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 7 DAY
+        |      GROUP BY 1),
+        |j AS (SELECT v.user_id, c.t_click, p.t_purchase
+        |      FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |             LEFT JOIN p ON v.user_id = p.user_id),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_view,
+        |        CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_click,
+        |        CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_purchase
+        |      FROM j)
+        |SELECT n_view, n_click, n_purchase,
+        |  CAST(n_click AS DOUBLE) / n_view AS view_to_click,
+        |  CASE WHEN n_click > 0
+        |       THEN CAST(n_purchase AS DOUBLE) / n_click END
+        |    AS click_to_purchase
+        |FROM g""".stripMargin,
     // q326: q84's CTEs + the 7-day hop windows
     "q326_funnel_windowed" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events

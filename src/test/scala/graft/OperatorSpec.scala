@@ -2737,6 +2737,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) === q260, "8-dim rung forked from q260")
   }
 
+  test("funnel summary reconciles with q326's per-user stages") {
+    val r = run("q337_funnel_summary").collect()(0)
+    val stages = run("q326_funnel_windowed").collect().map(_.getLong(4))
+    assert(r.getLong(0) === stages.length.toLong)
+    assert(r.getLong(1) === stages.count(_ >= 2).toLong)
+    assert(r.getLong(2) === stages.count(_ >= 3).toLong)
+    assert(r.getDouble(3) === r.getLong(1).toDouble / r.getLong(0))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
