@@ -2183,36 +2183,7 @@ object Dedup {
         |ORDER BY dup_group""".stripMargin,
     "q67_dedup_clusters" -> clustersOracle,
     // q335: the q31 chain re-run over the canary-augmented corpus
-    "q335_planted_canaries" ->
-      s"""WITH aug AS (SELECT doc_id, text FROM documents
-        |       UNION ALL
-        |       SELECT doc_id + 1000000000, text || ' canaryx'
-        |       FROM documents WHERE doc_id % 97 = 0),
-        |t2 AS (SELECT doc_id, text,
-        |         STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM aug),
-        |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t2),
-        |h2 AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s2),
-        |sig2 AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
-        |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
-        |        FROM h2),
-        |bands2 AS (SELECT doc_id, sig, b.band,
-        |            ARRAY_TO_STRING(sig[b.band*${R}+1 : b.band*${R}+${R}], ',') AS bkey
-        |          FROM sig2, (SELECT UNNEST([0,1,2,3]) AS band) b),
-        |pairs2 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |            x.sig AS sa, y.sig AS sb
-        |          FROM bands2 x JOIN bands2 y
-        |            ON x.band = y.band AND x.bkey = y.bkey
-        |             AND x.doc_id < y.doc_id),
-        |est AS (SELECT doc_a, doc_b FROM pairs2
-        |        WHERE CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}),
-        |            i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 >= 0.5),
-        |det AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_detected FROM est
-        |        WHERE doc_a % 97 = 0 AND doc_b = doc_a + 1000000000),
-        |pl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted
-        |       FROM documents WHERE doc_id % 97 = 0)
-        |SELECT pl.n_planted, det.n_detected,
-        |  CAST(det.n_detected AS DOUBLE) / pl.n_planted AS detection_rate
-        |FROM pl, det""".stripMargin,
+    "q335_planted_canaries" -> canariesOracle,
     // q327: same fixpoint + the symmetric edge degree; argmax via
     // the (degree DESC, doc_id) window mirror of the struct max
     "q327_cluster_hub" ->
@@ -2606,6 +2577,39 @@ object Dedup {
         |          ORDER BY jaccard DESC, match_doc DESC) AS rn,
         |        COUNT(*) OVER (PARTITION BY new_doc) AS n_matches
         |      FROM ver WHERE jaccard >= 0.5)""".stripMargin
+
+  /** q335's canary oracle — shared VERBATIM with the streaming twin
+    * q338: batch and incremental canary checks must agree exactly. */
+  private[graft] lazy val canariesOracle: String =
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+        |       UNION ALL
+        |       SELECT doc_id + 1000000000, text || ' canaryx'
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |t2 AS (SELECT doc_id, text,
+        |         STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM aug),
+        |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t2),
+        |h2 AS (SELECT doc_id, LIST_TRANSFORM(sh, x -> ${phashModSql("x")}) AS hs FROM s2),
+        |sig2 AS (SELECT doc_id, LIST_TRANSFORM($permsSql,
+        |          p -> LIST_MIN(LIST_TRANSFORM(hs, v -> (p.a * v + p.b) % ${P}))) AS sig
+        |        FROM h2),
+        |bands2 AS (SELECT doc_id, sig, b.band,
+        |            ARRAY_TO_STRING(sig[b.band*${R}+1 : b.band*${R}+${R}], ',') AS bkey
+        |          FROM sig2, (SELECT UNNEST([0,1,2,3]) AS band) b),
+        |pairs2 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |            x.sig AS sa, y.sig AS sb
+        |          FROM bands2 x JOIN bands2 y
+        |            ON x.band = y.band AND x.bkey = y.bkey
+        |             AND x.doc_id < y.doc_id),
+        |est AS (SELECT doc_a, doc_b FROM pairs2
+        |        WHERE CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}),
+        |            i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 >= 0.5),
+        |det AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_detected FROM est
+        |        WHERE doc_a % 97 = 0 AND doc_b = doc_a + 1000000000),
+        |pl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted
+        |       FROM documents WHERE doc_id % 97 = 0)
+        |SELECT pl.n_planted, det.n_detected,
+        |  CAST(det.n_detected AS DOUBLE) / pl.n_planted AS detection_rate
+        |FROM pl, det""".stripMargin
 
   /** q285's full verdict oracle — shared VERBATIM with q331 (the
     * persisted-index probe must reproduce the inline probe exactly). */

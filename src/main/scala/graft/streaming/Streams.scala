@@ -949,6 +949,72 @@ object Streams {
     runToMemory(spark, agg, "graft_stream_src_sketch").orderBy(col("source"))
   }
 
+  /** q338 — STREAMING CANARY CHECK: q335's planted-duplicate
+    * acceptance test run through the STREAMING detector (q319's
+    * band-bucket state machinery) — the health probe for the ingest
+    * path itself: canaries ride the same micro-batches as real
+    * documents, and a detection rate below 1.0 means the stateful
+    * detector (not just the batch algorithm) is dropping duplicates.
+    * The oracle is q335's string VERBATIM: batch and streaming canary
+    * checks must agree exactly, because q319's pair set equals q31's.
+    * Canaries are planted across micro-batch files, so detection
+    * exercises the cross-batch state path, not just within-batch
+    * compares. */
+  def streamCanaries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val K = graft.dedup.Dedup.K
+    val Shift = 1000000000L
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_canary$safe"
+    deleteRecursively(new java.io.File(base))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + Shift).as("doc_id"),
+        concat(col("text"), lit(" canaryx")).as("text"))
+    docs.unionByName(planted)
+      .repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val sigs = src.select(col("doc_id"),
+      call_function("minhash_sig",
+        graft.dedup.Dedup.shingleHashes(col("text"), mod = true)).as("sig"))
+    val banded = graft.dedup.Dedup.bandKeys(sigs)
+      .select(concat_ws("|", col("band"), col("bkey")).as("bucket"),
+        col("doc_id"), col("sig"))
+      .as[(String, Long, Array[Long])]
+    val pairs = banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[(Long, Array[Long])],
+        (Long, Long)](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val out = Vector.newBuilder[(Long, Long)]
+        var seen = state.getOption.getOrElse(Array.empty[(Long, Array[Long])])
+        rows.map(r => (r._2, r._3)).toVector.sortBy(_._1).foreach {
+          case (id, sg) =>
+            seen.foreach { case (pid, psg) =>
+              var eq = 0; var i = 0
+              while (i < K) { if (sg(i) == psg(i)) eq += 1; i += 1 }
+              if (eq * 2 >= K)
+                out += ((math.min(pid, id), math.max(pid, id)))
+            }
+            seen = seen :+ ((id, sg))
+        }
+        state.update(seen)
+        out.result().iterator
+      }
+    val det = runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b"),
+        "graft_stream_canary").distinct()
+      .filter(col("doc_a") % 97 === 0 && col("doc_b") === col("doc_a") + Shift)
+      .agg(count(lit(1)).as("n_detected"))
+    planted.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(broadcast(det))
+      .withColumn("detection_rate",
+        col("n_detected").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_planted"))
+  }
+
   /** q319 — STREAMING LSH NEAR-DUP DETECTION: the incremental twin of
     * q31 — documents arrive in micro-batches, each doc's MinHash
     * signature is banded with the SAME split as the batch detector
@@ -1161,6 +1227,7 @@ object Streams {
     "q271_stream_tws_timers" -> streamTimerFlush,
     "q278_stream_source_sketch" -> streamSourceSketch,
     "q319_stream_lsh_dedup" -> streamLshDedup,
+    "q338_stream_canaries" -> streamCanaries,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
@@ -1220,6 +1287,9 @@ object Streams {
     // q278: the 4-batch incremental sketch merge must equal the
     // one-shot per-source signature (element-wise min is order-free) —
     // same CTE machinery as the q74/q275 batch oracles
+    // q338: q335's oracle VERBATIM — batch and streaming canary
+    // checks must agree exactly
+    "q338_stream_canaries" -> graft.dedup.Dedup.canariesOracle,
     // q319: q31's oracle VERBATIM — the streaming detector must emit
     // exactly the batch pair set
     "q319_stream_lsh_dedup" -> graft.dedup.Dedup.lshOracle,
