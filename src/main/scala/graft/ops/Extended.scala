@@ -357,6 +357,42 @@ object Extended {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q339 — JDBC SINK + SOURCE ROUND-TRIP (the reference's Postgres
+    * load path, /root/reference/dags/get_prices_load_postgres.py:59-65,
+    * made real): write a typed table through Spark's JDBC sink into an
+    * embedded Apache Derby database (the JDBC engine that ships on
+    * Spark's own classpath), read it back through the JDBC source,
+    * and aggregate — the re-read rollup must equal the direct parquet
+    * path bit-for-bit, exactly the CSV/ORC/JSON/XML round-trip
+    * contract. Money rides explicit DECIMAL(18,2) so the SQL type
+    * round-trip cannot lose precision (the reference stores price as
+    * varchar — SURVEY §1.2's documented divergence).
+    *
+    * Scale notes: numPartitions controls sink parallelism (each
+    * partition opens one connection — against a real Postgres this is
+    * the write fan-in knob); the read side predicate-pushes through
+    * the JDBC dialect. Derby is in-process here, but the code path —
+    * dialect, type mapping, save modes — is the same production
+    * `spark.read/write.jdbc` surface. */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmp = sys.props("java.io.tmpdir")
+    // keep derby.log out of the working directory
+    System.setProperty("derby.system.home", tmp)
+    val url = s"jdbc:derby:$tmp/graft_derby$safe;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        d2(col("o_totalprice")).as("o_totalprice"))
+      .write.mode("overwrite").jdbc(url, "gas_orders", props)
+    spark.read.jdbc(url, "gas_orders", props)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsumExpr(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Target probe rows per (key, salt) task for q321/q322 — the knob a
     * real job sets to its executor's comfortable task size. 600 sits
     * at this corpus's ~600-rows-per-key natural density, so both
@@ -1040,6 +1076,7 @@ object Extended {
     "q49_bucketed_join" -> bucketedJoin,
     "q50_salted_skew_join" -> saltedSkewJoin,
     "q321_salt_plan" -> saltPlan,
+    "q339_jdbc_roundtrip" -> jdbcRoundtrip,
     "q322_adaptive_salted_join" -> adaptiveSaltedJoin,
     "q51_approx_distinct" -> approxDistinct,
     "q52_percentiles" -> medians,
@@ -1403,6 +1440,14 @@ object Extended {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |          * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q339: the JDBC round-trip must preserve the direct rollup
+    "q339_jdbc_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q321_salt_plan" ->

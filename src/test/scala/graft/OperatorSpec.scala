@@ -2746,6 +2746,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getDouble(3) === r.getLong(1).toDouble / r.getLong(0))
   }
 
+  test("jdbc roundtrip is rerun-idempotent and equals the direct parquet rollup") {
+    // run TWICE in one session: overwrite mode must replace, not append
+    run("q339_jdbc_roundtrip").collect()
+    val viaJdbc = run("q339_jdbc_roundtrip").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val direct = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Tables.dsumExpr(Tables.d2(col("o_totalprice"))).as("s"))
+      .orderBy(col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaJdbc === direct)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
