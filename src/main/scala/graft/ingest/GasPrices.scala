@@ -163,6 +163,23 @@ object GasPrices {
     } finally { df.unpersist(); () }
   }
 
+  /** The reference's Postgres load (K2,
+    * /root/reference/dags/get_prices_load_postgres.py:59-65) as a real
+    * JDBC sink: the `gas_prices` serving table written through
+    * `df.write.jdbc` — against embedded Derby in this environment,
+    * against Postgres in production with only the URL changed. Price
+    * stays DECIMAL(6,1) (the SURVEY §1.2 numeric-over-varchar
+    * decision; the reference's varchar price is its latent
+    * lexicographic-sort bug). Overwrite mode gives the same rerun
+    * idempotence as the reference's daily replace. Returns the
+    * read-back frame so callers can verify the round-trip. */
+  def writeServingJdbc(df: DataFrame, url: String): DataFrame = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    df.write.mode("overwrite").jdbc(url, "gas_prices", props)
+    df.sparkSession.read.jdbc(url, "gas_prices", props)
+  }
+
   /** Store compaction — the maintenance operator every long-running
     * ingestion needs at scale: daily/streaming appends leave each date
     * partition littered with small files, and at 100 TB the per-file

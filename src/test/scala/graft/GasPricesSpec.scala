@@ -95,6 +95,26 @@ class GasPricesSpec extends AnyFunSuite {
     assert(raw.filter(_.contains("\"date\":")).count() === 3)
   }
 
+  test("writeServingJdbc round-trips the gas_prices table through a real JDBC sink") {
+    System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
+    val url =
+      s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_gp_derby;create=true"
+    // twice: overwrite mode is the reference's daily-replace idempotence
+    GasPrices.writeServingJdbc(parsed, url)
+    val back = GasPrices.writeServingJdbc(parsed, url)
+    assert(back.count() === parsed.count())
+    val direct = parsed.orderBy(col("price")).collect()
+      .map(r => (r.getAs[java.math.BigDecimal]("price").toString,
+        r.getString(r.fieldIndex("station"))))
+    val rt = back.orderBy(col("price")).collect()
+      .map(r => (r.getAs[java.math.BigDecimal]("price").toString,
+        r.getString(r.fieldIndex("station"))))
+    assert(rt.toSeq === direct.toSeq)
+    // the flagship query answers identically off the JDBC store
+    assert(GasPrices.topOfDay(back, day).collect().toSeq ===
+      GasPrices.topOfDay(parsed, day).collect().toSeq)
+  }
+
   test("compactStore shrinks a fragmented store and preserves every row") {
     def partFiles(dir: String): Seq[java.io.File] = {
       def walk(f: java.io.File): Seq[java.io.File] =
