@@ -393,6 +393,44 @@ object Extended {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q340 — JDBC PARTITIONED PARALLEL SCAN (q339's read side at
+    * scale): the same Derby-backed table read through
+    * `partitionColumn/lowerBound/upperBound/numPartitions` — Spark
+    * opens one connection PER STRIDE and scans them concurrently,
+    * which is the only way a JDBC extract keeps up with a cluster
+    * (a single-connection read serializes 100 TB behind one cursor).
+    * The filter is pushed into each partition's WHERE clause (pinned
+    * in PlanSpec), so the database does the pruning, not the
+    * executors. Bounds are stride hints, not filters — rows outside
+    * them still arrive via the open-ended edge strides, which the
+    * oracle equality proves. */
+  def jdbcPartitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmp = sys.props("java.io.tmpdir")
+    System.setProperty("derby.system.home", tmp)
+    val url = s"jdbc:derby:$tmp/graft_derby_part$safe;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        d2(col("o_totalprice")).as("o_totalprice"))
+      .write.mode("overwrite").jdbc(url, "gas_orders_part", props)
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "gas_orders_part")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", "o_orderkey")
+      .option("lowerBound", "1")
+      .option("upperBound", "6000000")
+      .option("numPartitions", "4")
+      .load()
+      .filter(col("o_orderkey") > 100L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsumExpr(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Target probe rows per (key, salt) task for q321/q322 — the knob a
     * real job sets to its executor's comfortable task size. 600 sits
     * at this corpus's ~600-rows-per-key natural density, so both
@@ -1077,6 +1115,7 @@ object Extended {
     "q50_salted_skew_join" -> saltedSkewJoin,
     "q321_salt_plan" -> saltPlan,
     "q339_jdbc_roundtrip" -> jdbcRoundtrip,
+    "q340_jdbc_partitioned_scan" -> jdbcPartitionedScan,
     "q322_adaptive_salted_join" -> adaptiveSaltedJoin,
     "q51_approx_distinct" -> approxDistinct,
     "q52_percentiles" -> medians,
@@ -1440,6 +1479,15 @@ object Extended {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |          * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q340: stride bounds are hints, not filters — equality proves it
+    "q340_jdbc_partitioned_scan" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders
+        |WHERE o_orderkey > 100
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     // q339: the JDBC round-trip must preserve the direct rollup

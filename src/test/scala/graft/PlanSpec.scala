@@ -712,6 +712,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max") || plan.contains("partial_sum"), plan)
   }
 
+  test("q340 jdbc scan is 4-way partitioned and pushes the filter into the database") {
+    val df = run("q340_jdbc_partitioned_scan")
+    val plan = formatted(df)
+    assert(plan.contains("JDBCRelation"), plan)
+    assert(plan.contains("numPartitions=4"), plan)
+    // the predicate reaches the JDBC source, not the executors
+    assert(plan.contains("PushedFilters") &&
+      plan.toLowerCase.contains("greaterthan(o_orderkey,100)"), plan)
+  }
+
   test("q320 reshard plan is join-free: constant-struct successor arithmetic + one rollup") {
     val df = run("q320_reshard_plan")
     val plan = formatted(df)
