@@ -693,6 +693,57 @@ object Validate {
     * parallel — the [[Windows.globalRankNoSort]] shape applied to a
     * running SUM instead of a rank. Everything else is two
     * partial-aggregable passes + one-row broadcasts. */
+  /** q341 — WEEKLY DRIFT SERIES: q244's two-sample KS turned into the
+    * monitoring TIME SERIES — for every ISO week, the exact KS
+    * statistic of that week's event-value distribution against the
+    * whole corpus, the chart a data-quality dashboard alarms on
+    * ("week 31 drifted"). Same exact-integer construction: per-week
+    * and global CDFs as cumulative counts over the value histogram
+    * (the week grid completed against the GLOBAL support so a value a
+    * week never saw still contributes its step), the sup-distance
+    * numerator |c_w·N − C·n_w| in DECIMAL(38) cross-products, argmax
+    * by a deterministic max-struct, ONE division per week.
+    *
+    * Scale shape: all windows partition by week or run over the
+    * O(distinct values) global histogram — never a single-partition
+    * sweep over raw rows; the grid is O(weeks × distinct values),
+    * bounded by the value DOMAIN, not the row count. */
+  def weeklyDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(
+      expr("date_trunc('WEEK', ts)").cast(DateType).as("week"),
+      (d2(col("value")) * 100).cast(LongType).as("cents"))
+    val wkCounts = e.groupBy(col("week"), col("cents"))
+      .agg(count(lit(1)).as("n"))
+    val gCounts = e.groupBy(col("cents")).agg(count(lit(1)).as("g"))
+    val wG = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gCum = gCounts.withColumn("cg", sum(col("g")).over(wG))
+    val grid = e.select(col("week")).distinct()
+      .crossJoin(gCum.select(col("cents"), col("cg")))
+      .join(wkCounts, Seq("week", "cents"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wW = Window.partitionBy(col("week")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = e.agg(count(lit(1)).as("nn"))
+    val wkTot = e.groupBy(col("week")).agg(count(lit(1)).as("nw"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    grid.withColumn("cw", sum(col("n")).over(wW))
+      .join(broadcast(wkTot), "week")
+      .crossJoin(broadcast(tot))
+      .withColumn("d_num",
+        abs(dec(col("cw")) * dec(col("nn")) - dec(col("cg")) * dec(col("nw")))
+          .cast(DecimalType(38, 0)))
+      .groupBy(col("week"))
+      .agg(max(col("nw")).as("n_week"), max(col("nn")).as("nn2"),
+        max(struct(col("d_num"), col("cents"))).as("mx"))
+      .select(col("week"), col("n_week"),
+        col("mx.cents").as("at_cents"),
+        (col("mx.d_num").cast(DoubleType) /
+          (col("n_week").cast(DoubleType) * col("nn2").cast(DoubleType)))
+          .as("ks"))
+      .orderBy(col("week"))
+  }
+
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
     val o = load(spark, dir, "orders").select(
       (d2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
@@ -1000,6 +1051,7 @@ object Validate {
     "q181_zonemap_skip" -> zoneMapSkipAudit,
     "q182_k_anonymity" -> kAnonymityAudit,
     "q330_t_closeness" -> tClosenessAudit,
+    "q341_weekly_drift" -> weeklyDrift,
     "q150_chi_square" -> chiSquare,
     "q175_venn_overlap" -> vennOverlap,
     "q161_ab_test_readout" -> abTestReadout,
@@ -1200,6 +1252,37 @@ object Validate {
         |  CAST(SUM(CASE WHEN isodow(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow_6,
         |  CAST(SUM(CASE WHEN isodow(ts) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS dow_7
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q341: plain-window mirror of the grid CDFs; same cross-products
+    "q341_weekly_drift" ->
+      """WITH e AS (SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |wk AS (SELECT week, cents, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |gc AS (SELECT cents, COUNT(*) AS g FROM e GROUP BY 1),
+        |gcum AS (SELECT cents,
+        |    SUM(g) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cg
+        |  FROM gc),
+        |grid AS (SELECT w.week, g.cents, g.cg, COALESCE(wk.n, 0) AS n
+        |  FROM (SELECT DISTINCT week FROM e) w
+        |  CROSS JOIN gcum g
+        |  LEFT JOIN wk ON wk.week = w.week AND wk.cents = g.cents),
+        |cw AS (SELECT *, SUM(n) OVER (PARTITION BY week ORDER BY cents
+        |        ROWS UNBOUNDED PRECEDING) AS cw FROM grid),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM e),
+        |nw AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_week
+        |       FROM e GROUP BY 1),
+        |d AS (SELECT cw.week, cw.cents,
+        |        ABS(CAST(cw.cw AS HUGEINT) * nt.nn
+        |            - CAST(cw.cg AS HUGEINT) * nw.n_week) AS d_num,
+        |        nw.n_week, nt.nn
+        |      FROM cw JOIN nw ON nw.week = cw.week, nt),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY week
+        |        ORDER BY d_num DESC, cents DESC) AS rn FROM d)
+        |SELECT week, n_week, cents AS at_cents,
+        |  CAST(CAST(d_num AS VARCHAR) AS DOUBLE)
+        |    / (CAST(n_week AS DOUBLE) * CAST(nn AS DOUBLE)) AS ks
+        |FROM r WHERE rn = 1
+        |ORDER BY week""".stripMargin,
     // q330: exact integer cross-products; HUGEINT-via-VARCHAR casts
     "q330_t_closeness" ->
       """WITH c AS (SELECT c_nationkey,

@@ -2760,6 +2760,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaJdbc === direct)
   }
 
+  test("weekly drift: KS in [0,1], week totals partition the corpus") {
+    val rows = run("q341_weekly_drift").collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, r.toString)
+    }
+    // weeks are distinct Mondays in order
+    val weeks = rows.map(_.getDate(0).toLocalDate)
+    assert(weeks.distinct.length === weeks.length)
+    weeks.foreach(w => assert(w.getDayOfWeek === java.time.DayOfWeek.MONDAY))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
