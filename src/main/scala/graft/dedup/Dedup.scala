@@ -2256,7 +2256,7 @@ object Dedup {
   /** Shared CTE prefix producing `common(doc_a, doc_b, na, nb, c)` —
     * the exact-Jaccard pair computation both the pair oracles and the
     * cluster oracle build on. */
-  private lazy val jaccardCommonCte: String =
+  private[graft] lazy val jaccardCommonCte: String =
       s"""t AS ($toksSql),
         |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
         |inv AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n,

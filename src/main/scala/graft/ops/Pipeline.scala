@@ -428,6 +428,40 @@ object Pipeline {
       .orderBy(col("pack_id"))
   }
 
+  /** q342 — DATASET CARD: the one-row summary a corpus release ships
+    * (Gebru et al.'s datasheets, as a query): volume (docs, tokens,
+    * languages, sources), redundancy (exact-dup groups, near-dup
+    * pairs), contamination (q70 count), and mean length — every
+    * number composed from the SAME shared rules the pipeline
+    * enforces (contentKey, the q33 pair set, decontaminate), so the
+    * card can never disagree with the operators it summarizes. All
+    * counts exact; the mean is ONE division of exact integers.
+    *
+    * Scale shape: three independent partial-agg passes + the gated
+    * q33/q70 operators' own plans, joined as one-row broadcasts. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val dupGroups = docs
+      .groupBy(graft.dedup.Dedup.contentKey(col("text")).as("ck"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1L)
+      .agg(count(lit(1)).as("n_exact_dup_groups"))
+    val pairs = graft.dedup.Dedup.ngramJaccard(spark, dir)
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    val cont = decontaminate(spark, dir)
+      .agg(count(lit(1)).as("n_contaminated"))
+    base.crossJoin(broadcast(dupGroups))
+      .crossJoin(broadcast(pairs))
+      .crossJoin(broadcast(cont))
+      .withColumn("mean_tokens",
+        col("n_tokens").cast(DoubleType) / col("n_docs"))
+  }
+
   /** EXACT order-statistic SELECTION without a global sort: the lower
     * median of lineitem's price column via two-level bucket selection
     * (the distributed quickselect shape): (1) one partial-aggregable
@@ -1079,6 +1113,7 @@ object Pipeline {
     "q313_build_waterfall" -> buildWaterfall,
     "q329_delta_ingest_report" -> deltaIngestReport,
     "q333_interleave_order" -> interleaveOrder,
+    "q342_dataset_card" -> datasetCard,
     "q334_interleaved_packing" -> interleavedPacking,
     "q303_budget_selection" -> budgetSelection,
     "q292_quantile_normalize" -> quantileNormalize,
@@ -1471,6 +1506,37 @@ object Pipeline {
         |FROM c
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // q342: the same shared rules, restated in one SQL card
+    "q342_dataset_card" ->
+      s"""WITH ${graft.dedup.Dedup.jaccardCommonCte},
+        |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +'))) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM documents),
+        |dg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_dup_groups
+        |  FROM (SELECT md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+        |          AS ck, COUNT(*) AS n
+        |        FROM documents GROUP BY 1 HAVING COUNT(*) > 1)),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+        |  FROM common WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |h5 AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(LIST_DISTINCT(LIST_TRANSFORM(
+        |          GENERATE_SERIES(1, GREATEST(LEN(toks)-4, 1)),
+        |          i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2],
+        |                         toks[i+3], toks[i+4]))),
+        |          x -> ${phashSql("x")})) AS h
+        |      FROM t),
+        |ct AS (SELECT CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT)
+        |          AS n_contaminated
+        |       FROM h5 tr JOIN h5 be
+        |         ON tr.h = be.h AND be.doc_id % 20 = 0
+        |          AND tr.doc_id % 20 <> 0)
+        |SELECT base.*, dg.n_exact_dup_groups, np.n_neardup_pairs,
+        |  ct.n_contaminated,
+        |  CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens
+        |FROM base, dg, np, ct""".stripMargin,
     // q333: plain-window mirror of the two-level interleave rank
     "q333_interleave_order" ->
       """WITH r AS (SELECT doc_id, source,

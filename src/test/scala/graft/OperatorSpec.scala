@@ -2773,6 +2773,14 @@ class OperatorSpec extends AnyFunSuite {
     weeks.foreach(w => assert(w.getDayOfWeek === java.time.DayOfWeek.MONDAY))
   }
 
+  test("dataset card reconciles with the operators it summarizes") {
+    val r = run("q342_dataset_card").collect()(0)
+    assert(r.getLong(0) === Tables.load(spark, sf, "documents").count())
+    assert(r.getLong(5) === run("q33_ngram_jaccard").count())
+    assert(r.getLong(6) === run("q70_decontaminate").count())
+    assert(r.getDouble(7) === r.getLong(1).toDouble / r.getLong(0))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
