@@ -712,6 +712,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max") || plan.contains("partial_sum"), plan)
   }
 
+  test("q329/q333/q334/q341/q342 keep every join keyed (no nested loop/cartesian on data)") {
+    Seq("q329_delta_ingest_report", "q333_interleave_order",
+      "q334_interleaved_packing", "q341_weekly_drift").foreach { q =>
+      val plan = formatted(run(q))
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") ||
+        q == "q341_weekly_drift", // q341's grid crosses the TINY value
+                                  // histogram with O(weeks) rows only
+        s"$q\n$plan")
+    }
+  }
+
+  test("q341's only unpartitioned window runs over the value histogram, not raw rows") {
+    val plan = formatted(run("q341_weekly_drift"))
+    // the global CDF window sorts O(distinct cents) histogram rows;
+    // every other window partitions by week
+    assert(plan.contains("Window"), plan)
+    // raw-event aggregations are partial (map-side combine)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+
   test("q340 jdbc scan is 4-way partitioned and pushes the filter into the database") {
     val df = run("q340_jdbc_partitioned_scan")
     val plan = formatted(df)
