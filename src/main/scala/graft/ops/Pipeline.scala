@@ -462,6 +462,60 @@ object Pipeline {
         col("n_tokens").cast(DoubleType) / col("n_docs"))
   }
 
+  /** q343 — PER-DOC BUILD LINEAGE: the drill-down behind q313's
+    * stage counts — for EVERY document, the boolean trail of why it
+    * survived or where it fell (bench held-out, too short,
+    * contaminated, exact-duplicate, near-dup removed) plus the final
+    * verdict. This is the "why is doc 4711 not in the corpus?"
+    * support query, and the reconciliation target that keeps the
+    * aggregate waterfall honest (each stage count is a SUM over these
+    * flags — spec-pinned against q313). Flags compose the SAME shared
+    * rules (isBench, length gate, decontaminate, contentKey,
+    * dedupClusters); the kept rule is the exact q313 chain.
+    *
+    * Scale shape: one base pass + slim semi-joinable flag sets
+    * (contaminated O(hits), duplicate labels O(duplicates)); output
+    * O(n) booleans — the shape a support tool filters by doc_id. */
+  def docLineage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val cont = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("contaminated0"))
+    val wC = Window.partitionBy(col("ck"))
+    val flagged = docs
+      .withColumn("is_bench", isBench(col("doc_id")))
+      .withColumn("too_short", size(tokens(col("text"))) < 10)
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated0"), lit(false)))
+      .drop("contaminated0")
+    // exact-dup canonicality evaluated among q313's stage-4 survivors
+    // (the same population the build deduplicates)
+    val survivors4 = flagged
+      .filter(!col("is_bench") && !col("contaminated") && !col("too_short"))
+      .withColumn("ck", graft.dedup.Dedup.contentKey(col("text")))
+      .withColumn("exact_canonical",
+        col("doc_id") === min(col("doc_id")).over(wC))
+      .select(col("doc_id"), col("exact_canonical"))
+    val clusters = graft.dedup.Dedup.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val s5 = survivors4.filter(col("exact_canonical")).select(col("doc_id"))
+    val wCl = Window.partitionBy(col("cluster_id"))
+    val kept5 = s5.join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("neardup_removed",
+        col("cluster_id").isNotNull &&
+          col("doc_id") =!= min(col("doc_id")).over(wCl))
+      .select(col("doc_id"), col("neardup_removed"))
+    flagged.drop("text")
+      .join(survivors4, Seq("doc_id"), "left")
+      .join(kept5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_bench"), col("too_short"),
+        col("contaminated"),
+        coalesce(!col("exact_canonical"), lit(false)).as("exact_duplicate"),
+        coalesce(col("neardup_removed"), lit(false)).as("neardup_removed"),
+        coalesce(!col("neardup_removed"), lit(false)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXACT order-statistic SELECTION without a global sort: the lower
     * median of lineitem's price column via two-level bucket selection
     * (the distributed quickselect shape): (1) one partial-aggregable
@@ -1114,6 +1168,7 @@ object Pipeline {
     "q329_delta_ingest_report" -> deltaIngestReport,
     "q333_interleave_order" -> interleaveOrder,
     "q342_dataset_card" -> datasetCard,
+    "q343_doc_lineage" -> docLineage,
     "q334_interleaved_packing" -> interleavedPacking,
     "q303_budget_selection" -> budgetSelection,
     "q292_quantile_normalize" -> quantileNormalize,
@@ -1506,6 +1561,44 @@ object Pipeline {
         |FROM c
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // q343: q313's stage CTEs restated as per-doc flags
+    "q343_doc_lineage" ->
+      s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabCte},
+        |h5 AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(LIST_DISTINCT(LIST_TRANSFORM(
+        |          GENERATE_SERIES(1, GREATEST(LEN(toks)-4, 1)),
+        |          i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2],
+        |                         toks[i+3], toks[i+4]))),
+        |          x -> ${phashSql("x")})) AS h
+        |      FROM t),
+        |cont AS (SELECT DISTINCT tr.doc_id FROM h5 tr JOIN h5 be
+        |         ON tr.h = be.h AND be.doc_id % 20 = 0
+        |          AND tr.doc_id % 20 <> 0),
+        |f AS (SELECT doc_id, text,
+        |        doc_id % 20 = 0 AS is_bench,
+        |        LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) < 10 AS too_short,
+        |        doc_id IN (SELECT doc_id FROM cont) AS contaminated
+        |      FROM documents),
+        |s4 AS (SELECT doc_id,
+        |         doc_id = MIN(doc_id) OVER (PARTITION BY
+        |           md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))))
+        |           AS exact_canonical
+        |       FROM f WHERE NOT is_bench AND NOT contaminated
+        |         AND NOT too_short),
+        |k5 AS (SELECT s4.doc_id,
+        |         lab.cluster_id IS NOT NULL AND
+        |           s4.doc_id <> MIN(s4.doc_id) OVER (PARTITION BY
+        |             COALESCE(lab.cluster_id, -s4.doc_id)) AS neardup_removed
+        |       FROM s4 LEFT JOIN lab ON lab.doc_id = s4.doc_id
+        |       WHERE s4.exact_canonical)
+        |SELECT f.doc_id, f.is_bench, f.too_short, f.contaminated,
+        |  COALESCE(NOT s4.exact_canonical, FALSE) AS exact_duplicate,
+        |  COALESCE(k5.neardup_removed, FALSE) AS neardup_removed,
+        |  COALESCE(NOT k5.neardup_removed, FALSE) AS kept
+        |FROM f
+        |LEFT JOIN s4 ON s4.doc_id = f.doc_id
+        |LEFT JOIN k5 ON k5.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     // q342: the same shared rules, restated in one SQL card
     "q342_dataset_card" ->
       s"""WITH ${graft.dedup.Dedup.jaccardCommonCte},

@@ -2781,6 +2781,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getDouble(7) === r.getLong(1).toDouble / r.getLong(0))
   }
 
+  test("doc lineage flags sum exactly to q313's waterfall counts") {
+    val rows = run("q343_doc_lineage").collect()
+    val wf = run("q313_build_waterfall").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length.toLong === wf("1_total"))
+    assert(rows.count(!_.getBoolean(1)).toLong === wf("2_non_bench"))
+    def live(r: org.apache.spark.sql.Row, upTo: Int): Boolean =
+      !r.getBoolean(1) && (upTo < 2 || !r.getBoolean(3)) &&
+        (upTo < 3 || !r.getBoolean(2))
+    assert(rows.count(r => live(r, 2)).toLong === wf("3_decontaminated"))
+    assert(rows.count(r => live(r, 3)).toLong === wf("4_min_length"))
+    assert(rows.count(r => live(r, 3) && !r.getBoolean(4)).toLong ===
+      wf("5_exact_canonical"))
+    assert(rows.count(_.getBoolean(6)).toLong === wf("6_neardup_rep"))
+    // verdict coherence: kept implies it passed every gate
+    rows.filter(_.getBoolean(6)).foreach { r =>
+      assert(!r.getBoolean(1) && !r.getBoolean(2) && !r.getBoolean(3) &&
+        !r.getBoolean(4) && !r.getBoolean(5), r.toString)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
