@@ -527,7 +527,13 @@ object Temporal {
     * Dropout between the two forms is itself meaningful: q84.stage −
     * q326.stage counts conversions that only an unbounded window
     * would claim. */
-  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    funnelWindowedAt(spark, dir, days = 7)
+
+  /** The q326 chain at an arbitrary conversion window — shared by the
+    * q344 sweep so the curve and the production setting never fork. */
+  private def funnelWindowedAt(spark: SparkSession, dir: String,
+      days: Int): DataFrame = {
     val ev = events(spark, dir)
     def typed(t: String) = ev.filter(col("event_type") === t)
       .select(col("user_id"), col("ts"))
@@ -535,11 +541,11 @@ object Temporal {
       .agg(min(col("ts")).as("t_view"))
     val c = typed("click").join(v, "user_id")
       .filter(col("ts") > col("t_view") &&
-        col("ts") <= col("t_view") + expr("INTERVAL 7 DAYS"))
+        col("ts") <= col("t_view") + expr(s"INTERVAL $days DAYS"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
     val p = typed("purchase").join(c, "user_id")
       .filter(col("ts") > col("t_click") &&
-        col("ts") <= col("t_click") + expr("INTERVAL 7 DAYS"))
+        col("ts") <= col("t_click") + expr(s"INTERVAL $days DAYS"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
     v.join(c, Seq("user_id"), "left")
       .join(p, Seq("user_id"), "left")
@@ -549,6 +555,25 @@ object Temporal {
           col("t_purchase").isNotNull.cast(LongType)).as("stage"))
       .orderBy(col("user_id"))
   }
+
+  /** q344 — FUNNEL WINDOW SWEEP: the q326 funnel evaluated at
+    * conversion windows {1, 3, 7, 14} days — the tuning curve that
+    * answers "how long is our consideration window" empirically
+    * (too short undercounts real conversions, too long credits
+    * unrelated visits; the elbow is in this table). One row per
+    * window with stage populations, each composing the SAME
+    * [[funnelWindowedAt]] chain as the production q326 setting, so
+    * curve and setting can never fork. Counts exact; O(windows)
+    * output. */
+  def funnelWindowSweep(spark: SparkSession, dir: String): DataFrame =
+    Seq(1, 3, 7, 14).map { d =>
+      funnelWindowedAt(spark, dir, d)
+        .agg(count(lit(1)).as("n_view"),
+          sum(col("t_click").isNotNull.cast(LongType)).as("n_click"),
+          sum(col("t_purchase").isNotNull.cast(LongType)).as("n_purchase"))
+        .select(lit(d.toLong).as("window_days"), col("n_view"),
+          col("n_click"), col("n_purchase"))
+    }.reduce(_.unionByName(_)).orderBy(col("window_days"))
 
   /** q337 — FUNNEL SUMMARY: the q326 windowed funnel rolled to the
     * one-row report every dashboard actually shows — users per stage
@@ -820,6 +845,7 @@ object Temporal {
     "q325_peak_concurrency" -> peakConcurrency,
     "q326_funnel_windowed" -> funnelWindowed,
     "q337_funnel_summary" -> funnelSummary,
+    "q344_funnel_window_sweep" -> funnelWindowSweep,
     "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
@@ -2051,6 +2077,73 @@ object Temporal {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q296: the oracle states the naive global prefix-max window; the
     // two-level block/offset form computes the same running max
+    // q344: one q326-shaped chain per window
+    "q344_funnel_window_sweep" ->
+      """WITH v1 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c1 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |      FROM events e JOIN v1 ON e.user_id = v1.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v1.t_view
+        |        AND e.ts <= v1.t_view + INTERVAL 1 DAY
+        |      GROUP BY 1),
+        |p1 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |      FROM events e JOIN c1 ON e.user_id = c1.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c1.t_click
+        |        AND e.ts <= c1.t_click + INTERVAL 1 DAY
+        |      GROUP BY 1),
+        |v3 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c3 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |      FROM events e JOIN v3 ON e.user_id = v3.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v3.t_view
+        |        AND e.ts <= v3.t_view + INTERVAL 3 DAY
+        |      GROUP BY 1),
+        |p3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |      FROM events e JOIN c3 ON e.user_id = c3.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c3.t_click
+        |        AND e.ts <= c3.t_click + INTERVAL 3 DAY
+        |      GROUP BY 1),
+        |v7 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c7 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |      FROM events e JOIN v7 ON e.user_id = v7.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v7.t_view
+        |        AND e.ts <= v7.t_view + INTERVAL 7 DAY
+        |      GROUP BY 1),
+        |p7 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |      FROM events e JOIN c7 ON e.user_id = c7.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c7.t_click
+        |        AND e.ts <= c7.t_click + INTERVAL 7 DAY
+        |      GROUP BY 1),
+        |v14 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c14 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |      FROM events e JOIN v14 ON e.user_id = v14.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v14.t_view
+        |        AND e.ts <= v14.t_view + INTERVAL 14 DAY
+        |      GROUP BY 1),
+        |p14 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |      FROM events e JOIN c14 ON e.user_id = c14.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c14.t_click
+        |        AND e.ts <= c14.t_click + INTERVAL 14 DAY
+        |      GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS window_days,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n_click,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p1) AS n_purchase
+        |UNION ALL SELECT CAST(3 AS BIGINT) AS window_days,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v3) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c3) AS n_click,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p3) AS n_purchase
+        |UNION ALL SELECT CAST(7 AS BIGINT) AS window_days,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v7) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c7) AS n_click,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p7) AS n_purchase
+        |UNION ALL SELECT CAST(14 AS BIGINT) AS window_days,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v14) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c14) AS n_click,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p14) AS n_purchase
+        |ORDER BY window_days""".stripMargin,
     // q337: q326's CTEs + the one-row rollup
     "q337_funnel_summary" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events

@@ -2802,6 +2802,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel window sweep: stages monotone in the window, 7-day row equals q326") {
+    val rows = run("q344_funnel_window_sweep").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 3L, 7L, 14L))
+    Seq(2, 3).foreach { c =>
+      rows.map(_.getLong(c)).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"col $c not monotone"); case _ => ()
+      }
+    }
+    val q326 = run("q326_funnel_windowed").collect().map(_.getLong(4))
+    val d7 = rows.find(_.getLong(0) == 7L).get
+    assert(d7.getLong(1) === q326.length.toLong)
+    assert(d7.getLong(2) === q326.count(_ >= 2).toLong)
+    assert(d7.getLong(3) === q326.count(_ >= 3).toLong)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
