@@ -1616,6 +1616,24 @@ object Dedup {
         col("n_buckets") * expr("bucket_size * (bucket_size - 1) div 2"))
       .orderBy(col("band"), col("bucket_size"))
 
+  /** q345 — NEAR-DUP GRAPH DEGREE DISTRIBUTION: the histogram of
+    * node degrees over q33's edge set — the one-glance graph-health
+    * readout that separates healthy sparse duplication (degrees 1–2,
+    * pairwise copies) from a boilerplate blob (a fat tail: hubs
+    * connected to hundreds of near-copies), and the empirical input
+    * to every sizing decision the graph operators make (q92's
+    * degree-ordered orientation, q178's peel rounds, q50/q321
+    * salting). Two partial-agg rollups: endpoints → per-node degree →
+    * O(distinct degrees) histogram. All integer. */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
   /** q335 — PLANTED-CANARY DETECTION RATE: seed the corpus with known
     * near-duplicates (every doc_id % 97 == 0 doc re-entered under a
     * shifted id with one appended token) and measure what fraction
@@ -1758,6 +1776,7 @@ object Dedup {
     "q323_lsh_bucket_stats" -> lshBucketStats,
     "q327_cluster_hub" -> clusterHub,
     "q335_planted_canaries" -> plantedCanaries,
+    "q345_degree_distribution" -> degreeDistribution,
     "q314_quality_dup_audit" -> qualityDupAudit,
     "q311_lsh_config_sweep" -> lshConfigSweep,
     "q307_threshold_sweep" -> thresholdSweep,
@@ -2184,6 +2203,19 @@ object Dedup {
     "q67_dedup_clusters" -> clustersOracle,
     // q335: the q31 chain re-run over the canary-augmented corpus
     "q335_planted_canaries" -> canariesOracle,
+    // q345: same pair set, two rollups
+    "q345_degree_distribution" ->
+      s"""WITH $jaccardCommonCte,
+        |pairs AS (SELECT doc_a, doc_b FROM common
+        |          WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |ep AS (SELECT doc_a AS doc_id FROM pairs
+        |       UNION ALL SELECT doc_b FROM pairs),
+        |deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM ep GROUP BY 1)
+        |SELECT degree, COUNT(*) AS n_nodes
+        |FROM deg
+        |GROUP BY degree
+        |ORDER BY degree""".stripMargin,
     // q327: same fixpoint + the symmetric edge degree; argmax via
     // the (degree DESC, doc_id) window mirror of the struct max
     "q327_cluster_hub" ->

@@ -744,6 +744,44 @@ object Validate {
       .orderBy(col("week"))
   }
 
+  /** q346 — DRIFT BAND ATTRIBUTION: q341 says WHICH week drifted;
+    * this says WHERE — for every week, the 1000-cent value band with
+    * the largest absolute share gap against the corpus, with both
+    * shares emitted. The alarm→diagnosis pair every drift dashboard
+    * needs ("week 31 drifted because the 40–50 band doubled"). Gap
+    * numerator |n_band·N − g_band·n_w| in exact DECIMAL(38)
+    * cross-products over the completed week×band grid (a band a week
+    * never saw still attributes); argmax by deterministic max-struct
+    * (ties to the highest band); shares ONE division each. Grid is
+    * O(weeks × bands), bands bounded by the value domain. */
+  def driftBandAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(
+      expr("date_trunc('WEEK', ts)").cast(DateType).as("week"),
+      expr(s"(cast(cast(value as decimal(18,2)) * 100 as bigint)) div 1000")
+        .as("band"))
+    val wk = e.groupBy(col("week"), col("band")).agg(count(lit(1)).as("n"))
+    val g = e.groupBy(col("band")).agg(count(lit(1)).as("gb"))
+    val tot = e.agg(count(lit(1)).as("nn"))
+    val wkTot = e.groupBy(col("week")).agg(count(lit(1)).as("nw"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    e.select(col("week")).distinct()
+      .crossJoin(broadcast(g))
+      .join(wk, Seq("week", "band"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .join(broadcast(wkTot), "week")
+      .crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(dec(col("n")) * dec(col("nn")) - dec(col("gb")) * dec(col("nw")))
+          .cast(DecimalType(38, 0)))
+      .groupBy(col("week"))
+      .agg(max(struct(col("gap"), col("band"), col("n"), col("gb"),
+        col("nw"), col("nn"))).as("m"))
+      .select(col("week"), col("m.band").as("top_band"),
+        (col("m.n").cast(DoubleType) / col("m.nw")).as("week_share"),
+        (col("m.gb").cast(DoubleType) / col("m.nn")).as("global_share"))
+      .orderBy(col("week"))
+  }
+
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
     val o = load(spark, dir, "orders").select(
       (d2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
@@ -1052,6 +1090,7 @@ object Validate {
     "q182_k_anonymity" -> kAnonymityAudit,
     "q330_t_closeness" -> tClosenessAudit,
     "q341_weekly_drift" -> weeklyDrift,
+    "q346_drift_band_attribution" -> driftBandAttribution,
     "q150_chi_square" -> chiSquare,
     "q175_venn_overlap" -> vennOverlap,
     "q161_ab_test_readout" -> abTestReadout,
@@ -1252,6 +1291,32 @@ object Validate {
         |  CAST(SUM(CASE WHEN isodow(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow_6,
         |  CAST(SUM(CASE WHEN isodow(ts) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS dow_7
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q346: same grid, band granularity, window-argmax mirror
+    "q346_drift_band_attribution" ->
+      """WITH e AS (SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
+        |      AS band
+        |  FROM events),
+        |wk AS (SELECT week, band, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gb FROM e GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM e),
+        |nw AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS nw
+        |       FROM e GROUP BY 1),
+        |grid AS (SELECT w.week, g.band, g.gb, COALESCE(wk.n, 0) AS n
+        |  FROM (SELECT DISTINCT week FROM e) w
+        |  CROSS JOIN g
+        |  LEFT JOIN wk ON wk.week = w.week AND wk.band = g.band),
+        |d AS (SELECT grid.week, grid.band, grid.n, grid.gb, nw.nw, nt.nn,
+        |        ABS(CAST(grid.n AS HUGEINT) * nt.nn
+        |            - CAST(grid.gb AS HUGEINT) * nw.nw) AS gap
+        |      FROM grid JOIN nw ON nw.week = grid.week, nt),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY week
+        |        ORDER BY gap DESC, band DESC) AS rn FROM d)
+        |SELECT week, band AS top_band,
+        |  CAST(n AS DOUBLE) / nw AS week_share,
+        |  CAST(gb AS DOUBLE) / nn AS global_share
+        |FROM r WHERE rn = 1
+        |ORDER BY week""".stripMargin,
     // q341: plain-window mirror of the grid CDFs; same cross-products
     "q341_weekly_drift" ->
       """WITH e AS (SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,

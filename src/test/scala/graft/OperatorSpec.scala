@@ -2817,6 +2817,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(d7.getLong(3) === q326.count(_ >= 3).toLong)
   }
 
+  test("degree distribution: node-weighted sum equals twice the q33 pair count") {
+    val rows = run("q345_degree_distribution").collect()
+    val pairs = run("q33_ngram_jaccard").count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === 2 * pairs)
+    assert(rows.map(_.getLong(0)).forall(_ >= 1L))
+  }
+
+  test("drift band attribution aligns with q341's weeks and emits real shares") {
+    val rows = run("q346_drift_band_attribution").collect()
+    val weeks341 = run("q341_weekly_drift").collect()
+      .map(_.getDate(0).toLocalDate).toSet
+    assert(rows.map(_.getDate(0).toLocalDate).toSet === weeks341)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
