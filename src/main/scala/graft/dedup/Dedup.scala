@@ -1634,6 +1634,54 @@ object Dedup {
       .orderBy(col("degree"))
   }
 
+  /** q347 — RETENTION-POLICY WHAT-IF: the surviving document count
+    * and token mass under each canonical-selection rule the library
+    * ships — min-id (q67's cheap deterministic pick), hub (q327's
+    * most-connected member), max-tokens (the q130-style quality
+    * proxy) — side by side, before anyone flips the retention rule on
+    * a live corpus. Same cluster set under every policy (so kept-doc
+    * counts agree BY CONSTRUCTION and the table isolates the token
+    * consequence), non-clustered docs always survive. ONE
+    * inverted-index pass: the pair set is persisted and feeds the
+    * component labels, the degree rollup and the member stats. All
+    * integer; O(3) output. */
+  def retentionWhatif(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("ntok"))
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .persist()
+    val clusters = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val j = docs.join(clusters, Seq("doc_id"), "left")
+    val base = j.filter(col("cluster_id").isNull)
+      .agg(count(lit(1)).as("n0"), sum(col("ntok")).as("t0"))
+    val members = j.filter(col("cluster_id").isNotNull)
+    def policyRow(name: String, chosen: DataFrame) = chosen
+      .agg(count(lit(1)).as("nc"), sum(col("ntok")).as("tc"))
+      .crossJoin(broadcast(base))
+      .select(lit(name).as("policy"),
+        (col("n0") + col("nc")).as("n_kept_docs"),
+        (col("t0") + col("tc")).as("kept_tokens"))
+    val minId = members.filter(col("doc_id") === col("cluster_id"))
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val hub = members.join(deg, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("degree"), (-col("doc_id")).as("nd"),
+        col("ntok"))).as("m"))
+      .select(col("m.ntok").as("ntok"))
+    val qual = members
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("ntok").as("nt"), (-col("doc_id")).as("nd"),
+        col("ntok"))).as("m"))
+      .select(col("m.ntok").as("ntok"))
+    policyRow("1_min_id", minId)
+      .unionByName(policyRow("2_hub", hub))
+      .unionByName(policyRow("3_max_tokens", qual))
+      .orderBy(col("policy"))
+  }
+
   /** q335 — PLANTED-CANARY DETECTION RATE: seed the corpus with known
     * near-duplicates (every doc_id % 97 == 0 doc re-entered under a
     * shifted id with one appended token) and measure what fraction
@@ -1777,6 +1825,7 @@ object Dedup {
     "q327_cluster_hub" -> clusterHub,
     "q335_planted_canaries" -> plantedCanaries,
     "q345_degree_distribution" -> degreeDistribution,
+    "q347_retention_whatif" -> retentionWhatif,
     "q314_quality_dup_audit" -> qualityDupAudit,
     "q311_lsh_config_sweep" -> lshConfigSweep,
     "q307_threshold_sweep" -> thresholdSweep,
@@ -2203,6 +2252,40 @@ object Dedup {
     "q67_dedup_clusters" -> clustersOracle,
     // q335: the q31 chain re-run over the canary-augmented corpus
     "q335_planted_canaries" -> canariesOracle,
+    // q347: same fixpoint; each policy is one window-argmax
+    "q347_retention_whatif" ->
+      s"""WITH RECURSIVE $clusterLabCte,
+        |nt AS (SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |        CAST(SUM(ntok) AS BIGINT) AS t0
+        |      FROM nt WHERE doc_id NOT IN (SELECT doc_id FROM lab)),
+        |m AS (SELECT lab.doc_id, lab.cluster_id, nt.ntok
+        |      FROM lab JOIN nt USING (doc_id)),
+        |p1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+        |         CAST(SUM(ntok) AS BIGINT) AS tc
+        |       FROM m WHERE doc_id = cluster_id),
+        |deg AS (SELECT src AS doc_id, COUNT(*) AS degree
+        |        FROM edges GROUP BY 1),
+        |h AS (SELECT m.cluster_id, m.ntok,
+        |        ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+        |          ORDER BY deg.degree DESC, m.doc_id) AS rn
+        |      FROM m JOIN deg USING (doc_id)),
+        |p2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+        |         CAST(SUM(ntok) AS BIGINT) AS tc FROM h WHERE rn = 1),
+        |q AS (SELECT cluster_id, ntok,
+        |        ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |          ORDER BY ntok DESC, doc_id) AS rn FROM m),
+        |p3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+        |         CAST(SUM(ntok) AS BIGINT) AS tc FROM q WHERE rn = 1)
+        |SELECT '1_min_id' AS policy, b.n0 + p1.nc AS n_kept_docs,
+        |  b.t0 + p1.tc AS kept_tokens FROM b, p1
+        |UNION ALL SELECT '2_hub', b.n0 + p2.nc, b.t0 + p2.tc FROM b, p2
+        |UNION ALL SELECT '3_max_tokens', b.n0 + p3.nc, b.t0 + p3.tc
+        |FROM b, p3
+        |ORDER BY policy""".stripMargin,
     // q345: same pair set, two rollups
     "q345_degree_distribution" ->
       s"""WITH $jaccardCommonCte,

@@ -2835,6 +2835,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("retention what-if: same kept count per policy, max-tokens dominates token mass") {
+    val rows = run("q347_retention_whatif").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set("1_min_id", "2_hub", "3_max_tokens"))
+    // every policy keeps exactly one doc per cluster + all unclustered
+    assert(rows.values.map(_._1).toSet.size === 1)
+    val total = Tables.load(spark, sf, "documents").count()
+    val removed = run("q67_dedup_clusters")
+      .filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(rows("1_min_id")._1 === total - removed)
+    // the quality proxy cannot keep FEWER tokens than any other policy
+    assert(rows("3_max_tokens")._2 >= rows("1_min_id")._2)
+    assert(rows("3_max_tokens")._2 >= rows("2_hub")._2)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
