@@ -516,6 +516,39 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q348 — PER-SOURCE DATASET CARDS: q342's release datasheet at
+    * feed granularity — one row per source with volume, language
+    * spread, exact-duplicate involvement (docs whose content key
+    * repeats anywhere in the corpus, charged to their source) and
+    * benchmark contamination — the table a feed review walks top to
+    * bottom when deciding renewals. Same shared rules as the global
+    * card (contentKey, decontaminate), so drilling from q342 to q348
+    * can never change a total. One base rollup + two slim flag
+    * joins; output O(sources). */
+  def sourceCards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+    val dupKeys = docs
+      .groupBy(graft.dedup.Dedup.contentKey(col("text")).as("ck"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1L)
+      .select(col("ck"))
+    val cont = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(1L).as("contaminated"))
+    docs.select(col("doc_id"), col("source"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("ntok"),
+        graft.dedup.Dedup.contentKey(col("text")).as("ck"))
+      .join(broadcast(dupKeys.withColumn("isdup", lit(1L))), Seq("ck"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_exact_dup_docs"),
+        sum(coalesce(col("contaminated"), lit(0L))).as("n_contaminated"))
+      .withColumn("mean_tokens",
+        col("n_tokens").cast(DoubleType) / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** EXACT order-statistic SELECTION without a global sort: the lower
     * median of lineitem's price column via two-level bucket selection
     * (the distributed quickselect shape): (1) one partial-aggregable
@@ -1169,6 +1202,7 @@ object Pipeline {
     "q333_interleave_order" -> interleaveOrder,
     "q342_dataset_card" -> datasetCard,
     "q343_doc_lineage" -> docLineage,
+    "q348_source_cards" -> sourceCards,
     "q334_interleaved_packing" -> interleavedPacking,
     "q303_budget_selection" -> budgetSelection,
     "q292_quantile_normalize" -> quantileNormalize,
@@ -1561,6 +1595,37 @@ object Pipeline {
         |FROM c
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // q348: the q342 rules at source granularity
+    "q348_source_cards" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, text,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |dk AS (SELECT ck FROM (
+        |    SELECT md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+        |      AS ck, COUNT(*) AS n
+        |    FROM documents GROUP BY 1) WHERE n > 1),
+        |h5 AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(LIST_DISTINCT(LIST_TRANSFORM(
+        |          GENERATE_SERIES(1, GREATEST(LEN(toks)-4, 1)),
+        |          i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2],
+        |                         toks[i+3], toks[i+4]))),
+        |          x -> ${phashSql("x")})) AS h
+        |      FROM t),
+        |cont AS (SELECT DISTINCT tr.doc_id FROM h5 tr JOIN h5 be
+        |         ON tr.h = be.h AND be.doc_id % 20 = 0
+        |          AND tr.doc_id % 20 <> 0)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEN(toks)) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(CASE WHEN
+        |      md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+        |        IN (SELECT ck FROM dk) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_dup_docs,
+        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(LEN(toks)) AS DOUBLE) / COUNT(*) AS mean_tokens
+        |FROM t
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // q343: q313's stage CTEs restated as per-doc flags
     "q343_doc_lineage" ->
       s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabCte},

@@ -2850,6 +2850,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("3_max_tokens")._2 >= rows("2_hub")._2)
   }
 
+  test("source cards roll up exactly to the global dataset card") {
+    val rows = run("q348_source_cards").collect()
+    val card = run("q342_dataset_card").collect()(0)
+    assert(rows.map(_.getLong(1)).sum === card.getLong(0))
+    assert(rows.map(_.getLong(2)).sum === card.getLong(1))
+    assert(rows.map(_.getLong(5)).sum === card.getLong(6))
+    assert(rows.length.toLong === card.getLong(3))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
