@@ -96,6 +96,26 @@ object Pipeline {
     (bench, train)
   }
 
+  /** q349 — LEAK SOURCE MATRIX: q280 names WHICH eval items are
+    * compromised; this adds BY WHOM — per (bench item, source), the
+    * distinct training docs sharing a 5-gram, the coordination table
+    * between the eval owner (retire/re-split the item) and the feed
+    * owner (fix the crawler that ingests eval sets). Same
+    * broadcast-bench shingle join as q70/q280 (the corpus side never
+    * shuffles); one slim source join on the O(hits) pair set; rollup
+    * O(leaky items × sources). */
+  def leakSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val (bench, train) = benchTrainShingles(spark, dir)
+    val src = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    train.join(broadcast(bench), "h")
+      .select(col("doc_id"), col("bench_id")).distinct()
+      .join(src, "doc_id")
+      .groupBy(col("bench_id"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"))
+      .orderBy(col("bench_id"), col("source"))
+  }
+
   /** LEAK SEVERITY per benchmark item — q70's rollup INVERTED: for
     * every bench document (leaked or clean), how many TRAIN documents
     * share at least one 5-gram with it and how many of its distinct
@@ -1203,6 +1223,7 @@ object Pipeline {
     "q342_dataset_card" -> datasetCard,
     "q343_doc_lineage" -> docLineage,
     "q348_source_cards" -> sourceCards,
+    "q349_leak_source_matrix" -> leakSourceMatrix,
     "q334_interleaved_packing" -> interleavedPacking,
     "q303_budget_selection" -> budgetSelection,
     "q292_quantile_normalize" -> quantileNormalize,
@@ -1595,6 +1616,26 @@ object Pipeline {
         |FROM c
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // q349: q280's hit pairs + one source join
+    "q349_leak_source_matrix" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |h5 AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(LIST_DISTINCT(LIST_TRANSFORM(
+        |          GENERATE_SERIES(1, GREATEST(LEN(toks)-4, 1)),
+        |          i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2],
+        |                         toks[i+3], toks[i+4]))),
+        |          x -> ${phashSql("x")})) AS h
+        |      FROM t),
+        |hits AS (SELECT DISTINCT tr.doc_id, be.doc_id AS bench_id
+        |         FROM h5 tr JOIN h5 be
+        |           ON tr.h = be.h AND be.doc_id % 20 = 0
+        |            AND tr.doc_id % 20 <> 0)
+        |SELECT hits.bench_id, d.source,
+        |  CAST(COUNT(DISTINCT hits.doc_id) AS BIGINT) AS n_train_docs
+        |FROM hits JOIN documents d ON d.doc_id = hits.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q348: the q342 rules at source granularity
     "q348_source_cards" ->
       s"""WITH t AS (SELECT doc_id, source, lang, text,

@@ -2859,6 +2859,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.length.toLong === card.getLong(3))
   }
 
+  test("leak source matrix marginals reconcile with q280 and q70") {
+    val rows = run("q349_leak_source_matrix").collect()
+    val sev = run("q280_leak_severity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (bid, rs) =>
+      assert(rs.map(_.getLong(2)).sum === sev(bid),
+        s"bench $bid forked from q280")
+    }
+    // the union of train docs across cells == q70's contaminated set size
+    assert(rows.map(_.getLong(2)).sum >= run("q70_decontaminate").count())
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
