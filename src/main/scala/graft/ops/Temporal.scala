@@ -575,6 +575,31 @@ object Temporal {
           col("n_click"), col("n_purchase"))
     }.reduce(_.unionByName(_)).orderBy(col("window_days"))
 
+  /** q350 — USER BEHAVIORAL DIVERSITY: per user, the inverse-Simpson
+    * "effective event-type count" n²/Σc² — the log-free diversity
+    * number (q283's lexical rule carried to behavior): 1.0 means a
+    * single-action user however many events they fire, k means usage
+    * spread evenly over k action types — the engagement-breadth
+    * signal segmentation models consume, robust where raw n_types
+    * credits one stray click as a whole type. One partial-agg rollup
+    * to (user, type), one to users; exact integer moments in
+    * DECIMAL(38) (n² outgrows int64 at real event volumes), ONE
+    * correctly-rounded division. */
+  def userTypeDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(dec(col("c")) * dec(col("c"))).as("sumsq"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        ((dec(col("n_events")) * dec(col("n_events"))).cast(DoubleType) /
+          col("sumsq").cast(DoubleType)).as("effective_types"))
+      .orderBy(col("user_id"))
+  }
+
   /** q337 — FUNNEL SUMMARY: the q326 windowed funnel rolled to the
     * one-row report every dashboard actually shows — users per stage
     * and the per-hop conversion rates ("view→click 34%, click→buy
@@ -846,6 +871,7 @@ object Temporal {
     "q326_funnel_windowed" -> funnelWindowed,
     "q337_funnel_summary" -> funnelSummary,
     "q344_funnel_window_sweep" -> funnelWindowSweep,
+    "q350_user_type_diversity" -> userTypeDiversity,
     "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
@@ -2077,6 +2103,20 @@ object Temporal {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q296: the oracle states the naive global prefix-max window; the
     // two-level block/offset form computes the same running max
+    // q350: same moments; HUGEINT squares, VARCHAR-detour casts
+    "q350_user_type_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |        CAST(COUNT(*) AS BIGINT) AS n_types,
+        |        SUM(CAST(c AS HUGEINT) * c) AS sumsq
+        |      FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  CAST(CAST(CAST(n_events AS HUGEINT) * n_events AS VARCHAR)
+        |       AS DOUBLE)
+        |    / CAST(CAST(sumsq AS VARCHAR) AS DOUBLE) AS effective_types
+        |FROM g
+        |ORDER BY user_id""".stripMargin,
     // q344: one q326-shaped chain per window
     "q344_funnel_window_sweep" ->
       """WITH v1 AS (SELECT user_id, MIN(ts) AS t_view FROM events

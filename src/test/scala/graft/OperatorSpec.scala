@@ -2871,6 +2871,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum >= run("q70_decontaminate").count())
   }
 
+  test("user type diversity: bounded by type count, equals a brute-force recount") {
+    val rows = run("q350_user_type_diversity").collect()
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = evs.groupBy(_._1)
+    assert(rows.length === byUser.size)
+    rows.foreach { r =>
+      val cs = byUser(r.getLong(0)).groupBy(_._2).map(_._2.length.toLong)
+      val n = cs.sum
+      assert(r.getLong(1) === n && r.getLong(2) === cs.size.toLong)
+      val eff = (BigInt(n) * BigInt(n)).toDouble /
+        cs.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+      assert(r.getDouble(3) === eff)
+      assert(r.getDouble(3) >= 1.0 - 1e-12 &&
+        r.getDouble(3) <= cs.size.toDouble + 1e-12)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
