@@ -1616,6 +1616,47 @@ object Dedup {
         col("n_buckets") * expr("bucket_size * (bucket_size - 1) div 2"))
       .orderBy(col("band"), col("bucket_size"))
 
+  /** q351 — WEIGHTED JACCARD rescoring: the q33 pair set re-scored
+    * with MULTIPLICITIES — Σ min(tfₐ, tf_b) / Σ max(tfₐ, tf_b) over
+    * trigram term frequencies, computed EXACTLY via the identity
+    * Σmax = totₐ + tot_b − Σmin (the multiset twin of q33's
+    * c/(na+nb−c)) — set Jaccard saturates on docs that repeat a
+    * shared phrase many times (each distinct shingle counts once);
+    * the weighted form distinguishes "quotes it once" from "IS
+    * mostly that phrase", which is the boilerplate-vs-quote call a
+    * reviewer actually makes. Emitted beside the set score so the
+    * divergence IS the signal.
+    *
+    * Scale shape: candidates are the ALREADY-GATED q33 pairs (no new
+    * pair generation); tf tables are one rollup off the q308 trigram
+    * stream; the shared-mass join carries only (pair, 8-byte hash,
+    * two counts). All integer; each score ONE division. */
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tf = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(call_function("phash_array",
+        call_function("word_ngrams", tokens(col("text")), lit(3)))).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .persist()
+    val tot = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("t"))
+    val cand = ngramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val smin = cand.select(col("doc_a"), col("doc_b"))
+      .join(tf.select(col("doc_id").as("doc_a"), col("h"),
+        col("c").as("ca")), "doc_a")
+      .join(tf.select(col("doc_id").as("doc_b"), col("h"),
+        col("c").as("cb")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("smin"))
+    cand.join(smin, Seq("doc_a", "doc_b"), "left")
+      .withColumn("smin", coalesce(col("smin"), lit(0L)))
+      .join(tot.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(tot.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (col("smin").cast(DoubleType) /
+          (col("ta") + col("tb") - col("smin"))).as("weighted_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q345 — NEAR-DUP GRAPH DEGREE DISTRIBUTION: the histogram of
     * node degrees over q33's edge set — the one-glance graph-health
     * readout that separates healthy sparse duplication (degrees 1–2,
@@ -1825,6 +1866,7 @@ object Dedup {
     "q327_cluster_hub" -> clusterHub,
     "q335_planted_canaries" -> plantedCanaries,
     "q345_degree_distribution" -> degreeDistribution,
+    "q351_weighted_jaccard" -> weightedJaccard,
     "q347_retention_whatif" -> retentionWhatif,
     "q314_quality_dup_audit" -> qualityDupAudit,
     "q311_lsh_config_sweep" -> lshConfigSweep,
@@ -2286,6 +2328,36 @@ object Dedup {
         |UNION ALL SELECT '3_max_tokens', b.n0 + p3.nc, b.t0 + p3.tc
         |FROM b, p3
         |ORDER BY policy""".stripMargin,
+    // q351: q33's pair CTEs + the tf-multiset rescoring
+    "q351_weighted_jaccard" ->
+      s"""WITH $jaccardCommonCte,
+        |jp AS (SELECT doc_a, doc_b,
+        |         CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+        |       FROM common
+        |       WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |tg AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(
+        |          LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks)-2, 1)),
+        |            i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2])),
+        |          x -> ${phashSql("x")})) AS h
+        |      FROM t WHERE LEN(toks) >= 3),
+        |tf AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM tg GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t
+        |       FROM tf GROUP BY 1),
+        |sm AS (SELECT jp.doc_a, jp.doc_b,
+        |         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS smin
+        |       FROM jp JOIN tf a ON a.doc_id = jp.doc_a
+        |       JOIN tf b ON b.doc_id = jp.doc_b AND b.h = a.h
+        |       GROUP BY 1, 2)
+        |SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+        |  CAST(COALESCE(sm.smin, 0) AS DOUBLE)
+        |    / (ta.t + tb.t - COALESCE(sm.smin, 0)) AS weighted_jaccard
+        |FROM jp
+        |LEFT JOIN sm ON sm.doc_a = jp.doc_a AND sm.doc_b = jp.doc_b
+        |JOIN tt ta ON ta.doc_id = jp.doc_a
+        |JOIN tt tb ON tb.doc_id = jp.doc_b
+        |ORDER BY jp.doc_a, jp.doc_b""".stripMargin,
     // q345: same pair set, two rollups
     "q345_degree_distribution" ->
       s"""WITH $jaccardCommonCte,

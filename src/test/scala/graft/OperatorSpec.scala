@@ -2890,6 +2890,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted jaccard covers the q33 pair set with scores in (0, 1]") {
+    val rows = run("q351_weighted_jaccard").collect()
+    val q33 = run("q33_ngram_jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.length === q33.size)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(q33(key) === r.getDouble(2), s"set score forked for $key")
+      val wj = r.getDouble(3)
+      assert(wj > 0.0 && wj <= 1.0, s"$key wj=$wj")
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
