@@ -48,6 +48,42 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** q352 — AS-OF JOIN WITH TOLERANCE: q37 bounded to a 1-hour
+    * staleness window (pandas merge_asof's `tolerance`, the form a
+    * feature store actually serves): a click only inherits the prior
+    * purchase if it happened within the hour — an hours-old match is
+    * WORSE than no match for a model, because it asserts a context
+    * that no longer holds. Same union-window plan as q37 (one stream,
+    * one partitioned window, no join) with the matched timestamp
+    * carried so the staleness test is one integer microsecond
+    * comparison; stale matches null out and the `fresh` flag makes
+    * the dropout auditable. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val T = 3600L * 1000000L
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("tag", when(col("event_type") === "purchase", 0).otherwise(1))
+      .withColumn("pe", when(col("tag") === 0, col("event_id")))
+      .withColumn("pv", when(col("tag") === 0, col("value")))
+      .withColumn("pt", when(col("tag") === 0, col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("lpe", last(col("pe"), ignoreNulls = true).over(w))
+      .withColumn("lpv", last(col("pv"), ignoreNulls = true).over(w))
+      .withColumn("lpt", last(col("pt"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .withColumn("age_us",
+        expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(lpt as timestamp))"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("age_us") <= T, col("lpe")).as("purchase_event"),
+        when(col("age_us") <= T, col("lpv")).as("purchase_value"),
+        coalesce(col("age_us") <= T, lit(false)).as("fresh"))
+      .orderBy(col("event_id"))
+  }
+
   /** NEAREST-AS-OF JOIN: each purchase matched to its temporally
     * NEAREST error event for the same user — |Δt| minimized over BOTH
     * directions, ties to the earlier side — where plain as-of (q37)
@@ -872,6 +908,7 @@ object Temporal {
     "q337_funnel_summary" -> funnelSummary,
     "q344_funnel_window_sweep" -> funnelWindowSweep,
     "q350_user_type_diversity" -> userTypeDiversity,
+    "q352_asof_tolerance" -> asofJoinTolerance,
     "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
@@ -2103,6 +2140,29 @@ object Temporal {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q296: the oracle states the naive global prefix-max window; the
     // two-level block/offset form computes the same running max
+    // q352: q37's window + the staleness nulling
+    "q352_asof_tolerance" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN age_us <= 3600000000 THEN lpe END AS purchase_event,
+        |  CASE WHEN age_us <= 3600000000 THEN lpv END AS purchase_value,
+        |  COALESCE(age_us <= 3600000000, FALSE) AS fresh
+        |FROM (
+        |  SELECT event_id, user_id, ts, tag,
+        |    epoch_us(ts) - epoch_us(LAST_VALUE(pt IGNORE NULLS) OVER w)
+        |      AS age_us,
+        |    LAST_VALUE(pe IGNORE NULLS) OVER w AS lpe,
+        |    LAST_VALUE(pv IGNORE NULLS) OVER w AS lpv
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+        |      CASE WHEN event_type = 'purchase' THEN event_id END AS pe,
+        |      CASE WHEN event_type = 'purchase' THEN value END AS pv,
+        |      CASE WHEN event_type = 'purchase' THEN ts END AS pt
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
     // q350: same moments; HUGEINT squares, VARCHAR-detour casts
     "q350_user_type_diversity" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c

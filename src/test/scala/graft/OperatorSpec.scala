@@ -2903,6 +2903,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("asof tolerance: subset of q37's matches, fresh iff within the hour") {
+    val tol = run("q352_asof_tolerance").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val q37 = run("q37_asof_join").collect().map(r => r.getLong(0) -> r).toMap
+    assert(tol.keySet === q37.keySet, "click population must match q37")
+    var dropped = 0
+    tol.foreach { case (eid, r) =>
+      val unlimited = q37(eid)
+      if (!r.isNullAt(3)) {
+        // a fresh match must BE q37's match
+        assert(r.getLong(3) === unlimited.getLong(3), s"click $eid")
+        assert(r.getBoolean(5))
+      } else {
+        assert(!r.getBoolean(5))
+        if (!unlimited.isNullAt(3)) dropped += 1
+      }
+    }
+    assert(dropped > 0, "the corpus must exercise staleness dropout")
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
