@@ -84,6 +84,48 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** q353 — PROPENSITY LABEL GENERATION: for every click, did a
+    * purchase by the same user follow within 24 hours, and after how
+    * long — the LABEL BUILDER for conversion-propensity training
+    * (q240 assembles point-in-time features; this builds the target
+    * the model predicts, with the same leakage discipline: only
+    * FUTURE purchases count, and the horizon is explicit so labels
+    * near the corpus edge are honestly censorable). Forward twin of
+    * q37's union-window plan: one stream ordered (ts, tag desc,
+    * event_id), the NEXT purchase from a first(ignoreNulls) over the
+    * following frame — clicks at the same instant as a purchase do
+    * NOT claim it (strictly future). One window, no join; the label
+    * is one integer microsecond comparison. */
+  def propensityLabels(spark: SparkSession, dir: String): DataFrame = {
+    val H = 24L * 3600 * 1000000
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      // purchases (tag 0) sort BEFORE clicks at equal ts, so a
+      // same-instant purchase is OUTSIDE the click's following frame
+      // and cannot shadow a genuinely later one — strict-future
+      // matching falls out of the order itself
+      .withColumn("tag", when(col("event_type") === "purchase", 0).otherwise(1))
+      .withColumn("pe", when(col("tag") === 0, col("event_id")))
+      .withColumn("pt", when(col("tag") === 0, col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.withColumn("npe", first(col("pe"), ignoreNulls = true).over(w))
+      .withColumn("npt", first(col("pt"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .withColumn("gap_us",
+        expr("unix_micros(cast(npt as timestamp)) - unix_micros(cast(ts as timestamp))"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("gap_us").isNotNull && col("gap_us") > 0L &&
+          col("gap_us") <= H).as("converted_24h"),
+        when(col("gap_us").isNotNull && col("gap_us") > 0L &&
+          col("gap_us") <= H, col("gap_us")).as("time_to_conversion_us"),
+        when(col("gap_us").isNotNull && col("gap_us") > 0L &&
+          col("gap_us") <= H, col("npe")).as("purchase_event"))
+      .orderBy(col("event_id"))
+  }
+
   /** NEAREST-AS-OF JOIN: each purchase matched to its temporally
     * NEAREST error event for the same user — |Δt| minimized over BOTH
     * directions, ties to the earlier side — where plain as-of (q37)
@@ -909,6 +951,7 @@ object Temporal {
     "q344_funnel_window_sweep" -> funnelWindowSweep,
     "q350_user_type_diversity" -> userTypeDiversity,
     "q352_asof_tolerance" -> asofJoinTolerance,
+    "q353_propensity_labels" -> propensityLabels,
     "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
@@ -2140,6 +2183,29 @@ object Temporal {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q296: the oracle states the naive global prefix-max window; the
     // two-level block/offset form computes the same running max
+    // q353: the forward frame, same tag order
+    "q353_propensity_labels" ->
+      """SELECT event_id, user_id, ts,
+        |  COALESCE(gap > 0 AND gap <= 86400000000, FALSE) AS converted_24h,
+        |  CASE WHEN gap > 0 AND gap <= 86400000000 THEN gap END
+        |    AS time_to_conversion_us,
+        |  CASE WHEN gap > 0 AND gap <= 86400000000 THEN npe END
+        |    AS purchase_event
+        |FROM (
+        |  SELECT event_id, user_id, ts, tag,
+        |    epoch_us(FIRST_VALUE(pt IGNORE NULLS) OVER w) - epoch_us(ts)
+        |      AS gap,
+        |    FIRST_VALUE(pe IGNORE NULLS) OVER w AS npe
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+        |      CASE WHEN event_type = 'purchase' THEN event_id END AS pe,
+        |      CASE WHEN event_type = 'purchase' THEN ts END AS pt
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
     // q352: q37's window + the staleness nulling
     "q352_asof_tolerance" ->
       """SELECT event_id, user_id, ts,

@@ -2923,6 +2923,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(dropped > 0, "the corpus must exercise staleness dropout")
   }
 
+  test("propensity labels equal a brute-force strict-future scan") {
+    val rows = run("q353_propensity_labels").collect()
+    val H = 24L * 3600 * 1000000
+    val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+    def us(t: java.time.LocalDateTime) =
+      java.time.temporal.ChronoUnit.MICROS.between(epoch, t)
+    val evs = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        us(r.getAs[java.time.LocalDateTime](2)), r.getString(3)))
+    val purchases = evs.filter(_._4 == "purchase").groupBy(_._2)
+    val clicks = evs.filter(_._4 == "click")
+    assert(rows.length === clicks.length)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    clicks.foreach { case (eid, uid, t, _) =>
+      val future = purchases.getOrElse(uid, Array.empty)
+        .filter(p => p._3 > t)
+        .sortBy(p => (p._3, p._1))
+      val label = future.headOption.filter(_._3 - t <= H)
+      val r = byId(eid)
+      assert(r.getBoolean(3) === label.nonEmpty, s"click $eid")
+      label.foreach { p =>
+        assert(r.getLong(4) === p._3 - t)
+        assert(r.getLong(5) === p._1)
+      }
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
