@@ -84,6 +84,34 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** q354 — PURGED TEMPORAL SPLIT (train/embargo/test): the
+    * leakage-safe time split with an EMBARGO gap — train strictly
+    * before cutoff−24h, test strictly from the cutoff, the 24 hours
+    * between DISCARDED — the financial-ML "purged" split (López de
+    * Prado) that q69's hash split cannot express: when labels look
+    * 24h into the future (q353), a train event near the cutoff reads
+    * test-period outcomes unless the embargo removes it. Cutoff =
+    * the q298 midpoint rule (integer micros, engine-identical); one
+    * conditional-agg pass; per-split counts, user reach and exact
+    * boundary micros as the audit. O(3) output. */
+  def temporalSplitEmbargo(spark: SparkSession, dir: String): DataFrame = {
+    val E = 24L * 3600 * 1000000L
+    val e = events(spark, dir).select(col("event_id"), col("user_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val b = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    e.crossJoin(broadcast(b))
+      .withColumn("cut", expr("(lo + hi) div 2"))
+      .withColumn("split",
+        when(col("us") < col("cut") - E, "1_train")
+          .when(col("us") >= col("cut"), "3_test")
+          .otherwise("2_embargo"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("us")).as("t_min_us"), max(col("us")).as("t_max_us"))
+      .orderBy(col("split"))
+  }
+
   /** q353 — PROPENSITY LABEL GENERATION: for every click, did a
     * purchase by the same user follow within 24 hours, and after how
     * long — the LABEL BUILDER for conversion-propensity training
@@ -952,6 +980,7 @@ object Temporal {
     "q350_user_type_diversity" -> userTypeDiversity,
     "q352_asof_tolerance" -> asofJoinTolerance,
     "q353_propensity_labels" -> propensityLabels,
+    "q354_temporal_split_embargo" -> temporalSplitEmbargo,
     "q291_mase_forecast" -> maseForecastEval,
     "q96_scd2_current" -> scd2Current,
     "q94_interval_overlap" -> intervalOverlap,
@@ -2183,6 +2212,22 @@ object Temporal {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q296: the oracle states the naive global prefix-max window; the
     // two-level block/offset form computes the same running max
+    // q354: same midpoint + embargo arithmetic
+    "q354_temporal_split_embargo" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events),
+        |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM e),
+        |s AS (SELECT e.*, (b.lo + b.hi) // 2 AS cut FROM e, b)
+        |SELECT CASE WHEN us < cut - 86400000000 THEN '1_train'
+        |            WHEN us >= cut THEN '3_test'
+        |            ELSE '2_embargo' END AS split,
+        |  COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(MIN(us) AS BIGINT) AS t_min_us,
+        |  CAST(MAX(us) AS BIGINT) AS t_max_us
+        |FROM s
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q353: the forward frame, same tag order
     "q353_propensity_labels" ->
       """SELECT event_id, user_id, ts,

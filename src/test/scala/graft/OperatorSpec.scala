@@ -2953,6 +2953,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal split embargo: partitions all events with a clean 24h purge gap") {
+    val rows = run("q354_temporal_split_embargo").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("1_train", "2_embargo", "3_test"))
+    assert(rows.values.map(_._1).sum === Tables.events(spark, sf).count())
+    val E = 24L * 3600 * 1000000
+    // the boundary invariants: train ends >= 24h before test begins
+    assert(rows("1_train")._4 < rows("3_test")._3 - E + 1,
+      "train bleeds into the embargo horizon")
+    // embargo sits strictly between them
+    assert(rows("2_embargo")._3 > rows("1_train")._4)
+    assert(rows("2_embargo")._4 < rows("3_test")._3)
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
