@@ -379,7 +379,10 @@ object Extended {
     val tmp = sys.props("java.io.tmpdir")
     // keep derby.log out of the working directory
     System.setProperty("derby.system.home", tmp)
-    val url = s"jdbc:derby:$tmp/graft_derby$safe;create=true"
+    // per-process db path: embedded Derby allows ONE booting JVM per
+    // database, and a concurrent Verify/test pair must not contend
+    val url =
+      s"jdbc:derby:$tmp/graft_derby${safe}_${ProcessHandle.current().pid()};create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     load(spark, dir, "orders")
@@ -408,7 +411,8 @@ object Extended {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tmp = sys.props("java.io.tmpdir")
     System.setProperty("derby.system.home", tmp)
-    val url = s"jdbc:derby:$tmp/graft_derby_part$safe;create=true"
+    val url =
+      s"jdbc:derby:$tmp/graft_derby_part${safe}_${ProcessHandle.current().pid()};create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     load(spark, dir, "orders")

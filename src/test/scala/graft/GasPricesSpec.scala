@@ -98,7 +98,7 @@ class GasPricesSpec extends AnyFunSuite {
   test("writeServingJdbc round-trips the gas_prices table through a real JDBC sink") {
     System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
     val url =
-      s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_gp_derby;create=true"
+      s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_gp_derby_${ProcessHandle.current().pid()};create=true"
     // twice: overwrite mode is the reference's daily-replace idempotence
     GasPrices.writeServingJdbc(parsed, url)
     val back = GasPrices.writeServingJdbc(parsed, url)
