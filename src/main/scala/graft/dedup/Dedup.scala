@@ -1498,8 +1498,11 @@ object Dedup {
   /** q331's registered form: build the index fresh in a temp dir,
     * probe from it. */
   def lshIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    // per-process index path: a concurrent Verify/test pair on the same
+    // data dir must not race on overwrite/delete of shared parquet
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft_lsh_index$safe"
+    val indexDir =
+      s"${sys.props("java.io.tmpdir")}/graft_lsh_index${safe}_${ProcessHandle.current().pid()}"
     saveLshIndex(spark, dir, indexDir)
     incrementalDedupFromIndex(spark, dir, indexDir)
   }
@@ -1636,7 +1639,10 @@ object Dedup {
       .select(col("doc_id"), explode(call_function("phash_array",
         call_function("word_ngrams", tokens(col("text")), lit(3)))).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
-      .persist()
+      // lazy localCheckpoint, not persist(): materialized once on first
+      // use, and the blocks are GC-freed with the frame — a persist()
+      // here would sit in the cache registry for the whole gate run
+      .localCheckpoint(eager = false)
     val tot = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("t"))
     val cand = ngramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -1666,6 +1672,43 @@ object Dedup {
     * degree-ordered orientation, q178's peel rounds, q50/q321
     * salting). Two partial-agg rollups: endpoints → per-node degree →
     * O(distinct degrees) histogram. All integer. */
+  /** Minimum document length (chars) for the prefix-containment
+    * detector — docs shorter than this are fragments, not truncation
+    * candidates, and the cutoff is what makes the 32-char bucket key
+    * a NECESSARY condition (both texts have at least that prefix). */
+  private val PrefixMinLen = 32
+
+  /** q274 — PREFIX-CONTAINMENT (TRUNCATION) DEDUP: pairs where one
+    * document is a full prefix of the other — the truncation failure
+    * mode (same article cut at different lengths by different
+    * crawlers) that shingle detectors only catch when the shorter
+    * copy is long enough to share most shingles, and exact dedup
+    * never catches. Scope: docs ≥ [[PrefixMinLen]] chars (shorter
+    * texts are fragments, not truncations).
+    *
+    * Scale shape: bucket on the hash of the FIRST 32 CHARS — for
+    * in-scope docs, containment implies 32-prefix equality, so the
+    * equi-join is lossless; the quadratic check runs only within a
+    * bucket. A corpus-wide boilerplate prefix (license header) would
+    * hot-spot one bucket — mitigate with the q321 adaptive-salt plan
+    * keyed on the prefix hash. Exact-dup pairs are containment pairs
+    * by definition and appear here too; subtract q30's groups when
+    * only proper truncations are wanted. */
+  def prefixContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= PrefixMinLen)
+      .withColumn("pk", xxhash64(substring(col("text"), 1, PrefixMinLen)))
+    val a = docs.select(col("pk"), col("doc_id").as("doc_a"), col("text").as("ta"))
+    val b = docs.select(col("pk"), col("doc_id").as("doc_b"), col("text").as("tb"))
+    a.join(b, "pk")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("ta").startsWith(col("tb")) || col("tb").startsWith(col("ta")))
+      .select(col("doc_a"), col("doc_b"),
+        length(col("ta")).as("len_a"), length(col("tb")).as("len_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
     pairs.select(col("doc_a").as("doc_id"))
@@ -1683,14 +1726,16 @@ object Dedup {
     * a live corpus. Same cluster set under every policy (so kept-doc
     * counts agree BY CONSTRUCTION and the table isolates the token
     * consequence), non-clustered docs always survive. ONE
-    * inverted-index pass: the pair set is persisted and feeds the
+    * inverted-index pass: the pair set is materialized once and feeds the
     * component labels, the degree rollup and the member stats. All
     * integer; O(3) output. */
   def retentionWhatif(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("ntok"))
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-      .persist()
+      // lazy localCheckpoint (q67 pattern), not persist(): blocks free
+      // with the frame instead of accumulating across the gate run
+      .localCheckpoint(eager = false)
     val clusters = connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     val j = docs.join(clusters, Seq("doc_id"), "left")
@@ -1776,10 +1821,12 @@ object Dedup {
     * integer. */
   def clusterHub(spark: SparkSession, dir: String): DataFrame = {
     // the slim O(duplicates) pair set feeds BOTH the component labels
-    // and the degree rollup — persist it so the inverted-index join
-    // (the expensive upstream) runs once, not twice
+    // and the degree rollup — lazily localCheckpoint it so the
+    // inverted-index join (the expensive upstream) runs once, not
+    // twice, and the blocks free with the frame (no cache-registry
+    // residue across a 353-query run)
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-      .persist()
+      .localCheckpoint(eager = false)
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
@@ -1903,6 +1950,7 @@ object Dedup {
     "q257_weighted_sssp" -> weightedSssp,
     "q183_record_linkage" -> recordLinkage,
     "q272_span_dedup" -> spanDedup,
+    "q274_prefix_containment" -> prefixContainment,
     "q275_source_overlap" -> sourceOverlap,
     "q277_effective_yield" -> effectiveYield,
     "q279_span_scrub_plan" -> spanScrubPlan)
@@ -2088,6 +2136,17 @@ object Dedup {
     // q272: same L=40 content-anchored windows (anchor = 8-char-prefix
     // hash ≡ 0 mod 16), same portable hash; a window is duplicated
     // when its hash occurs in >= 2 distinct docs
+    // q274: the oracle is the NAIVE all-pairs truth (a.doc_id < b.doc_id,
+    // one text a full prefix of the other, both >= 32 chars) — the
+    // engine's 32-prefix bucket join must be lossless against it
+    "q274_prefix_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE LENGTH(text) >= 32)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  LENGTH(a.text) AS len_a, LENGTH(b.text) AS len_b
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE starts_with(a.text, b.text) OR starts_with(b.text, a.text)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q272_span_dedup" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents
         |  WHERE LENGTH(text) >= 40),

@@ -200,7 +200,7 @@ object Extended {
     * parquet path bit-for-bit. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip$safe"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip${safe}_${ProcessHandle.current().pid()}"
     load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
       .write.mode("overwrite").option("header", "true").csv(out)
@@ -233,7 +233,7 @@ object Extended {
     * contract (schema-pinned read, no inference job). */
   def corruptJson(spark: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_corrupt_json$safe"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_corrupt_json${safe}_${ProcessHandle.current().pid()}"
     load(spark, dir, "documents")
       .select(when(col("doc_id") % 13 === 0,
           concat(lit("{\"doc_id\": "), col("doc_id").cast(StringType),
@@ -259,7 +259,7 @@ object Extended {
 
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip$safe"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip${safe}_${ProcessHandle.current().pid()}"
     load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").json(out)
@@ -286,7 +286,7 @@ object Extended {
     * declaratively over the source table. */
   def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_schema_evo$safe"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_schema_evo${safe}_${ProcessHandle.current().pid()}"
     val orders = load(spark, dir, "orders")
     orders.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -313,7 +313,7 @@ object Extended {
     // managed-table overwrite would die with LOCATION_ALREADY_EXISTS.
     def recreate(name: String): String = {
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      val loc = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$name")
+      val loc = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_bucketed_${ProcessHandle.current().pid()}/$name")
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
       }
@@ -415,17 +415,23 @@ object Extended {
       s"jdbc:derby:$tmp/graft_derby_part${safe}_${ProcessHandle.current().pid()};create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    load(spark, dir, "orders")
+    val orders = load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
         d2(col("o_totalprice")).as("o_totalprice"))
-      .write.mode("overwrite").jdbc(url, "gas_orders_part", props)
+    orders.write.mode("overwrite").jdbc(url, "gas_orders_part", props)
+    // stride bounds computed from the written table's actual key range
+    // (one tiny agg): hard-coded bounds stay CORRECT (they're hints,
+    // not filters) but at a larger scale factor every key above the
+    // bound funnels into the open-ended edge stride, silently
+    // serializing the parallel scan this query exists to demonstrate
+    val r = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
     spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", "gas_orders_part")
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("partitionColumn", "o_orderkey")
-      .option("lowerBound", "1")
-      .option("upperBound", "6000000")
+      .option("lowerBound", r.getLong(0).toString)
+      .option("upperBound", (r.getLong(1) + 1L).toString)
       .option("numPartitions", "4")
       .load()
       .filter(col("o_orderkey") > 100L)
@@ -554,7 +560,7 @@ object Extended {
   def partitionPruning(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).withColumn("day", to_date(col("ts")))
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_events_by_day$safe"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_events_by_day${safe}_${ProcessHandle.current().pid()}"
     ev.repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(out)
     val minDay = ev.agg(min(col("day"))).head.getDate(0)
@@ -991,7 +997,7 @@ object Extended {
     * direct parquet path bit-for-bit (the oracle runs on parquet). */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip$safe"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip${safe}_${ProcessHandle.current().pid()}"
     load(spark, dir, "part")
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
       .write.mode("overwrite").orc(out)
@@ -1048,7 +1054,7 @@ object Extended {
     * double precision. */
   def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_xml_roundtrip$safe"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_xml_roundtrip${safe}_${ProcessHandle.current().pid()}"
     load(spark, dir, "part")
       .select(col("p_partkey"), col("p_brand"),
         d2(col("p_retailprice")).as("p_retailprice"))
@@ -1073,7 +1079,7 @@ object Extended {
     * round-trip (a doc with a newline would split and shift counts). */
   def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_text_roundtrip$safe"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_text_roundtrip${safe}_${ProcessHandle.current().pid()}"
     load(spark, dir, "documents").select(col("text"))
       .write.mode("overwrite").text(out)
     spark.read.text(out)

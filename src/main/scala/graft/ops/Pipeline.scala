@@ -395,17 +395,32 @@ object Pipeline {
     * order survives recomputation on any layout — the q93 shuffle's
     * structured sibling. Output O(n): position, round, source,
     * doc_id. */
-  def interleaveOrder(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spread(load(spark, dir, "documents"))
-      .select(col("doc_id"), col("source"))
+  /** Shared (round, source-ordinal) packed key for the interleave
+    * family (q333/q334): rank each doc within its source, ordinal-ize
+    * the sources, and pack `k = round * mult + src_ord` where `mult`
+    * is the smallest power of two STRICTLY greater than the source
+    * count — derived, not hard-coded, so a corpus with ≥1024 sources
+    * cannot silently bleed src_ord into the next round's keyspace and
+    * corrupt the (round, source) total order. The ordinal table is
+    * O(sources); counting it is one tiny action. */
+  private def interleaveKeyed(docs: DataFrame): DataFrame = {
     val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     val ranked = docs.withColumn("round",
       row_number().over(wSrc).cast(LongType))
     val wOrd = Window.orderBy(col("source"))
     val ordinals = docs.select(col("source")).distinct()
       .withColumn("src_ord", row_number().over(wOrd).cast(LongType))
-    val keyed = ranked.join(broadcast(ordinals), "source")
-      .withColumn("k", col("round") * 1024L + col("src_ord"))
+    val nSources = ordinals.count()
+    var mult = 1L
+    while (mult <= nSources) mult <<= 1
+    ranked.join(broadcast(ordinals), "source")
+      .withColumn("k", col("round") * mult + col("src_ord"))
+  }
+
+  def interleaveOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"))
+    val keyed = interleaveKeyed(docs)
     Windows.globalRankNoSort(keyed, col("k"), col("doc_id"),
         1L << 14, "position", "_n")
       .select(col("position"), col("round"), col("source"), col("doc_id"))
@@ -430,14 +445,7 @@ object Pipeline {
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast(LongType).as("n_tok"))
-    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val ranked = docs.withColumn("round",
-      row_number().over(wSrc).cast(LongType))
-    val wOrd = Window.orderBy(col("source"))
-    val ordinals = docs.select(col("source")).distinct()
-      .withColumn("src_ord", row_number().over(wOrd).cast(LongType))
-    val keyed = ranked.join(broadcast(ordinals), "source")
-      .withColumn("k", col("round") * 1024L + col("src_ord"))
+    val keyed = interleaveKeyed(docs)
     Windows.globalCumSumNoSort(keyed, col("k"), col("doc_id"),
         col("n_tok"), 1L << 14, "cum", "_tot")
       .withColumn("pack_id", expr(s"(cum - n_tok) div $PackBudget"))

@@ -193,12 +193,15 @@ object Streams {
   }
 
   /** Deterministic (sink, checkpoint) tmp locations keyed by query
-    * prefix + dataset dir — one rule for every file-sink streaming
-    * query. The dir's hash disambiguates paths whose sanitized forms
-    * collide (e.g. `/x/sf0.1` vs `/x/sf0_1`). */
+    * prefix + dataset dir + JVM pid — one rule for every file-sink
+    * streaming query. The dir's hash disambiguates paths whose
+    * sanitized forms collide (e.g. `/x/sf0.1` vs `/x/sf0_1`); the pid
+    * keeps a concurrent Verify/test pair on the same data dir from
+    * racing on overwrite/delete of shared sink and checkpoint files. */
   private def streamPaths(prefix: String, dir: String): (String, String) = {
     val safe =
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Integer.toHexString(dir.hashCode)
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Integer.toHexString(dir.hashCode) +
+        "_" + ProcessHandle.current().pid()
     (s"${sys.props("java.io.tmpdir")}/$prefix$safe",
       s"${sys.props("java.io.tmpdir")}/${prefix}_ckpt$safe")
   }
@@ -602,7 +605,7 @@ object Streams {
     * expensive part) is identical. */
   def streamMerge(spark: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_merge$safe"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_merge${safe}_${ProcessHandle.current().pid()}"
     deleteRecursively(new java.io.File(base))
     val srcDir = s"$base/src"
     val stateDir = s"$base/state"
@@ -743,7 +746,7 @@ object Streams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_tws_log$safe"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_tws_log${safe}_${ProcessHandle.current().pid()}"
     deleteRecursively(new java.io.File(base))
     events(spark, dir)
       .select(col("user_id"),
@@ -791,7 +794,7 @@ object Streams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_tws_types$safe"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_tws_types${safe}_${ProcessHandle.current().pid()}"
     deleteRecursively(new java.io.File(base))
     events(spark, dir).select(col("user_id"), col("event_type"))
       .repartition(4).write.mode("overwrite").parquet(s"$base/src")
@@ -882,7 +885,7 @@ object Streams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_tws_timer$safe"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_tws_timer${safe}_${ProcessHandle.current().pid()}"
     deleteRecursively(new java.io.File(base))
     events(spark, dir)
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
@@ -929,7 +932,7 @@ object Streams {
     * machinery computes (one oracle rule, two execution modes). */
   def streamSourceSketch(spark: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_src_sketch$safe"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_src_sketch${safe}_${ProcessHandle.current().pid()}"
     deleteRecursively(new java.io.File(base))
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
@@ -966,7 +969,9 @@ object Streams {
     val K = graft.dedup.Dedup.K
     val Shift = 1000000000L
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_canary$safe"
+    // pid-keyed: concurrent Verify/test JVMs must not contend on the dir
+    val base =
+      s"${sys.props("java.io.tmpdir")}/graft_stream_canary${safe}_${ProcessHandle.current().pid()}"
     deleteRecursively(new java.io.File(base))
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -1043,7 +1048,9 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val K = graft.dedup.Dedup.K
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_lsh_dedup$safe"
+    // pid-keyed: concurrent Verify/test JVMs must not contend on the dir
+    val base =
+      s"${sys.props("java.io.tmpdir")}/graft_lsh_dedup${safe}_${ProcessHandle.current().pid()}"
     deleteRecursively(new java.io.File(base))
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -1100,7 +1107,7 @@ object Streams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_tws$safe"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_tws${safe}_${ProcessHandle.current().pid()}"
     deleteRecursively(new java.io.File(base))
     events(spark, dir)
       .select(col("user_id"),
@@ -1151,14 +1158,23 @@ object Streams {
     * query in this module runs on unchanged (the file-stream
     * AvailableNow twins q40/q43/q73 exist precisely so the logic is
     * oracle-checkable offline). */
+  /** The exact source contract [[kafkaSource]] configures — exposed so
+    * the spec can assert the surface OFFLINE (the zero-egress container
+    * has no spark-sql-kafka jar, so `.load()` itself cannot run; only
+    * the execution path cancels). */
+  private[graft] val KafkaFormat = "kafka"
+  private[graft] def kafkaOptions(servers: String, topic: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> servers, "subscribe" -> topic)
+  private[graft] val kafkaProjection: Seq[String] = Seq(
+    "CAST(key AS STRING) AS key",
+    "CAST(value AS STRING) AS value",
+    "topic", "partition", "offset", "timestamp")
+
   def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
+    spark.readStream.format(KafkaFormat)
+      .options(kafkaOptions(servers, topic))
       .load()
-      .selectExpr("CAST(key AS STRING) AS key",
-        "CAST(value AS STRING) AS value",
-        "topic", "partition", "offset", "timestamp")
+      .selectExpr(kafkaProjection: _*)
 
   /** STREAMING exact DAU via the q153 bitmap monoid: the stream
     * aggregates (day, word-index) → bit_or of 64-bit words — bit_or is

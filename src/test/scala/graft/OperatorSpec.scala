@@ -499,6 +499,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(spark.read.json(s"$base/json").count() === n)
   }
 
+  test("kafka source contract is pinned offline: format, options, projection") {
+    // the surface a cluster-side run configures, asserted WITHOUT a
+    // broker or connector jar — only .load() needs the jar
+    assert(streaming.Streams.KafkaFormat === "kafka")
+    val opts = streaming.Streams.kafkaOptions("broker1:9092,broker2:9092", "events")
+    assert(opts === Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "events"))
+    val proj = streaming.Streams.kafkaProjection
+    assert(proj.size === 6)
+    // each projection item must be valid SQL over the kafka source's
+    // fixed schema, and together they must surface the six columns
+    val parsed = proj.map(spark.sessionState.sqlParser.parseExpression)
+    assert(parsed.nonEmpty)
+    val outNames = proj.map(_.split(" AS ").last.trim)
+    assert(outNames === Seq("key", "value", "topic", "partition", "offset", "timestamp"))
+  }
+
   test("kafka source constructor builds the streaming plan when the connector is present") {
     try {
       val df = streaming.Streams.kafkaSource(spark, "localhost:9092", "events")
