@@ -38,4 +38,44 @@ class InvarianceSpec extends AnyFunSuite {
       assert(base.sameElements(other), s"$q result depends on shuffle layout")
     }
   }
+
+  /** The round-9 additions (q282–q354) lean hardest on the
+    * "bit-stable on any partition layout" claims — integer folds,
+    * two-level no-global-sort ranks/cumsums, bucketed pair joins,
+    * iterative graph rounds, derived sweep configs. One query per
+    * distinct machinery family, re-run under TWO adversarial layouts:
+    * a starved shuffle (3 partitions) with shattered input splits
+    * (64 KiB maxPartitionBytes → every scan arrives in many small
+    * partitions, so `spread`'s round-robin deals rows differently),
+    * and an oversized shuffle (64 partitions — more reducers than
+    * rows for the small aggregates, so empty partitions abound). */
+  private val r9Queries = Seq(
+    "q282_repeated_bigram_mass", "q283_simpson_diversity",
+    "q284_semantic_dedup", "q285_incremental_dedup",
+    "q288_mann_whitney", "q289_wasserstein_drift",
+    "q294_decile_migration", "q302_pair_evidence",
+    "q307_threshold_sweep", "q308_rare_trigram_rate",
+    "q311_lsh_config_sweep", "q313_build_waterfall",
+    "q318_dedup_loser_matrix", "q323_lsh_bucket_stats",
+    "q327_cluster_hub", "q329_delta_ingest_report",
+    "q333_interleave_order", "q334_interleaved_packing",
+    "q341_weekly_drift", "q343_doc_lineage",
+    "q345_degree_distribution", "q347_retention_whatif",
+    "q352_asof_tolerance", "q353_propensity_labels",
+    "q354_temporal_split_embargo")
+
+  test("round-9 families are layout-invariant (starved + oversized shuffle, shattered splits)") {
+    val starved = spark.newSession()
+    starved.conf.set("spark.sql.shuffle.partitions", "3")
+    starved.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    val oversized = spark.newSession()
+    oversized.conf.set("spark.sql.shuffle.partitions", "64")
+    r9Queries.foreach { q =>
+      val base = SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted
+      val a = SparkEntry.queries(q)(starved, sf).collect().map(_.toString).sorted
+      assert(base.sameElements(a), s"$q differs under starved shuffle + shattered splits")
+      val b = SparkEntry.queries(q)(oversized, sf).collect().map(_.toString).sorted
+      assert(base.sameElements(b), s"$q differs under oversized shuffle")
+    }
+  }
 }
