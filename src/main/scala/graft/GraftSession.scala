@@ -28,6 +28,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // scan-split size matched to local executor threads: the default
+      // 128 MiB hands a whole >=sf1 table to ONE task (these corpora
+      // ship few, large row groups); 16 MiB keeps scans wide while AQE
+      // coalesces the small-file end. On a real cluster size this to
+      // executor memory / core count as usual.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -192,10 +192,18 @@ object Dedup {
     * collisions are identical in both engines (the oracle hashes the
     * same way), and at 2^56 the expected collision count is ~0 for any
     * realistic shingle universe. */
-  /** The unfiltered exact-Jaccard pair scores (every pair sharing at
-    * least one shingle) — ONE definition feeding q33's >= 0.5 filter
-    * and q307's threshold sweep, so detector and tuning curve can
-    * never fork. */
+  /** The exact-Jaccard pair scores for every pair that CAN reach
+    * J >= 0.5 — ONE definition feeding q33's >= 0.5 filter and q307's
+    * threshold sweep (whose lowest rung is 0.5), so detector and
+    * tuning curve can never fork.
+    *
+    * The join carries the LENGTH FILTER (Xiao et al.): J >= τ forces
+    * |B| <= |A|/τ, so at τ=0.5 any pair with a >2x shingle-count
+    * ratio is provably below every consumer's threshold and is
+    * dropped DURING the probe — before the candidate rows reach the
+    * per-pair groupBy shuffle. Lossless for all consumers (boundary
+    * inclusive: nb == 2·na can still hit exactly 0.5); on a
+    * dense-vocabulary corpus this halves the dominant shuffle. */
   private def jaccardScoredPairs(spark: SparkSession, dir: String): DataFrame = {
     val inv = spread(load(spark, dir, "documents"))
       .select(col("doc_id"),
@@ -204,7 +212,8 @@ object Dedup {
         explode(col("shs")).as("h"))
     val a = inv.alias("a")
     val b = inv.alias("b")
-    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("c"))
@@ -1227,8 +1236,16 @@ object Dedup {
     val cov = nD * d("sxy") - d("sx") * d("sy")
     val vx = nD * d("sxx") - d("sx") * d("sx")
     val vy = nD * d("syy") - d("sy") * d("sy")
+    // a degree-REGULAR graph (every node the same degree — e.g. a
+    // corpus whose only near-dups are isolated pairs) has zero degree
+    // variance: r is undefined, and both engines must agree on NULL
+    // (DuckDB's x/0 is NULL; Spark ANSI throws without the guard).
+    // |cov| <= sqrt(vx*vy) by Cauchy-Schwarz, so no information is
+    // lost: denom 0 forces cov 0.
+    val denom = sqrt(vx * vy)
     g.select(col("n").as("n_edges"),
-      (cov / sqrt(vx * vy)).as("assortativity"))
+      when(denom === 0.0, lit(null).cast(DoubleType))
+        .otherwise(cov / denom).as("assortativity"))
   }
 
   /** CROSS-SOURCE DUPLICATION MATRIX: the q33 near-dup pairs rolled up
@@ -1525,7 +1542,11 @@ object Dedup {
       .withColumn("h", phash(col("sh")))
     val a = inv.alias("a")
     val b = inv.alias("b")
-    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    // same lossless τ=0.5 length filter as jaccardScoredPairs — doubly
+    // valuable here because each candidate row carries the shingle
+    // STRING payload to the MIN aggregate
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("c"), min(col("a.sh")).as("evidence_shingle"))
@@ -1830,7 +1851,11 @@ object Dedup {
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-    dedupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    // components off the SAME materialized pair set (not
+    // dedupClusters(spark, dir), which would re-run the whole
+    // inverted-index join a second time inside one query)
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .join(deg, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
