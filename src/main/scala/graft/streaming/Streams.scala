@@ -418,6 +418,24 @@ object Streams {
   private[graft] def streamJoinPaths(dir: String): (String, String) =
     streamPaths("graft_stream_join", dir)
 
+  /** Progress profile of the last [[streamJoin]]/[[streamOuterJoin]]
+    * run: (micro-batches executed, max state rows across batches,
+    * total ms inside micro-batch execution). Captured from
+    * StreamingQueryProgress so the overhead audit can separate plan
+    * cost (state explosion, extra batches) from fixed Spark machinery
+    * (checkpoint WAL, sink commit log, no-data watermark batch). */
+  private[graft] val lastJoinProfile =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Long, Long)]((0, 0L, 0L))
+
+  private def captureJoinProfile(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ps = q.recentProgress
+    val stateRows = ps.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    val totalMs = ps.map(p => Option(p.durationMs.get("triggerExecution"))
+      .map(_.longValue).getOrElse(0L)).sum
+    lastJoinProfile.set((ps.length, stateRows, totalMs))
+  }
+
   /** Streaming LATEST-STATE materialized view — q135's golden record
     * kept continuously current over the event stream: every per-field
     * latest-wins max(struct) argmax is a mergeable aggregate, so the
@@ -486,7 +504,7 @@ object Streams {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    try q.awaitTermination() finally { captureJoinProfile(q); q.stop() }
     spark.read.parquet(out)
       .groupBy(col("click_user").as("user_id"))
       .agg(count(lit(1)).as("n_emitted"),
@@ -537,7 +555,7 @@ object Streams {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    try q.awaitTermination() finally { captureJoinProfile(q); q.stop() }
     spark.read.parquet(out)
       .groupBy(col("click_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"), dsum(col("value")).as("sum_value"))

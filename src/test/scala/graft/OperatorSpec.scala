@@ -532,6 +532,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("stream joins are single-data-batch with bounded state (overhead is machinery, not plan)") {
+    // the audit behind the bench's q73/q119 cost: if the AvailableNow
+    // run needs >1 data micro-batch or holds state beyond the
+    // watermark-bounded click/purchase rows, the PLAN is the problem;
+    // otherwise the wall-clock floor is checkpoint WAL + sink commit
+    // machinery, which a long-lived production stream amortizes
+    val ev = Tables.events(spark, sf)
+    val inputRows = ev.filter(col("event_type").isin("click", "purchase")).count()
+    run("q73_stream_join").collect()
+    val (b1, s1, ms1) = streaming.Streams.lastJoinProfile.get()
+    info(s"q73: $b1 micro-batches, max state rows $s1, trigger ms $ms1")
+    // AvailableNow on one source file: 1 data batch (+ possibly a
+    // no-data batch that only advances the watermark)
+    assert(b1 >= 1 && b1 <= 3, s"q73 ran $b1 micro-batches — plan re-batches")
+    assert(s1 <= inputRows, s"q73 state $s1 exceeds watermark-bounded input $inputRows")
+    run("q119_stream_outer_join").collect()
+    val (b2, s2, ms2) = streaming.Streams.lastJoinProfile.get()
+    info(s"q119: $b2 micro-batches, max state rows $s2, trigger ms $ms2")
+    assert(b2 >= 1 && b2 <= 3, s"q119 ran $b2 micro-batches — plan re-batches")
+    assert(s2 <= inputRows, s"q119 state $s2 exceeds watermark-bounded input $inputRows")
+  }
+
   test("stream-stream join equals its batch twin exactly") {
     val streamed = run("q73_stream_join")
     val ev = Tables.events(spark, sf)
