@@ -19,8 +19,9 @@ import org.apache.spark.sql.types._
   * the outer-join queries need both sides); exponential(mean 50)
   * event values over a 30-day microsecond-precision window; 31-word
   * document vocabulary, 10–100 words/doc, ~41% en + 4 other langs,
-  * 20 sources, 1-in-625 planted exact duplicates (copy of the
-  * previous doc's text); unit-norm 64-dim float embeddings with 10
+  * 20 sources, planted duplicate STRUCTURE with degree variety
+  * (1-in-625 exact pairs, 1-in-2500 exact groups of four, 1-in-1000
+  * truncation near-dups); unit-norm 64-dim float embeddings with 10
   * labels. Timestamps are TIMESTAMP_NTZ → parquet TIMESTAMP(MICROS,
   * isAdjustedToUTC=false), the current driver-corpus encoding
   * ([[graft.Tables.tsToNtz]] accepts it natively).
@@ -73,14 +74,33 @@ object DataGen {
     import spark.implicits._
     val n = counts(sf)
     val id = col("id")
-    // enough splits that sf1+ generation and downstream first reads run
-    // wide, without tiny-file spray at small sf
+    // generation runs wide; the final write coalesces to ONE part file
     def range(rows: Long): DataFrame =
       spark.range(0, rows, 1,
         math.max(spark.sparkContext.defaultParallelism,
           (rows / 2000000L).toInt + 1)).toDF()
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // the driver corpus stores each table as a single parquet FILE named
+    // `<table>.parquet` (TESTDATA.md) and the streaming sources match on
+    // exactly that leaf name via pathGlobFilter — a directory of part
+    // files would read as an EMPTY stream, so reproduce the single-file
+    // convention: write to a tmp dir, move the lone part file into place
+    def write(df: DataFrame, name: String): Unit = {
+      import org.apache.hadoop.fs.Path
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(s"$outDir/_tmp_$name")
+      // 8 MiB row groups: a single-FILE table must still be
+      // byte-range-splittable, or every scan of it runs on one task —
+      // real large tables always have many row groups per file
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(tmp.toString)
+      val part = fs.globStatus(new Path(tmp, "part-*.parquet"))(0).getPath
+      val dest = new Path(s"$outDir/$name.parquet")
+      fs.delete(dest, true)
+      require(fs.rename(part, dest), s"rename $part -> $dest failed")
+      fs.delete(tmp, true): Unit
+    }
 
     write(Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
       (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name"), "region")
@@ -150,18 +170,30 @@ object DataGen {
           .as("value"),
         format_string("{\"k\": %d}", h(id, 44, 100)).as("props")), "events")
 
-    // documents: doc (625k + 624) copies doc (625k + 623)'s text exactly
-    // — the planted exact-dup pairs the dedup family detects
+    // documents: planted duplicate STRUCTURE, not just isolated pairs —
+    // the near-dup graph operators (assortativity, k-core, clusters)
+    // need degree variety at every scale:
+    //  - exact-dup PAIRS: doc (625k+624) copies doc (625k+623)
+    //  - exact-dup GROUPS of 4: docs (2500k+2497..2499) copy (2500k+2496)
+    //  - TRUNCATION near-dups: doc (1000k+999) = doc (1000k+998)'s text
+    //    + a 6-word tail (high Jaccard + a q274 prefix-containment pair)
     val vocabArr = array(vocab.map(lit): _*)
     write(range(n("documents"))
       .withColumn("eff",
-        when(id % 625 === 624 && id > 0, id - 1).otherwise(id))
+        when(id % 2500 >= 2496, id - (id % 2500) + 2496)
+          .when(id % 1000 === 999, id - 1)
+          .when(id % 625 === 624, id - 1)
+          .otherwise(id))
       .withColumn("n_words", h(col("eff"), 20, 91) + 10)
       .withColumn("text", array_join(
         transform(sequence(lit(1L), col("n_words")),
           i => element_at(vocabArr,
             (pmod(xxhash64(col("eff"), i, lit(21)), lit(vocab.size.toLong)) + 1)
               .cast(IntegerType))), " "))
+      .withColumn("text",
+        when(id % 1000 === 999,
+          concat(col("text"), lit(" the fast scan beats the sort")))
+          .otherwise(col("text")))
       .select(
         id.as("doc_id"),
         col("text"),
