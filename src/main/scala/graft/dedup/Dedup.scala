@@ -1191,10 +1191,15 @@ object Dedup {
     * join, 2-paths = Σ d·(d−1)/2 over the degree table; ONE final
     * division. */
   def transitivity(spark: SparkSession, dir: String): DataFrame = {
+    // ONE edge derivation feeds both the 2-path count and the triangle
+    // count (triangleCountsFrom re-checkpoints for its own 3-way join);
+    // calling triangleCounts(spark, dir) here would pay the dominant
+    // co-occurrence reduction a second time
     val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false)
     val sym = e.union(e.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint(eager = false)
-    val tri = triangleCounts(spark, dir)
+      .toDF("src", "dst")
+    val tri = triangleCountsFrom(e)
       .agg(expr("sum(n_triangles) DIV 3").as("n_triangles"))
     val paths = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .agg(sum(expr("(d * (d - 1)) DIV 2")).as("n_two_paths"))
@@ -1597,6 +1602,10 @@ object Dedup {
       .distinct()
     val exact = jaccardScoredPairs(spark, dir)
       .filter(col("jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))
+      // referenced twice below (hit probe + n_true); materialize the
+      // dominant co-occurrence reduction ONCE (q67 pattern) instead of
+      // relying on exchange reuse across two different consumers
+      .localCheckpoint(eager = false)
     val d = (x: org.apache.spark.sql.Column) => x.cast(DoubleType)
     cand.groupBy(col("config"), col("n_bands"))
       .agg(count(lit(1)).as("n_candidates"))
@@ -1732,6 +1741,8 @@ object Dedup {
 
   def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      // both union branches read this; materialize the reduction once
+      .localCheckpoint(eager = false)
     pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))

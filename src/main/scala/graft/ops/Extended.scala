@@ -379,12 +379,18 @@ object Extended {
     val tmp = sys.props("java.io.tmpdir")
     // keep derby.log out of the working directory
     System.setProperty("derby.system.home", tmp)
+    // the ephemeral per-run scratch db needs no crash durability;
+    // without this, Derby fsyncs its transaction log per commit and
+    // the sf1 load spends its time in log syncs, not in Spark
+    System.setProperty("derby.system.durability", "test")
     // per-process db path: embedded Derby allows ONE booting JVM per
     // database, and a concurrent Verify/test pair must not contend
     val url =
       s"jdbc:derby:$tmp/graft_derby${safe}_${ProcessHandle.current().pid()};create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // fewer, larger executeBatch round-trips per partition connection
+    props.setProperty("batchsize", "10000")
     load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
         d2(col("o_totalprice")).as("o_totalprice"))
@@ -411,10 +417,13 @@ object Extended {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tmp = sys.props("java.io.tmpdir")
     System.setProperty("derby.system.home", tmp)
+    // see jdbcRoundtrip: scratch db, log syncs off
+    System.setProperty("derby.system.durability", "test")
     val url =
       s"jdbc:derby:$tmp/graft_derby_part${safe}_${ProcessHandle.current().pid()};create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    props.setProperty("batchsize", "10000")
     val orders = load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
         d2(col("o_totalprice")).as("o_totalprice"))
