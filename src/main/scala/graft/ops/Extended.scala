@@ -394,6 +394,10 @@ object Extended {
     load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
         d2(col("o_totalprice")).as("o_totalprice"))
+      // one JDBC connection per partition: the write fan-in. The
+      // corpus ships single-file tables, so the scan yields too few
+      // partitions to drive the sink at sf >= 1 — widen explicitly
+      .repartition(8)
       .write.mode("overwrite").jdbc(url, "gas_orders", props)
     spark.read.jdbc(url, "gas_orders", props)
       .groupBy(col("o_orderpriority"))
@@ -427,7 +431,10 @@ object Extended {
     val orders = load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
         d2(col("o_totalprice")).as("o_totalprice"))
-    orders.write.mode("overwrite").jdbc(url, "gas_orders_part", props)
+    // widen the sink fan-in past the single-file scan's partitioning
+    // (see jdbcRoundtrip)
+    orders.repartition(8).write.mode("overwrite")
+      .jdbc(url, "gas_orders_part", props)
     // stride bounds computed from the written table's actual key range
     // (one tiny agg): hard-coded bounds stay CORRECT (they're hints,
     // not filters) but at a larger scale factor every key above the
