@@ -360,6 +360,11 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, propagationBudget: Int = 20): DataFrame = {
     val Seq(a, b) = pairs.columns.take(2).toSeq
     val p = pairs.select(col(a).as("src"), col(b).as("dst"))
+      // the caller's pair derivation (typically the whole exact-Jaccard
+      // reduction) appears in BOTH union branches; materialize it once —
+      // exchange reuse does not reliably dedupe it under AQE (measured
+      // at sf1: the symmetrize-without-checkpoint shape recomputed)
+      .localCheckpoint(eager = false)
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
