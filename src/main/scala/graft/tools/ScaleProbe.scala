@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.LongType
   */
 object ScaleProbe {
 
-  private def probe(spark: SparkSession, dir: String): Map[String, Long] = {
+  private[graft] def probe(spark: SparkSession, dir: String): Map[String, Long] = {
     import graft.Tables.{load, spread}
     import graft.dedup.Dedup
 
