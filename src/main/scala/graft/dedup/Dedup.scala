@@ -1948,7 +1948,105 @@ object Dedup {
       .orderBy(col("decile"))
   }
 
+  /** Tumbling-chunk width for the per-source template detector
+    * (q355/q356). Tumbling (stride = width), not sliding: template
+    * detection wants "this exact block recurs across documents", and a
+    * non-overlapping grid keeps the index at n/T rows per doc instead
+    * of n — the CCNet paragraph-dedup shape, with fixed word windows
+    * standing in for paragraph boundaries this corpus doesn't have. */
+  private val TemplateChunk = 8
+
+  /** Shared q355/q356 fragment: per-source chunk document frequency.
+    * One definition so the source-level report and the per-doc scrub
+    * decisions can never disagree about what counts as a template.
+    *
+    * Emits one row per distinct (source, chunk, doc) incidence plus
+    * the chunk's within-source doc frequency `df`. The chunk travels
+    * through the shuffle as its 64-bit xxhash, not the string — at
+    * 100 TB the grouping key is 8 bytes/row; the DuckDB oracle groups
+    * by the chunk STRING, so every gate run doubles as a proof that
+    * the hash narrowing lost nothing (a collision would skew `df`).
+    * Distinct-per-doc first: a doc repeating its own chunk internally
+    * counts once, like paragraph dedup. */
+  private def sourceChunkDf(spark: SparkSession, dir: String): DataFrame = {
+    val T = TemplateChunk
+    val occ = spread(load(spark, dir, "documents"))
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("nch", expr(s"size(toks) div $T").cast(LongType))
+      .filter(col("nch") >= 1) // sequence(1,0) would DESCEND, not empty
+      .withColumn("i", explode(sequence(lit(1L), col("nch"))))
+      .select(col("source"), col("doc_id"),
+        xxhash64(array_join(slice(col("toks"),
+          ((col("i") - 1) * T + 1).cast(IntegerType), lit(T)), " ")).as("h"))
+      .distinct()
+    val df = occ.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+    occ.join(df, Seq("source", "h"))
+  }
+
+  /** Per-source boilerplate report (q355): how template-ridden is each
+    * feed? A chunk is a TEMPLATE within its source when it appears in
+    * >= 2 distinct documents of that source (nav bars, license
+    * blocks, generator preambles — the within-feed recurring furniture
+    * CCNet strips before training). Complements q272's global span
+    * fraction (per-doc, corpus-wide, offset-free) with the per-FEED
+    * view a curation team triages by: which sources ship templates,
+    * and what fraction of their chunk mass is template.
+    *
+    * Scale shape: chunking is a per-row explode (no shuffle); the only
+    * wide ops are the (source, hash8B) count and an O(sources)
+    * rollup; n_docs joins in as a broadcast O(sources) aggregate. All
+    * counts exact integers; the share is ONE division. */
+  def sourceBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = sourceChunkDf(spark, dir)
+      // one row per distinct chunk, keeping its incidence count
+      .groupBy(col("source"), col("h")).agg(first(col("df")).as("df"))
+      .groupBy(col("source"))
+      .agg(sum(col("df")).as("n_chunk_occ"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_template_chunks"),
+        sum(when(col("df") >= 2, col("df")).otherwise(0L)).as("template_occ"))
+    val nDocs = spread(load(spark, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    nDocs.join(broadcast(perSource), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_chunk_occ"),
+        col("n_distinct_chunks"), col("n_template_chunks"), col("template_occ"),
+        (col("template_occ").cast(DoubleType) /
+          col("n_chunk_occ").cast(DoubleType)).as("boiler_share"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-document template-scrub decision (q356): the actionable
+    * counterpart of q355, the per-source analogue of q279's span scrub
+    * plan. Each doc gets its template chunk count and share, and the
+    * action a curation pipeline takes: `drop` when more than half the
+    * doc's chunk grid is within-source template, `trim` when any
+    * template chunk is present, else `keep`. Thresholds are the policy
+    * knob; the mechanism (share of the SAME chunk-DF the q355 report
+    * ranks sources by) is the contract.
+    *
+    * Scale shape: everything rides q355's chunk-DF fragment — one
+    * slim-keyed shuffle, then a per-doc count. No new wide op. */
+  def templateScrub(spark: SparkSession, dir: String): DataFrame =
+    sourceChunkDf(spark, dir)
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_template_chunks"))
+      .withColumn("template_share",
+        col("n_template_chunks").cast(DoubleType) /
+          col("n_chunks").cast(DoubleType))
+      .withColumn("action",
+        when(col("template_share") > 0.5, lit("drop"))
+          .when(col("n_template_chunks") >= 1, lit("trim"))
+          .otherwise(lit("keep")))
+      .select(col("doc_id"), col("source"), col("n_chunks"),
+        col("n_template_chunks"), col("template_share"), col("action"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_source_boilerplate" -> sourceBoilerplate,
+    "q356_template_scrub" -> templateScrub,
     "q318_dedup_loser_matrix" -> dedupLoserMatrix,
     "q323_lsh_bucket_stats" -> lshBucketStats,
     "q327_cluster_hub" -> clusterHub,
@@ -2006,7 +2104,51 @@ object Dedup {
   private[graft] val permsSql = A.zip(B)
     .map { case (a, b) => s"{'a': ${a}, 'b': ${b}}" }.mkString("[", ", ", "]")
 
+  /** Shared q355/q356 oracle CTEs: distinct (source, doc, chunk)
+    * incidences over the tumbling [[TemplateChunk]]-token grid, plus
+    * the within-source chunk doc frequency. Groups by the chunk STRING
+    * — the proof that the Scala side's xxhash64 narrowing is lossless. */
+  private val templateDfCte =
+    s"""t AS (SELECT doc_id, source,
+      |        STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+      |c AS (SELECT DISTINCT source, doc_id,
+      |        ARRAY_TO_STRING(toks[(i-1)*$TemplateChunk+1 :
+      |          (i-1)*$TemplateChunk+$TemplateChunk], ' ') AS ch
+      |      FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks) // $TemplateChunk))
+      |        AS u(i)),
+      |d AS (SELECT source, ch, COUNT(*) AS df FROM c GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q355_source_boilerplate" ->
+      s"""WITH $templateDfCte,
+        |s AS (SELECT source,
+        |        CAST(SUM(df) AS BIGINT) AS n_chunk_occ,
+        |        CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+        |        CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_template_chunks,
+        |        CAST(SUM(CASE WHEN df >= 2 THEN df ELSE 0 END) AS BIGINT)
+        |          AS template_occ
+        |      FROM d GROUP BY 1),
+        |nd AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY 1)
+        |SELECT nd.source, n_docs, n_chunk_occ, n_distinct_chunks,
+        |  n_template_chunks, template_occ,
+        |  template_occ * 1.0 / n_chunk_occ AS boiler_share
+        |FROM nd JOIN s USING (source) ORDER BY source""".stripMargin,
+    "q356_template_scrub" ->
+      s"""WITH $templateDfCte,
+        |p AS (SELECT c.doc_id, c.source,
+        |        CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |        CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_template_chunks
+        |      FROM c JOIN d ON c.source = d.source AND c.ch = d.ch
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, source, n_chunks, n_template_chunks,
+        |  n_template_chunks * 1.0 / n_chunks AS template_share,
+        |  CASE WHEN n_template_chunks * 1.0 / n_chunks > 0.5 THEN 'drop'
+        |       WHEN n_template_chunks >= 1 THEN 'trim'
+        |       ELSE 'keep' END AS action
+        |FROM p ORDER BY doc_id""".stripMargin,
     // q311: q31's sig CTEs + one bands branch per config, exact truth
     // from the q33 CTEs
     "q311_lsh_config_sweep" -> {

@@ -62,7 +62,9 @@ class InvarianceSpec extends AnyFunSuite {
     "q341_weekly_drift", "q343_doc_lineage",
     "q345_degree_distribution", "q347_retention_whatif",
     "q352_asof_tolerance", "q353_propensity_labels",
-    "q354_temporal_split_embargo")
+    "q354_temporal_split_embargo",
+    // round-10 additions: the shared per-source chunk-DF fragment
+    "q355_source_boilerplate", "q356_template_scrub")
 
   test("round-9 families are layout-invariant (starved + oversized shuffle, shattered splits)") {
     val starved = spark.newSession()

@@ -1632,6 +1632,64 @@ class OperatorSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("source boilerplate + template scrub: invariants hold and a planted template is caught") {
+    // corpus invariants at sf0.001
+    val report = run("q355_source_boilerplate").collect()
+    assert(report.length === 20) // one row per source
+    report.foreach { r =>
+      val (nOcc, nDist, nTpl, tplOcc, share) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(nTpl <= nDist && tplOcc <= nOcc, r.toString)
+      assert(nDist <= nOcc, r.toString)
+      assert(share >= 0.0 && share <= 1.0, r.toString)
+      // every template chunk contributes >= 2 occurrences
+      assert(tplOcc >= 2 * nTpl, r.toString)
+    }
+    val scrub = run("q356_template_scrub").collect()
+    scrub.foreach { r =>
+      val (nCh, nTpl, share, action) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5))
+      assert(nTpl <= nCh, r.toString)
+      assert((action == "drop") === (share > 0.5), r.toString)
+      assert((action == "keep") === (nTpl == 0L), r.toString)
+    }
+    // the two views must agree: per-source template incidences from the
+    // scrub rows equal the report's template_occ
+    val scrubBySrc = scrub.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    report.foreach { r =>
+      assert(scrubBySrc.getOrElse(r.getString(0), 0L) === r.getLong(5), r.getString(0))
+    }
+    // fixture: source A plants one grid-aligned 8-token template in
+    // three docs (one doc is ONLY the template -> drop; two dilute it
+    // below half -> trim); source B is template-free -> keep
+    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}" +
+      s"/graft_template_fixture_${ProcessHandle.current().pid()}")
+    rmTree(dir)
+    try {
+      import spark.implicits._
+      val tpl = "nav home about contact legal privacy terms sitemap" // 8 tokens
+      val filler = (1 to 24).map(i => s"unique$i").mkString(" ")
+      val filler2 = (1 to 24).map(i => s"other$i").mkString(" ")
+      val docs = Seq(
+        (1L, s"$tpl $filler", "en", "A", 0L),   // 4 chunks, 1 template
+        (2L, s"$tpl $filler2", "en", "A", 0L),  // 4 chunks, 1 template
+        (3L, tpl, "en", "A", 0L),               // 1 chunk, all template
+        (4L, s"plain body $filler", "en", "B", 0L),
+        (5L, s"plain body $filler2", "en", "B", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rep = run2("q355_source_boilerplate", dir.getAbsolutePath).collect()
+        .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+      assert(rep("A") === ((1L, 3L)), rep.toString) // one template, df=3
+      assert(rep("B") === ((0L, 0L)), rep.toString)
+      val acts = run2("q356_template_scrub", dir.getAbsolutePath).collect()
+        .map(r => r.getLong(0) -> r.getString(5)).toMap
+      assert(acts === Map(1L -> "trim", 2L -> "trim", 3L -> "drop",
+        4L -> "keep", 5L -> "keep"), acts.toString)
+    } finally rmTree(dir)
+  }
+
   test("source overlap: full pair matrix, bounded estimates, identical sources read 1.0") {
     val rows = run("q275_source_overlap").collect()
     assert(rows.length === 190) // C(20, 2) unordered source pairs
