@@ -503,6 +503,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ArrayFilter"), plan)
   }
 
+  test("q355 boilerplate shuffles the 8-byte chunk hash, never the chunk string") {
+    val plan = formatted(run("q355_source_boilerplate"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the chunk string is hashed BEFORE any exchange: xxhash64 appears
+    // in the plan, and no post-shuffle projection re-materializes a
+    // chunk text column (array_join feeds the hash only)
+    assert(plan.contains("xxhash64"), plan)
+    // n_docs is an O(sources) aggregate joined in by broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q273 curriculum ranks without a single-partition corpus window") {
     val plan = formatted(run("q273_curriculum_stages"))
     // the per-doc row_number window must be partitioned by the bucket
