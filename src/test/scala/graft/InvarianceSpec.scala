@@ -29,11 +29,31 @@ class InvarianceSpec extends AnyFunSuite {
     "q293_abc_classification", "q303_budget_selection",
     "q322_adaptive_salted_join", "q325_peak_concurrency")
 
+  /** Retry/speculation safety: at cluster scale a task can be
+    * re-executed (stage retry, speculative duplicate) and its output
+    * must be byte-identical — Spark only guarantees that when every
+    * expression in the plan is deterministic. A single rand()/uuid()/
+    * monotonically_increasing_id smuggled into a query would pass a
+    * single-run hash gate yet corrupt results under retries. Walked on
+    * the ANALYZED plan, so it covers expressions synthesized by
+    * resolution, not just what the source spells. */
+  private def assertRetrySafe(q: String,
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach { node =>
+      node.expressions.foreach { e =>
+        assert(e.deterministic,
+          s"$q plan contains a nondeterministic expression " +
+            s"(${e.getClass.getSimpleName}) — unsafe under task retry/speculation")
+      }
+    }
+
   test("results are identical under an adversarial shuffle-partition count") {
     val alt = spark.newSession()
     alt.conf.set("spark.sql.shuffle.partitions", "7")
     queries.foreach { q =>
-      val base = SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted
+      val df = SparkEntry.queries(q)(spark, sf)
+      assertRetrySafe(q, df)
+      val base = df.collect().map(_.toString).sorted
       val other = SparkEntry.queries(q)(alt, sf).collect().map(_.toString).sorted
       assert(base.sameElements(other), s"$q result depends on shuffle layout")
     }
@@ -73,7 +93,9 @@ class InvarianceSpec extends AnyFunSuite {
     val oversized = spark.newSession()
     oversized.conf.set("spark.sql.shuffle.partitions", "64")
     r9Queries.foreach { q =>
-      val base = SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted
+      val df = SparkEntry.queries(q)(spark, sf)
+      assertRetrySafe(q, df)
+      val base = df.collect().map(_.toString).sorted
       val a = SparkEntry.queries(q)(starved, sf).collect().map(_.toString).sorted
       assert(base.sameElements(a), s"$q differs under starved shuffle + shattered splits")
       val b = SparkEntry.queries(q)(oversized, sf).collect().map(_.toString).sorted
