@@ -1970,7 +1970,7 @@ object Dedup {
     * counts once, like paragraph dedup. */
   private def sourceChunkDf(spark: SparkSession, dir: String): DataFrame = {
     val T = TemplateChunk
-    val occ = spread(load(spark, dir, "documents"))
+    spread(load(spark, dir, "documents"))
       .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("nch", expr(s"size(toks) div $T").cast(LongType))
       .filter(col("nch") >= 1) // sequence(1,0) would DESCEND, not empty
@@ -1979,9 +1979,13 @@ object Dedup {
         xxhash64(array_join(slice(col("toks"),
           ((col("i") - 1) * T + 1).cast(IntegerType), lit(T)), " ")).as("h"))
       .distinct()
-    val df = occ.groupBy(col("source"), col("h"))
-      .agg(count(lit(1)).as("df"))
-    occ.join(df, Seq("source", "h"))
+      // df as a window count, NOT a groupBy + self-join: the join form
+      // references the explode+distinct subtree twice (the
+      // double-computation class the sf1 soak flagged); the window
+      // annotates every incidence row with its group count in one
+      // extra (source, h) exchange of the already-distinct rows
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("source"), col("h"))))
   }
 
   /** Per-source boilerplate report (q355): how template-ridden is each
