@@ -1711,7 +1711,12 @@ object Dedup {
     * detector — docs shorter than this are fragments, not truncation
     * candidates, and the cutoff is what makes the 32-char bucket key
     * a NECESSARY condition (both texts have at least that prefix). */
-  private val PrefixMinLen = 32
+  private[graft] val PrefixMinLen = 32
+
+  /** Target bucket rows per (prefix-key, salt) task for q274 — a hot
+    * prefix bucket (corpus-wide license header) is split over
+    * ceil(size / target) tasks; uniform buckets pay no replication. */
+  private val PrefixSaltTarget = 2000L
 
   /** q274 — PREFIX-CONTAINMENT (TRUNCATION) DEDUP: pairs where one
     * document is a full prefix of the other — the truncation failure
@@ -1725,18 +1730,40 @@ object Dedup {
     * in-scope docs, containment implies 32-prefix equality, so the
     * equi-join is lossless; the quadratic check runs only within a
     * bucket. A corpus-wide boilerplate prefix (license header) would
-    * hot-spot one bucket — mitigate with the q321 adaptive-salt plan
-    * keyed on the prefix hash. Exact-dup pairs are containment pairs
-    * by definition and appear here too; subtract q30's groups when
-    * only proper truncations are wanted. */
+    * hot-spot one bucket, so the join is ADAPTIVELY SALTED with the
+    * q321 discipline: a slim (pk, count) rollup keeps only buckets
+    * above [[PrefixSaltTarget]] (O(hot keys), broadcastable at any
+    * scale), the probe side salts `doc_id mod factor`, the build side
+    * explodes over the factor — replication is paid ONLY where
+    * measured density demands it, and the result is identical to the
+    * unsalted join (each in-bucket pair meets exactly once, at the
+    * probe row's salt). The three passes over documents are parquet
+    * re-scans (column-pruned), NOT a text-block checkpoint — at
+    * 100 TB re-reading two slim columns beats materializing text.
+    * Bucket health is probe-visible: ScaleProbe emits the q274
+    * bucket-size profile (`prefix_max_bucket` / `prefix_pair_
+    * instances`) so a hot bucket shows up in the soak metrics before
+    * it serializes a run. Exact-dup pairs are containment pairs by
+    * definition and appear here too; subtract q30's groups when only
+    * proper truncations are wanted. */
   def prefixContainment(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= PrefixMinLen)
       .withColumn("pk", xxhash64(substring(col("text"), 1, PrefixMinLen)))
-    val a = docs.select(col("pk"), col("doc_id").as("doc_a"), col("text").as("ta"))
-    val b = docs.select(col("pk"), col("doc_id").as("doc_b"), col("text").as("tb"))
-    a.join(b, "pk")
+    val plan = docs.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > PrefixSaltTarget)
+      .select(col("pk").as("ppk"),
+        expr(s"(n + ${PrefixSaltTarget - 1}) div $PrefixSaltTarget").as("f"))
+    val a = docs.join(broadcast(plan), col("pk") === col("ppk"), "left")
+      .withColumn("salt", pmod(col("doc_id"), coalesce(col("f"), lit(1L))))
+      .select(col("pk"), col("salt"),
+        col("doc_id").as("doc_a"), col("text").as("ta"))
+    val b = docs.join(broadcast(plan), col("pk") === col("ppk"), "left")
+      .withColumn("salt", explode(expr("sequence(0L, coalesce(f, 1L) - 1L)")))
+      .select(col("pk"), col("salt"),
+        col("doc_id").as("doc_b"), col("text").as("tb"))
+    a.join(b, Seq("pk", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(col("ta").startsWith(col("tb")) || col("tb").startsWith(col("ta")))
       .select(col("doc_a"), col("doc_b"),

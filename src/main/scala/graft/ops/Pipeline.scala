@@ -397,12 +397,15 @@ object Pipeline {
     * doc_id. */
   /** Shared (round, source-ordinal) packed key for the interleave
     * family (q333/q334): rank each doc within its source, ordinal-ize
-    * the sources, and pack `k = round * mult + src_ord` where `mult`
-    * is the smallest power of two STRICTLY greater than the source
-    * count — derived, not hard-coded, so a corpus with ≥1024 sources
-    * cannot silently bleed src_ord into the next round's keyspace and
-    * corrupt the (round, source) total order. The ordinal table is
-    * O(sources); counting it is one tiny action. */
+    * the sources, and pack `k = round * mult + src_ord` where `mult =
+    * sourceCount + 1` — any multiplier STRICTLY greater than the max
+    * ordinal preserves the (round, source) lexicographic order, so a
+    * corpus with ≥1024 sources cannot bleed src_ord into the next
+    * round's keyspace. `mult` is derived IN-PLAN (a window count over
+    * the already-single-partition ordinal frame), so constructing the
+    * DataFrame runs NO Spark job (the repo convention, Dedup.scala
+    * `connectedComponents` note) and the distinct-source subtree is
+    * computed exactly once. */
   private def interleaveKeyed(docs: DataFrame): DataFrame = {
     val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     val ranked = docs.withColumn("round",
@@ -410,11 +413,12 @@ object Pipeline {
     val wOrd = Window.orderBy(col("source"))
     val ordinals = docs.select(col("source")).distinct()
       .withColumn("src_ord", row_number().over(wOrd).cast(LongType))
-    val nSources = ordinals.count()
-    var mult = 1L
-    while (mult <= nSources) mult <<= 1
+      // same tiny single-partition frame the ordinal window already
+      // shuffled to one task; count(*) over it adds no exchange
+      .withColumn("mult",
+        count(lit(1)).over(Window.partitionBy(lit(1))) + lit(1L))
     ranked.join(broadcast(ordinals), "source")
-      .withColumn("k", col("round") * mult + col("src_ord"))
+      .withColumn("k", col("round") * col("mult") + col("src_ord"))
   }
 
   def interleaveOrder(spark: SparkSession, dir: String): DataFrame = {

@@ -418,22 +418,32 @@ object Streams {
   private[graft] def streamJoinPaths(dir: String): (String, String) =
     streamPaths("graft_stream_join", dir)
 
-  /** Progress profile of the last [[streamJoin]]/[[streamOuterJoin]]
-    * run: (micro-batches executed, max state rows across batches,
-    * total ms inside micro-batch execution). Captured from
-    * StreamingQueryProgress so the overhead audit can separate plan
-    * cost (state explosion, extra batches) from fixed Spark machinery
-    * (checkpoint WAL, sink commit log, no-data watermark batch). */
-  private[graft] val lastJoinProfile =
-    new java.util.concurrent.atomic.AtomicReference[(Int, Long, Long)]((0, 0L, 0L))
+  /** Progress profiles of [[streamJoin]]/[[streamOuterJoin]] runs,
+    * KEYED BY QUERY KIND: (micro-batches executed, max state rows
+    * across batches, total ms inside micro-batch execution). Captured
+    * from StreamingQueryProgress so the overhead audit can separate
+    * plan cost (state explosion, extra batches) from fixed Spark
+    * machinery (checkpoint WAL, sink commit log, no-data watermark
+    * batch). Keyed (not a single global slot) so two concurrent
+    * stream-join queries in one JVM — parallel suites, a future
+    * parallel bench — cannot clobber each other's profile, and a
+    * reader always knows which run a profile belongs to. */
+  private val joinProfiles =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long, Long)]()
 
-  private def captureJoinProfile(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+  /** The recorded profile for `kind` ("join" | "ojoin"); zeros if
+    * that query has not run in this JVM. */
+  private[graft] def joinProfile(kind: String): (Int, Long, Long) =
+    joinProfiles.getOrDefault(kind, (0, 0L, 0L))
+
+  private def captureJoinProfile(kind: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val ps = q.recentProgress
     val stateRows = ps.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
     val totalMs = ps.map(p => Option(p.durationMs.get("triggerExecution"))
       .map(_.longValue).getOrElse(0L)).sum
-    lastJoinProfile.set((ps.length, stateRows, totalMs))
+    joinProfiles.put(kind, (ps.length, stateRows, totalMs))
   }
 
   /** Streaming LATEST-STATE materialized view — q135's golden record
@@ -504,7 +514,7 @@ object Streams {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally { captureJoinProfile(q); q.stop() }
+    try q.awaitTermination() finally { captureJoinProfile("ojoin", q); q.stop() }
     spark.read.parquet(out)
       .groupBy(col("click_user").as("user_id"))
       .agg(count(lit(1)).as("n_emitted"),
@@ -555,7 +565,7 @@ object Streams {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally { captureJoinProfile(q); q.stop() }
+    try q.awaitTermination() finally { captureJoinProfile("join", q); q.stop() }
     spark.read.parquet(out)
       .groupBy(col("click_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"), dsum(col("value")).as("sum_value"))

@@ -177,6 +177,13 @@ object DataGen {
     //  - exact-dup GROUPS of 4: docs (2500k+2497..2499) copy (2500k+2496)
     //  - TRUNCATION near-dups: doc (1000k+999) = doc (1000k+998)'s text
     //    + a 6-word tail (high Jaccard + a q274 prefix-containment pair)
+    // The two rules INTENTIONALLY overlap on ids ≡ 4999 (mod 5000):
+    // the group-of-four `eff` wins (first `when`), then the tail still
+    // appends — so every second group of four is 3 exact copies + 1
+    // truncation near-dup of the SAME leader. That mixed cluster (a
+    // node with both exact-dup and near-dup edges) is the degree shape
+    // the graph family needs; the rules are kept exactly as shipped so
+    // every regenerated corpus stays byte-identical to the soaked one.
     val vocabArr = array(vocab.map(lit): _*)
     write(range(n("documents"))
       .withColumn("eff",

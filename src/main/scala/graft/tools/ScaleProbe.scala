@@ -58,6 +58,17 @@ object ScaleProbe {
     val lshCand = Dedup.lshBucketStats(spark, dir)
       .agg(sum(col("n_candidate_pairs"))).head().getLong(0)
 
+    // q274's prefix-bucket profile: max bucket size (the hot-bucket
+    // early warning — one low-entropy 32-char prefix serializes the
+    // within-bucket quadratic check onto ceil(max/SaltTarget) tasks)
+    // and the total in-bucket pair instances the equi-join shuffles
+    val pfx = docs
+      .filter(length(col("text")) >= Dedup.PrefixMinLen)
+      .select(xxhash64(substring(col("text"), 1, Dedup.PrefixMinLen)).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("mx"),
+        coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("pairs")).head()
+
     Map(
       "n_docs" -> docs.count(),
       "distinct_shingles" -> dfStats.getLong(0),
@@ -67,7 +78,9 @@ object ScaleProbe {
       "cand_pair_instances_lenfiltered" -> lenFiltered,
       "jaccard_edges_tau05" -> edges,
       "containment_pairs_09" -> containment,
-      "lsh_candidate_pairs" -> lshCand)
+      "lsh_candidate_pairs" -> lshCand,
+      "prefix_max_bucket" -> pfx.getLong(0),
+      "prefix_pair_instances" -> pfx.getLong(1))
   }
 
   def main(args: Array[String]): Unit = {
