@@ -6,10 +6,18 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the `noop` sink — unlike
   * `count()`, which would let Catalyst prune every projected column and
   * time only a metadata row-count. One warmup pass (JIT + codegen cache +
-  * page cache) precedes the measured pass, standard JVM benchmarking
+  * page cache) precedes the measured passes, standard JVM benchmarking
   * practice; reported numbers are the warm steady-state a long-running
   * cluster job sees.
-  */
+  *
+  * MEASUREMENT PROTOCOL (since r11): each query is measured TWICE and
+  * the per-query MINIMUM is reported. The host's run-to-run noise is
+  * one-sided — a GC pause, a competing process, a page-cache miss only
+  * ever ADD time — so min-of-2 estimates the steady state far tighter
+  * than a single draw (measured single-pass full-bench variance was
+  * ±10–15%, as large as a typical round's true delta; SCALE.md §2).
+  * Every query is idempotent under re-run by contract (overwrite
+  * modes, pid-keyed scratch dirs), so the extra pass is safe. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,11 +60,22 @@ object Bench {
     // run: otherwise the pair-heavy joins (q33/q34) fill the old gen
     // and their major-GC pauses land in whichever query runs next
     // (observed: q01 1.3s alone vs 11s when measured after them).
-    val results = names.map { n =>
+    def measured(n: String): Either[String, Double] = {
       System.gc()
-      val r = n -> run(n, SparkEntry.queries(n))
+      val r = run(n, SparkEntry.queries(n))
       dropStaleBlocks()
       r
+    }
+    val results = names.map { n =>
+      // min-of-2 (see protocol note above); an error in EITHER pass is
+      // reported — an intermittent failure must surface, not be hidden
+      // by a lucky second draw
+      val r = (measured(n), measured(n)) match {
+        case (Right(t1), Right(t2)) => Right(math.min(t1, t2))
+        case (Left(e), _) => Left(e)
+        case (_, Left(e)) => Left(e)
+      }
+      n -> r
     }
     // Per-query seconds rounded to 1 ms: the log pipeline that lands
     // this line in BENCH_r{N}.json keeps only the LAST 2000 chars of

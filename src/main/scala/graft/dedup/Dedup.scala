@@ -221,10 +221,23 @@ object Dedup {
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
   }
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+  /** q33's pair set WITHOUT the presentation sort — the form every
+    * internal consumer (the graph family, weighted rescoring, corpus
+    * rollups) must take. The registered q33 adds a global orderBy for
+    * the oracle; materializing THAT frame (localCheckpoint before a
+    * multi-use graph computation) executes the range-partitioned sort,
+    * whose sampling pass re-runs the entire upstream reduction before
+    * the sort runs it again — a hidden 2× of the family's most
+    * expensive subtree that the optimizer's sort elimination would
+    * have removed from an un-checkpointed plan. Measured at sf0.1:
+    * every edge-set consumer paid ~+1.5 s for it (r10 bench vs r9). */
+  private[graft] def jaccardEdges(spark: SparkSession, dir: String): DataFrame =
     jaccardScoredPairs(spark, dir)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardEdges(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** q307 — DEDUP THRESHOLD SWEEP: the pair count the detector would
@@ -359,17 +372,24 @@ object Dedup {
     * counts — no data rides through the driver. */
   def connectedComponents(pairs: DataFrame, propagationBudget: Int = 20): DataFrame = {
     val Seq(a, b) = pairs.columns.take(2).toSeq
-    val p = pairs.select(col(a).as("src"), col(b).as("dst"))
-      // the caller's pair derivation (typically the whole exact-Jaccard
-      // reduction) appears in BOTH union branches; materialize it once —
-      // exchange reuse does not reliably dedupe it under AQE (measured
-      // at sf1: the symmetrize-without-checkpoint shape recomputed)
-      .localCheckpoint(eager = false)
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    // SINGLE-REFERENCE symmetrize: explode each pair into both
+    // orientations, so the caller's (typically expensive) pair
+    // derivation appears exactly ONCE in the plan — the two-branch
+    // union shape either recomputed it (exchange reuse does not
+    // reliably dedupe under AQE; measured at sf1) or needed a
+    // localCheckpoint whose block write/read taxed every small-graph
+    // query at sf0.1 (measured: the r10 family regression). persist()
+    // materializes edges on the loop's first action; every round reads
+    // the cache, never the derivation.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(a).as("s"), col(b).as("d")),
+        struct(col(b).as("s"), col(a).as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var converged = false
     var iters = 0
     while (!converged && iters < propagationBudget) {
@@ -382,7 +402,9 @@ object Dedup {
           least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
             .as("label"),
           col("old_label"))
-        .localCheckpoint() // materializes: the count below is a re-scan, not a recompute
+        // lazy: the count below materializes it in the SAME job, and
+        // later rounds re-scan the blocks, never the lineage
+        .localCheckpoint(eager = false)
       converged = next.filter(col("label") =!= col("old_label")).count() == 0
       labels = next.drop("old_label")
       iters += 1
@@ -390,8 +412,12 @@ object Dedup {
     if (!converged) {
       // star contraction: converged when an alternating round leaves
       // the edge set unchanged (compared via count + order-insensitive
-      // hash checksum of the materialized frames — two scalar scans)
-      var e = p.filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      // hash checksum of the materialized frames — two scalar scans).
+      // Rebuilt from the PERSISTED symmetric edges (one canonical
+      // orientation per pair), not the caller's derivation — entering
+      // the fallback must not re-run the upstream reduction.
+      var e = edges.filter(col("src") < col("dst")).distinct()
+        .localCheckpoint(eager = false)
       def checksum(d: DataFrame): (Long, String) = {
         // decimal(38,0) sum: ANSI-safe against long overflow at any size
         val r = d.agg(count(lit(1)),
@@ -409,8 +435,8 @@ object Dedup {
         // unconverged labels
         require(rounds <= 64,
           s"star contraction did not converge after $rounds rounds")
-        val next = smallStar(largeStar(e)).localCheckpoint()
-        val cur = checksum(next)
+        val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+        val cur = checksum(next) // materializes next's blocks
         // checksum equality is only necessary; confirm with an exact
         // multiset compare (runs ~once, at the end) so a 64-bit hash
         // collision can never bless a non-fixpoint as converged
@@ -440,7 +466,7 @@ object Dedup {
     * [[connectedComponents]] (label propagation with the
     * large-star/small-star fallback for adversarial diameters). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
     connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("n_members"))
@@ -703,8 +729,10 @@ object Dedup {
     * set — ONE definition serving the degree orientation and q170's
     * clustering denominator. */
   private[graft] def endpointDegrees(edges: DataFrame): DataFrame =
-    edges.select(col("doc_a").as("v"))
-      .unionByName(edges.select(col("doc_b").as("v")))
+    // explode keeps the edge derivation single-referenced (see
+    // degreeDistribution) — one block scan when edges is materialized,
+    // one subtree when it is not
+    edges.select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
 
   private[graft] def orientByDegree(edges: DataFrame,
@@ -761,7 +789,7 @@ object Dedup {
     * oracle (which enumerates id-ordered triples) is unchanged by the
     * degree ordering. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame =
-    triangleCountsFrom(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+    triangleCountsFrom(jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
   /** LOCAL CLUSTERING COEFFICIENT per node: triangles(v) /
@@ -772,7 +800,7 @@ object Dedup {
     * and the symmetrized degree count; nodes with deg < 2 define cc=0.
     * Integer counts, ONE division. */
   def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
-    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val e = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(eager = false)
     // one degree table serves the clustering denominator AND the
     // triangle orientation (and e is materialized exactly once)
@@ -834,7 +862,7 @@ object Dedup {
     * near-dup graph's bounded degrees; a hubby graph caps hop-through
     * degree first (the q92 orientation lesson, same mitigation). */
   def twoHopNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val e = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(eager = false)
     val sym = e.union(e.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -860,7 +888,7 @@ object Dedup {
     * (recursive CTE) and takes MIN(d) — exponential in the oracle,
     * linear here, same answer: BFS's first visit IS the min distance. */
   def bfsSeedDistance(spark: SparkSession, dir: String): DataFrame = {
-    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val e = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
     val sym = e.union(e.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint(eager = false)
     val seeds = sym.select(col("src").as("doc_id")).distinct()
@@ -948,7 +976,7 @@ object Dedup {
     * fixed SQL stages (stages past the fixpoint are no-ops), so both
     * engines compute the same bounded fixpoint or both abort. */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
-    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val e = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
     kCorePeel(e.union(e.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst"), k = 2)
   }
@@ -1082,7 +1110,7 @@ object Dedup {
     * executable statement of the equivalence the q144 scaladoc claims
     * (BFS first-visit == all-paths MIN). */
   def bfsRecursiveCte(spark: SparkSession, dir: String): DataFrame = {
-    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val e = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
     e.union(e.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint(eager = false)
       .createOrReplaceTempView("graft_rec_edges")
@@ -1121,7 +1149,7 @@ object Dedup {
     * MATERIALIZED CTE stages (the q178 lesson: stop DuckDB re-inlining
     * the chain). */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val e = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
     pageRankIterate(e.union(e.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst"), rounds = 3)
   }
@@ -1200,7 +1228,7 @@ object Dedup {
     // count (triangleCountsFrom re-checkpoints for its own 3-way join);
     // calling triangleCounts(spark, dir) here would pay the dominant
     // co-occurrence reduction a second time
-    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val e = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(eager = false)
     val sym = e.union(e.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -1227,7 +1255,7 @@ object Dedup {
     * degree rollup + one slim join back to edges + a one-row
     * aggregate. */
   def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val e = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
     val sym = e.union(e.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint(eager = false)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -1271,7 +1299,7 @@ object Dedup {
   def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
     val src = load(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
-    ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
       .join(src.select(col("doc_id").as("doc_a"),
         col("source").as("src_a")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"),
@@ -1297,7 +1325,7 @@ object Dedup {
   def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
     val lsh = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
       .withColumn("in_lsh", lit(1L))
-    val ex = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val ex = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
       .withColumn("in_exact", lit(1L))
     lsh.join(ex, Seq("doc_a", "doc_b"), "full_outer")
       .select(coalesce(col("in_lsh"), lit(0L)).as("il"),
@@ -1327,7 +1355,7 @@ object Dedup {
     * the q201 Pregel loop with a scalar broadcast added; the oracle
     * unrolls the SAME integer stages into MATERIALIZED CTEs. */
   def hitsScores(spark: SparkSession, dir: String): DataFrame =
-    hitsIterate(ngramJaccard(spark, dir)
+    hitsIterate(jaccardEdges(spark, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst")), rounds = 2)
 
   /** The integer HITS iteration on any directed (src, dst) edge list —
@@ -1384,7 +1412,7 @@ object Dedup {
     * or oscillate; a bounded-round snapshot is the reproducible
     * answer, and the oracle unrolls the SAME two rounds). */
   def labelCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val e = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val e = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
     labelPropagate(e.union(e.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst"), rounds = 2)
   }
@@ -1679,7 +1707,7 @@ object Dedup {
       // here would sit in the cache registry for the whole gate run
       .localCheckpoint(eager = false)
     val tot = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("t"))
-    val cand = ngramJaccard(spark, dir)
+    val cand = jaccardEdges(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val smin = cand.select(col("doc_a"), col("doc_b"))
       .join(tf.select(col("doc_id").as("doc_a"), col("h"),
@@ -1771,16 +1799,15 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-      // both union branches read this; materialize the reduction once
-      .localCheckpoint(eager = false)
-    pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame =
+    // endpoints via explode, not a two-branch union: the reduction
+    // appears ONCE in the plan, so no checkpoint (and no block
+    // write/read tax) is needed to avoid recomputing it
+    jaccardEdges(spark, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
-  }
 
   /** q347 — RETENTION-POLICY WHAT-IF: the surviving document count
     * and token mass under each canonical-selection rule the library
@@ -1796,7 +1823,7 @@ object Dedup {
   def retentionWhatif(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("ntok"))
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
       // lazy localCheckpoint (q67 pattern), not persist(): blocks free
       // with the frame instead of accumulating across the gate run
       .localCheckpoint(eager = false)
@@ -1813,8 +1840,8 @@ object Dedup {
         (col("n0") + col("nc")).as("n_kept_docs"),
         (col("t0") + col("tc")).as("kept_tokens"))
     val minId = members.filter(col("doc_id") === col("cluster_id"))
-    val deg = pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
     val hub = members.join(deg, "doc_id")
       .groupBy(col("cluster_id"))
@@ -1889,10 +1916,10 @@ object Dedup {
     // inverted-index join (the expensive upstream) runs once, not
     // twice, and the blocks free with the frame (no cache-registry
     // residue across a 353-query run)
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = jaccardEdges(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(eager = false)
-    val deg = pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
     // components off the SAME materialized pair set (not
     // dedupClusters(spark, dir), which would re-run the whole

@@ -483,7 +483,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1L)
       .agg(count(lit(1)).as("n_exact_dup_groups"))
-    val pairs = graft.dedup.Dedup.ngramJaccard(spark, dir)
+    val pairs = graft.dedup.Dedup.jaccardEdges(spark, dir)
       .agg(count(lit(1)).as("n_neardup_pairs"))
     val cont = decontaminate(spark, dir)
       .agg(count(lit(1)).as("n_contaminated"))

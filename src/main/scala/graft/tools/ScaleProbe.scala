@@ -53,7 +53,7 @@ object ScaleProbe {
       .count()
 
     // the outputs the graph family consumes
-    val edges = Dedup.ngramJaccard(spark, dir).count()
+    val edges = Dedup.jaccardEdges(spark, dir).count()
     val containment = Dedup.containmentPairs(spark, dir).count()
     val lshCand = Dedup.lshBucketStats(spark, dir)
       .agg(sum(col("n_candidate_pairs"))).head().getLong(0)
