@@ -308,8 +308,140 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** A renderable scene spec: 56-bit [[graft.Tables.phash]] seed shared
+    * by the scene's variants, the variant ordinal, and the encode
+    * codec. Every field is derived from doc_id with the md5-portable
+    * hash, so a DuckDB oracle can re-derive the EXPECTED result of the
+    * real render→encode→decode→hash pipeline in closed form. */
+  case class SceneSpec(doc_id: Long, seed: Long, variant: Int, format: String)
+
+  /** Scene geometry: 64×64 px, 8×8 uniform cells; cells 0–55 carry the
+    * seed's bits (bit set → 200, else 0), cells 56–63 are 0. Variant
+    * j > 0 flips cell (seed mod 56 + j) mod 56 between 0↔200. Cell
+    * values sit 100+ away from any possible aHash mean (200k/64 ∈
+    * [3,196] for k ∈ [1,63] bright cells), so one flipped cell changes
+    * EXACTLY one aHash bit — planted Hamming distances are 1 (base vs
+    * variant) and 2 (variant vs variant), never perturbed by the mean
+    * shift. */
+  private val SceneCells = 56
+
+  def sceneSpecs(spark: SparkSession, dir: String): Dataset[SceneSpec] = {
+    import spark.implicits._
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      phash(expr("cast(doc_id div 5 as string)")).as("seed"),
+      (col("doc_id") % 5).cast(IntegerType).as("variant"),
+      expr("CASE CAST((doc_id div 5) % 3 AS INT) WHEN 0 THEN 'png' " +
+        "WHEN 1 THEN 'bmp' ELSE 'gif' END").as("format"))
+      .as[SceneSpec]
+  }
+
+  /** Render the spec's 64×64 grayscale cell pattern and encode it with
+    * the spec's REAL codec (JDK ImageIO writer). Lossless formats only
+    * (png/bmp/gif; gif's palette holds the 2 gray levels exactly), so
+    * decode returns the planted pixels bit-for-bit. */
+  def renderScene(seed: Long, variant: Int, format: String): Array[Byte] = {
+    imageIoReady
+    val cells = new Array[Int](64)
+    var c = 0
+    while (c < SceneCells) {
+      cells(c) = if (((seed >> c) & 1L) == 1L) 200 else 0
+      c += 1
+    }
+    if (variant > 0) {
+      val cj = ((seed % SceneCells).toInt + variant) % SceneCells
+      cells(cj) = 200 - cells(cj)
+    }
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val v = cells((y / 8) * 8 + (x / 8))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    require(ok, s"no ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
+  /** The generated media table: REAL encoded image bytes (one render +
+    * encode per row, partition-batched like every decode path here) —
+    * the corpus the oracle-gated image queries run on. Payloads are
+    * produced executor-side from the row's own spec: nothing is
+    * shipped from the driver, and the render cost scales with the
+    * partition, not the job. */
+  def generatedMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    sceneSpecs(spark, dir).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { s =>
+        MediaRecord(s.doc_id, renderScene(s.seed, s.variant, s.format),
+          s.format, 64, 64)
+      })
+    }
+  }
+
+  /** q357 — PERCEPTUAL NEAR-DUP OVER REAL ENCODED IMAGES: the full
+    * image pipeline (render → real codec encode → real ImageIO decode
+    * → 8×8 aHash → pigeonhole-banded pair join) run end-to-end on
+    * deterministic generated scenes, gated by a closed-form oracle:
+    * docs in the same 5-doc scene group are planted at Hamming
+    * distance 1 (base↔variant) or 2 (variant↔variant); cross-scene
+    * distances concentrate near 28 (independent 56-bit patterns) and
+    * can never pass the ≤3 filter. A wrong render, a lossy/broken
+    * codec path, a resize off-by-one, or a banding bug each break the
+    * pair set — this is the decode path's DuckDB gate, not a spec
+    * assertion. Scale shape: identical to [[imageNearDup]] (banded
+    * equi-join; quadratic space never materialized). */
+  def imageNearDupGenerated(spark: SparkSession, dir: String): DataFrame =
+    imageNearDup(generatedMedia(spark, dir))
+
+  /** Per-media census row (q358). */
+  case class MediaCensus(format: String, n_pixels: Long, n_bright: Long,
+    real_decode: Boolean)
+
+  /** q358 — PER-FORMAT DECODE CENSUS: decode every generated payload
+    * with the real codec stack and roll up, per format, the media
+    * count, how many decodes were REAL (codec recognized the bytes —
+    * must be all of them), total decoded pixels, and total bright
+    * pixels (> 100). Bright pixels have a closed form the oracle
+    * recomputes: 64 px/cell × (bit_count(seed) ± the variant flip) —
+    * so a codec that silently fell back to the byte-fake, clipped a
+    * channel, or mis-sized the raster shows up as an integer
+    * mismatch, per format. All-integer aggregates; one partial-agg
+    * rollup to O(formats). */
+  def decodeCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    generatedMedia(spark, dir).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { r =>
+        val (px, _, _, real) = decodePixels(r)
+        var bright = 0L
+        var i = 0
+        while (i < px.length) { if (px(i) > 100) bright += 1; i += 1 }
+        MediaCensus(r.format, px.length.toLong, bright, real)
+      })
+    }
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("real_decode").cast(LongType)).as("n_real_decode"),
+        sum(col("n_pixels")).as("n_pixels_total"),
+        sum(col("n_bright")).as("bright_pixels_total"))
+      .orderBy(col("format"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q41_multimodal_meta" -> mediaMeta)
+    "q41_multimodal_meta" -> mediaMeta,
+    "q357_image_neardup_pairs" -> imageNearDupGenerated,
+    "q358_decode_census" -> decodeCensus)
+
+  /** The oracle's spelling of the scene seed (portable md5 hash of the
+    * scene key — [[graft.Tables.phashSql]]). */
+  private def seedSqlDuck: String = phashSql("CAST(doc_id // 5 AS VARCHAR)")
 
   val oracles: Map[String, String] = Map(
     "q41_multimodal_meta" ->
@@ -320,5 +452,32 @@ object Multimodal {
         | (${phashSql("text")} // 640) % 480 AS height,
         | md5(text) AS content_hash
         |FROM documents
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q357_image_neardup_pairs" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(CASE WHEN a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+        |           THEN 1 ELSE 2 END AS INT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q358_decode_census" ->
+      s"""WITH s AS (
+        | SELECT $seedSqlDuck AS seed,
+        |        CAST(doc_id % 5 AS INT) AS j,
+        |        CASE CAST((doc_id // 5) % 3 AS INT) WHEN 0 THEN 'png'
+        |             WHEN 1 THEN 'bmp' ELSE 'gif' END AS format
+        | FROM documents),
+        |k AS (
+        | SELECT format,
+        |        bit_count(seed)
+        |        + CASE WHEN j = 0 THEN 0
+        |               WHEN ((seed >> CAST((seed % 56 + j) % 56 AS INT)) & 1) = 1
+        |               THEN -1 ELSE 1 END AS kd
+        | FROM s)
+        |SELECT format,
+        |       CAST(COUNT(*) AS BIGINT) AS n_media,
+        |       CAST(COUNT(*) AS BIGINT) AS n_real_decode,
+        |       CAST(COUNT(*) * 4096 AS BIGINT) AS n_pixels_total,
+        |       CAST(SUM(kd) * 64 AS BIGINT) AS bright_pixels_total
+        |FROM k GROUP BY format ORDER BY format""".stripMargin)
 }

@@ -146,4 +146,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.filter(col("width") < 0 || col("width") >= 640).count() === 0)
     assert(meta.filter(col("height") < 0 || col("height") >= 480).count() === 0)
   }
+
+  test("scene render: codec round-trip is lossless and variants plant exact aHash distances") {
+    // every codec the generated corpus uses must return the planted
+    // cells bit-for-bit; the variant flip must move EXACTLY one aHash
+    // bit regardless of codec
+    import spark.implicits._
+    val seed = 0xA5F00FF00F5AL // arbitrary 48-bit pattern, k well inside [1,55]
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val base = MediaRecord(0L, Multimodal.renderScene(seed, 0, fmt), fmt, 64, 64)
+      val v1 = MediaRecord(1L, Multimodal.renderScene(seed, 1, fmt), fmt, 64, 64)
+      val v2 = MediaRecord(2L, Multimodal.renderScene(seed, 2, fmt), fmt, 64, 64)
+      val hs = Multimodal.aHash(Seq(base, v1, v2).toDS())
+        .collect().map(h => h.doc_id -> h).toMap
+      assert(hs.values.forall(_.real_decode), s"$fmt fell back to byte decode")
+      assert(java.lang.Long.bitCount(hs(0L).ahash ^ hs(1L).ahash) === 1, fmt)
+      assert(java.lang.Long.bitCount(hs(0L).ahash ^ hs(2L).ahash) === 1, fmt)
+      assert(java.lang.Long.bitCount(hs(1L).ahash ^ hs(2L).ahash) === 2, fmt)
+    }
+  }
+
+  test("generated corpus: q357 pairs equal the scene groups, q358 census all-real") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Multimodal.imageNearDupGenerated(spark, dir)
+    // same 5-doc scene group <=> a planted pair; distance 1 iff the
+    // base (variant 0) is on either side
+    val bad = pairs.filter(
+      col("doc_a").divide(5).cast("long") =!= col("doc_b").divide(5).cast("long") ||
+      col("dist") =!= when(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0, 1)
+        .otherwise(2)).count()
+    assert(bad === 0)
+    val census = Multimodal.decodeCensus(spark, dir).collect()
+    assert(census.map(_.getString(0)).toSet === Set("bmp", "gif", "png"))
+    census.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"non-real decodes in $r") // n_media == n_real
+      assert(r.getLong(3) === r.getLong(1) * 4096L) // 64x64 rasters
+    }
+  }
 }
