@@ -70,7 +70,20 @@ object DataGen {
       "documents" -> n(5000), "embeddings" -> n(2000), "users" -> n(1500))
   }
 
-  def generate(spark: SparkSession, outDir: String, sf: Double): Unit = {
+  /** Vocabulary-growth mode (Heaps'-law corpus): instead of the fixed
+    * 31-word vocabulary, documents draw from V(n) = max(31, ⌈2·√n_docs⌉)
+    * distinct words — Heaps' law V ∝ N^β with β = 0.5, the empirical
+    * exponent range for natural-language corpora — with a mild Zipf
+    * head (rank k = 1 + ⌊V·u²⌋ ⇒ p(k) ∝ k^-1/2, so the top word is
+    * ~1/(2√V) of tokens, not 1/31 of them). Everything else — planted
+    * duplicate structure, lengths, langs, sources, all other tables —
+    * is byte-identical logic, so the fixed-vocab and Heaps corpora
+    * differ ONLY in shingle-space density. Purpose: SCALE.md §3 argues
+    * the 92.7× candidate-pair growth measured sf0.1→sf1 is an artifact
+    * of the fixed vocabulary saturating the trigram space (~31³); this
+    * mode makes that claim measurable instead of asserted. */
+  def generate(spark: SparkSession, outDir: String, sf: Double,
+      heapsVocab: Boolean = false): Unit = {
     import spark.implicits._
     val n = counts(sf)
     val id = col("id")
@@ -185,6 +198,22 @@ object DataGen {
     // the graph family needs; the rules are kept exactly as shipped so
     // every regenerated corpus stays byte-identical to the soaked one.
     val vocabArr = array(vocab.map(lit): _*)
+    // Heaps mode: V grows with the corpus; the same (eff, i, 21) hash
+    // stream drives the draw, so planted duplicates stay planted
+    val heapsV = math.max(31L, math.ceil(2.0 * math.sqrt(
+      n("documents").toDouble)).toLong)
+    def word(i: Column): Column =
+      if (!heapsVocab)
+        element_at(vocabArr,
+          (pmod(xxhash64(col("eff"), i, lit(21)), lit(vocab.size.toLong)) + 1)
+            .cast(IntegerType))
+      else {
+        // u ∈ [0,1) ⇒ rank 1+⌊V·u²⌋ ∈ [1,V], p(rank k) ∝ k^-1/2
+        val u = pmod(xxhash64(col("eff"), i, lit(21)), lit(1000000000L))
+          .cast(DoubleType) / 1e9
+        concat(lit("w"),
+          (lit(1L) + floor(lit(heapsV.toDouble) * u * u)).cast(LongType))
+      }
     write(range(n("documents"))
       .withColumn("eff",
         when(id % 2500 >= 2496, id - (id % 2500) + 2496)
@@ -193,10 +222,7 @@ object DataGen {
           .otherwise(id))
       .withColumn("n_words", h(col("eff"), 20, 91) + 10)
       .withColumn("text", array_join(
-        transform(sequence(lit(1L), col("n_words")),
-          i => element_at(vocabArr,
-            (pmod(xxhash64(col("eff"), i, lit(21)), lit(vocab.size.toLong)) + 1)
-              .cast(IntegerType))), " "))
+        transform(sequence(lit(1L), col("n_words")), i => word(i)), " "))
       .withColumn("text",
         when(id % 1000 === 999,
           concat(col("text"), lit(" the fast scan beats the sort")))
@@ -227,11 +253,12 @@ object DataGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: DataGen <outDir> <sf>")
+    require(args.length >= 2, "usage: DataGen <outDir> <sf> [heaps]")
+    val heaps = args.length >= 3 && args(2) == "heaps"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, args(0), args(1).toDouble)
+    try generate(spark, args(0), args(1).toDouble, heapsVocab = heaps)
     finally spark.stop()
   }
 }

@@ -32,4 +32,28 @@ class ScaleProbeSpec extends AnyFunSuite {
     // Σ df = instances implies Σ C(df,2) <= instances * max_df / 2
     assert(m("cand_pair_instances") <= m("shingle_instances") * m("max_df") / 2L)
   }
+
+  test("DataGen heaps mode grows vocabulary and keeps planted duplicates") {
+    import org.apache.spark.sql.functions._
+    val out = s"${sys.props("java.io.tmpdir")}/graft_heaps_spec_" +
+      ProcessHandle.current().pid()
+    // two corpus sizes a decade apart, documents only matter here
+    tools.DataGen.generate(spark, s"$out/a", 0.1, heapsVocab = true)
+    tools.DataGen.generate(spark, s"$out/b", 1.0, heapsVocab = true)
+    def vocab(dir: String): Long =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+    val (va, vb) = (vocab(s"$out/a"), vocab(s"$out/b"))
+    // Heaps' law with β≈0.5: 10× docs ⇒ ~√10 ≈ 3.2× vocabulary,
+    // nowhere near the ~1× of the saturated fixed-vocab corpus
+    assert(vb.toDouble / va > 2.0 && vb.toDouble / va < 5.0,
+      s"vocab growth $va -> $vb outside the Heaps band")
+    // planted exact pairs survive the vocab mode: doc 624 copies 623
+    val docs = spark.read.parquet(s"$out/a/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id").isin(623L, 624L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs(623L) === docs(624L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
 }
