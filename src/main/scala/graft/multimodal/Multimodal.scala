@@ -434,10 +434,77 @@ object Multimodal {
       .orderBy(col("format"))
   }
 
+  /** q359 — RESIZE GEOMETRY GATE: resize every generated scene
+    * 64×64 → 16×16 through the REAL decode and count bright output
+    * pixels per doc. The scenes' 8×8 cells are resize-aligned
+    * (nearest-neighbor maps output (x,y) to source (4x,4y), which
+    * lands inside cell (x/2, y/2)), so each of the 64 cells is
+    * sampled exactly 4 times and the bright count has the closed
+    * form 4 × (bit_count(seed) ± the variant flip) — the SAME kd the
+    * q358 oracle derives, scaled by pixels-per-cell. Any index-math
+    * defect in [[resizeKernel]] (row-major mixup, off-by-one clamp,
+    * transposed dims) samples a wrong cell somewhere and breaks a
+    * row. Row-granular (one row per doc), all-integer. */
+  def resizeCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resize(generatedMedia(spark, dir), 16, 16)
+      .map { r =>
+        var bright = 0L
+        var i = 0
+        while (i < r.pixels.length) { if (r.pixels(i) > 100) bright += 1; i += 1 }
+        (r.doc_id, r.pixels.length.toLong, bright)
+      }
+      .toDF("doc_id", "n_pixels", "n_bright")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generated clip corpus: video-like payloads (no image container —
+    * the frame path is byte-plane by design, [[sampleFrames]]) whose
+    * every byte has a closed form both engines can evaluate:
+    * len = 800 + (doc_id·37 mod 2000), byte(i) = (doc_id·131 + i·17)
+    * mod 251. Payloads are produced executor-side from the row's own
+    * id — nothing ships from the driver. */
+  def generatedClips(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { docId =>
+          val len = (800L + (docId * 37L) % 2000L).toInt
+          val bytes = new Array[Byte](len)
+          var i = 0
+          while (i < len) {
+            bytes(i) = ((docId * 131L + i * 17L) % 251L).toByte
+            i += 1
+          }
+          MediaRecord(docId, bytes, "rawvideo", 0, 0)
+        }
+      }
+  }
+
+  /** q360 — FRAME-SAMPLING CENSUS: run [[sampleFrames]] (fixed
+    * 256-byte frames, every 2nd frame, short tail kept) over the
+    * generated clips and emit every sampled frame's byte length and
+    * byte-mean. The oracle re-derives both per (doc, frame) from the
+    * clip formula — frame boundaries, the stride, tail truncation,
+    * and the unsigned-byte decode are each load-bearing: an
+    * off-by-one in slicing or a signed-byte read shifts a mean and
+    * hash-mismatches. mean = exact integer sum / exact length, ONE
+    * IEEE division in both engines. */
+  def frameSampleCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(generatedClips(spark, dir), frameBytes = 256, every = 2)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_bytes"),
+        col("mean_pixel"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_multimodal_meta" -> mediaMeta,
     "q357_image_neardup_pairs" -> imageNearDupGenerated,
-    "q358_decode_census" -> decodeCensus)
+    "q358_decode_census" -> decodeCensus,
+    "q359_resize_census" -> resizeCensus,
+    "q360_frame_sample_census" -> frameSampleCensus)
 
   /** The oracle's spelling of the scene seed (portable md5 hash of the
     * scene key — [[graft.Tables.phashSql]]). */
@@ -479,5 +546,30 @@ object Multimodal {
         |       CAST(COUNT(*) AS BIGINT) AS n_real_decode,
         |       CAST(COUNT(*) * 4096 AS BIGINT) AS n_pixels_total,
         |       CAST(SUM(kd) * 64 AS BIGINT) AS bright_pixels_total
-        |FROM k GROUP BY format ORDER BY format""".stripMargin)
+        |FROM k GROUP BY format ORDER BY format""".stripMargin,
+    "q359_resize_census" ->
+      s"""WITH s AS (
+        | SELECT doc_id, $seedSqlDuck AS seed, CAST(doc_id % 5 AS INT) AS j
+        | FROM documents)
+        |SELECT doc_id,
+        |       CAST(256 AS BIGINT) AS n_pixels,
+        |       CAST(4 * (bit_count(seed)
+        |         + CASE WHEN j = 0 THEN 0
+        |                WHEN ((seed >> CAST((seed % 56 + j) % 56 AS INT)) & 1) = 1
+        |                THEN -1 ELSE 1 END) AS BIGINT) AS n_bright
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q360_frame_sample_census" ->
+      """WITH d AS (
+        | SELECT doc_id, 800 + (doc_id * 37) % 2000 AS len FROM documents),
+        |f AS (
+        | SELECT doc_id, len, unnest(range(0, (len + 255) // 256, 2)) AS fi
+        | FROM d)
+        |SELECT f.doc_id,
+        |       CAST(fi AS INT) AS frame_idx,
+        |       CAST(LEAST(256, len - fi * 256) AS BIGINT) AS n_bytes,
+        |       CAST(list_sum(list_transform(
+        |              range(fi * 256, LEAST((fi + 1) * 256, len)),
+        |              i -> (f.doc_id * 131 + i * 17) % 251))
+        |            AS DOUBLE) / LEAST(256, len - fi * 256) AS mean_pixel
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -184,4 +184,42 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(3) === r.getLong(1) * 4096L) // 64x64 rasters
     }
   }
+
+  test("q359: cell-aligned resize preserves per-doc bright mass at 1/16 scale") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the full-res census counts 64 px per bright cell, the 16x16
+    // resize must count exactly 4 per bright cell — same cells
+    val full = Multimodal.generatedMedia(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        val (px, _, _, _) = Multimodal.decodePixels(r)
+        (r.doc_id, px.count(_ > 100).toLong)
+      }
+    }.toDF("doc_id", "bright64")
+    val small = Multimodal.resizeCensus(spark, dir)
+    val bad = small.join(full, "doc_id")
+      .filter(col("n_bright") * 16 =!= col("bright64") || col("n_pixels") =!= 256)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("q360: frame sampling strides, truncates the tail, and reads unsigned bytes") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Multimodal.frameSampleCensus(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docId, fi, nb, mean) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(fi % 2 === 0) // every-2 decimation
+      val len = 800L + (docId * 37L) % 2000L
+      val expectBytes = math.min(256L, len - fi * 256L)
+      assert(nb === expectBytes, s"doc $docId frame $fi")
+      // recompute the byte mean from the clip formula (unsigned read)
+      var s = 0L
+      var i = fi * 256L
+      while (i < fi * 256L + expectBytes) { s += (docId * 131L + i * 17L) % 251L; i += 1 }
+      assert(mean === s.toDouble / expectBytes, s"doc $docId frame $fi")
+    }
+  }
 }
