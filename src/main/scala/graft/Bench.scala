@@ -16,8 +16,16 @@ import org.apache.spark.sql.SparkSession
   * ever ADD time — so min-of-2 estimates the steady state far tighter
   * than a single draw (measured single-pass full-bench variance was
   * ±10–15%, as large as a typical round's true delta; SCALE.md §2).
-  * Every query is idempotent under re-run by contract (overwrite
-  * modes, pid-keyed scratch dirs), so the extra pass is safe. */
+  * The two passes run as SEPARATE FULL SWEEPS (pass 1 over all
+  * queries, then pass 2), not back-to-back per query: host noise is
+  * WINDOW-correlated (a slow few minutes inflates everything running
+  * in them — measured: two same-code runs differed uniformly ×1.16,
+  * median per-query ratio, zero outliers), and back-to-back passes
+  * share the window so the min keeps the inflation. Sweep-interleaved
+  * passes put each query's two draws ~half a run apart, so the min
+  * drops any one bad window. Every query is idempotent under re-run
+  * by contract (overwrite modes, pid-keyed scratch dirs), so the
+  * extra pass is safe. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,11 +74,13 @@ object Bench {
       dropStaleBlocks()
       r
     }
+    // two full sweeps, min per query (see protocol note above); an
+    // error in EITHER pass is reported — an intermittent failure must
+    // surface, not be hidden by a lucky second draw
+    val pass1 = names.map(n => n -> measured(n)).toMap
+    val pass2 = names.map(n => n -> measured(n)).toMap
     val results = names.map { n =>
-      // min-of-2 (see protocol note above); an error in EITHER pass is
-      // reported — an intermittent failure must surface, not be hidden
-      // by a lucky second draw
-      val r = (measured(n), measured(n)) match {
+      val r = (pass1(n), pass2(n)) match {
         case (Right(t1), Right(t2)) => Right(math.min(t1, t2))
         case (Left(e), _) => Left(e)
         case (_, Left(e)) => Left(e)
