@@ -31,7 +31,8 @@ object SparkEntry {
     (ops.Pipeline.queries, ops.Pipeline.oracles),
     (ops.Validate.queries, ops.Validate.oracles),
     (streaming.Streams.queries, streaming.Streams.oracles),
-    (multimodal.Multimodal.queries, multimodal.Multimodal.oracles))
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
+    (multimodal.Audio.queries, multimodal.Audio.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
