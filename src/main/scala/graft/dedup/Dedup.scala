@@ -692,6 +692,75 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  private[graft] lazy val kmvAgg =
+    udaf(graft.functions.KmvMerge,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+
+  /** KMV (bottom-k) SOURCE CARDINALITY OVERLAP — q275's missing other
+    * half: that query estimates the Jaccard RATIO between source
+    * shingle unions; this one estimates the CARDINALITIES — distinct
+    * union size and distinct INTERSECTION size per source pair — from
+    * K=64-slot [[graft.functions.KmvMerge]] sketches. Intersection
+    * cardinality is the quantity behind "how many NEW shingles does
+    * feed B add over feed A" (acquisition/retirement pricing), and it
+    * is exactly what HLL (q51's machinery) cannot answer. Estimator:
+    * union sketch = K smallest of the two sketches' union,
+    * est|A∪B| = (K-1)·2^56 / kth_min (exhaustive sketches short-cut to
+    * the exact size), est|A∩B| = (fraction of the union sketch present
+    * in BOTH input sketches) · est|A∪B|. All sketch content is a
+    * deterministic function of the 56-bit portable shingle hashes, so
+    * the oracle recomputes it value-for-value; exact audit columns
+    * ride along (the q211/q234/q275 estimate-vs-truth pattern).
+    *
+    * Scale shape: the sketch path is ONE partial-aggregable rollup —
+    * map-side combine reduces every partition to ≤ K longs per source
+    * BEFORE the shuffle, so the corpus-wide distinct shuffle the exact
+    * path needs simply does not exist at 100 TB; the pair stage is an
+    * O(sources²) comparison of 64-slot arrays. */
+  def kmvSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+    val hashes = docs.select(col("source"),
+      explode(shingleHashes(col("text"), mod = false)).as("h"))
+    val sk = hashes.groupBy(col("source")).agg(kmvAgg(col("h")).as("ks"))
+    // exact audit path (gate scale): distinct (source, hash) index
+    val eh = hashes.distinct()
+    val cn = eh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val it = eh.alias("x").join(eh.alias("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val k = graft.functions.KmvMerge.K
+    // (K-1) * 2^56 — exact in double (needs 6 mantissa bits)
+    val kmvScale = 4.539628424389459968e18
+    val pairs = sk.alias("a").join(sk.alias("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.ks").as("ka"), col("b.ks").as("kb"))
+      .withColumn("us",
+        slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k))
+      .withColumn("n_us", size(col("us")))
+      // int64 → double is round-to-nearest in BOTH engines: identical
+      .withColumn("est_union",
+        when(col("n_us") < k, col("n_us").cast(DoubleType))
+          .otherwise(lit(kmvScale) /
+            element_at(col("us"), col("n_us")).cast(DoubleType)))
+      .withColumn("rho", size(filter(col("us"),
+        v => array_contains(col("ka"), v) && array_contains(col("kb"), v))))
+      .withColumn("est_inter",
+        col("rho").cast(DoubleType) * col("est_union") /
+          col("n_us").cast(DoubleType))
+    pairs
+      .join(it, Seq("source_a", "source_b"), "left")
+      .join(cn.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(cn.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"),
+        col("est_union"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        col("est_inter"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** CROSS-DOC EXACT SUBSTRING-SPAN DEDUP — the Spark-shaped form of
     * suffix-array exact-substring deduplication (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"; see
@@ -2194,7 +2263,8 @@ object Dedup {
     "q274_prefix_containment" -> prefixContainment,
     "q275_source_overlap" -> sourceOverlap,
     "q277_effective_yield" -> effectiveYield,
-    "q279_span_scrub_plan" -> spanScrubPlan)
+    "q279_span_scrub_plan" -> spanScrubPlan,
+    "q365_kmv_source_cardinality" -> kmvSourceOverlap)
 
   /** Shared with q148's pure-SQL oracle: one definition of the DuckDB
     * trigram-shingle semantics, matching [[graft.functions.WordNGrams]]. */
@@ -2542,6 +2612,42 @@ object Dedup {
         |JOIN cn ca ON ca.source = a.source
         |JOIN cn cb ON cb.source = b.source
         |ORDER BY source_a, source_b""".stripMargin,
+    // q365: the KMV sketch is a deterministic function of the hashed
+    // input sets, so the oracle REBUILDS it (sorted bottom-64 of each
+    // source's distinct 56-bit shingle hashes) and evaluates the same
+    // estimator arithmetic in the same operation order.
+    "q365_kmv_source_cardinality" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id, source, $shinglesSql AS sh FROM t),
+        |eh AS (SELECT DISTINCT source,
+        |    UNNEST(LIST_TRANSFORM(sh, x -> ${phashSql("x")})) AS hx FROM s),
+        |sk AS (SELECT source, LIST_SORT(LIST(hx))[1:64] AS ks,
+        |         COUNT(*) AS n FROM eh GROUP BY 1),
+        |it AS (SELECT x.source AS source_a, y.source AS source_b,
+        |    COUNT(*) AS n_inter
+        |  FROM eh x JOIN eh y ON x.hx = y.hx AND x.source < y.source
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        a.ks AS ka, b.ks AS kb, a.n AS na, b.n AS nb,
+        |        LIST_SORT(LIST_DISTINCT(a.ks || b.ks))[1:64] AS us
+        |      FROM sk a JOIN sk b ON a.source < b.source),
+        |r AS (SELECT *,
+        |        CASE WHEN LEN(us) < 64 THEN CAST(LEN(us) AS DOUBLE)
+        |             ELSE 4539628424389459968.0
+        |                  / CAST(us[LEN(us)] AS DOUBLE) END AS est_union,
+        |        LEN(LIST_FILTER(us, v -> LIST_CONTAINS(ka, v)
+        |              AND LIST_CONTAINS(kb, v))) AS rho
+        |      FROM p)
+        |SELECT r.source_a, r.source_b,
+        |  CAST(na + nb - COALESCE(it.n_inter, 0) AS BIGINT) AS n_union,
+        |  est_union,
+        |  CAST(COALESCE(it.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(rho AS DOUBLE) * est_union / CAST(LEN(us) AS DOUBLE)
+        |    AS est_inter
+        |FROM r LEFT JOIN it
+        |  ON it.source_a = r.source_a AND it.source_b = r.source_b
+        |ORDER BY r.source_a, r.source_b""".stripMargin,
     "q124_two_hop_neighbors" -> twoHopOracle,
     "q201_pagerank" -> pageRankOracle,
     "q203_label_communities" -> labelCommunitiesOracle,

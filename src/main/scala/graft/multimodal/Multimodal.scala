@@ -499,12 +499,47 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** q364 — CROSS-MODAL DUPLICATE AGREEMENT: which duplicate structure
+    * is visible to which detector. The text near-dup pair set (q33's
+    * exact-Jaccard edges) and the image perceptual near-dup pair set
+    * (q357's banded aHash pairs over the generated scenes) are
+    * full-outer joined on the pair key and rolled up into the
+    * (in_text, in_image) agreement matrix — the audit a multimodal
+    * corpus runs before trusting either detector alone: a feed that
+    * re-serves articles VERBATIM with re-rendered imagery lands in
+    * text_only; re-encoded/resized imagery under rewritten captions
+    * lands in image_only; true mirror feeds land in both. On the gate
+    * corpus the planted text dups are long-range id pairs and the
+    * scene groups are id-quintets, so the two DISAGREEMENT cells are
+    * what the oracle exercises (disjoint by construction — the useful
+    * worst case: the detectors see entirely different structure);
+    * the 'both' cell logic is spec-covered on synthetic pair sets.
+    * Scale shape: both inputs are slim pair frames, the join is
+    * keyed, output is O(4) rows. */
+  def crossModalDupMatrix(spark: SparkSession, dir: String): DataFrame =
+    dupAgreementMatrix(
+      graft.dedup.Dedup.jaccardEdges(spark, dir)
+        .select(col("doc_a"), col("doc_b")),
+      imageNearDupGenerated(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** The matrix core over any two (doc_a, doc_b) pair frames. */
+  def dupAgreementMatrix(text: DataFrame, image: DataFrame): DataFrame =
+    text.withColumn("in_text", lit(true))
+      .join(image.withColumn("in_image", lit(true)),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("in_text"), lit(false)).as("in_text"),
+        coalesce(col("in_image"), lit(false)).as("in_image"))
+      .groupBy(col("in_text"), col("in_image"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("in_text"), col("in_image"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_multimodal_meta" -> mediaMeta,
     "q357_image_neardup_pairs" -> imageNearDupGenerated,
     "q358_decode_census" -> decodeCensus,
     "q359_resize_census" -> resizeCensus,
-    "q360_frame_sample_census" -> frameSampleCensus)
+    "q360_frame_sample_census" -> frameSampleCensus,
+    "q364_crossmodal_dup_matrix" -> crossModalDupMatrix)
 
   /** The oracle's spelling of the scene seed (portable md5 hash of the
     * scene key — [[graft.Tables.phashSql]]). */
@@ -571,5 +606,20 @@ object Multimodal {
         |              range(fi * 256, LEAST((fi + 1) * 256, len)),
         |              i -> (f.doc_id * 131 + i * 17) % 251))
         |            AS DOUBLE) / LEAST(256, len - fi * 256) AS mean_pixel
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // q364: text pairs re-derived by the q33 oracle CTE, image pairs by
+    // the q357 scene-group rule; the matrix is their full-outer rollup.
+    "q364_crossmodal_dup_matrix" ->
+      s"""WITH ${graft.dedup.Dedup.jaccardCommonCte},
+        |tp AS (SELECT doc_a, doc_b FROM common
+        |       WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM documents a JOIN documents b
+        |         ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id),
+        |u AS (SELECT tp.doc_a IS NOT NULL AS in_text,
+        |             ip.doc_a IS NOT NULL AS in_image
+        |      FROM tp FULL OUTER JOIN ip
+        |        ON tp.doc_a = ip.doc_a AND tp.doc_b = ip.doc_b)
+        |SELECT in_text, in_image, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KmvMerge
+
+/** Specs for the KMV (bottom-k) distinct sketch and its consumers:
+  * the Aggregator contract (sorted, distinct, capped, merge-exact),
+  * the estimator against known ground truth, and the two round-11
+  * composition queries (q365 sketch-vs-exact overlap, q364
+  * cross-modal agreement matrix). */
+class KmvSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.test()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("reduce keeps the K smallest distinct values, sorted") {
+    var b = KmvMerge.zero
+    val vals = Seq(50L, 10L, 50L, 99L, 1L, 10L, 42L)
+    vals.foreach(v => b = KmvMerge.reduce(b, v))
+    assert(b.toSeq === Seq(1L, 10L, 42L, 50L, 99L))
+    // fill past K: only the K smallest survive
+    (1000L to 1200L).foreach(v => b = KmvMerge.reduce(b, v))
+    assert(b.length === KmvMerge.K)
+    (0L to 5L).foreach(v => b = KmvMerge.reduce(b, v))
+    assert(b.take(6).toSeq === (0L to 5L).toSeq)
+    assert(b.length === KmvMerge.K)
+    assert(b.toSeq === b.toSeq.sorted)
+  }
+
+  test("merge equals sequential reduction (the mergeable-sketch law)") {
+    val xs = (0 until 500).map(i => (i * 2654435761L) % 100000L)
+    val (l, r) = xs.splitAt(237)
+    val seq = xs.foldLeft(KmvMerge.zero)(KmvMerge.reduce)
+    val par = KmvMerge.merge(
+      l.foldLeft(KmvMerge.zero)(KmvMerge.reduce),
+      r.foldLeft(KmvMerge.zero)(KmvMerge.reduce))
+    assert(par.toSeq === seq.toSeq)
+    // ground truth: the K smallest distinct inputs
+    assert(seq.toSeq === xs.distinct.sorted.take(KmvMerge.K))
+  }
+
+  test("q365: sketch estimates track the exact audit columns") {
+    val rows = dedup.Dedup.kmvSourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nUnion = r.getAs[Long]("n_union").toDouble
+      val estUnion = r.getAs[Double]("est_union")
+      val nInter = r.getAs[Long]("n_inter").toDouble
+      val estInter = r.getAs[Double]("est_inter")
+      // KMV relative error ~ 1/sqrt(K-1) = 12.6%; allow 4 sigma
+      assert(math.abs(estUnion - nUnion) <= 0.5 * nUnion + 1,
+        s"${r.getString(0)}x${r.getString(1)}: estUnion=$estUnion exact=$nUnion")
+      assert(math.abs(estInter - nInter) <= 0.5 * nUnion + 1,
+        s"${r.getString(0)}x${r.getString(1)}: estInter=$estInter exact=$nInter")
+    }
+  }
+
+  test("q364: agreement matrix cells reconcile against both pair sets") {
+    val m = multimodal.Multimodal.crossModalDupMatrix(spark, sf).collect()
+      .map(r => (r.getAs[Boolean]("in_text"), r.getAs[Boolean]("in_image")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    // never a (false, false) row
+    assert(!m.contains((false, false)))
+    assert(m.getOrElse((true, false), 0L) > 0, "text_only")
+    assert(m.getOrElse((false, true), 0L) > 0, "image_only")
+    // the driver corpus plants text dups as long-range pairs and image
+    // dups as id-quintets — structurally disjoint, so 'both' is 0 here;
+    // the all-cells logic is pinned synthetically below
+    // marginals equal the source pair sets
+    val nText = dedup.Dedup.ngramJaccard(spark, sf).count()
+    val nImage = multimodal.Multimodal.imageNearDupGenerated(spark, sf).count()
+    assert(m.getOrElse((true, true), 0L) + m.getOrElse((true, false), 0L) === nText)
+    assert(m.getOrElse((true, true), 0L) + m.getOrElse((false, true), 0L) === nImage)
+  }
+
+  test("agreement matrix core: all three cells on synthetic pair sets") {
+    import spark.implicits._
+    val text = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val image = Seq((3L, 4L), (5L, 6L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val m = multimodal.Multimodal.dupAgreementMatrix(text, image).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(m === Map((true, false) -> 1L, (false, true) -> 1L,
+      (true, true) -> 2L))
+  }
+}
