@@ -183,6 +183,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_minhashmerge"), plan)
   }
 
+  test("KmvMerge aggregates partially and q365's sketch path has no distinct shuffle") {
+    import org.apache.spark.sql.functions._
+    // the sketch rollup in isolation: map-side partial ObjectHashAggregate
+    // must reduce each partition to <= K longs BEFORE the exchange —
+    // the claim that lets q365 avoid a corpus-wide distinct at 100 TB
+    val hashes = Tables.spread(Tables.load(spark, sf, "documents"))
+      .select(col("source"), explode(call_function("phash_array",
+        call_function("word_shingles", split(trim(col("text")), " +"),
+          lit(3)))).as("h"))
+    val sk = hashes.groupBy(col("source"))
+      .agg(udaf(graft.functions.KmvMerge,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())(
+        col("h")).as("ks"))
+    val plan = formatted(sk)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_kmvmerge"), plan)
+    // no HashAggregate-based distinct anywhere in the sketch path
+    assert(!plan.contains("distinct"), plan)
+  }
+
   test("q65 grouping sets expand into ONE aggregate pass, not N scans") {
     val plan = formatted(run("q65_grouping_sets"))
     assert(plan.contains("Expand"), plan)
