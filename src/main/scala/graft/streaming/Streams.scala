@@ -1119,6 +1119,72 @@ object Streams {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q366 — STREAMING PERCEPTUAL IMAGE DEDUP: q319's ingest-dedup
+    * shape applied to MEDIA. Generated scene payloads arrive as a
+    * 4-file stream; each micro-batch runs the REAL codec decode and
+    * the 8×8 aHash executor-side (the [[graft.multimodal.Multimodal]]
+    * batch kernels verbatim — stateless typed mapPartitions, legal on
+    * a streaming Dataset), fans each 64-bit hash into the 4×16-bit
+    * pigeonhole bands, and compares arrivals only against that
+    * band-bucket's residents via flatMapGroupsWithState. The gate is
+    * the can-never-fork contract: the emitted pair set must equal
+    * batch q357's EXACTLY (oracle = q357's string verbatim), so
+    * batching, state carry-over, and the banding fan-out are all
+    * pinned against the batch path.
+    *
+    * Scale shape: identical to q319 — state is partitioned by band
+    * bucket (the shuffle key), each bucket holds only colliding
+    * hashes (8 bytes per resident, vs q319's K-long signatures); a
+    * hot bucket IS a duplicate cluster. Payload bytes never enter
+    * state — only (doc_id, hash) survives the decode. */
+  def streamImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // pid-keyed: concurrent Verify/test JVMs must not contend on the dir
+    val base =
+      s"${sys.props("java.io.tmpdir")}/graft_img_dedup${safe}_${ProcessHandle.current().pid()}"
+    deleteRecursively(new java.io.File(base))
+    graft.multimodal.Multimodal.generatedMedia(spark, dir).toDF()
+      .repartition(4).write.mode("overwrite").parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val hashed = graft.multimodal.Multimodal
+      .aHash(src.as[graft.multimodal.Multimodal.MediaRecord]).toDF()
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+    }: _*)
+    val banded = hashed
+      .select(col("doc_id"), col("ahash"), explode(bandStructs).as("bk"))
+      .select(concat_ws("|", col("bk.band"), col("bk.bkey")).as("bucket"),
+        col("doc_id"), col("ahash"))
+      .as[(String, Long, Long)]
+    val pairs = banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[(Long, Long)],
+        (Long, Long, Int)](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val out = Vector.newBuilder[(Long, Long, Int)]
+        var seen = state.getOption.getOrElse(Array.empty[(Long, Long)])
+        rows.map(r => (r._2, r._3)).toVector.sortBy(_._1).foreach {
+          case (id, h) =>
+            seen.foreach { case (pid, ph) =>
+              val d = java.lang.Long.bitCount(h ^ ph)
+              if (d <= 3)
+                out += ((math.min(pid, id), math.max(pid, id), d))
+            }
+            seen = seen :+ ((id, h))
+        }
+        state.update(seen)
+        out.result().iterator
+      }
+    runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b", "dist"),
+        "graft_stream_img_dedup")
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** STREAMING RUNNING TOTALS via `transformWithState` — the third
     * implementation of the per-user balance/count semantics, gated on
     * the SAME oracle string as q188's foreachBatch MERGE (and the
@@ -1272,6 +1338,7 @@ object Streams {
     "q278_stream_source_sketch" -> streamSourceSketch,
     "q319_stream_lsh_dedup" -> streamLshDedup,
     "q338_stream_canaries" -> streamCanaries,
+    "q366_stream_image_dedup" -> streamImageDedup,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
@@ -1337,6 +1404,9 @@ object Streams {
     // q319: q31's oracle VERBATIM — the streaming detector must emit
     // exactly the batch pair set
     "q319_stream_lsh_dedup" -> graft.dedup.Dedup.lshOracle,
+    // q366: oracle = batch q357's string verbatim (stream==batch gate)
+    "q366_stream_image_dedup" ->
+      graft.multimodal.Multimodal.oracles("q357_image_neardup_pairs"),
     "q278_stream_source_sketch" ->
       s"""WITH t AS (SELECT doc_id, source,
         |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),

@@ -222,4 +222,15 @@ class MultimodalSpec extends AnyFunSuite {
       assert(mean === s.toDouble / expectBytes, s"doc $docId frame $fi")
     }
   }
+
+  test("q366: streaming image dedup equals batch q357 exactly (can-never-fork)") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.streaming.Streams.streamImageDedup(spark, dir).collect()
+    val batch = Multimodal.imageNearDupGenerated(spark, dir).collect()
+    assert(stream.length === batch.length)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    assert(stream.map(key).toSet === batch.map(key).toSet)
+    assert(stream.nonEmpty)
+  }
 }
