@@ -58,15 +58,13 @@ object Audio {
   val Amp = 5000
   private val SeedWindows = 56 // windows 1..56 carry seed bits 0..55
 
-  // One-time per-JVM: headless, no tmp-file spooling concerns (the
-  // sampled API is already stream-based; property shared with ImageIO).
-  private lazy val audioReady: Unit =
-    System.setProperty("java.awt.headless", "true")
+  // (No JVM setup needed here: javax.sound.sampled's file codecs are
+  // stream-based and never consult java.awt.headless — that property
+  // is an ImageIO/AWT concern, set in Multimodal.imageIoReady.)
 
   /** REAL WAV encode via the JDK codec: PCM signed 16-bit mono
     * little-endian samples -> a RIFF/WAVE container byte array. */
   def encodeWav(samples: Array[Int], sampleRate: Int = SampleRate): Array[Byte] = {
-    audioReady
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
@@ -91,7 +89,6 @@ object Audio {
     * either endianness and any channel count (channels interleave;
     * samples are returned frame-major). */
   def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = {
-    audioReady
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -258,14 +255,22 @@ object Audio {
     * pair). Banding is [[Multimodal.imageNearDup]]'s 4 x 16-bit split
     * — LOSSLESS for distance <= 3 by pigeonhole — so the quadratic
     * pair space is never materialized; the only shuffle carries
-    * (band, key, fp) rows. */
+    * (band, key, fp) rows.
+    *
+    * Undecodable clips are EXCLUDED before banding (flatMap drops
+    * them): an empty sample array fingerprints to 0L, so two broken
+    * payloads would otherwise collide at Hamming distance 0 and emit
+    * a false duplicate edge. Decode failures are the census's
+    * (q361 `real_decode = false`) quarantine surface, not pair
+    * candidates — on the gate corpus every clip decodes, so the
+    * exclusion is a no-op the oracle already prices. */
   def audioNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     import spark.implicits._
     require(maxDist <= 3, "4x16 banding is lossless only for dist <= 3")
     val fps = generatedAudio(spark, dir).mapPartitions { it =>
-      it.grouped(Multimodal.DecodeBatch).flatMap(_.map { r =>
-        val samples = decodeAudio(r.payload).map(_.samples).getOrElse(Array.empty)
-        AudioFp(r.doc_id, audioFingerprint(samples))
+      it.grouped(Multimodal.DecodeBatch).flatMap(_.flatMap { r =>
+        decodeAudio(r.payload).map(d =>
+          AudioFp(r.doc_id, audioFingerprint(d.samples)))
       })
     }.toDF()
     val bandStructs = array((0 until 4).map { b =>

@@ -424,26 +424,27 @@ object Streams {
     * from StreamingQueryProgress so the overhead audit can separate
     * plan cost (state explosion, extra batches) from fixed Spark
     * machinery (checkpoint WAL, sink commit log, no-data watermark
-    * batch). Keyed (not a single global slot) so two concurrent
-    * stream-join queries in one JVM — parallel suites, a future
-    * parallel bench — cannot clobber each other's profile, and a
+    * batch). Keyed by (kind, dataset dir) — the full identity of a
+    * run — so two concurrent stream-join queries in one JVM (parallel
+    * suites, a future parallel bench, even two SAME-KIND joins over
+    * different dirs) cannot clobber each other's profile, and a
     * reader always knows which run a profile belongs to. */
   private val joinProfiles =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long, Long)]()
 
-  /** The recorded profile for `kind` ("join" | "ojoin"); zeros if
-    * that query has not run in this JVM. */
-  private[graft] def joinProfile(kind: String): (Int, Long, Long) =
-    joinProfiles.getOrDefault(kind, (0, 0L, 0L))
+  /** The recorded profile for `kind` ("join" | "ojoin") over dataset
+    * `dir`; zeros if that query has not run in this JVM. */
+  private[graft] def joinProfile(kind: String, dir: String): (Int, Long, Long) =
+    joinProfiles.getOrDefault(s"$kind|$dir", (0, 0L, 0L))
 
-  private def captureJoinProfile(kind: String,
+  private def captureJoinProfile(kind: String, dir: String,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val ps = q.recentProgress
     val stateRows = ps.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
     val totalMs = ps.map(p => Option(p.durationMs.get("triggerExecution"))
       .map(_.longValue).getOrElse(0L)).sum
-    joinProfiles.put(kind, (ps.length, stateRows, totalMs))
+    joinProfiles.put(s"$kind|$dir", (ps.length, stateRows, totalMs))
   }
 
   /** Streaming LATEST-STATE materialized view — q135's golden record
@@ -514,7 +515,7 @@ object Streams {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally { captureJoinProfile("ojoin", q); q.stop() }
+    try q.awaitTermination() finally { captureJoinProfile("ojoin", dir, q); q.stop() }
     spark.read.parquet(out)
       .groupBy(col("click_user").as("user_id"))
       .agg(count(lit(1)).as("n_emitted"),
@@ -565,7 +566,7 @@ object Streams {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally { captureJoinProfile("join", q); q.stop() }
+    try q.awaitTermination() finally { captureJoinProfile("join", dir, q); q.stop() }
     spark.read.parquet(out)
       .groupBy(col("click_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"), dsum(col("value")).as("sum_value"))
@@ -1098,25 +1099,34 @@ object Streams {
         (Long, Long, Double)](OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (_, rows, state) =>
         val out = Vector.newBuilder[(Long, Long, Double)]
-        var seen = state.getOption.getOrElse(Array.empty[(Long, Array[Long])])
+        val resident = state.getOption.getOrElse(Array.empty[(Long, Array[Long])])
+        // batch arrivals accumulate in a buffer (one state-array concat
+        // per batch) — appending to the resident array per arrival would
+        // be quadratic in allocations on a hot bucket, which is exactly
+        // a duplicate cluster
+        val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        def compare(id: Long, sg: Array[Long], pid: Long, psg: Array[Long]): Unit = {
+          var eq = 0; var i = 0
+          while (i < K) { if (sg(i) == psg(i)) eq += 1; i += 1 }
+          val est = eq.toDouble / K
+          if (est >= 0.5)
+            out += ((math.min(pid, id), math.max(pid, id), est))
+        }
         rows.map(r => (r._2, r._3)).toVector.sortBy(_._1).foreach {
           case (id, sg) =>
-            seen.foreach { case (pid, psg) =>
-              var eq = 0; var i = 0
-              while (i < K) { if (sg(i) == psg(i)) eq += 1; i += 1 }
-              val est = eq.toDouble / K
-              if (est >= 0.5)
-                out += ((math.min(pid, id), math.max(pid, id), est))
-            }
-            seen = seen :+ ((id, sg))
+            resident.foreach { case (pid, psg) => compare(id, sg, pid, psg) }
+            fresh.foreach { case (pid, psg) => compare(id, sg, pid, psg) }
+            fresh += ((id, sg))
         }
-        state.update(seen)
+        state.update(resident ++ fresh)
         out.result().iterator
       }
-    runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b", "est_jaccard"),
-        "graft_stream_lsh_dedup")
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+    try {
+      runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b", "est_jaccard"),
+          "graft_stream_lsh_dedup")
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally deleteRecursively(new java.io.File(base))
   }
 
   /** q366 — STREAMING PERCEPTUAL IMAGE DEDUP: q319's ingest-dedup
@@ -1166,23 +1176,31 @@ object Streams {
         (Long, Long, Int)](OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (_, rows, state) =>
         val out = Vector.newBuilder[(Long, Long, Int)]
-        var seen = state.getOption.getOrElse(Array.empty[(Long, Long)])
+        val resident = state.getOption.getOrElse(Array.empty[(Long, Long)])
+        // buffer batch arrivals; one state-array concat per batch (a hot
+        // bucket IS a duplicate cluster — per-arrival array append would
+        // be quadratic in allocations on top of the pair comparisons)
+        val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        def compare(id: Long, h: Long, pid: Long, ph: Long): Unit = {
+          val d = java.lang.Long.bitCount(h ^ ph)
+          if (d <= 3)
+            out += ((math.min(pid, id), math.max(pid, id), d))
+        }
         rows.map(r => (r._2, r._3)).toVector.sortBy(_._1).foreach {
           case (id, h) =>
-            seen.foreach { case (pid, ph) =>
-              val d = java.lang.Long.bitCount(h ^ ph)
-              if (d <= 3)
-                out += ((math.min(pid, id), math.max(pid, id), d))
-            }
-            seen = seen :+ ((id, h))
+            resident.foreach { case (pid, ph) => compare(id, h, pid, ph) }
+            fresh.foreach { case (pid, ph) => compare(id, h, pid, ph) }
+            fresh += ((id, h))
         }
-        state.update(seen)
+        state.update(resident ++ fresh)
         out.result().iterator
       }
-    runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b", "dist"),
-        "graft_stream_img_dedup")
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+    try {
+      runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b", "dist"),
+          "graft_stream_img_dedup")
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally deleteRecursively(new java.io.File(base))
   }
 
   /** STREAMING RUNNING TOTALS via `transformWithState` — the third

@@ -541,14 +541,14 @@ class OperatorSpec extends AnyFunSuite {
     val ev = Tables.events(spark, sf)
     val inputRows = ev.filter(col("event_type").isin("click", "purchase")).count()
     run("q73_stream_join").collect()
-    val (b1, s1, ms1) = streaming.Streams.joinProfile("join")
+    val (b1, s1, ms1) = streaming.Streams.joinProfile("join", sf)
     info(s"q73: $b1 micro-batches, max state rows $s1, trigger ms $ms1")
     // AvailableNow on one source file: 1 data batch (+ possibly a
     // no-data batch that only advances the watermark)
     assert(b1 >= 1 && b1 <= 3, s"q73 ran $b1 micro-batches — plan re-batches")
     assert(s1 <= inputRows, s"q73 state $s1 exceeds watermark-bounded input $inputRows")
     run("q119_stream_outer_join").collect()
-    val (b2, s2, ms2) = streaming.Streams.joinProfile("ojoin")
+    val (b2, s2, ms2) = streaming.Streams.joinProfile("ojoin", sf)
     info(s"q119: $b2 micro-batches, max state rows $s2, trigger ms $ms2")
     assert(b2 >= 1 && b2 <= 3, s"q119 ran $b2 micro-batches — plan re-batches")
     assert(s2 <= inputRows, s"q119 state $s2 exceeds watermark-bounded input $inputRows")
