@@ -273,12 +273,9 @@ object Audio {
           AudioFp(r.doc_id, audioFingerprint(d.samples)))
       })
     }.toDF()
-    val bandStructs = array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
-    }: _*)
     val bands = fps
-      .select(col("doc_id"), col("fp"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("fp"),
+        explode(graft.functions.Banding.hashBands(col("fp"), 4, 16)).as("bk"))
       .select(col("doc_id"), col("fp"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val x = bands.alias("x")
@@ -287,11 +284,11 @@ object Audio {
         col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.fp").as("fa"), col("y.fp").as("fb"))
-      .distinct()
-      .withColumn("dist", bit_count(col("fa").bitwiseXOR(col("fb"))))
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("dist"))
+      // distance-filter before the distinct — candidates are pipelined
+      // join output; only true near-pairs reach the dedup shuffle
       .filter(col("dist") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

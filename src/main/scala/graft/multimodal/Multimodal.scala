@@ -275,23 +275,25 @@ object Multimodal {
   }
 
   /** NEAR-DUPLICATE IMAGE pairs by Hamming distance over [[aHash]],
-    * blocked by q79's pigeonhole banding at image granularity: split
-    * the 64-bit hash into 4 x 16-bit bands — any pair within Hamming
-    * distance 3 agrees EXACTLY on at least one band (4 bands, 3
-    * differing bits), so the equi-join on (band, bkey) is a LOSSLESS
-    * prune and the quadratic pair space is never materialized. The
+    * blocked by [[graft.functions.Banding.hashBands]] pigeonhole
+    * banding: split the 64-bit hash into `nBands` x `bandBits`-bit
+    * bands — any pair within Hamming distance `nBands - 1` agrees
+    * EXACTLY on at least one band, so the equi-join on (band, bkey)
+    * is a LOSSLESS prune and the quadratic pair space is never
+    * materialized. Default 4x16 covers dist <= 3; the 8x8 wide form
+    * (q368) trades more band collisions for radius <= 7. The
     * visual twin of the q31/q79 text near-dup family: catches the
     * same photo re-encoded, resized, or lightly edited across feeds,
     * where byte/content hashes see three unrelated blobs. */
-  def imageNearDup(ds: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4x16 banding is lossless only for dist <= 3")
+  def imageNearDup(ds: Dataset[MediaRecord], maxDist: Int = 3,
+      nBands: Int = 4, bandBits: Int = 16): DataFrame = {
+    require(maxDist <= nBands - 1,
+      s"${nBands}x$bandBits banding is lossless only for dist <= ${nBands - 1}")
     val hashes = aHash(ds).toDF()
-    val bandStructs = array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
-    }: _*)
     val bands = hashes
-      .select(col("doc_id"), col("ahash"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        explode(graft.functions.Banding.hashBands(col("ahash"), nBands, bandBits))
+          .as("bk"))
       .select(col("doc_id"), col("ahash"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val x = bands.alias("x")
@@ -300,11 +302,13 @@ object Multimodal {
         col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
-      .distinct()
-      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).as("dist"))
+      // distance-filter BEFORE the distinct: candidate volume is the
+      // banding's recall knob (8x8 bands collide ~256x more often than
+      // 4x16), and candidates are pipelined join output — only the few
+      // true near-pairs should reach the dedup shuffle
       .filter(col("dist") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -341,17 +345,27 @@ object Multimodal {
     * (png/bmp/gif; gif's palette holds the 2 gray levels exactly), so
     * decode returns the planted pixels bit-for-bit. */
   def renderScene(seed: Long, variant: Int, format: String): Array[Byte] = {
-    imageIoReady
+    val flips =
+      if (variant > 0) Array(((seed % SceneCells).toInt + variant) % SceneCells)
+      else Array.empty[Int]
+    encodeCells(cellValues(seed, flips), format)
+  }
+
+  /** The seed's 64-cell pattern with the given cells flipped 0↔200. */
+  private def cellValues(seed: Long, flips: Array[Int]): Array[Int] = {
     val cells = new Array[Int](64)
     var c = 0
     while (c < SceneCells) {
       cells(c) = if (((seed >> c) & 1L) == 1L) 200 else 0
       c += 1
     }
-    if (variant > 0) {
-      val cj = ((seed % SceneCells).toInt + variant) % SceneCells
-      cells(cj) = 200 - cells(cj)
-    }
+    flips.foreach(cj => cells(cj) = 200 - cells(cj))
+    cells
+  }
+
+  /** Rasterize the 8×8 cell grid at 64×64 px and encode with the REAL
+    * ImageIO writer for `format`. */
+  private def cellImage(cells: Array[Int]): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(64, 64,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -364,11 +378,34 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  private def encodeCells(cells: Array[Int], format: String): Array[Byte] = {
+    imageIoReady
     val bos = new java.io.ByteArrayOutputStream()
-    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    val ok = javax.imageio.ImageIO.write(cellImage(cells), format, bos)
     require(ok, s"no ImageIO writer for format $format")
     bos.toByteArray
   }
+
+  /** Flip set of the WIDE scene family: variant j flips j DISJOINT
+    * cells — ring offsets `j(j-1)/2 + 1 .. j(j-1)/2 + j` from the
+    * seed anchor (offsets 1..10 across the five variants, all
+    * distinct mod 56) — so within a 5-doc group every pairwise
+    * Hamming distance is EXACTLY `j_a + j_b` (the base contributes
+    * 0): distances 1..7, the full radius the 8×8-bit banding must
+    * catch and the 4×16 default would miss above 3. */
+  def wideFlips(seed: Long, variant: Int): Array[Int] = {
+    val anchor = (seed % SceneCells).toInt
+    val off = variant * (variant - 1) / 2
+    Array.tabulate(variant)(t => (anchor + 1 + off + t) % SceneCells)
+  }
+
+  /** Wide-variant render: same geometry/codecs as [[renderScene]],
+    * multi-cell flips per [[wideFlips]]. */
+  def renderSceneWide(seed: Long, variant: Int, format: String): Array[Byte] =
+    encodeCells(cellValues(seed, wideFlips(seed, variant)), format)
 
   /** The generated media table: REAL encoded image bytes (one render +
     * encode per row, partition-batched like every decode path here) —
@@ -385,6 +422,33 @@ object Multimodal {
       })
     }
   }
+
+  /** The wide-variant generated media table ([[renderSceneWide]] per
+    * row — real codecs, multi-cell flips). */
+  def generatedMediaWide(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    sceneSpecs(spark, dir).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { s =>
+        MediaRecord(s.doc_id, renderSceneWide(s.seed, s.variant, s.format),
+          s.format, 64, 64)
+      })
+    }
+  }
+
+  /** q368 — WIDE-RADIUS PERCEPTUAL NEAR-DUP (the recall knob of the
+    * image near-dup family): the q357 pipeline with 8×8-bit pigeonhole
+    * bands, lossless to Hamming distance 7, over the WIDE scene corpus
+    * whose within-group distances are planted at exactly `j_a + j_b`
+    * (1..7 — [[wideFlips]]). The default 4×16 banding would MISS every
+    * pair above distance 3, so this gate exercises precisely what the
+    * wide banding buys; the price (documented in
+    * [[graft.functions.Banding]]) is ~256× more band collisions, which
+    * is why the distance filter runs on the pipelined join output
+    * before anything is shuffled again. Cross-group distances
+    * concentrate near 28 and cannot pass ≤ 7 (P ≈ 2e-8 per pair). */
+  def imageNearDupWide(spark: SparkSession, dir: String): DataFrame =
+    imageNearDup(generatedMediaWide(spark, dir), maxDist = 7,
+      nBands = 8, bandBits = 8)
 
   /** q357 — PERCEPTUAL NEAR-DUP OVER REAL ENCODED IMAGES: the full
     * image pipeline (render → real codec encode → real ImageIO decode
@@ -539,7 +603,8 @@ object Multimodal {
     "q358_decode_census" -> decodeCensus,
     "q359_resize_census" -> resizeCensus,
     "q360_frame_sample_census" -> frameSampleCensus,
-    "q364_crossmodal_dup_matrix" -> crossModalDupMatrix)
+    "q364_crossmodal_dup_matrix" -> crossModalDupMatrix,
+    "q368_image_neardup_wide" -> imageNearDupWide)
 
   /** The oracle's spelling of the scene seed (portable md5 hash of the
     * scene key — [[graft.Tables.phashSql]]). */
@@ -607,6 +672,14 @@ object Multimodal {
         |              i -> (f.doc_id * 131 + i * 17) % 251))
         |            AS DOUBLE) / LEAST(256, len - fi * 256) AS mean_pixel
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // q368: within-group distance is exactly j_a + j_b by the disjoint
+    // wideFlips construction; every group pair is within radius 7.
+    "q368_image_neardup_wide" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST((a.doc_id % 5) + (b.doc_id % 5) AS INT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q364: text pairs re-derived by the q33 oracle CTE, image pairs by
     // the q357 scene-group rule; the matrix is their full-outer rollup.
     "q364_crossmodal_dup_matrix" ->

@@ -1162,12 +1162,9 @@ object Streams {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val hashed = graft.multimodal.Multimodal
       .aHash(src.as[graft.multimodal.Multimodal.MediaRecord]).toDF()
-    val bandStructs = array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
-    }: _*)
     val banded = hashed
-      .select(col("doc_id"), col("ahash"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        explode(graft.functions.Banding.hashBands(col("ahash"), 4, 16)).as("bk"))
       .select(concat_ws("|", col("bk.band"), col("bk.bkey")).as("bucket"),
         col("doc_id"), col("ahash"))
       .as[(String, Long, Long)]

@@ -223,6 +223,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q368: wide flips are disjoint, distances are j_a + j_b, 8x8 banding catches radius 7") {
+    // flip-set disjointness is what makes within-group distances exactly
+    // additive — check it for a spread of seeds, then check the planted
+    // distances survive the real codec round trip, and that the wide
+    // corpus genuinely NEEDS the 8-band split (pairs above distance 3
+    // exist, which 4x16 banding cannot catch)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (seed <- Seq(0xA5F00FF00F5AL, 0x123456789ABCL, 0x0FEDCBA98765L)) {
+      val all = (1 to 4).flatMap(j => Multimodal.wideFlips(seed, j))
+      assert(all.distinct.length === all.length, s"overlapping flips for $seed")
+      val recs = (0 to 4).map(j => MediaRecord(j.toLong,
+        Multimodal.renderSceneWide(seed, j, "png"), "png", 64, 64))
+      val hs = Multimodal.aHash(recs.toDS()).collect()
+        .map(h => h.doc_id -> h.ahash).toMap
+      for (a <- 0 to 4; b <- a + 1 to 4)
+        assert(java.lang.Long.bitCount(hs(a.toLong) ^ hs(b.toLong)) === a + b,
+          s"seed $seed pair ($a,$b)")
+    }
+    val pairs = Multimodal.imageNearDupWide(spark, "/root/testdata/sf0.001")
+    assert(pairs.filter(col("dist") > 3).count() > 0,
+      "no wide pairs — the 8x8 banding gate is vacuous")
+    assert(pairs.filter(col("dist") > 7).count() === 0)
+  }
+
   test("q366: streaming image dedup equals batch q357 exactly (can-never-fork)") {
     val dir = "/root/testdata/sf0.001"
     val stream = graft.streaming.Streams.streamImageDedup(spark, dir).collect()
