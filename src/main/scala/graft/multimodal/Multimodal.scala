@@ -407,6 +407,119 @@ object Multimodal {
   def renderSceneWide(seed: Long, variant: Int, format: String): Array[Byte] =
     encodeCells(cellValues(seed, wideFlips(seed, variant)), format)
 
+  /** REAL animated-GIF encode via ImageIO's sequence writer: each
+    * frame's 8×8 cell grid is rasterized ([[cellImage]]) and appended
+    * with `writeToSequence`, yielding a genuine multi-image GIF89a
+    * container — the JDK's one bundled multi-frame format. GIF's
+    * palette holds the two gray levels (0, 200) exactly, so frame
+    * decode returns the planted pixels bit-for-bit. */
+  def encodeGifAnimation(frames: Seq[Array[Int]]): Array[Byte] = {
+    imageIoReady
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { cells =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(cellImage(cells), null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode via the ImageReader API — `ImageIO.read`
+    * silently returns only frame 0 of an animated container; frame
+    * extraction needs `getNumImages(true)` + `read(i)`. Returns the
+    * per-frame luminance buffers (w*h ints each; our frames are
+    * full-raster so no inter-frame compositing applies). Empty on
+    * unrecognized payloads — the pipeline-stays-total contract. */
+  def decodeAllFrames(payload: Array[Byte]): Seq[Array[Int]] = {
+    imageIoReady
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return Seq.empty }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          argb.map(p => (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3)
+        }
+      } finally { reader.dispose(); iis.close() }
+    } catch {
+      case scala.util.control.NonFatal(_) => Seq.empty
+    }
+  }
+
+  /** A multi-frame clip spec: per-DOC seed (frames are the group),
+    * 2–4 frames; frame f > 0 flips cell `(seed mod 56 + f) mod 56` —
+    * the q357 variant rule with the frame index as the variant. */
+  case class GifSpec(doc_id: Long, seed: Long, n_frames: Int)
+
+  def gifSpecs(spark: SparkSession, dir: String): Dataset[GifSpec] = {
+    import spark.implicits._
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      phash(expr("cast(doc_id as string)")).as("seed"),
+      (lit(2) + col("doc_id") % 3).cast(IntegerType).as("n_frames"))
+      .as[GifSpec]
+  }
+
+  /** The generated animated-GIF table: one REAL multi-frame container
+    * per doc, produced executor-side from the row's own spec. */
+  def generatedGifs(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    gifSpecs(spark, dir).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { s =>
+        val frames = (0 until s.n_frames).map { f =>
+          val flips =
+            if (f == 0) Array.empty[Int]
+            else Array(((s.seed % SceneCells).toInt + f) % SceneCells)
+          cellValues(s.seed, flips)
+        }
+        MediaRecord(s.doc_id, encodeGifAnimation(frames), "gif", 64, 64)
+      })
+    }
+  }
+
+  /** Per-frame census row (q367). */
+  case class GifFrameCensus(doc_id: Long, frame_idx: Int, n_pixels: Long,
+    n_bright: Long)
+
+  /** q367 — MULTI-FRAME GIF CENSUS: the frame path over a REAL
+    * container codec (q360's clips are byte-planes by design; this is
+    * the container twin). Each doc's animated GIF is decoded frame by
+    * frame through the ImageReader API and every frame's bright-pixel
+    * count is emitted; the oracle re-derives the count in closed form
+    * (`64 × (bit_count(seed) ± the frame-f flip)` — q358's kd formula
+    * with the frame index as the variant). Load-bearing failure modes:
+    * a decoder that sees only frame 0 (ImageIO.read semantics) emits
+    * too few rows; a sequence writer that palette-quantizes or
+    * composites frames shifts a bright count; a frame-count formula
+    * slip breaks the row set. Decode is partition-batched and narrow —
+    * payloads never shuffle; output is O(frames). */
+  def gifFrameCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    generatedGifs(spark, dir).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.flatMap { r =>
+        decodeAllFrames(r.payload).zipWithIndex.map { case (px, f) =>
+          var bright = 0L
+          var i = 0
+          while (i < px.length) { if (px(i) > 100) bright += 1; i += 1 }
+          GifFrameCensus(r.doc_id, f, px.length.toLong, bright)
+        }
+      })
+    }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** The generated media table: REAL encoded image bytes (one render +
     * encode per row, partition-batched like every decode path here) —
     * the corpus the oracle-gated image queries run on. Payloads are
@@ -604,6 +717,7 @@ object Multimodal {
     "q359_resize_census" -> resizeCensus,
     "q360_frame_sample_census" -> frameSampleCensus,
     "q364_crossmodal_dup_matrix" -> crossModalDupMatrix,
+    "q367_gif_frame_census" -> gifFrameCensus,
     "q368_image_neardup_wide" -> imageNearDupWide)
 
   /** The oracle's spelling of the scene seed (portable md5 hash of the
@@ -671,6 +785,23 @@ object Multimodal {
         |              range(fi * 256, LEAST((fi + 1) * 256, len)),
         |              i -> (f.doc_id * 131 + i * 17) % 251))
         |            AS DOUBLE) / LEAST(256, len - fi * 256) AS mean_pixel
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // q367: per-DOC seed; frame f's bright count is q358's kd formula
+    // with the frame index as the variant, 64 px per bright cell.
+    "q367_gif_frame_census" ->
+      s"""WITH s AS (
+        | SELECT doc_id, ${phashSql("CAST(doc_id AS VARCHAR)")} AS seed,
+        |        2 + CAST(doc_id % 3 AS INT) AS nf
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, seed, unnest(range(0, nf)) AS fi FROM s)
+        |SELECT doc_id,
+        |       CAST(fi AS INT) AS frame_idx,
+        |       CAST(4096 AS BIGINT) AS n_pixels,
+        |       CAST(64 * (bit_count(seed)
+        |         + CASE WHEN fi = 0 THEN 0
+        |                WHEN ((seed >> CAST((seed % 56 + fi) % 56 AS INT)) & 1) = 1
+        |                THEN -1 ELSE 1 END) AS BIGINT) AS n_bright
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     // q368: within-group distance is exactly j_a + j_b by the disjoint
     // wideFlips construction; every group pair is within radius 7.

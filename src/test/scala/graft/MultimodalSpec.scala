@@ -248,6 +248,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.filter(col("dist") > 7).count() === 0)
   }
 
+  test("q367: animated GIF round-trips all frames exactly; ImageIO.read would see only frame 0") {
+    val seed = 0x5A5A5A5A5A5AL
+    val frames = (0 until 3).map { f =>
+      (0 until 64).map { c =>
+        val base = if (c < 56 && ((seed >> c) & 1L) == 1L) 200 else 0
+        if (f > 0 && c == ((seed % 56).toInt + f) % 56) 200 - base else base
+      }.toArray
+    }
+    val gif = Multimodal.encodeGifAnimation(frames)
+    // the single-frame API sees one image — the reason q367 must use
+    // the ImageReader path at all
+    val single = Multimodal.decodeImage(gif)
+    assert(single.nonEmpty && single.get.w === 64)
+    val decoded = Multimodal.decodeAllFrames(gif)
+    assert(decoded.length === 3, "sequence writer/reader dropped frames")
+    decoded.zip(frames).zipWithIndex.foreach { case ((px, cells), f) =>
+      assert(px.length === 4096, s"frame $f raster")
+      // every pixel must equal its cell's planted gray level exactly
+      (0 until 4096).foreach { i =>
+        val expect = cells(((i / 64) / 8) * 8 + ((i % 64) / 8))
+        assert(px(i) === expect, s"frame $f pixel $i")
+      }
+    }
+  }
+
   test("q366: streaming image dedup equals batch q357 exactly (can-never-fork)") {
     val dir = "/root/testdata/sf0.001"
     val stream = graft.streaming.Streams.streamImageDedup(spark, dir).collect()
