@@ -676,28 +676,55 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** MIRROR-FEED imagery: a second feed whose artwork is keyed by the
+    * article's LEAD (first 160 chars) — the mirror-feed behavior: a
+    * re-served near-dup article keeps its lead, so its mirror artwork
+    * renders PIXEL-IDENTICAL scenes (aHash distance 0) even though the
+    * two docs' bodies differ; unrelated docs get independent seeds
+    * (~28-bit distances, never within radius 3). Codecs rotate by
+    * doc_id — the two sides of a mirror pair usually carry DIFFERENT
+    * encodings of the same pixels, so this feed also gates aHash's
+    * re-encode invariance inside an oracle query. */
+  def mirrorMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      phash(expr("substring(text, 1, 160)")).as("seed"),
+      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' " +
+        "WHEN 1 THEN 'bmp' ELSE 'gif' END").as("format"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap(_.map { case (id, seed, fmt) =>
+          MediaRecord(id, renderScene(seed, 0, fmt), fmt, 64, 64)
+        })
+      }
+  }
+
   /** q364 — CROSS-MODAL DUPLICATE AGREEMENT: which duplicate structure
     * is visible to which detector. The text near-dup pair set (q33's
     * exact-Jaccard edges) and the image perceptual near-dup pair set
-    * (q357's banded aHash pairs over the generated scenes) are
-    * full-outer joined on the pair key and rolled up into the
-    * (in_text, in_image) agreement matrix — the audit a multimodal
-    * corpus runs before trusting either detector alone: a feed that
-    * re-serves articles VERBATIM with re-rendered imagery lands in
-    * text_only; re-encoded/resized imagery under rewritten captions
-    * lands in image_only; true mirror feeds land in both. On the gate
-    * corpus the planted text dups are long-range id pairs and the
-    * scene groups are id-quintets, so the two DISAGREEMENT cells are
-    * what the oracle exercises (disjoint by construction — the useful
-    * worst case: the detectors see entirely different structure);
-    * the 'both' cell logic is spec-covered on synthetic pair sets.
-    * Scale shape: both inputs are slim pair frames, the join is
-    * keyed, output is O(4) rows. */
+    * (q357's banded aHash pairs over the generated scenes, UNIONed
+    * with the [[mirrorMedia]] feed's pairs) are full-outer joined on
+    * the pair key and rolled up into the (in_text, in_image)
+    * agreement matrix — the audit a multimodal corpus runs before
+    * trusting either detector alone: a feed that re-serves articles
+    * VERBATIM with re-rendered imagery lands in text_only;
+    * re-encoded/resized imagery under rewritten captions lands in
+    * image_only; true mirror feeds land in BOTH. All four cells are
+    * oracle-exercised on the gate corpus: the quintet scenes plant
+    * image-only structure, the long-range text dups plant text-only
+    * structure, and the mirror feed's lead-keyed artwork makes every
+    * lead-preserving text dup an image dup too (nonzero both cell).
+    * Scale shape: all inputs are slim pair frames, the join is keyed,
+    * output is O(4) rows. */
   def crossModalDupMatrix(spark: SparkSession, dir: String): DataFrame =
     dupAgreementMatrix(
       graft.dedup.Dedup.jaccardEdges(spark, dir)
         .select(col("doc_a"), col("doc_b")),
-      imageNearDupGenerated(spark, dir).select(col("doc_a"), col("doc_b")))
+      imageNearDupGenerated(spark, dir).select(col("doc_a"), col("doc_b"))
+        .unionByName(imageNearDup(mirrorMedia(spark, dir))
+          .select(col("doc_a"), col("doc_b")))
+        .distinct())
 
   /** The matrix core over any two (doc_a, doc_b) pair frames. */
   def dupAgreementMatrix(text: DataFrame, image: DataFrame): DataFrame =
@@ -811,15 +838,21 @@ object Multimodal {
         |FROM documents a JOIN documents b
         |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // q364: text pairs re-derived by the q33 oracle CTE, image pairs by
-    // the q357 scene-group rule; the matrix is their full-outer rollup.
+    // q364: text pairs re-derived by the q33 oracle CTE; image pairs by
+    // the q357 scene-group rule UNION the mirror feed's shared-lead
+    // rule; the matrix is their full-outer rollup.
     "q364_crossmodal_dup_matrix" ->
       s"""WITH ${graft.dedup.Dedup.jaccardCommonCte},
         |tp AS (SELECT doc_a, doc_b FROM common
         |       WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
         |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |       FROM documents a JOIN documents b
-        |         ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id),
+        |         ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+        |       UNION
+        |       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM documents a JOIN documents b
+        |         ON substring(a.text, 1, 160) = substring(b.text, 1, 160)
+        |        AND a.doc_id < b.doc_id),
         |u AS (SELECT tp.doc_a IS NOT NULL AS in_text,
         |             ip.doc_a IS NOT NULL AS in_image
         |      FROM tp FULL OUTER JOIN ip

@@ -248,6 +248,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.filter(col("dist") > 7).count() === 0)
   }
 
+  test("q364: the gate corpus populates every representable agreement cell, including both") {
+    // the mirror feed keys artwork by the article's 160-char lead:
+    // lead-preserving text dups must land in (true, true); text dups
+    // whose edit falls inside the lead stay (true, false); the quintet
+    // scenes supply (false, true). (false, false) is unrepresentable —
+    // a pair neither detector emits is not a row of the outer join.
+    val cells = Multimodal.crossModalDupMatrix(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(cells.getOrElse((true, true), 0L) > 0, s"empty both cell: $cells")
+    assert(cells.getOrElse((true, false), 0L) > 0, s"empty text-only cell: $cells")
+    assert(cells.getOrElse((false, true), 0L) > 0, s"empty image-only cell: $cells")
+  }
+
   test("q367: animated GIF round-trips all frames exactly; ImageIO.read would see only frame 0") {
     val seed = 0x5A5A5A5A5A5AL
     val frames = (0 until 3).map { f =>
