@@ -1200,6 +1200,124 @@ object Streams {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** q369 — TTL-BOUNDED STREAMING PERCEPTUAL DEDUP: the state-bounded
+    * form of q366, closing the one 100 TB liability of the NoTimeout
+    * dedup pair (q319/q366): on a continuous stream their band-bucket
+    * residents live forever. Here the stream carries EVENT TIME
+    * (batch k's docs are stamped T0 + k·1h; the 4-file split assigns
+    * doc_id mod 4 → batch, mtime-ordered so file order IS batch
+    * order), the source is watermarked at 90 minutes, and the
+    * stateful pairing both
+    *
+    *   - EVICTS by watermark: residents whose event time has fallen
+    *     behind `state.getCurrentWatermarkMs` are dropped before any
+    *     comparison — an arrival can only pair with residents at most
+    *     2 batches older (ts_j ≥ ts_{k-1} − 90 min ⟺ j ≥ k − 2), and
+    *   - EXPIRES state physically: EventTimeTimeout set to the
+    *     bucket's max resident event time, so a bucket whose residents
+    *     are all past the watermark is REMOVED (state.remove) at the
+    *     next trigger instead of lingering filtered-but-resident.
+    *
+    * The gate proves both directions against a closed-form oracle:
+    * in-window scene pairs (batch gap ≤ 2) must all emit with q357's
+    * planted distances, and out-of-window pairs (gap 3 — present in
+    * EVERY 5-doc scene group, since 5 consecutive ids cover all 4
+    * batch classes) must NOT — a NoTimeout implementation fails the
+    * gate with 1000 rows instead of 850 at sf0.001. State bound:
+    * residents per bucket ≤ one watermark-window of colliding hashes
+    * (~3 batches here), 24 bytes each, independent of stream length. */
+  def streamImageDedupTtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base =
+      s"${sys.props("java.io.tmpdir")}/graft_img_ttl${safe}_${ProcessHandle.current().pid()}"
+    deleteRecursively(new java.io.File(base))
+    val staged = graft.multimodal.Multimodal.generatedMedia(spark, dir).toDF()
+      .withColumn("ts",
+        expr("timestamp'2026-01-01 00:00:00' + (doc_id % 4) * INTERVAL '1' HOUR"))
+    // one file per event-hour, mtimes forced ascending: the file
+    // source processes oldest-first, so micro-batch k carries exactly
+    // the docs stamped T0 + k·1h and the watermark sequence is
+    // deterministic (wm during batch k = ts_{k-1} − 90 min)
+    new java.io.File(s"$base/src").mkdirs()
+    val mtime0 = new java.io.File(dir).lastModified()
+    for (k <- 0 until 4) {
+      val stage = s"$base/stage$k"
+      staged.filter(col("doc_id") % 4 === k)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file staged for batch $k"))
+      val dst = new java.io.File(s"$base/src/batch$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime0 + k * 60000L): Unit
+    }
+    val schema = spark.read.parquet(s"$base/src").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val hashed = graft.multimodal.Multimodal
+      .aHash(src.select(col("doc_id"), col("payload"), col("format"),
+        col("width"), col("height"))
+        .as[graft.multimodal.Multimodal.MediaRecord]).toDF()
+      // re-derive the event time from doc_id and declare the watermark
+      // HERE, after the typed hash map — aHash's kernel contract stays
+      // payload-only, and a watermark declared before a projection
+      // that drops its column would not reach the stateful operator
+      .withColumn("ts",
+        expr("timestamp'2026-01-01 00:00:00' + (doc_id % 4) * INTERVAL '1' HOUR"))
+      .withWatermark("ts", "90 minutes")
+    // the watermark-tagged ts attribute itself must flow into the
+    // stateful operator's input (a derived copy would fail the
+    // event-time-timeout analysis check)
+    val banded = hashed
+      .select(col("doc_id"), col("ahash"), col("ts"),
+        explode(graft.functions.Banding.hashBands(col("ahash"), 4, 16)).as("bk"))
+      .select(concat_ws("|", col("bk.band"), col("bk.bkey")).as("bucket"),
+        col("doc_id"), col("ahash"), col("ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+    val pairs = banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[(Long, Long, Long)],
+        (Long, Long, Int)](OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) { (_, rows, state) =>
+        if (state.hasTimedOut) {
+          // watermark passed the bucket's newest resident: every
+          // resident is evicted — drop the bucket entirely
+          state.remove()
+          Iterator.empty
+        } else {
+          val wm = state.getCurrentWatermarkMs()
+          val alive = state.getOption.getOrElse(Array.empty[(Long, Long, Long)])
+            .filter(_._3 >= wm)
+          val out = Vector.newBuilder[(Long, Long, Int)]
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          def compare(id: Long, h: Long, pid: Long, ph: Long): Unit = {
+            val d = java.lang.Long.bitCount(h ^ ph)
+            if (d <= 3)
+              out += ((math.min(pid, id), math.max(pid, id), d))
+          }
+          rows.map(r => (r._2, r._3, r._4.getTime)).toVector.sortBy(_._1).foreach {
+            case (id, h, ts) =>
+              alive.foreach { case (pid, ph, _) => compare(id, h, pid, ph) }
+              fresh.foreach { case (pid, ph, _) => compare(id, h, pid, ph) }
+              fresh += ((id, h, ts))
+          }
+          val next = alive ++ fresh
+          state.update(next)
+          // expire when the watermark passes the NEWEST resident —
+          // at that point the eviction filter would empty the bucket
+          if (next.nonEmpty) state.setTimeoutTimestamp(next.map(_._3).max)
+          out.result().iterator
+        }
+      }
+    try {
+      runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b", "dist"),
+          "graft_stream_img_ttl")
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** STREAMING RUNNING TOTALS via `transformWithState` — the third
     * implementation of the per-user balance/count semantics, gated on
     * the SAME oracle string as q188's foreachBatch MERGE (and the
@@ -1354,6 +1472,7 @@ object Streams {
     "q319_stream_lsh_dedup" -> streamLshDedup,
     "q338_stream_canaries" -> streamCanaries,
     "q366_stream_image_dedup" -> streamImageDedup,
+    "q369_stream_dedup_ttl" -> streamImageDedupTtl,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
@@ -1422,6 +1541,18 @@ object Streams {
     // q366: oracle = batch q357's string verbatim (stream==batch gate)
     "q366_stream_image_dedup" ->
       graft.multimodal.Multimodal.oracles("q357_image_neardup_pairs"),
+    // q369: q357's pair rule RESTRICTED to the watermark window — a
+    // scene pair emits iff its docs' event-hours (doc_id mod 4) are at
+    // most 2 apart; gap-3 pairs (present in every scene quintet) must
+    // be suppressed by eviction, so a NoTimeout detector fails this
+    "q369_stream_dedup_ttl" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(CASE WHEN a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+        |           THEN 1 ELSE 2 END AS INT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+        | AND abs((a.doc_id % 4) - (b.doc_id % 4)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q278_stream_source_sketch" ->
       s"""WITH t AS (SELECT doc_id, source,
         |    STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks FROM documents),

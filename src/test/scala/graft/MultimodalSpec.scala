@@ -286,6 +286,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q369: TTL dedup emits exactly batch q357 minus the watermark-evicted gap-3 pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getInt(2))
+    val batch = Multimodal.imageNearDupGenerated(spark, dir).collect().map(key).toSet
+    val ttl = graft.streaming.Streams.streamImageDedupTtl(spark, dir)
+      .collect().map(key).toSet
+    assert(ttl.subsetOf(batch), "TTL form invented pairs the batch detector lacks")
+    val suppressed = batch -- ttl
+    assert(suppressed.nonEmpty, "nothing evicted — the TTL gate is vacuous")
+    // exactly the pairs whose event-hours are 3 apart fall out of the
+    // 90-minute watermark window; everything in-window must survive
+    suppressed.foreach { case (a, b, _) =>
+      assert(math.abs(a % 4 - b % 4) === 3, s"in-window pair ($a,$b) evicted")
+    }
+    batch.foreach { case p @ (a, b, _) =>
+      if (math.abs(a % 4 - b % 4) <= 2) assert(ttl.contains(p), s"missing $p")
+    }
+  }
+
   test("q366: streaming image dedup equals batch q357 exactly (can-never-fork)") {
     val dir = "/root/testdata/sf0.001"
     val stream = graft.streaming.Streams.streamImageDedup(spark, dir).collect()
