@@ -1072,7 +1072,50 @@ object Validate {
         (d(col("actual_rows")) / col("est_rows")).as("actual_over_est"))
   }
 
+  private[graft] lazy val bottomKAgg =
+    udaf(graft.functions.BottomKSample,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+
+  /** q370 — MERGEABLE QUANTILE SKETCH (bottom-k sample): per-source
+    * document-length percentiles WITHOUT a corpus-wide per-group sort
+    * — the quantile companion of q365's KMV, completing the classic
+    * sketch family (HLL / MinHash / KMV / bottom-k sample). Each doc
+    * contributes (portable 56-bit id-hash, n_chars) to
+    * [[graft.functions.BottomKSample]]; the kept K = 64 values are a
+    * deterministic uniform sample of the source (see the Aggregator
+    * doc for why bottom-k is oracle-recomputable where KLL is not),
+    * and p50/p90/p99 are read off the sorted sample at the integer
+    * rank `(m−1)·p div 100` — every index step exact in both engines.
+    * Exact doc counts ride along as audit columns (the q211/q234/q365
+    * estimate-beside-truth pattern).
+    *
+    * Scale shape: ONE partial-aggregable rollup — map-side combine
+    * reduces every partition to ≤ 64 (hash, value) pairs per source
+    * before the shuffle (PlanSpec pins `partial_bottomksample`), vs
+    * the full per-group sort/shuffle an exact percentile needs;
+    * output is O(sources). */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("source"),
+        phash(expr("cast(doc_id as string)")).as("h"),
+        col("n_chars").cast(LongType).as("v"))
+    // integer `div` (Column./ is double division and would detour the
+    // rank through IEEE); element_at is 1-based, index ∈ [1, m] so the
+    // ANSI bounds check can never throw
+    def pAt(p: Int): Column =
+      element_at(col("sv"),
+        expr(s"cast((size(sv) - 1) * $p div 100 as int) + 1")).as(s"p$p")
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        bottomKAgg(col("h"), col("v")).as("sample"))
+      .withColumn("sv", array_sort(col("sample")))
+      .select(col("source"), col("n_docs"),
+        size(col("sv")).as("m_sample"), pAt(50), pAt(90), pAt(99))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q370_quantile_sketch" -> quantileSketch,
     "q310_join_cardinality" -> joinCardinalityAudit,
     "q305_daily_percentiles" -> dailyPercentiles,
     "q289_wasserstein_drift" -> wassersteinDrift,
@@ -1119,6 +1162,29 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    // q370: the bottom-64-by-(hash,value) sample is deterministic, so
+    // the oracle recomputes it with a window rank and reads the same
+    // integer ranks off the sorted sample values
+    "q370_quantile_sketch" ->
+      s"""WITH h AS (
+        | SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |        ${phashSql("CAST(doc_id AS VARCHAR)")} AS hk
+        | FROM documents),
+        |r AS (
+        | SELECT source, v,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, v) AS rn
+        | FROM h),
+        |cn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM h GROUP BY source),
+        |s AS (SELECT source, LIST_SORT(LIST(v)) AS sv
+        |      FROM r WHERE rn <= 64 GROUP BY source)
+        |SELECT s.source, cn.n_docs,
+        |       CAST(LEN(sv) AS INT) AS m_sample,
+        |       sv[CAST((LEN(sv) - 1) * 50 // 100 AS INT) + 1] AS p50,
+        |       sv[CAST((LEN(sv) - 1) * 90 // 100 AS INT) + 1] AS p90,
+        |       sv[CAST((LEN(sv) - 1) * 99 // 100 AS INT) + 1] AS p99
+        |FROM s JOIN cn ON s.source = cn.source
+        |ORDER BY s.source""".stripMargin,
     // q310: identical estimator spelling and exact count-table join
     "q310_join_cardinality" ->
       """WITH l AS (SELECT user_id, COUNT(*) AS c FROM events

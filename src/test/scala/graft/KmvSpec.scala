@@ -28,6 +28,30 @@ class KmvSpec extends AnyFunSuite {
     assert(b.toSeq === b.toSeq.sorted)
   }
 
+  test("BottomKSample: merge equals sequential reduction and the sample is the rank truth") {
+    import graft.functions.BottomKSample
+    val xs = (0 until 400).map(i =>
+      ((i * 2654435761L) % 100003L, (i * 7919L) % 5000L))
+    val (l, r) = xs.splitAt(173)
+    val seq = xs.foldLeft(BottomKSample.zero)(BottomKSample.reduce)
+    val par = BottomKSample.merge(
+      l.foldLeft(BottomKSample.zero)(BottomKSample.reduce),
+      r.foldLeft(BottomKSample.zero)(BottomKSample.reduce))
+    assert(par.toSeq === seq.toSeq)
+    // merge is also order-independent (the shuffle-order law)
+    assert(BottomKSample.merge(
+      r.foldLeft(BottomKSample.zero)(BottomKSample.reduce),
+      l.foldLeft(BottomKSample.zero)(BottomKSample.reduce)).toSeq === seq.toSeq)
+    // ground truth: the K pairs smallest by (hash, value), values out
+    val truth = xs.sorted.take(BottomKSample.K)
+    assert(seq.toSeq === truth)
+    assert(BottomKSample.finish(seq).toSeq === truth.map(_._2))
+    // under-full group: the sample IS the group
+    val small = xs.take(10).foldLeft(BottomKSample.zero)(BottomKSample.reduce)
+    assert(BottomKSample.finish(small).sorted.toSeq ===
+      xs.take(10).map(_._2).sorted)
+  }
+
   test("merge equals sequential reduction (the mergeable-sketch law)") {
     val xs = (0 until 500).map(i => (i * 2654435761L) % 100000L)
     val (l, r) = xs.splitAt(237)
@@ -60,16 +84,22 @@ class KmvSpec extends AnyFunSuite {
     val m = multimodal.Multimodal.crossModalDupMatrix(spark, sf).collect()
       .map(r => (r.getAs[Boolean]("in_text"), r.getAs[Boolean]("in_image")) ->
         r.getAs[Long]("n_pairs")).toMap
-    // never a (false, false) row
+    // never a (false, false) row; all three representable cells filled
+    // (the mirror feed makes lead-preserving text dups image dups too)
     assert(!m.contains((false, false)))
     assert(m.getOrElse((true, false), 0L) > 0, "text_only")
     assert(m.getOrElse((false, true), 0L) > 0, "image_only")
-    // the driver corpus plants text dups as long-range pairs and image
-    // dups as id-quintets — structurally disjoint, so 'both' is 0 here;
-    // the all-cells logic is pinned synthetically below
-    // marginals equal the source pair sets
+    assert(m.getOrElse((true, true), 0L) > 0, "both")
+    // marginals equal the source pair sets (image = quintet scenes
+    // UNION the mirror feed's lead-keyed pairs)
+    import org.apache.spark.sql.functions.col
     val nText = dedup.Dedup.ngramJaccard(spark, sf).count()
-    val nImage = multimodal.Multimodal.imageNearDupGenerated(spark, sf).count()
+    val nImage = multimodal.Multimodal.imageNearDupGenerated(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+      .unionByName(multimodal.Multimodal
+        .imageNearDup(multimodal.Multimodal.mirrorMedia(spark, sf))
+        .select(col("doc_a"), col("doc_b")))
+      .distinct().count()
     assert(m.getOrElse((true, true), 0L) + m.getOrElse((true, false), 0L) === nText)
     assert(m.getOrElse((true, true), 0L) + m.getOrElse((false, true), 0L) === nImage)
   }

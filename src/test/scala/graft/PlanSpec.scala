@@ -203,6 +203,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("distinct"), plan)
   }
 
+  test("BottomKSample aggregates partially: q370's quantile path has no per-group sort shuffle") {
+    import org.apache.spark.sql.functions._
+    // map-side partial ObjectHashAggregate must reduce each partition
+    // to <= K (hash, value) pairs per source BEFORE the exchange —
+    // the claim that lets q370 answer per-group percentiles without
+    // the corpus-wide per-group sort an exact pass needs
+    val plan = formatted(ops.Validate.quantileSketch(spark, sf))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_bottomksample"), plan)
+    assert(!plan.toLowerCase.contains("window"), plan) // no rank/sort fallback
+  }
+
   test("q65 grouping sets expand into ONE aggregate pass, not N scans") {
     val plan = formatted(run("q65_grouping_sets"))
     assert(plan.contains("Expand"), plan)
