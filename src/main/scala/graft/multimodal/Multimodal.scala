@@ -45,6 +45,19 @@ object Multimodal {
   /** Decode batch size: bounds peak decoded-buffer memory per task. */
   val DecodeBatch = 32
 
+  /** Spread spec rows across the session's shuffle parallelism before
+    * a codec mapPartitions: spec frames are ~20-byte rows coming off
+    * ONE small parquet split, and without this every render/encode/
+    * decode pipeline in the module runs as a single task no matter
+    * how many cores the cluster has (measured: the whole generated
+    * corpus serialized on 1 of 32 local cores at sf0.1). Hash
+    * partitioning on doc_id — deterministic assignment, no sort,
+    * and the shuffled payload is the slim spec, never media bytes. */
+  private[multimodal] def fanOut[T](ds: Dataset[T]): Dataset[T] =
+    ds.repartition(
+      ds.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_id"))
+
   /** A decoded image: true dimensions, per-pixel luminance, and
     * per-channel means. */
   case class Decoded(w: Int, h: Int, gray: Array[Int], meanR: Double,
@@ -477,7 +490,7 @@ object Multimodal {
     * per doc, produced executor-side from the row's own spec. */
   def generatedGifs(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    gifSpecs(spark, dir).mapPartitions { it =>
+    fanOut(gifSpecs(spark, dir)).mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap(_.map { s =>
         val frames = (0 until s.n_frames).map { f =>
           val flips =
@@ -528,7 +541,7 @@ object Multimodal {
     * partition, not the job. */
   def generatedMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    sceneSpecs(spark, dir).mapPartitions { it =>
+    fanOut(sceneSpecs(spark, dir)).mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap(_.map { s =>
         MediaRecord(s.doc_id, renderScene(s.seed, s.variant, s.format),
           s.format, 64, 64)
@@ -540,7 +553,7 @@ object Multimodal {
     * row — real codecs, multi-cell flips). */
   def generatedMediaWide(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    sceneSpecs(spark, dir).mapPartitions { it =>
+    fanOut(sceneSpecs(spark, dir)).mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap(_.map { s =>
         MediaRecord(s.doc_id, renderSceneWide(s.seed, s.variant, s.format),
           s.format, 64, 64)
@@ -643,6 +656,8 @@ object Multimodal {
     * id — nothing ships from the driver. */
   def generatedClips(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
+    // not fanned out: the clip fill is pure byte math (~2 us/row) —
+    // the fan-out shuffle would dominate it
     load(spark, dir, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { docId =>
@@ -693,6 +708,7 @@ object Multimodal {
       expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' " +
         "WHEN 1 THEN 'bmp' ELSE 'gif' END").as("format"))
       .as[(Long, Long, String)]
+      .transform(fanOut(_))
       .mapPartitions { it =>
         it.grouped(DecodeBatch).flatMap(_.map { case (id, seed, fmt) =>
           MediaRecord(id, renderScene(seed, 0, fmt), fmt, 64, 64)

@@ -1233,9 +1233,14 @@ object Streams {
     val base =
       s"${sys.props("java.io.tmpdir")}/graft_img_ttl${safe}_${ProcessHandle.current().pid()}"
     deleteRecursively(new java.io.File(base))
-    val staged = graft.multimodal.Multimodal.generatedMedia(spark, dir).toDF()
+    // render ONCE to a staging table, then cut the 4 per-event-hour
+    // files from the parquet — 4 filtered writes off the generator
+    // would re-run the whole render/encode pipeline per batch file
+    graft.multimodal.Multimodal.generatedMedia(spark, dir).toDF()
       .withColumn("ts",
         expr("timestamp'2026-01-01 00:00:00' + (doc_id % 4) * INTERVAL '1' HOUR"))
+      .write.mode("overwrite").parquet(s"$base/all")
+    val staged = spark.read.parquet(s"$base/all")
     // one file per event-hour, mtimes forced ascending: the file
     // source processes oldest-first, so micro-batch k carries exactly
     // the docs stamped T0 + k·1h and the watermark sequence is
