@@ -814,7 +814,13 @@ object TextAnalysis {
     * DECIMAL(38) products (no BIGINT overflow at corpus scale), each
     * ratio ONE correctly-rounded decimal→double cast + division,
     * mirrored digit-for-digit by the oracle's HUGEINT-via-VARCHAR
-    * casts (the q236 pattern). Output is one row. */
+    * casts (the q236 pattern). Output is one row.
+    *
+    * Degenerate-marginal guard (the q236 NULL rule): when either gate
+    * is unanimous, pe_num = n² and κ's denominator is exactly 0 — κ is
+    * mathematically undefined (chance agreement is total), so both
+    * engines emit NULL instead of ANSI-throwing; surfaced by the
+    * heaps-corpus soak, where the diversity gate passes every doc. */
   def gateKappa(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(tokens(col("text"))).cast(LongType)
     val mtl = length(regexp_replace(trim(col("text")), " +", ""))
@@ -841,8 +847,11 @@ object TextAnalysis {
         (col("agree").cast(DoubleType) / col("n")).as("po"),
         (col("pe_num").cast(DoubleType) /
           (dec(col("n")) * dec(col("n"))).cast(DoubleType)).as("pe"),
-        ((dec(col("n")) * dec(col("agree")) - col("pe_num")).cast(DoubleType) /
-          (dec(col("n")) * dec(col("n")) - col("pe_num")).cast(DoubleType))
+        when(dec(col("n")) * dec(col("n")) === col("pe_num"),
+          lit(null).cast(DoubleType))
+          .otherwise(
+            (dec(col("n")) * dec(col("agree")) - col("pe_num")).cast(DoubleType) /
+              (dec(col("n")) * dec(col("n")) - col("pe_num")).cast(DoubleType))
           .as("kappa"))
   }
 
@@ -911,9 +920,10 @@ object TextAnalysis {
         |  CAST(agree AS DOUBLE) / n AS po,
         |  CAST(CAST(pe_num AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(CAST(n AS HUGEINT) * n AS VARCHAR) AS DOUBLE) AS pe,
-        |  CAST(CAST(CAST(n AS HUGEINT) * agree - pe_num AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(CAST(n AS HUGEINT) * n - pe_num AS VARCHAR) AS DOUBLE)
-        |    AS kappa
+        |  CASE WHEN CAST(n AS HUGEINT) * n = pe_num THEN NULL
+        |    ELSE CAST(CAST(CAST(n AS HUGEINT) * agree - pe_num AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(n AS HUGEINT) * n - pe_num AS VARCHAR) AS DOUBLE)
+        |  END AS kappa
         |FROM k""".stripMargin,
     // q308: same trigram stream, same corpus-count join
     "q308_rare_trigram_rate" ->
