@@ -105,17 +105,20 @@ object Dedup {
     * band join is the scale path — pair generation never touches
     * non-colliding docs. */
   /** LSH band keys of a (doc_id, sig) frame — ONE definition of the
-    * band split serving q31's self-join and q285's delta-vs-corpus
-    * probe (the two must never fork). */
+    * band split serving q31's self-join, q285's delta-vs-corpus probe,
+    * and the streaming detectors (all of which must never fork). Extra
+    * input columns (e.g. the streaming form's watermark-tagged event
+    * time) pass through untouched. */
   private[graft] def bandKeys(sigs: DataFrame): DataFrame = {
     val bandStructs = array((0 until BANDS).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until R).map(r =>
           element_at(col("sig"), b * R + r + 1).cast(StringType)): _*).as("bkey"))
     }: _*)
-    sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"),
-        col("bk.bkey").as("bkey"))
+    val keep = sigs.columns.map(col).toSeq
+    sigs.select(keep :+ explode(bandStructs).as("bk"): _*)
+      .select(keep :+ col("bk.band").as("band") :+
+        col("bk.bkey").as("bkey"): _*)
   }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -3282,6 +3285,26 @@ object Dedup {
         |  CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}), i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 AS est_jaccard
         |FROM pairs
         |WHERE CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}), i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q371: q31's pair rule RESTRICTED to the watermark window — a pair
+    * emits iff its docs' event-hours (doc_id mod 4) are at most 2
+    * apart (watermark 90 min ⟹ an arrival in batch k pairs only with
+    * residents from batches ≥ k − 2); gap-3 pairs, present in the
+    * corpus (2 of 28 q31 pairs at sf0.001), MUST be suppressed by
+    * eviction, so a NoTimeout detector fails this gate with q31's
+    * full pair set. */
+  private[graft] lazy val lshTtlOracle: String =
+      s"""WITH $lshBandsCte,
+        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |            x.sig AS sa, y.sig AS sb
+        |          FROM bands x JOIN bands y
+        |            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}), i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 AS est_jaccard
+        |FROM pairs
+        |WHERE CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, ${K}), i -> sa[i] = sb[i])) AS DOUBLE) / ${K}.0 >= 0.5
+        |  AND ABS(CAST(doc_a % 4 AS INT) - CAST(doc_b % 4 AS INT)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin
 
   private lazy val clustersOracle: String =

@@ -571,7 +571,17 @@ object Multimodal {
     * [[graft.functions.Banding]]) is ~256× more band collisions, which
     * is why the distance filter runs on the pipelined join output
     * before anything is shuffled again. Cross-group distances
-    * concentrate near 28 and cannot pass ≤ 7 (P ≈ 2e-8 per pair). */
+    * concentrate near 28 and cannot pass ≤ 7 (P ≈ 2e-8 per pair).
+    *
+    * ORACLE SF CEILING (ADVICE r12): the cross-group safety margin is
+    * probabilistic and thins with the SQUARE of the group count — at
+    * sf1 (~10k scene groups, ~5e7 cross-group pairs) the expected
+    * number of spurious ≤ 7 pairs is ~1, so the closed-form oracle
+    * gate is only sound for sf ≤ 0.1 (~5e5 cross pairs, expectation
+    * ~0.01). Soak q368 at sf ≥ 1 on throughput/candidate-count probes
+    * only, or use q372's 128-bit fingerprint, whose per-pair
+    * probability (~2e-13 at the same radius) keeps the expectation
+    * ≪ 1 through sf10. */
   def imageNearDupWide(spark: SparkSession, dir: String): DataFrame =
     imageNearDup(generatedMediaWide(spark, dir), maxDist = 7,
       nBands = 8, bandBits = 8)

@@ -981,309 +981,108 @@ object Streams {
     runToMemory(spark, agg, "graft_stream_src_sketch").orderBy(col("source"))
   }
 
-  /** q338 — STREAMING CANARY CHECK: q335's planted-duplicate
-    * acceptance test run through the STREAMING detector (q319's
-    * band-bucket state machinery) — the health probe for the ingest
-    * path itself: canaries ride the same micro-batches as real
-    * documents, and a detection rate below 1.0 means the stateful
-    * detector (not just the batch algorithm) is dropping duplicates.
-    * The oracle is q335's string VERBATIM: batch and streaming canary
-    * checks must agree exactly, because q319's pair set equals q31's.
-    * Canaries are planted across micro-batch files, so detection
-    * exercises the cross-batch state path, not just within-batch
-    * compares. */
-  def streamCanaries(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val K = graft.dedup.Dedup.K
-    val Shift = 1000000000L
+  // ---------------------------------------------------------------
+  // TTL-BOUNDED STREAMING NEAR-DUP DETECTION (q319/q338/q366/q369/q371)
+  // ---------------------------------------------------------------
+
+  /** Event-time origin of the staged dedup streams. Any fixed instant
+    * works — the oracles only ever use batch DIFFERENCES. */
+  private val DedupT0 = "timestamp'2026-01-01 00:00:00'"
+
+  /** Exact-replay horizon (q319/q338/q366): wider than the replay's
+    * 3-hour event span, so nothing evicts during the gate and the pair
+    * set equals the batch detector's — while a continuous deployment
+    * of the SAME code is still state-bounded at one horizon of
+    * colliding payloads per bucket. Since round 13 the unbounded
+    * NoTimeout form no longer exists in the engine; the horizon is the
+    * only knob separating the exact-replay gates from the TTL gates. */
+  private[graft] val ReplayHorizon = "300 minutes"
+
+  /** TTL-gate horizon (q369/q371): 90 minutes ⟹ an arrival in batch k
+    * pairs only with residents from batches ≥ k − 2 (ts_j ≥ ts_{k-1} −
+    * 90 min ⟺ j ≥ k − 2), so gap-3 pairs MUST be suppressed. */
+  private[graft] val TtlHorizon = "90 minutes"
+
+  /** Canary doc_id offset (shared with [[graft.dedup.Dedup]]'s planted
+    * canaries and their oracle — 10^9 ≡ 0 mod 4, which is why canary
+    * BATCHES are shifted one forward instead, see lshPairsTtlStream). */
+  private val CanaryShift = 1000000000L
+
+  /** Staging/sink root for one streaming-dedup run — pid-keyed so
+    * concurrent Verify/test JVMs never contend on the dir. */
+  private def dedupBase(prefix: String, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    // pid-keyed: concurrent Verify/test JVMs must not contend on the dir
-    val base =
-      s"${sys.props("java.io.tmpdir")}/graft_stream_canary${safe}_${ProcessHandle.current().pid()}"
-    deleteRecursively(new java.io.File(base))
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val planted = docs.filter(col("doc_id") % 97 === 0)
-      .select((col("doc_id") + Shift).as("doc_id"),
-        concat(col("text"), lit(" canaryx")).as("text"))
-    docs.unionByName(planted)
-      .repartition(4).write.mode("overwrite").parquet(s"$base/src")
-    val schema = spark.read.parquet(s"$base/src").schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-    val sigs = src.select(col("doc_id"),
-      call_function("minhash_sig",
-        graft.dedup.Dedup.shingleHashes(col("text"), mod = true)).as("sig"))
-    val banded = graft.dedup.Dedup.bandKeys(sigs)
-      .select(concat_ws("|", col("band"), col("bkey")).as("bucket"),
-        col("doc_id"), col("sig"))
-      .as[(String, Long, Array[Long])]
-    val pairs = banded.groupByKey(_._1)
-      .flatMapGroupsWithState[Array[(Long, Array[Long])],
-        (Long, Long)](OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
-        val out = Vector.newBuilder[(Long, Long)]
-        var seen = state.getOption.getOrElse(Array.empty[(Long, Array[Long])])
-        rows.map(r => (r._2, r._3)).toVector.sortBy(_._1).foreach {
-          case (id, sg) =>
-            seen.foreach { case (pid, psg) =>
-              var eq = 0; var i = 0
-              while (i < K) { if (sg(i) == psg(i)) eq += 1; i += 1 }
-              if (eq * 2 >= K)
-                out += ((math.min(pid, id), math.max(pid, id)))
-            }
-            seen = seen :+ ((id, sg))
-        }
-        state.update(seen)
-        out.result().iterator
-      }
-    val det = runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b"),
-        "graft_stream_canary").distinct()
-      .filter(col("doc_a") % 97 === 0 && col("doc_b") === col("doc_a") + Shift)
-      .agg(count(lit(1)).as("n_detected"))
-    planted.agg(count(lit(1)).as("n_planted"))
-      .crossJoin(broadcast(det))
-      .withColumn("detection_rate",
-        col("n_detected").cast(org.apache.spark.sql.types.DoubleType) /
-          col("n_planted"))
+    s"${sys.props("java.io.tmpdir")}/$prefix${safe}_${ProcessHandle.current().pid()}"
   }
 
-  /** q319 — STREAMING LSH NEAR-DUP DETECTION: the incremental twin of
-    * q31 — documents arrive in micro-batches, each doc's MinHash
-    * signature is banded with the SAME split as the batch detector
-    * ([[graft.dedup.Dedup.bandKeys]]), and per band-bucket state
-    * (flatMapGroupsWithState) holds the signatures already seen, so a
-    * new arrival is compared ONLY against its bucket's residents —
-    * the production ingest-dedup shape: "is this incoming doc a
-    * near-copy of anything already ingested?", answered per batch
-    * without rescanning the corpus. Emitted candidate pairs verify by
-    * the identical signature-overlap estimate (≥ 0.5), and the final
-    * pair set must equal batch q31's EXACTLY — the oracle is q31's
-    * string verbatim, so the two forms can never fork.
-    *
-    * Scale shape: state is partitioned by band bucket (the shuffle
-    * key a 1000-executor job scales on); each bucket holds only its
-    * colliding signatures — for near-uniform buckets that is O(1)
-    * docs, and a hot bucket is exactly a real duplicate cluster. In
-    * an unbounded run, state TTL (GroupStateTimeout / the q271
-    * transformWithState timer path) ages out cold buckets; within-
-    * batch pairs are found by comparing each doc against residents +
-    * earlier same-batch arrivals in doc_id order, so batching cannot
-    * change the result. Cross-band duplicate emissions collapse in
-    * the final distinct. */
-  def streamLshDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val K = graft.dedup.Dedup.K
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    // pid-keyed: concurrent Verify/test JVMs must not contend on the dir
-    val base =
-      s"${sys.props("java.io.tmpdir")}/graft_lsh_dedup${safe}_${ProcessHandle.current().pid()}"
-    deleteRecursively(new java.io.File(base))
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-      .repartition(4).write.mode("overwrite").parquet(s"$base/src")
-    val schema = spark.read.parquet(s"$base/src").schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-    val sigs = src.select(col("doc_id"),
-      call_function("minhash_sig",
-        graft.dedup.Dedup.shingleHashes(col("text"), mod = true)).as("sig"))
-    val banded = graft.dedup.Dedup.bandKeys(sigs)
-      .select(concat_ws("|", col("band"), col("bkey")).as("bucket"),
-        col("doc_id"), col("sig"))
-      .as[(String, Long, Array[Long])]
-    val pairs = banded.groupByKey(_._1)
-      .flatMapGroupsWithState[Array[(Long, Array[Long])],
-        (Long, Long, Double)](OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
-        val out = Vector.newBuilder[(Long, Long, Double)]
-        val resident = state.getOption.getOrElse(Array.empty[(Long, Array[Long])])
-        // batch arrivals accumulate in a buffer (one state-array concat
-        // per batch) — appending to the resident array per arrival would
-        // be quadratic in allocations on a hot bucket, which is exactly
-        // a duplicate cluster
-        val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-        def compare(id: Long, sg: Array[Long], pid: Long, psg: Array[Long]): Unit = {
-          var eq = 0; var i = 0
-          while (i < K) { if (sg(i) == psg(i)) eq += 1; i += 1 }
-          val est = eq.toDouble / K
-          if (est >= 0.5)
-            out += ((math.min(pid, id), math.max(pid, id), est))
-        }
-        rows.map(r => (r._2, r._3)).toVector.sortBy(_._1).foreach {
-          case (id, sg) =>
-            resident.foreach { case (pid, psg) => compare(id, sg, pid, psg) }
-            fresh.foreach { case (pid, psg) => compare(id, sg, pid, psg) }
-            fresh += ((id, sg))
-        }
-        state.update(resident ++ fresh)
-        out.result().iterator
-      }
-    try {
-      runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b", "est_jaccard"),
-          "graft_stream_lsh_dedup")
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
-    } finally deleteRecursively(new java.io.File(base))
-  }
-
-  /** q366 — STREAMING PERCEPTUAL IMAGE DEDUP: q319's ingest-dedup
-    * shape applied to MEDIA. Generated scene payloads arrive as a
-    * 4-file stream; each micro-batch runs the REAL codec decode and
-    * the 8×8 aHash executor-side (the [[graft.multimodal.Multimodal]]
-    * batch kernels verbatim — stateless typed mapPartitions, legal on
-    * a streaming Dataset), fans each 64-bit hash into the 4×16-bit
-    * pigeonhole bands, and compares arrivals only against that
-    * band-bucket's residents via flatMapGroupsWithState. The gate is
-    * the can-never-fork contract: the emitted pair set must equal
-    * batch q357's EXACTLY (oracle = q357's string verbatim), so
-    * batching, state carry-over, and the banding fan-out are all
-    * pinned against the batch path.
-    *
-    * Scale shape: identical to q319 — state is partitioned by band
-    * bucket (the shuffle key), each bucket holds only colliding
-    * hashes (8 bytes per resident, vs q319's K-long signatures); a
-    * hot bucket IS a duplicate cluster. Payload bytes never enter
-    * state — only (doc_id, hash) survives the decode. */
-  def streamImageDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    // pid-keyed: concurrent Verify/test JVMs must not contend on the dir
-    val base =
-      s"${sys.props("java.io.tmpdir")}/graft_img_dedup${safe}_${ProcessHandle.current().pid()}"
-    deleteRecursively(new java.io.File(base))
-    graft.multimodal.Multimodal.generatedMedia(spark, dir).toDF()
-      .repartition(4).write.mode("overwrite").parquet(s"$base/src")
-    val schema = spark.read.parquet(s"$base/src").schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-    val hashed = graft.multimodal.Multimodal
-      .aHash(src.as[graft.multimodal.Multimodal.MediaRecord]).toDF()
-    val banded = hashed
-      .select(col("doc_id"), col("ahash"),
-        explode(graft.functions.Banding.hashBands(col("ahash"), 4, 16)).as("bk"))
-      .select(concat_ws("|", col("bk.band"), col("bk.bkey")).as("bucket"),
-        col("doc_id"), col("ahash"))
-      .as[(String, Long, Long)]
-    val pairs = banded.groupByKey(_._1)
-      .flatMapGroupsWithState[Array[(Long, Long)],
-        (Long, Long, Int)](OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
-        val out = Vector.newBuilder[(Long, Long, Int)]
-        val resident = state.getOption.getOrElse(Array.empty[(Long, Long)])
-        // buffer batch arrivals; one state-array concat per batch (a hot
-        // bucket IS a duplicate cluster — per-arrival array append would
-        // be quadratic in allocations on top of the pair comparisons)
-        val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        def compare(id: Long, h: Long, pid: Long, ph: Long): Unit = {
-          val d = java.lang.Long.bitCount(h ^ ph)
-          if (d <= 3)
-            out += ((math.min(pid, id), math.max(pid, id), d))
-        }
-        rows.map(r => (r._2, r._3)).toVector.sortBy(_._1).foreach {
-          case (id, h) =>
-            resident.foreach { case (pid, ph) => compare(id, h, pid, ph) }
-            fresh.foreach { case (pid, ph) => compare(id, h, pid, ph) }
-            fresh += ((id, h))
-        }
-        state.update(resident ++ fresh)
-        out.result().iterator
-      }
-    try {
-      runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b", "dist"),
-          "graft_stream_img_dedup")
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
-    } finally deleteRecursively(new java.io.File(base))
-  }
-
-  /** q369 — TTL-BOUNDED STREAMING PERCEPTUAL DEDUP: the state-bounded
-    * form of q366, closing the one 100 TB liability of the NoTimeout
-    * dedup pair (q319/q366): on a continuous stream their band-bucket
-    * residents live forever. Here the stream carries EVENT TIME
-    * (batch k's docs are stamped T0 + k·1h; the 4-file split assigns
-    * doc_id mod 4 → batch, mtime-ordered so file order IS batch
-    * order), the source is watermarked at 90 minutes, and the
-    * stateful pairing both
-    *
-    *   - EVICTS by watermark: residents whose event time has fallen
-    *     behind `state.getCurrentWatermarkMs` are dropped before any
-    *     comparison — an arrival can only pair with residents at most
-    *     2 batches older (ts_j ≥ ts_{k-1} − 90 min ⟺ j ≥ k − 2), and
-    *   - EXPIRES state physically: EventTimeTimeout set to the
-    *     bucket's max resident event time, so a bucket whose residents
-    *     are all past the watermark is REMOVED (state.remove) at the
-    *     next trigger instead of lingering filtered-but-resident.
-    *
-    * The gate proves both directions against a closed-form oracle:
-    * in-window scene pairs (batch gap ≤ 2) must all emit with q357's
-    * planted distances, and out-of-window pairs (gap 3 — present in
-    * EVERY 5-doc scene group, since 5 consecutive ids cover all 4
-    * batch classes) must NOT — a NoTimeout implementation fails the
-    * gate with 1000 rows instead of 850 at sf0.001. State bound:
-    * residents per bucket ≤ one watermark-window of colliding hashes
-    * (~3 batches here), 24 bytes each, independent of stream length. */
-  def streamImageDedupTtl(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base =
-      s"${sys.props("java.io.tmpdir")}/graft_img_ttl${safe}_${ProcessHandle.current().pid()}"
-    deleteRecursively(new java.io.File(base))
-    // render ONCE to a staging table, then cut the 4 per-event-hour
-    // files from the parquet — 4 filtered writes off the generator
-    // would re-run the whole render/encode pipeline per batch file
-    graft.multimodal.Multimodal.generatedMedia(spark, dir).toDF()
-      .withColumn("ts",
-        expr("timestamp'2026-01-01 00:00:00' + (doc_id % 4) * INTERVAL '1' HOUR"))
-      .write.mode("overwrite").parquet(s"$base/all")
+  /** Stage `df` (carrying an int `batch` column in 0 until n) as ONE
+    * parquet file per batch under `base/src`, mtimes forced ascending:
+    * the file source (maxFilesPerTrigger=1) processes oldest-first, so
+    * micro-batch k carries exactly the rows stamped batch k and the
+    * TTL gates' watermark sequence is deterministic (wm during batch k
+    * = batch k−1's event time − horizon). The source expression is
+    * rendered ONCE to `base/all` and the batch files are cut from that
+    * parquet — n filtered writes off a generator would re-run the
+    * whole render/encode pipeline per batch file. setLastModified's
+    * boolean IS checked (ADVICE r12): on a filesystem where the stamp
+    * fails, batch order would silently fall back to move-time mtimes
+    * and the deterministic watermark sequence the TTL oracles depend
+    * on would be gone — fail fast instead of emitting a wrong row set. */
+  private def stageOrderedBatches(spark: SparkSession, df: DataFrame,
+      base: String, n: Int): String = {
+    df.write.mode("overwrite").parquet(s"$base/all")
     val staged = spark.read.parquet(s"$base/all")
-    // one file per event-hour, mtimes forced ascending: the file
-    // source processes oldest-first, so micro-batch k carries exactly
-    // the docs stamped T0 + k·1h and the watermark sequence is
-    // deterministic (wm during batch k = ts_{k-1} − 90 min)
-    new java.io.File(s"$base/src").mkdirs()
-    val mtime0 = new java.io.File(dir).lastModified()
-    for (k <- 0 until 4) {
+    new java.io.File(s"$base/src").mkdirs(): Unit
+    val mtime0 = new java.io.File(base).lastModified()
+    for (k <- 0 until n) {
       val stage = s"$base/stage$k"
-      staged.filter(col("doc_id") % 4 === k)
+      staged.filter(col("batch") === k)
         .coalesce(1).write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file staged for batch $k"))
       val dst = new java.io.File(s"$base/src/batch$k.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtime0 + k * 60000L): Unit
+      require(dst.setLastModified(mtime0 + k * 60000L),
+        s"cannot stamp mtime for batch $k")
     }
-    val schema = spark.read.parquet(s"$base/src").schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-    val hashed = graft.multimodal.Multimodal
-      .aHash(src.select(col("doc_id"), col("payload"), col("format"),
-        col("width"), col("height"))
-        .as[graft.multimodal.Multimodal.MediaRecord]).toDF()
-      // re-derive the event time from doc_id and declare the watermark
-      // HERE, after the typed hash map — aHash's kernel contract stays
-      // payload-only, and a watermark declared before a projection
-      // that drops its column would not reach the stateful operator
-      .withColumn("ts",
-        expr("timestamp'2026-01-01 00:00:00' + (doc_id % 4) * INTERVAL '1' HOUR"))
-      .withWatermark("ts", "90 minutes")
-    // the watermark-tagged ts attribute itself must flow into the
-    // stateful operator's input (a derived copy would fail the
-    // event-time-timeout analysis check)
-    val banded = hashed
-      .select(col("doc_id"), col("ahash"), col("ts"),
-        explode(graft.functions.Banding.hashBands(col("ahash"), 4, 16)).as("bk"))
-      .select(concat_ws("|", col("bk.band"), col("bk.bkey")).as("bucket"),
-        col("doc_id"), col("ahash"), col("ts"))
-      .as[(String, Long, Long, java.sql.Timestamp)]
-    val pairs = banded.groupByKey(_._1)
-      .flatMapGroupsWithState[Array[(Long, Long, Long)],
-        (Long, Long, Int)](OutputMode.Append(),
+    s"$base/src"
+  }
+
+  /** THE one stateful pairing core behind every streaming near-dup
+    * detector in the engine (text LSH q319/q371, canaries q338,
+    * perceptual image q366/q369). Input rows are (bucket, doc_id,
+    * payload, event time); per band-bucket state
+    * (flatMapGroupsWithState) holds (doc_id, payload, ts) residents,
+    * and the core both
+    *
+    *   - EVICTS by watermark: residents whose event time has fallen
+    *     behind `state.getCurrentWatermarkMs` are dropped before any
+    *     comparison — an arrival pairs only with residents inside the
+    *     watermark window, and
+    *   - EXPIRES state physically: EventTimeTimeout set to the
+    *     bucket's max resident event time, so a bucket whose residents
+    *     are all past the watermark is REMOVED (state.remove) at the
+    *     next trigger instead of lingering filtered-but-resident.
+    *
+    * State bound on a continuous stream: one watermark-window of
+    * colliding payloads per bucket, independent of stream length — the
+    * r12 verdict's last unbounded-state liability (q319/q338/q366 ran
+    * NoTimeout) is retired by re-basing all five queries here, with
+    * the watermark horizon as the only per-query knob. Within-batch
+    * arrivals accumulate in a buffer (one state-array concat per batch
+    * — per-arrival append would be quadratic in allocations on a hot
+    * bucket, which is exactly a duplicate cluster) and compare in
+    * doc_id order, so batching cannot change the result. Cross-band
+    * duplicate emissions collapse in the callers' final distinct. */
+  private def ttlPairs[P, O](
+      banded: org.apache.spark.sql.Dataset[(String, Long, P, java.sql.Timestamp)],
+      compare: (Long, P, Long, P) => Option[O])(
+      implicit stateEnc: org.apache.spark.sql.Encoder[Array[(Long, P, Long)]],
+      outEnc: org.apache.spark.sql.Encoder[O]): org.apache.spark.sql.Dataset[O] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    banded.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Array[(Long, P, Long)], O](OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout) { (_, rows, state) =>
         if (state.hasTimedOut) {
           // watermark passed the bucket's newest resident: every
@@ -1292,31 +1091,240 @@ object Streams {
           Iterator.empty
         } else {
           val wm = state.getCurrentWatermarkMs()
-          val alive = state.getOption.getOrElse(Array.empty[(Long, Long, Long)])
+          val alive = state.getOption.getOrElse(Array.empty[(Long, P, Long)])
             .filter(_._3 >= wm)
-          val out = Vector.newBuilder[(Long, Long, Int)]
-          val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-          def compare(id: Long, h: Long, pid: Long, ph: Long): Unit = {
-            val d = java.lang.Long.bitCount(h ^ ph)
-            if (d <= 3)
-              out += ((math.min(pid, id), math.max(pid, id), d))
-          }
+          val out = Vector.newBuilder[O]
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, P, Long)]
           rows.map(r => (r._2, r._3, r._4.getTime)).toVector.sortBy(_._1).foreach {
-            case (id, h, ts) =>
-              alive.foreach { case (pid, ph, _) => compare(id, h, pid, ph) }
-              fresh.foreach { case (pid, ph, _) => compare(id, h, pid, ph) }
-              fresh += ((id, h, ts))
+            case (id, p, ts) =>
+              alive.foreach { case (pid, pp, _) =>
+                compare(id, p, pid, pp).foreach(out += _) }
+              fresh.foreach { case (pid, pp, _) =>
+                compare(id, p, pid, pp).foreach(out += _) }
+              fresh += ((id, p, ts))
           }
           val next = alive ++ fresh
           state.update(next)
-          // expire when the watermark passes the NEWEST resident —
-          // at that point the eviction filter would empty the bucket
+          // expire when the watermark passes the NEWEST resident — at
+          // that point the eviction filter would empty the bucket
           if (next.nonEmpty) state.setTimeoutTimestamp(next.map(_._3).max)
           out.result().iterator
         }
       }
+  }
+
+  /** The text-LSH streaming detector behind q319/q338/q371, returned
+    * UN-STARTED so the spec can drive it and read the state-operator
+    * expiry metrics. Documents are stamped with event time T0 +
+    * batch·1h (batch = doc_id mod 4) and split into mtime-ordered
+    * batch files; per micro-batch, each doc's MinHash signature is
+    * banded with the SAME split as the batch detector
+    * ([[graft.dedup.Dedup.bandKeys]] — the two can never fork) and
+    * paired by [[ttlPairs]] under the caller's watermark horizon.
+    * Emitted pairs verify by the identical signature-overlap estimate
+    * (≥ 0.5). Planted canaries (q338) are shifted ONE BATCH FORWARD of
+    * their source doc — CanaryShift ≡ 0 mod 4 would otherwise co-batch
+    * every canary with its original — so detection always exercises
+    * the cross-batch state path, not just within-batch compares. */
+  private[graft] def lshPairsTtlStream(spark: SparkSession, dir: String,
+      base: String, horizon: String,
+      plantCanaries: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val K = graft.dedup.Dedup.K
+    deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs(): Unit
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", pmod(col("doc_id"), lit(4)).cast("int"))
+    val stamped =
+      if (!plantCanaries) docs
+      else docs.unionByName(
+        docs.select((col("doc_id") + CanaryShift).as("doc_id"),
+            concat(col("text"), lit(" canaryx")).as("text"),
+            pmod(col("doc_id") + 1, lit(4)).cast("int").as("batch"))
+          .filter((col("doc_id") - CanaryShift) % 97 === 0))
+    val srcDir = stageOrderedBatches(spark,
+      stamped.withColumn("ts",
+        expr(s"$DedupT0 + batch * INTERVAL '1' HOUR")), base, 4)
+    val schema = spark.read.parquet(srcDir).schema
+    // the watermark-tagged ts attribute itself must flow through every
+    // projection into the stateful operator (a derived copy would fail
+    // the event-time-timeout analysis check)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", horizon)
+    val sigs = src.select(col("doc_id"),
+      call_function("minhash_sig",
+        graft.dedup.Dedup.shingleHashes(col("text"), mod = true)).as("sig"),
+      col("ts"))
+    val banded = graft.dedup.Dedup.bandKeys(sigs)
+      .select(concat_ws("|", col("band"), col("bkey")).as("bucket"),
+        col("doc_id"), col("sig"), col("ts"))
+      .as[(String, Long, Array[Long], java.sql.Timestamp)]
+    ttlPairs[Array[Long], (Long, Long, Double)](banded, (id, sg, pid, psg) => {
+      var eq = 0; var i = 0
+      while (i < K) { if (sg(i) == psg(i)) eq += 1; i += 1 }
+      val est = eq.toDouble / K
+      if (est >= 0.5) Some((math.min(pid, id), math.max(pid, id), est))
+      else None
+    }).toDF("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** The perceptual-image streaming detector behind q366/q369 — the
+    * media twin of [[lshPairsTtlStream]]: generated scene payloads are
+    * rendered ONCE to a staging table, cut into 4 mtime-ordered batch
+    * files (batch = doc_id mod 4), decoded + 8×8-aHashed executor-side
+    * per micro-batch (the [[graft.multimodal.Multimodal]] batch
+    * kernels verbatim — stateless typed mapPartitions, legal on a
+    * streaming Dataset), fanned into the 4×16-bit pigeonhole bands,
+    * and paired by [[ttlPairs]] (Hamming distance ≤ 3). Event time is
+    * re-derived from doc_id AFTER the typed hash map — aHash's kernel
+    * contract stays payload-only, and a watermark declared before a
+    * projection that drops its column would not reach the stateful
+    * operator. Payload bytes never enter state — only (doc_id, hash,
+    * ts), 24 bytes per resident, survives the decode. */
+  private[graft] def imagePairsTtlStream(spark: SparkSession, dir: String,
+      base: String, horizon: String): DataFrame = {
+    import spark.implicits._
+    deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs(): Unit
+    val srcDir = stageOrderedBatches(spark,
+      graft.multimodal.Multimodal.generatedMedia(spark, dir).toDF()
+        .withColumn("batch", pmod(col("doc_id"), lit(4)).cast("int")),
+      base, 4)
+    val schema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val hashed = graft.multimodal.Multimodal
+      .aHash(src.select(col("doc_id"), col("payload"), col("format"),
+        col("width"), col("height"))
+        .as[graft.multimodal.Multimodal.MediaRecord]).toDF()
+      .withColumn("ts",
+        expr(s"$DedupT0 + (doc_id % 4) * INTERVAL '1' HOUR"))
+      .withWatermark("ts", horizon)
+    val banded = hashed
+      .select(col("doc_id"), col("ahash"), col("ts"),
+        explode(graft.functions.Banding.hashBands(col("ahash"), 4, 16)).as("bk"))
+      .select(concat_ws("|", col("bk.band"), col("bk.bkey")).as("bucket"),
+        col("doc_id"), col("ahash"), col("ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+    ttlPairs[Long, (Long, Long, Int)](banded, (id, h, pid, ph) => {
+      val d = java.lang.Long.bitCount(h ^ ph)
+      if (d <= 3) Some((math.min(pid, id), math.max(pid, id), d)) else None
+    }).toDF("doc_a", "doc_b", "dist")
+  }
+
+  /** q338 — STREAMING CANARY CHECK: q335's planted-duplicate
+    * acceptance test run through the STREAMING detector (the
+    * [[ttlPairs]] band-bucket state machinery) — the health probe for
+    * the ingest path itself: canaries ride the same micro-batches as
+    * real documents (one batch after their source doc, so detection
+    * exercises the cross-batch state path), and a detection rate below
+    * 1.0 means the stateful detector — not just the batch algorithm —
+    * is dropping duplicates. The oracle is q335's string VERBATIM:
+    * batch and streaming canary checks must agree exactly, because
+    * under [[ReplayHorizon]] the streaming pair set equals q31's. */
+  def streamCanaries(spark: SparkSession, dir: String): DataFrame = {
+    val base = dedupBase("graft_stream_canary", dir)
     try {
-      runToMemoryAppend(spark, pairs.toDF("doc_a", "doc_b", "dist"),
+      val pairs = lshPairsTtlStream(spark, dir, base, ReplayHorizon,
+        plantCanaries = true)
+      val det = runToMemoryAppend(spark, pairs, "graft_stream_canary")
+        .distinct()
+        .filter(col("doc_a") % 97 === 0 &&
+          col("doc_b") === col("doc_a") + CanaryShift)
+        .agg(count(lit(1)).as("n_detected"))
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 97 === 0)
+        .agg(count(lit(1)).as("n_planted"))
+        .crossJoin(broadcast(det))
+        .withColumn("detection_rate",
+          col("n_detected").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_planted"))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** q319 — STREAMING LSH NEAR-DUP DETECTION: the incremental twin of
+    * q31 — documents arrive in micro-batches and each is compared ONLY
+    * against its band-bucket's residents ([[ttlPairs]]) — the
+    * production ingest-dedup shape: "is this incoming doc a near-copy
+    * of anything already ingested?", answered per batch without
+    * rescanning the corpus. Runs under [[ReplayHorizon]], so nothing
+    * evicts during the finite replay and the final pair set must equal
+    * batch q31's EXACTLY — the oracle is q31's string verbatim, so the
+    * two forms can never fork. The same code deployed on a continuous
+    * stream is state-bounded at one horizon per bucket; the
+    * watermark-tight twin whose gate PROVES eviction is q371. */
+  def streamLshDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = dedupBase("graft_lsh_dedup", dir)
+    try {
+      runToMemoryAppend(spark,
+          lshPairsTtlStream(spark, dir, base, ReplayHorizon),
+          "graft_stream_lsh_dedup")
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** q371 — TTL-BOUNDED STREAMING LSH DEDUP: q319 under the tight
+    * [[TtlHorizon]] — the r12 verdict's top item, closing the last
+    * unbounded streaming state in the engine by applying q369's
+    * watermark-evict + EventTimeTimeout machinery (now the shared
+    * [[ttlPairs]] core) to the TEXT LSH path. The gate proves both
+    * directions against q31's pair rule RESTRICTED to the watermark
+    * window: in-window pairs (batch gap ≤ 2, batch = doc_id mod 4)
+    * must all emit with their exact signature-overlap estimates, and
+    * out-of-window pairs (gap 3 — present in the corpus) must NOT — a
+    * NoTimeout implementation fails this gate with q31's full set.
+    * State bound: residents per band bucket ≤ one watermark window of
+    * colliding signatures, independent of stream length. */
+  def streamLshDedupTtl(spark: SparkSession, dir: String): DataFrame = {
+    val base = dedupBase("graft_lsh_ttl", dir)
+    try {
+      runToMemoryAppend(spark,
+          lshPairsTtlStream(spark, dir, base, TtlHorizon),
+          "graft_stream_lsh_ttl")
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** q366 — STREAMING PERCEPTUAL IMAGE DEDUP: q319's ingest-dedup
+    * shape applied to MEDIA via [[imagePairsTtlStream]]. Runs under
+    * [[ReplayHorizon]] — the gate is the can-never-fork contract: the
+    * emitted pair set must equal batch q357's EXACTLY (oracle = q357's
+    * string verbatim), so batching, state carry-over, and the banding
+    * fan-out are all pinned against the batch path. Since round 13
+    * this is NOT the old NoTimeout form: the same TTL machinery runs
+    * here with a replay-wide horizon, so a continuous deployment is
+    * state-bounded; the watermark-tight twin whose gate PROVES
+    * eviction is q369. */
+  def streamImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = dedupBase("graft_img_dedup", dir)
+    try {
+      runToMemoryAppend(spark,
+          imagePairsTtlStream(spark, dir, base, ReplayHorizon),
+          "graft_stream_img_dedup")
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** q369 — TTL-BOUNDED STREAMING PERCEPTUAL DEDUP: q366 under the
+    * tight [[TtlHorizon]]. The gate proves both directions against a
+    * closed-form oracle: in-window scene pairs (batch gap ≤ 2) must
+    * all emit with q357's planted distances, and out-of-window pairs
+    * (gap 3 — present in EVERY 5-doc scene group, since 5 consecutive
+    * ids cover all 4 batch classes) must NOT — a NoTimeout
+    * implementation fails the gate with 1000 rows instead of 850 at
+    * sf0.001. State bound: residents per bucket ≤ one watermark window
+    * of colliding hashes (~3 batches here), 24 bytes each, independent
+    * of stream length. */
+  def streamImageDedupTtl(spark: SparkSession, dir: String): DataFrame = {
+    val base = dedupBase("graft_img_ttl", dir)
+    try {
+      runToMemoryAppend(spark,
+          imagePairsTtlStream(spark, dir, base, TtlHorizon),
           "graft_stream_img_ttl")
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1478,6 +1486,7 @@ object Streams {
     "q338_stream_canaries" -> streamCanaries,
     "q366_stream_image_dedup" -> streamImageDedup,
     "q369_stream_dedup_ttl" -> streamImageDedupTtl,
+    "q371_stream_lsh_dedup_ttl" -> streamLshDedupTtl,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
     "q73_stream_join" -> streamJoin,
@@ -1543,6 +1552,9 @@ object Streams {
     // q319: q31's oracle VERBATIM — the streaming detector must emit
     // exactly the batch pair set
     "q319_stream_lsh_dedup" -> graft.dedup.Dedup.lshOracle,
+    // q371: q31's pair rule RESTRICTED to the watermark window — the
+    // gap-3 pairs q319 emits MUST be suppressed by eviction here
+    "q371_stream_lsh_dedup_ttl" -> graft.dedup.Dedup.lshTtlOracle,
     // q366: oracle = batch q357's string verbatim (stream==batch gate)
     "q366_stream_image_dedup" ->
       graft.multimodal.Multimodal.oracles("q357_image_neardup_pairs"),

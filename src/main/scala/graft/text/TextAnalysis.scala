@@ -816,11 +816,15 @@ object TextAnalysis {
     * mirrored digit-for-digit by the oracle's HUGEINT-via-VARCHAR
     * casts (the q236 pattern). Output is one row.
     *
-    * Degenerate-marginal guard (the q236 NULL rule): when either gate
-    * is unanimous, pe_num = n² and κ's denominator is exactly 0 — κ is
-    * mathematically undefined (chance agreement is total), so both
-    * engines emit NULL instead of ANSI-throwing; surfaced by the
-    * heaps-corpus soak, where the diversity gate passes every doc. */
+    * Degenerate-marginal guard (the q236 NULL rule): pe_num = a1·b1 +
+    * (n−a1)·(n−b1) equals n² — zeroing κ's denominator — only when
+    * BOTH gates are unanimous in the SAME direction (a1=b1=0 or
+    * a1=b1=n); a single unanimous gate gives numerator 0 over a
+    * nonzero denominator, i.e. κ = 0, not NULL. In the true
+    * both-unanimous case κ is mathematically undefined (chance
+    * agreement is total), so both engines emit NULL instead of
+    * ANSI-throwing; surfaced by the heaps-corpus soak, where both
+    * gates pass every doc. */
   def gateKappa(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(tokens(col("text"))).cast(LongType)
     val mtl = length(regexp_replace(trim(col("text")), " +", ""))

@@ -3066,6 +3066,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("2_embargo")._4 < rows("3_test")._3)
   }
 
+  test("q371: TTL text dedup equals q319's replay set minus the watermark-evicted gap-3 pairs") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val replay = run("q319_stream_lsh_dedup").collect().map(key).toSet
+    val ttl = run("q371_stream_lsh_dedup_ttl").collect().map(key).toSet
+    assert(ttl.subsetOf(replay), "TTL form invented pairs the replay detector lacks")
+    val suppressed = replay -- ttl
+    assert(suppressed.nonEmpty, "nothing evicted — the TTL gate is vacuous at sf0.001")
+    // exactly the pairs whose event-hours (doc_id mod 4) are 3 apart
+    // fall out of the 90-minute window; everything in-window survives
+    suppressed.foreach { case (a, b, _) =>
+      assert(math.abs(a % 4 - b % 4) === 3, s"in-window pair ($a,$b) evicted")
+    }
+    replay.foreach { case p @ (a, b, _) =>
+      if (math.abs(a % 4 - b % 4) <= 2) assert(ttl.contains(p), s"missing $p")
+    }
+  }
+
+  test("q371: drained band buckets are PHYSICALLY removed, not just filtered") {
+    // the EventTimeTimeout contract: once the watermark passes a
+    // bucket's newest resident, the state row is deleted (state.remove)
+    // — the metric that separates bounded state from state that merely
+    // stops answering. A NoTimeout implementation reports 0 here.
+    val base = s"${sys.props("java.io.tmpdir")}/graft_spec_lsh_ttl_${ProcessHandle.current().pid()}"
+    val pairs = streaming.Streams.lshPairsTtlStream(spark, sf, base, "90 minutes")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-spec-ckpt")
+    val name = "graft_spec_lsh_ttl"
+    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+    val q = pairs.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    try {
+      val state = q.recentProgress.flatMap(Option(_)).flatMap(_.stateOperators)
+      val removed = state.map(_.numRowsRemoved).sum
+      assert(removed > 0,
+        "no state rows physically removed — buckets linger filtered-but-resident")
+    } finally {
+      rmTree(new java.io.File(base)); rmTree(ckpt.toFile)
+    }
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()
