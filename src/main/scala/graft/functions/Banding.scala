@@ -36,4 +36,33 @@ object Banding {
         shiftright(hash, b * bandBits).bitwiseAND(lit(mask)).as("bkey"))
     }: _*)
   }
+
+  /** TWO-HASH pigeonhole banding over a 128-bit fingerprint carried as
+    * two 64-bit columns: band b's key concatenates the `bitsEach`-wide
+    * slice b of BOTH hashes (`bkey = slice_b(h1) | slice_b(h2) <<
+    * bitsEach`). The pigeonhole argument is unchanged — a pair within
+    * Hamming distance `nBands − 1` over the CONCATENATED 2·64 bits
+    * dirties at most `nBands − 1` bands, so at least one band matches
+    * exactly in both halves — but each band now carries
+    * `2^(2·bitsEach)` buckets instead of `2^bitsEach`: at 8×8 per
+    * hash, 65 536 buckets/band vs 256, cutting random band collisions
+    * ~256× at the SAME catchable radius. This is the q368→q372 scale
+    * lever (SCALE.md §14): widen the fingerprint, not the radius —
+    * double the discriminating bits per band while the radius the
+    * banding must catch stays ≤ nBands − 1, provided near-dup edits
+    * flip few bits of h2 (q372's quadrant-contrast hash flips NONE for
+    * the planted single-cell edits). */
+  def pairedBands(h1: Column, h2: Column, nBands: Int,
+      bitsEach: Int): Column = {
+    require(nBands * bitsEach <= 64, "band slices must fit 64-bit hashes")
+    require(2 * bitsEach < 64, "the combined band key must fit a long")
+    val mask = (1L << bitsEach) - 1L
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(h1, b * bitsEach).bitwiseAND(lit(mask))
+          .bitwiseOR(shiftleft(
+            shiftright(h2, b * bitsEach).bitwiseAND(lit(mask)), bitsEach))
+          .as("bkey"))
+    }: _*)
+  }
 }

@@ -586,6 +586,218 @@ object Multimodal {
     imageNearDup(generatedMediaWide(spark, dir), maxDist = 7,
       nBands = 8, bandBits = 8)
 
+  // ---------------------------------------------------------------
+  // q372/q373 — the 128-bit wide-radius fingerprint (SCALE.md §14's
+  // documented lever, implemented): widen the fingerprint, not the
+  // radius.
+  // ---------------------------------------------------------------
+
+  /** A wide scene spec plus its 63-bit TEXTURE word: bits 0–55 from
+    * phash("T"+group), bits 56–62 from phash("U"+group) (bit 63 stays
+    * 0 so both hash columns remain non-negative — arithmetic shifts
+    * then agree bit-for-bit between Spark and DuckDB). The seed (and
+    * so the scene geometry, anchors, and planted distances) is q368's
+    * VERBATIM — the corpus keeps the structurally dark bottom cell
+    * row, because that is the shape that makes q368's 8×8 banding
+    * degenerate and the audit comparison honest. The texture is
+    * GROUP-derived: identical across a scene group's variants, so it
+    * contributes ZERO Hamming distance to planted pairs, and
+    * independent across groups, so it contributes ~31 bits against
+    * spurious cross-group matches plus 7–8 bits of bucket entropy to
+    * every paired band. aHash margin with the texture overlay (+10 on
+    * a textured cell's mean): dark-tex (10) stays under the image
+    * mean for bright-count k ≥ 4, bright-non-tex (200) stays over it
+    * for k ≤ 57 — P(k < 4) for k ~ Binomial(56, 1/2) is < 1e-12 per
+    * group, negligible past sf10. */
+  case class SceneSpec128(doc_id: Long, seed: Long, tex: Long, variant: Int,
+    format: String)
+
+  def wideSpecs128(spark: SparkSession, dir: String): Dataset[SceneSpec128] = {
+    import spark.implicits._
+    val g = "cast(doc_id div 5 as string)"
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      phash(expr(g)).as("seed"),
+      phash(concat(lit("T"), expr(g)))
+        .bitwiseOR(shiftleft(
+          phash(concat(lit("U"), expr(g))).bitwiseAND(lit(0x7fL)), 56))
+        .as("tex"),
+      (col("doc_id") % 5).cast(IntegerType).as("variant"),
+      expr("CASE CAST((doc_id div 5) % 3 AS INT) WHEN 0 THEN 'png' " +
+        "WHEN 1 THEN 'bmp' ELSE 'gif' END").as("format"))
+      .as[SceneSpec128]
+  }
+
+  /** Rasterize the cell grid WITH quadrant texture: cell c's TOP-LEFT
+    * 4×4-px quadrant is lifted +40 when texture bit c is set (pixel
+    * levels {0, 40, 200, 240} — four exact grays, still lossless under
+    * png/bmp/gif). The texture rides at 16×16-cell granularity (4×4-px
+    * blocks), one level below the 8×8 scene cells, which is exactly
+    * where [[qcHash]]'s second 64 bits read it back out. */
+  private def cellImage128(cells: Array[Int], tex: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val c = (y / 8) * 8 + (x / 8)
+        val t = ((tex >> c) & 1L) == 1L && x % 8 < 4 && y % 8 < 4
+        val v = cells(c) + (if (t) 40 else 0)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Wide render with the group texture overlay: same geometry, codecs
+    * and [[wideFlips]] distances as [[renderSceneWide]]; the flips
+    * toggle the cell BASE (0↔200) and leave the texture overlay
+    * untouched, so within-group aHash distances stay exactly
+    * j_a + j_b while the texture survives every variant. */
+  def renderSceneWide128(seed: Long, tex: Long, variant: Int,
+      format: String): Array[Byte] = {
+    imageIoReady
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(
+      cellImage128(cellValues(seed, wideFlips(seed, variant)), tex),
+      format, bos)
+    require(ok, s"no ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
+  /** The textured wide corpus ([[renderSceneWide128]] per row — real
+    * codecs, multi-cell flips, group texture). */
+  def generatedMediaWide128(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    fanOut(wideSpecs128(spark, dir)).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { s =>
+        MediaRecord(s.doc_id, renderSceneWide128(s.seed, s.tex, s.variant,
+          s.format), s.format, 64, 64)
+      })
+    }
+  }
+
+  /** The 128-bit perceptual fingerprint: [[aHash]]'s 64 bits plus a
+    * QUADRANT-CONTRAST hash at 16×16-cell granularity. */
+  case class ImageHash2(doc_id: Long, ahash: Long, qhash: Long,
+    real_decode: Boolean)
+
+  /** Decode ONCE, fingerprint TWICE: the 8×8 aHash (as [[aHash]]) and
+    * a second 64-bit QUADRANT-CONTRAST hash from the 16×16
+    * nearest-neighbor downsample — bit c is set when cell c's top-left
+    * 4×4-px quadrant is STRICTLY brighter than the cell's other three
+    * quadrants combined (3·q0 > q1+q2+q3, all exact integers, no
+    * image-mean dependence at all). The two hashes see DIFFERENT
+    * granularities of the same pixels: a small edit (one 8×8 cell)
+    * flips one aHash bit and — because the contrast predicate compares
+    * WITHIN the cell, where an edit moves base and quadrants together
+    * — zero qcHash bits, so near-dup radii are preserved while
+    * unrelated images disagree on ~half of 128 bits instead of 64. */
+  def qcHash(ds: Dataset[MediaRecord]): Dataset[ImageHash2] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { r =>
+        val (px, w, h, real) = decodePixels(r)
+        val small = resizeKernel(px, math.max(w, 1), math.max(h, 1), 8, 8)
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += small(i); i += 1 }
+        val mean = sum / 64
+        var bits = 0L
+        i = 0
+        while (i < 64) { if (small(i) > mean) bits |= (1L << i); i += 1 }
+        val g = resizeKernel(px, math.max(w, 1), math.max(h, 1), 16, 16)
+        var qbits = 0L
+        var c = 0
+        while (c < 64) {
+          val rr = (c / 8) * 2; val cc = (c % 8) * 2
+          val q0 = g(rr * 16 + cc); val q1 = g(rr * 16 + cc + 1)
+          val q2 = g((rr + 1) * 16 + cc); val q3 = g((rr + 1) * 16 + cc + 1)
+          if (3 * q0 > q1 + q2 + q3) qbits |= (1L << c)
+          c += 1
+        }
+        ImageHash2(r.doc_id, bits, qbits, real)
+      })
+    }
+  }
+
+  /** q372 — WIDE-RADIUS NEAR-DUP ON THE 128-BIT FINGERPRINT: q368's
+    * planted-distance gate (radius ≤ 7, distances exactly j_a + j_b)
+    * run through [[graft.functions.Banding.pairedBands]] — 8 bands of
+    * 16 bits (8 aHash + 8 qcHash bits each, 65 536 buckets/band) in
+    * place of q368's 8×8 (256/band). Same pigeonhole losslessness at
+    * the same radius; ~256× fewer random band collisions — and the
+    * 64-bit form's one DEGENERATE band (aHash bits 56–63 are 0 for
+    * every scene, so its band 7 holds ALL n docs and alone contributes
+    * n²/2 candidates) becomes 128 texture-split buckets. This is the
+    * fix for SCALE.md §14's candidate-growth term; q373 is the audit
+    * that measures it. Honest residual: that band still has only the 7
+    * texture bits of entropy, so an n²/256 term survives at extreme n
+    * (~10⁷ docs per partition domain before it dominates the planted
+    * pairs); the next lever is the same move again — widen h2 (16×16
+    * granularity natively yields 256 bits) so every band carries ≥ 16
+    * discriminating bits. Cross-group pairs differ on ~28 aHash + ~31
+    * texture bits — P(≤ 7 of 128) ≈ 1e-26, so the closed-form oracle
+    * stays sound far past the sf1 ceiling documented on q368. */
+  def imageNearDupWide128(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = qcHash(generatedMediaWide128(spark, dir)).toDF()
+    val bands = hashes
+      .select(col("doc_id"), col("ahash"), col("qhash"),
+        explode(graft.functions.Banding.pairedBands(
+          col("ahash"), col("qhash"), 8, 8)).as("bk"))
+      .select(col("doc_id"), col("ahash"), col("qhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val x = bands.alias("x")
+    val y = bands.alias("y")
+    x.join(y, col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))) +
+          bit_count(col("x.qhash").bitwiseXOR(col("y.qhash")))).as("dist"))
+      .filter(col("dist") <= 7)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q373 — BANDING CANDIDATE AUDIT: the measured form of the q368 vs
+    * q372 collision story, over the SAME textured corpus and real
+    * decode path. For both band families — 8×8 over the 64-bit aHash
+    * (q368's split) and 8×16 over the 128-bit paired fingerprint
+    * (q372's) — count occupied buckets and the candidate pairs the
+    * banded self-join WOULD produce (Σ_bucket m·(m−1)/2, computed from
+    * bucket occupancies — one narrow aggregation, the quadratic join
+    * itself is never run). The oracle recomputes both hash words in
+    * closed form (aHash = seed XOR the wideFlips mask; qcHash = the
+    * texture word exactly), so this gate also pins the REAL
+    * decode→fingerprint path bit-for-bit against the plant. At sf0.1
+    * the 64-bit family's count is dominated by its degenerate band 7
+    * (~n²/2); the paired family cuts candidates ~1000× — the audit
+    * column SCALE.md §14 wanted. */
+  def bandingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = qcHash(generatedMediaWide128(spark, dir)).toDF()
+    val narrow = graft.functions.Banding.hashBands(col("ahash"), 8, 8)
+    val paired = graft.functions.Banding.pairedBands(
+      col("ahash"), col("qhash"), 8, 8)
+    val retag = (family: String) => (bk: org.apache.spark.sql.Column) =>
+      struct(lit(family).as("family"), bk.getField("band").as("band"),
+        bk.getField("bkey").as("bkey"))
+    val tagged = hashes.select(explode(concat(
+        transform(narrow, retag("ahash64_8x8")),
+        transform(paired, retag("paired128_8x16")))).as("t"))
+      .select(col("t.family").as("family"), col("t.band").as("band"),
+        col("t.bkey").as("bkey"))
+    tagged.groupBy(col("family"), col("band"), col("bkey"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("(m * (m - 1)) div 2")).as("n_candidates"))
+      .orderBy(col("family"))
+  }
+
   /** q357 — PERCEPTUAL NEAR-DUP OVER REAL ENCODED IMAGES: the full
     * image pipeline (render → real codec encode → real ImageIO decode
     * → 8×8 aHash → pigeonhole-banded pair join) run end-to-end on
@@ -771,7 +983,9 @@ object Multimodal {
     "q360_frame_sample_census" -> frameSampleCensus,
     "q364_crossmodal_dup_matrix" -> crossModalDupMatrix,
     "q367_gif_frame_census" -> gifFrameCensus,
-    "q368_image_neardup_wide" -> imageNearDupWide)
+    "q368_image_neardup_wide" -> imageNearDupWide,
+    "q372_image_neardup_wide128" -> imageNearDupWide128,
+    "q373_banding_audit" -> bandingAudit)
 
   /** The oracle's spelling of the scene seed (portable md5 hash of the
     * scene key — [[graft.Tables.phashSql]]). */
@@ -864,6 +1078,49 @@ object Multimodal {
         |FROM documents a JOIN documents b
         |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q372: the identical planted rule — the texture word is
+    // group-constant, so qcHash contributes ZERO distance within a
+    // group and the 128-bit distances stay exactly j_a + j_b
+    "q372_image_neardup_wide128" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST((a.doc_id % 5) + (b.doc_id % 5) AS INT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q373: both hash words recomputed in CLOSED FORM (h1 = seed XOR
+    // the wideFlips mask — offsets 1+j(j-1)/2..j(j-1)/2+j from the
+    // seed anchor, all distinct mod 56, so the OR of the flip bits is
+    // their SUM; h2 = the texture word verbatim), then bucket
+    // occupancies per band family and Σ m(m−1)/2 — candidate counts
+    // without ever forming a pair
+    "q373_banding_audit" ->
+      s"""WITH s AS (
+        | SELECT doc_id, $seedSqlDuck AS seed,
+        |        ${phashSql("'T' || CAST(doc_id // 5 AS VARCHAR)")} AS t1,
+        |        ${phashSql("'U' || CAST(doc_id // 5 AS VARCHAR)")} AS t2,
+        |        CAST(doc_id % 5 AS INT) AS j
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |        xor(seed, COALESCE(list_sum(list_transform(range(0, j),
+        |          t -> (1::BIGINT << CAST((seed % 56 + 1 + (j*(j-1))//2 + t) % 56 AS INT)))),
+        |          0)) AS h1,
+        |        t1 | ((t2 & 127) << 56) AS h2
+        | FROM s),
+        |b AS (
+        | SELECT 'ahash64_8x8' AS family, bb.band AS band,
+        |        (h1 >> (8 * bb.band)) & 255 AS bkey
+        | FROM h, (SELECT unnest(range(0, 8)) AS band) bb
+        | UNION ALL
+        | SELECT 'paired128_8x16' AS family, bb.band AS band,
+        |        ((h1 >> (8 * bb.band)) & 255)
+        |          | (((h2 >> (8 * bb.band)) & 255) << 8) AS bkey
+        | FROM h, (SELECT unnest(range(0, 8)) AS band) bb),
+        |m AS (SELECT family, band, bkey, COUNT(*) AS m
+        |      FROM b GROUP BY 1, 2, 3)
+        |SELECT family, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_candidates
+        |FROM m GROUP BY family ORDER BY family""".stripMargin,
     // q364: text pairs re-derived by the q33 oracle CTE; image pairs by
     // the q357 scene-group rule UNION the mirror feed's shared-lead
     // rule; the matrix is their full-outer rollup.

@@ -305,6 +305,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q372: textured render round-trips all four grays; qcHash IS the texture word") {
+    val dir = "/root/testdata/sf0.001"
+    val specs = Multimodal.wideSpecs128(spark, dir).collect()
+      .map(s => s.doc_id -> s).toMap
+    val hashes = Multimodal.qcHash(
+      Multimodal.generatedMediaWide128(spark, dir)).collect()
+    assert(hashes.length === specs.size)
+    hashes.foreach { h =>
+      val s = specs(h.doc_id)
+      assert(h.real_decode, s"doc ${h.doc_id} (${s.format}) fell to the byte fallback")
+      // the quadrant-contrast hash must read the planted texture word
+      // back EXACTLY through the real encode→decode round trip (gif's
+      // palette must hold the 40/240 levels, not quantize them)
+      assert(h.qhash === s.tex,
+        s"qcHash != texture word for doc ${h.doc_id} (${s.format})")
+      // and the 8x8 aHash must still equal the flipped seed cells —
+      // the texture overlay (+40 on one quadrant = +10 on a cell mean)
+      // must never cross the bright/dark threshold
+      val h1 = Multimodal.wideFlips(s.seed, s.variant)
+        .foldLeft(s.seed)((acc, c) => acc ^ (1L << c))
+      assert(h.ahash === h1, s"aHash != planted cells for doc ${h.doc_id}")
+    }
+  }
+
+  test("q373: the paired 8x16 banding cuts candidates vs the 8x8 split (degenerate band)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Multimodal.bandingAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val (_, narrow) = rows("ahash64_8x8")
+    val (pairedBuckets, paired) = rows("paired128_8x16")
+    // aHash bits 56-63 are 0 for EVERY scene, so the 64-bit family's
+    // band 7 holds all n docs in one bucket: C(n,2) candidates from
+    // that band alone — the n^2/2 term q372 exists to remove
+    assert(narrow >= n * (n - 1) / 2, "expected the degenerate band-7 term")
+    assert(paired * 10 < narrow,
+      s"128-bit banding must cut candidates >10x even at $n docs ($paired vs $narrow)")
+    // the texture split must actually populate band 7 with many buckets
+    assert(pairedBuckets > rows("ahash64_8x8")._1)
+  }
+
   test("q366: streaming image dedup equals batch q357 exactly (can-never-fork)") {
     val dir = "/root/testdata/sf0.001"
     val stream = graft.streaming.Streams.streamImageDedup(spark, dir).collect()
