@@ -497,17 +497,21 @@ object Pipeline {
   /** q343 — PER-DOC BUILD LINEAGE: the drill-down behind q313's
     * stage counts — for EVERY document, the boolean trail of why it
     * survived or where it fell (bench held-out, too short,
-    * contaminated, exact-duplicate, near-dup removed) plus the final
-    * verdict. This is the "why is doc 4711 not in the corpus?"
-    * support query, and the reconciliation target that keeps the
-    * aggregate waterfall honest (each stage count is a SUM over these
-    * flags — spec-pinned against q313). Flags compose the SAME shared
-    * rules (isBench, length gate, decontaminate, contentKey,
-    * dedupClusters); the kept rule is the exact q313 chain.
+    * contaminated, exact-duplicate, near-dup removed, IMAGE near-dup
+    * removed, AUDIO near-dup removed) plus the final verdict. This is
+    * the "why is doc 4711 not in the corpus?" support query, and the
+    * reconciliation target that keeps the aggregate waterfall honest
+    * (each stage count is a SUM over these flags — spec-pinned against
+    * q313). Flags compose the SAME shared rules (isBench, length gate,
+    * decontaminate, contentKey, dedupClusters, and the
+    * mediaRep/imageClusters/audioClusters trio — the media flags run
+    * the REAL codec pipelines); the kept rule is the exact q313 chain.
     *
     * Scale shape: one base pass + slim semi-joinable flag sets
-    * (contaminated O(hits), duplicate labels O(duplicates)); output
-    * O(n) booleans — the shape a support tool filters by doc_id. */
+    * (contaminated O(hits), duplicate labels O(duplicates)), plus the
+    * two media stages' corpus-wide fingerprint joins (narrow —
+    * (doc_id, cluster) only); output O(n) booleans — the shape a
+    * support tool filters by doc_id. */
   def docLineage(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
@@ -537,14 +541,28 @@ object Pipeline {
         col("cluster_id").isNotNull &&
           col("doc_id") =!= min(col("doc_id")).over(wCl))
       .select(col("doc_id"), col("neardup_removed"))
+    // media stages over the text survivors — the exact q313 chain
+    val s6 = kept5.filter(!col("neardup_removed")).select(col("doc_id"))
+    val s7 = mediaRep(s6, imageClusters(spark, dir))
+    val s8 = mediaRep(s7, audioClusters(spark, dir))
+    val imgRemoved = s6.join(s7, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(true).as("img_rm"))
+    val audRemoved = s7.join(s8, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(true).as("aud_rm"))
     flagged.drop("text")
       .join(survivors4, Seq("doc_id"), "left")
       .join(kept5, Seq("doc_id"), "left")
+      .join(imgRemoved, Seq("doc_id"), "left")
+      .join(audRemoved, Seq("doc_id"), "left")
+      .join(s8.select(col("doc_id"), lit(true).as("kept8")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_bench"), col("too_short"),
         col("contaminated"),
         coalesce(!col("exact_canonical"), lit(false)).as("exact_duplicate"),
         coalesce(col("neardup_removed"), lit(false)).as("neardup_removed"),
-        coalesce(!col("neardup_removed"), lit(false)).as("kept"))
+        coalesce(col("img_rm"), lit(false)).as("image_neardup_removed"),
+        coalesce(col("aud_rm"), lit(false)).as("audio_neardup_removed"),
+        coalesce(col("kept8"), lit(false)).as("kept"))
       .orderBy(col("doc_id"))
   }
 
@@ -709,6 +727,56 @@ object Pipeline {
           .otherwise("test"))
       .drop("b")
 
+  /** Media-cluster labels from a near-dup PAIR set: label = the
+    * minimum doc reachable in ONE hop (min over a doc's lesser
+    * partners, or itself). Exact for transitively-closed pair sets —
+    * the generated media corpora plant complete cliques per scene/clip
+    * group, so every member pairs directly with the cluster minimum —
+    * which MultimodalSpec/AudioSpec's planted-distance gates imply; a
+    * general sparse pair graph needs q67's label-propagation loop
+    * instead. Output is the slim (doc_id, cluster_id) frame the build
+    * stages join on. */
+  private def pairClusters(pairs: DataFrame): DataFrame = {
+    val asB = pairs.groupBy(col("doc_b"))
+      .agg(min(col("doc_a")).as("cluster_id"))
+      .select(col("doc_b").as("doc_id"), col("cluster_id"))
+    val asA = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_a").as("cluster_id"))
+      .distinct()
+    asB.unionByName(asA)
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+  }
+
+  /** One media-dedup stage: keep each media cluster's MINIMUM
+    * surviving member; docs outside any cluster pass through. The
+    * SHARED stage rule of the build (prepareCorpus), the waterfall
+    * (q313) and the lineage (q343) — the three can never fork. Unlike
+    * the sparse text-cluster stage, media clusters here cover most of
+    * the corpus (every doc carries artwork/audio), so the cluster
+    * frame joins by shuffle — NOT broadcast — and only the clustered
+    * slice is windowed. */
+  private def mediaRep(survivors: DataFrame, clusters: DataFrame): DataFrame = {
+    val j = survivors.join(
+      clusters.withColumnRenamed("cluster_id", "mcl"), Seq("doc_id"), "left")
+    val w = Window.partitionBy(col("mcl"))
+    j.filter(col("mcl").isNull).drop("mcl")
+      .unionByName(j.filter(col("mcl").isNotNull)
+        .withColumn("mmin", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("mmin"))
+        .drop("mcl", "mmin"))
+  }
+
+  /** The build's media cluster maps — image clusters from q357's REAL
+    * render→codec→decode→aHash pair pipeline, audio clusters from
+    * q362's WAV fingerprint pairs. One definition for build, waterfall
+    * and lineage. */
+  private def imageClusters(spark: SparkSession, dir: String): DataFrame =
+    pairClusters(
+      graft.multimodal.Multimodal.imageNearDupGenerated(spark, dir))
+
+  private def audioClusters(spark: SparkSession, dir: String): DataFrame =
+    pairClusters(graft.multimodal.Audio.audioNearDup(spark, dir))
+
   /** End-to-end training-corpus build — the composition a user of this
     * library actually runs, chaining the operator families end to end:
     *
@@ -719,19 +787,27 @@ object Pipeline {
     *                    survivor — gates run FIRST so an excluded
     *                    cluster minimum never drags its clean siblings
     *                    out of the corpus with it
-    *  4. split:         leak-free 8/1/1 by doc-hash (the q69 rule,
+    *  4. image dedup:   each doc's attached artwork runs q357's REAL
+    *                    codec near-dup pipeline; every image cluster
+    *                    keeps its minimum TEXT-SURVIVING member (same
+    *                    gates-first rule as stage 3)
+    *  5. audio dedup:   the same with q362's acoustic fingerprints
+    *  6. split:         leak-free 8/1/1 by doc-hash (the q69 rule,
     *                    shared code)
-    *  5. write:         parquet partitioned by split — downstream
+    *  7. write:         parquet partitioned by split — downstream
     *                    trainers read their split's directory only
     *
     * Scale shape, stated honestly: the contamination verdict and the
-    * cluster map are tiny per-doc_id frames (near-dup relations are
-    * sparse) and broadcast; the exact-dedup canonical choice is NOT
-    * tiny and therefore runs as an in-line window over the content
+    * text cluster map are tiny per-doc_id frames (near-dup relations
+    * are sparse) and broadcast; the exact-dedup canonical choice is
+    * NOT tiny and therefore runs as an in-line window over the content
     * key — one wide shuffle of the eligible corpus, the same cost
     * exactDedup itself pays, not a second scan plus giant semi-join.
-    * Returns the per-split summary; composition contracts are gated in
-    * PipelineSpec. */
+    * The media cluster maps are corpus-sized (every doc carries
+    * media), so their stages shuffle-join on doc_id; the heavy part —
+    * decode + fingerprint — is the narrow banded-pair machinery the
+    * standalone gates already soaked. Returns the per-split summary;
+    * composition contracts are gated in PipelineSpec. */
   def prepareCorpus(spark: SparkSession, dir: String,
       outDir: String): DataFrame = {
     val docs = spread(load(spark, dir, "documents"))
@@ -766,7 +842,13 @@ object Pipeline {
       .filter(col("doc_id") === col("cl_min"))
       .drop("cluster_id", "cl_min")
     val kept = unclustered.unionByName(clusterReps)
-    withSplit(kept).write.mode("overwrite").partitionBy("split").parquet(outDir)
+    // media near-dup: the doc's artwork/audio ride the build through
+    // the REAL codec pipelines; text survivors enter first, so a
+    // media-dropped doc never drags its clean siblings out (the
+    // gates-first rule, applied again)
+    val keptMedia = mediaRep(
+      mediaRep(kept, imageClusters(spark, dir)), audioClusters(spark, dir))
+    withSplit(keptMedia).write.mode("overwrite").partitionBy("split").parquet(outDir)
     spark.read.parquet(outDir)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
@@ -1193,13 +1275,18 @@ object Pipeline {
     * of the end-to-end build ([[prepareCorpus]]'s exact stage rules,
     * restated as counts): total → bench slice held out →
     * decontaminated → length gate → exact-dedup canonical → near-dup
-    * cluster representative. THE number-one dashboard of a data
+    * cluster representative → image near-dup representative → audio
+    * near-dup representative. THE number-one dashboard of a data
     * pipeline ("we started with 10M docs and trained on 6.1M —
     * where did 39% go?"), and the regression tripwire when a rule
     * change silently eats a feed. Every stage count is an exact
     * integer; stage rules compose the SAME shared definitions
-    * (isBench, decontaminate, contentKey, dedupClusters) the build
-    * uses, so report and build can never disagree. */
+    * (isBench, decontaminate, contentKey, dedupClusters, the
+    * mediaRep/imageClusters/audioClusters trio) the build uses, so
+    * report and build can never disagree. The media stage counts come
+    * from the REAL codec pipelines; their oracle closed form is the
+    * planted group structure (scene group = doc div 5, clip group =
+    * doc div 4) the standalone q357/q362 gates already pin. */
   def buildWaterfall(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
@@ -1219,8 +1306,11 @@ object Pipeline {
       .unionByName(j.filter(col("cluster_id").isNotNull)
         .withColumn("m", min(col("doc_id")).over(wCl))
         .filter(col("doc_id") === col("m")).select(col("doc_id")))
+    val s7 = mediaRep(s6, imageClusters(spark, dir))
+    val s8 = mediaRep(s7, audioClusters(spark, dir))
     Seq(("1_total", docs), ("2_non_bench", s2), ("3_decontaminated", s3),
-      ("4_min_length", s4), ("5_exact_canonical", s5), ("6_neardup_rep", s6))
+      ("4_min_length", s4), ("5_exact_canonical", s5), ("6_neardup_rep", s6),
+      ("7_image_rep", s7), ("8_audio_rep", s8))
       .map { case (name, df) =>
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(name).as("stage"), col("n_docs"))
@@ -1708,11 +1798,24 @@ object Pipeline {
         |           s4.doc_id <> MIN(s4.doc_id) OVER (PARTITION BY
         |             COALESCE(lab.cluster_id, -s4.doc_id)) AS neardup_removed
         |       FROM s4 LEFT JOIN lab ON lab.doc_id = s4.doc_id
-        |       WHERE s4.exact_canonical)
+        |       WHERE s4.exact_canonical),
+        |s6 AS (SELECT doc_id FROM k5 WHERE NOT neardup_removed),
+        |s7 AS (SELECT doc_id FROM (
+        |         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id // 5)
+        |           AS m FROM s6) WHERE doc_id = m),
+        |s8 AS (SELECT doc_id FROM (
+        |         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id // 4)
+        |           AS m FROM s7) WHERE doc_id = m)
         |SELECT f.doc_id, f.is_bench, f.too_short, f.contaminated,
         |  COALESCE(NOT s4.exact_canonical, FALSE) AS exact_duplicate,
         |  COALESCE(k5.neardup_removed, FALSE) AS neardup_removed,
-        |  COALESCE(NOT k5.neardup_removed, FALSE) AS kept
+        |  f.doc_id IN (SELECT doc_id FROM s6)
+        |    AND f.doc_id NOT IN (SELECT doc_id FROM s7)
+        |    AS image_neardup_removed,
+        |  f.doc_id IN (SELECT doc_id FROM s7)
+        |    AND f.doc_id NOT IN (SELECT doc_id FROM s8)
+        |    AS audio_neardup_removed,
+        |  f.doc_id IN (SELECT doc_id FROM s8) AS kept
         |FROM f
         |LEFT JOIN s4 ON s4.doc_id = f.doc_id
         |LEFT JOIN k5 ON k5.doc_id = f.doc_id
@@ -1826,7 +1929,13 @@ object Pipeline {
         |       SELECT doc_id FROM (
         |         SELECT w5.doc_id, MIN(w5.doc_id) OVER (PARTITION BY
         |           lab.cluster_id) AS m
-        |         FROM w5 JOIN lab USING (doc_id)) WHERE doc_id = m)
+        |         FROM w5 JOIN lab USING (doc_id)) WHERE doc_id = m),
+        |w7 AS (SELECT doc_id FROM (
+        |         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id // 5)
+        |           AS m FROM w6) WHERE doc_id = m),
+        |w8 AS (SELECT doc_id FROM (
+        |         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id // 4)
+        |           AS m FROM w7) WHERE doc_id = m)
         |SELECT '1_total' AS stage,
         |  CAST((SELECT COUNT(*) FROM d0) AS BIGINT) AS n_docs
         |UNION ALL SELECT '2_non_bench', (SELECT COUNT(*) FROM w2)
@@ -1834,6 +1943,8 @@ object Pipeline {
         |UNION ALL SELECT '4_min_length', (SELECT COUNT(*) FROM w4)
         |UNION ALL SELECT '5_exact_canonical', (SELECT COUNT(*) FROM w5)
         |UNION ALL SELECT '6_neardup_rep', (SELECT COUNT(*) FROM w6)
+        |UNION ALL SELECT '7_image_rep', (SELECT COUNT(*) FROM w7)
+        |UNION ALL SELECT '8_audio_rep', (SELECT COUNT(*) FROM w8)
         |ORDER BY stage""".stripMargin,
     // q303: the naive sorted-window cumsum; the two-level prefix sum
     // computes the same total order

@@ -2450,7 +2450,7 @@ class OperatorSpec extends AnyFunSuite {
     val rows = run("q313_build_waterfall").collect()
     assert(rows.map(_.getString(0)).toSeq ===
       Seq("1_total", "2_non_bench", "3_decontaminated", "4_min_length",
-        "5_exact_canonical", "6_neardup_rep"))
+        "5_exact_canonical", "6_neardup_rep", "7_image_rep", "8_audio_rep"))
     val n = rows.map(_.getLong(1))
     n.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => () }
     val docs = Tables.load(spark, sf, "documents")
@@ -2892,11 +2892,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.count(r => live(r, 3)).toLong === wf("4_min_length"))
     assert(rows.count(r => live(r, 3) && !r.getBoolean(4)).toLong ===
       wf("5_exact_canonical"))
-    assert(rows.count(_.getBoolean(6)).toLong === wf("6_neardup_rep"))
-    // verdict coherence: kept implies it passed every gate
-    rows.filter(_.getBoolean(6)).foreach { r =>
+    assert(rows.count(r => live(r, 3) && !r.getBoolean(4) &&
+      !r.getBoolean(5)).toLong === wf("6_neardup_rep"))
+    assert(rows.count(r => live(r, 3) && !r.getBoolean(4) &&
+      !r.getBoolean(5) && !r.getBoolean(6)).toLong === wf("7_image_rep"))
+    assert(rows.count(_.getBoolean(8)).toLong === wf("8_audio_rep"))
+    // verdict coherence: kept implies it passed every gate, including
+    // both media dedup stages
+    rows.filter(_.getBoolean(8)).foreach { r =>
       assert(!r.getBoolean(1) && !r.getBoolean(2) && !r.getBoolean(3) &&
-        !r.getBoolean(4) && !r.getBoolean(5), r.toString)
+        !r.getBoolean(4) && !r.getBoolean(5) && !r.getBoolean(6) &&
+        !r.getBoolean(7), r.toString)
     }
   }
 

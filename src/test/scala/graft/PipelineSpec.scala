@@ -60,14 +60,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dupGroups.count() === 0L)
   }
 
-  test("each near-dup cluster keeps exactly its minimum surviving-stage member") {
+  test("the survivor set equals the independently modeled stage chain") {
     // independent model of the build's stage order: eligibility gates
     // (not bench, not contaminated, >= 10 tokens), THEN exact dedup by
-    // the shared content key, THEN per-cluster minimum. Modeling
-    // eligibility alone would be unsound: a normalized-content twin
-    // (case/whitespace variant) can be dropped by exact dedup without
-    // being near-dup-paired, and the cluster then keeps its next
-    // canonical member.
+    // the shared content key, THEN per-text-cluster minimum, THEN the
+    // media stages — one survivor per planted scene group (doc div 5)
+    // and per clip group (doc div 4), the ground truth the q357/q362
+    // pair gates pin. Modeling eligibility alone would be unsound: a
+    // normalized-content twin (case/whitespace variant) can be dropped
+    // by exact dedup without being near-dup-paired, and the cluster
+    // then keeps its next canonical member.
+    val w = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.expressions.Window.partitionBy(c)
     val contaminated = Pipeline.decontaminate(spark, sf).select(col("doc_id"))
     val eligible = Tables.load(spark, sf, "documents")
       .filter(col("doc_id") % 20 =!= 0)
@@ -75,30 +79,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(size(split(trim(col("text")), " +")) >= 10)
     val canonical = eligible
       .withColumn("ck", graft.dedup.Dedup.contentKey(col("text")))
-      .withColumn("mn", min(col("doc_id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))))
+      .withColumn("mn", min(col("doc_id")).over(w(col("ck"))))
       .filter(col("doc_id") === col("mn"))
       .select(col("doc_id"))
     val clusters = graft.dedup.Dedup.dedupClusters(spark, sf)
       .select(col("doc_id"), col("cluster_id"))
-    // expected survivor per cluster: the minimum canonical member (a
-    // cluster with none keeps nothing) — an excluded minimum must NOT
-    // drag its eligible siblings out of the corpus
-    val expected = clusters.join(canonical, "doc_id")
-      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
+    // per text cluster: the minimum canonical member (a cluster with
+    // none keeps nothing) — an excluded minimum must NOT drag its
+    // eligible siblings out of the corpus; unclustered docs pass
+    val textKept = canonical.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cm", min(col("doc_id"))
+        .over(w(coalesce(col("cluster_id"), -col("doc_id")))))
+      .filter(col("cluster_id").isNull || col("doc_id") === col("cm"))
       .select(col("doc_id"))
+    val imgKept = textKept
+      .withColumn("gm", min(col("doc_id")).over(w(expr("doc_id div 5"))))
+      .filter(col("doc_id") === col("gm")).select(col("doc_id"))
+    val expected = imgKept
+      .withColumn("gm", min(col("doc_id")).over(w(expr("doc_id div 4"))))
+      .filter(col("doc_id") === col("gm")).select(col("doc_id"))
     val actual = corpus.select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left_semi")
     assert(actual.exceptAll(expected).isEmpty &&
       expected.exceptAll(actual).isEmpty)
+  }
+
+  test("media dedup: at most one survivor per scene group and per clip group") {
+    // the composed build may never ship two docs whose attached
+    // artwork (scene group) or audio clip (clip group) are near-dups
+    val maxPerScene = corpus.groupBy(expr("doc_id div 5")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    val maxPerClip = corpus.groupBy(expr("doc_id div 4")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxPerScene === 1L, s"scene group shipped $maxPerScene near-dup images")
+    assert(maxPerClip === 1L, s"clip group shipped $maxPerClip near-dup clips")
   }
 
   test("layout maintenance chains onto the built corpus: compact then retire") {
     import graft.ingest.GasPrices
     val compacted =
       java.nio.file.Files.createTempDirectory("graft_corpus_compact").toString
+    val fragmented =
+      java.nio.file.Files.createTempDirectory("graft_corpus_frag").toString
     try {
-      corpus // force the lazy build before counting its files
       def parquetFiles(p: String): Int = {
         def walk(f: java.io.File): Int = {
           val kids = f.listFiles()
@@ -108,11 +130,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
         walk(new java.io.File(p))
       }
-      val nBefore = parquetFiles(out)
-      assert(nBefore > 3, s"fixture corpus should be fragmented, got $nBefore files")
+      // fragment the built corpus deliberately (since the media dedup
+      // stages landed, the sf0.001 artifact is one file per split —
+      // the small-file problem has to be staged to be exercised)
+      corpus.repartition(4).write.mode("overwrite")
+        .partitionBy("split").parquet(fragmented)
+      val nBefore = parquetFiles(fragmented)
+      assert(nBefore > 3, s"staged corpus should be fragmented, got $nBefore files")
       // one maintenance rule for any partitioned store: corpus layout is
       // (split, doc_id) where the gas-prices store is (date, station)
-      GasPrices.compactStore(spark, out, compacted, 1, "split", Seq("doc_id"))
+      GasPrices.compactStore(spark, fragmented, compacted, 1, "split", Seq("doc_id"))
       val nAfter = parquetFiles(compacted)
       assert(nAfter < nBefore, s"compaction must shrink files: $nBefore -> $nAfter")
       // row multiset preserved bit-for-bit
@@ -134,7 +161,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
         f.delete(): Unit
       }
-      rm(new java.io.File(compacted))
+      rm(new java.io.File(compacted)); rm(new java.io.File(fragmented))
     }
   }
 
