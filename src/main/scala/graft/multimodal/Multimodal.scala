@@ -870,45 +870,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Generated clip corpus: video-like payloads (no image container —
-    * the frame path is byte-plane by design, [[sampleFrames]]) whose
-    * every byte has a closed form both engines can evaluate:
-    * len = 800 + (doc_id·37 mod 2000), byte(i) = (doc_id·131 + i·17)
-    * mod 251. Payloads are produced executor-side from the row's own
-    * id — nothing ships from the driver. */
-  def generatedClips(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
-    import spark.implicits._
-    // not fanned out: the clip fill is pure byte math (~2 us/row) —
-    // the fan-out shuffle would dominate it
-    load(spark, dir, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.map { docId =>
-          val len = (800L + (docId * 37L) % 2000L).toInt
-          val bytes = new Array[Byte](len)
-          var i = 0
-          while (i < len) {
-            bytes(i) = ((docId * 131L + i * 17L) % 251L).toByte
-            i += 1
-          }
-          MediaRecord(docId, bytes, "rawvideo", 0, 0)
-        }
-      }
-  }
+  /** A sampled decoded frame (q360). */
+  case class ContainerFrameSample(doc_id: Long, frame_idx: Int,
+    n_pixels: Long, mean_pixel: Double)
 
-  /** q360 — FRAME-SAMPLING CENSUS: run [[sampleFrames]] (fixed
-    * 256-byte frames, every 2nd frame, short tail kept) over the
-    * generated clips and emit every sampled frame's byte length and
-    * byte-mean. The oracle re-derives both per (doc, frame) from the
-    * clip formula — frame boundaries, the stride, tail truncation,
-    * and the unsigned-byte decode are each load-bearing: an
-    * off-by-one in slicing or a signed-byte read shifts a mean and
-    * hash-mismatches. mean = exact integer sum / exact length, ONE
-    * IEEE division in both engines. */
+  /** q360 — FRAME-SAMPLING CENSUS over the REAL GIF container: the
+    * stride-2 decimation step of a video feature pipeline, run on
+    * genuinely multi-frame media — every 2nd frame of each doc's
+    * animated GIF is decoded via the ImageReader API
+    * ([[decodeAllFrames]]; plain ImageIO.read would silently sample
+    * only frame 0) and summarized by pixel count and luminance mean.
+    * Until round 13 this query sampled synthetic byte-plane clips;
+    * q367 made the container decode real, so the sampler now rides it
+    * (r12 verdict item 5). The oracle re-derives each SAMPLED frame's
+    * mean from the GIF closed form — q367's per-frame bright-count
+    * formula (`kd = bit_count(seed) ± the frame-f flip`) at the even
+    * frame indices only: a stride slip emits the wrong row set, a
+    * frame-0-only decoder emits too few rows, and a compositing or
+    * quantizing codec shifts a mean. mean = 200·64·kd / 4096 — exact
+    * integer sum over a power-of-two count, ONE IEEE division in both
+    * engines. Decode is partition-batched and narrow; fixed-byte-plane
+    * decimation (no container) remains available as [[sampleFrames]].
+    */
   def frameSampleCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    sampleFrames(generatedClips(spark, dir), frameBytes = 256, every = 2)
-      .toDF()
-      .select(col("doc_id"), col("frame_idx"), col("n_bytes"),
+    generatedGifs(spark, dir).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.flatMap { r =>
+        val frames = decodeAllFrames(r.payload)
+        (0 until frames.length by 2).map { f =>
+          val px = frames(f)
+          ContainerFrameSample(r.doc_id, f, px.length.toLong, meanOf(px))
+        }
+      })
+    }.toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_pixels"),
         col("mean_pixel"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
@@ -1039,19 +1034,22 @@ object Multimodal {
         |                WHEN ((seed >> CAST((seed % 56 + j) % 56 AS INT)) & 1) = 1
         |                THEN -1 ELSE 1 END) AS BIGINT) AS n_bright
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q360: q367's per-frame closed form at the even frame indices
+    // only — the stride is the thing under test
     "q360_frame_sample_census" ->
-      """WITH d AS (
-        | SELECT doc_id, 800 + (doc_id * 37) % 2000 AS len FROM documents),
+      s"""WITH s AS (
+        | SELECT doc_id, ${phashSql("CAST(doc_id AS VARCHAR)")} AS seed,
+        |        2 + CAST(doc_id % 3 AS INT) AS nf
+        | FROM documents),
         |f AS (
-        | SELECT doc_id, len, unnest(range(0, (len + 255) // 256, 2)) AS fi
-        | FROM d)
-        |SELECT f.doc_id,
+        | SELECT doc_id, seed, unnest(range(0, nf, 2)) AS fi FROM s)
+        |SELECT doc_id,
         |       CAST(fi AS INT) AS frame_idx,
-        |       CAST(LEAST(256, len - fi * 256) AS BIGINT) AS n_bytes,
-        |       CAST(list_sum(list_transform(
-        |              range(fi * 256, LEAST((fi + 1) * 256, len)),
-        |              i -> (f.doc_id * 131 + i * 17) % 251))
-        |            AS DOUBLE) / LEAST(256, len - fi * 256) AS mean_pixel
+        |       CAST(4096 AS BIGINT) AS n_pixels,
+        |       CAST(200 * 64 * (bit_count(seed)
+        |         + CASE WHEN fi = 0 THEN 0
+        |                WHEN ((seed >> CAST((seed % 56 + fi) % 56 AS INT)) & 1) = 1
+        |                THEN -1 ELSE 1 END) AS DOUBLE) / 4096 AS mean_pixel
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     // q367: per-DOC seed; frame f's bright count is q358's kd formula
     // with the frame index as the variant, 64 px per bright cell.

@@ -204,22 +204,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
-  test("q360: frame sampling strides, truncates the tail, and reads unsigned bytes") {
+  test("q360: stride-2 sampling over the real GIF container hits exactly the even frames") {
     val dir = "/root/testdata/sf0.001"
     val rows = Multimodal.frameSampleCensus(spark, dir).collect()
     assert(rows.nonEmpty)
+    // expected row set: per doc, frames {0} (nf=2) or {0, 2} (nf=3,4)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (docId, frs) =>
+      val nf = 2 + (docId % 3).toInt
+      val want = (0 until nf by 2).toSeq
+      assert(frs.map(_.getInt(1)).sorted.toSeq === want,
+        s"doc $docId sampled wrong frames (nf=$nf)")
+    }
     rows.foreach { r =>
-      val (docId, fi, nb, mean) =
-        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      val (fi, np, mean) = (r.getInt(1), r.getLong(2), r.getDouble(3))
       assert(fi % 2 === 0) // every-2 decimation
-      val len = 800L + (docId * 37L) % 2000L
-      val expectBytes = math.min(256L, len - fi * 256L)
-      assert(nb === expectBytes, s"doc $docId frame $fi")
-      // recompute the byte mean from the clip formula (unsigned read)
-      var s = 0L
-      var i = fi * 256L
-      while (i < fi * 256L + expectBytes) { s += (docId * 131L + i * 17L) % 251L; i += 1 }
-      assert(mean === s.toDouble / expectBytes, s"doc $docId frame $fi")
+      assert(np === 4096L) // full 64x64 raster per decoded frame
+      // a decoded-frame mean is always a multiple of 200/4096 — the
+      // two-level cell raster admits nothing else
+      val kd = mean * 4096 / 200 / 64
+      assert(kd === math.rint(kd) && kd >= 0 && kd <= 56, s"mean $mean")
     }
   }
 
