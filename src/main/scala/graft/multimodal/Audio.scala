@@ -62,6 +62,66 @@ object Audio {
   // stream-based and never consult java.awt.headless — that property
   // is an ImageIO/AWT concern, set in Multimodal.imageIoReady.)
 
+  /** The WAV codec providers, resolved ONCE per JVM through the public
+    * SPI (ServiceLoader over javax.sound.sampled.spi) instead of the
+    * `AudioSystem` facade. AudioSystem.getAudioInputStream/write walk
+    * the provider registry under a global lock ON EVERY CALL — on this
+    * host that is 52 µs/clip single-threaded and scales NEGATIVELY
+    * past ~4 threads (50 k clips: 2.6 s on 1 thread, 3.2 s spread over
+    * 32 — the contention measurement behind the old "audio doesn't
+    * fan" decision, SCALE.md §17). The cached providers are 13 µs/clip
+    * and scale linearly (the same 50 k clips: 50 ms on 32 threads), so
+    * the codec stage parallelizes like every other decode path.
+    * Stateless per the SPI contract, so one instance serves all tasks;
+    * empty Option falls back to the facade (portability on JDKs with
+    * no discoverable WAV provider). */
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: Option[javax.sound.sampled.spi.AudioFileWriter] = None
+    while (found.isEmpty && it.hasNext) {
+      val w = it.next()
+      if (w.getAudioFileTypes.contains(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE)) found = Some(w)
+    }
+    found
+  }
+
+  private lazy val wavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    // probe with a real smoke clip: the right reader is the one that
+    // accepts our own writer's output
+    val smoke = encodeWav(new Array[Int](WindowSamples))
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var found: Option[javax.sound.sampled.spi.AudioFileReader] = None
+    while (found.isEmpty && it.hasNext) {
+      val r = it.next()
+      try {
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(smoke)).close()
+        found = Some(r)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    found
+  }
+
+  /** Open a payload as an audio stream: the cached WAV reader first
+    * (the hot path), the AudioSystem facade as the rare second chance
+    * for non-WAV containers some other installed provider handles —
+    * behavior-identical to the facade-only path, minus its lock. */
+  private def openAudioStream(payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    wavReader match {
+      case Some(r) =>
+        try r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+        }
+      case None =>
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+    }
+
   /** REAL WAV encode via the JDK codec: PCM signed 16-bit mono
     * little-endian samples -> a RIFF/WAVE container byte array. */
   def encodeWav(samples: Array[Int], sampleRate: Int = SampleRate): Array[Byte] = {
@@ -78,8 +138,13 @@ object Audio {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter match {
+      case Some(w) =>
+        w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      case None =>
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+    }
     bos.toByteArray
   }
 
@@ -90,8 +155,7 @@ object Audio {
     * samples are returned frame-major). */
   def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = {
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = openAudioStream(payload)
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 16) return None
       val bytes = ais.readAllBytes()
@@ -158,15 +222,21 @@ object Audio {
   }
 
   /** The generated audio table: REAL WAV bytes, one render + encode per
-    * row, produced executor-side from the row's own spec. */
+    * row, produced executor-side from the row's own spec.
+    *
+    * FANNED OUT since round 13. The r11/r12 "audio doesn't fan"
+    * decision (0.33 → 0.67 s at sf0.1) was measuring AudioSystem's
+    * global registry lock, not the shuffle: with the codec facade's
+    * contention removed (see [[wavReader]]), the general rule applies —
+    * fan when per-row codec cost × rows on the widest partition
+    * exceeds the slim-spec shuffle (~0.2 s fixed + ~2 µs/row), which
+    * a ~30 µs/clip encode+decode chain crosses by ~20 k clips on one
+    * split — and the A/B at heaps1 (50 k clips) measures fan+SPI at
+    * 2.1/2.4/1.7 s vs 8.5/9.0/8.2 s for the r12 no-fan facade path
+    * (SCALE.md §17). */
   def generatedAudio(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
     import spark.implicits._
-    // NOT fanned out (unlike the image generators): WAV encode of a
-    // 768-sample clip is ~60 us, so at gate scale the fan-out shuffle
-    // costs more than the parallelism wins (measured 0.33 s -> 0.67 s
-    // at sf0.1); a real 100 TB audio corpus arrives pre-split by the
-    // source layout
-    clipSpecs(spark, dir).mapPartitions { it =>
+    Multimodal.fanOut(clipSpecs(spark, dir)).mapPartitions { it =>
       it.grouped(Multimodal.DecodeBatch).flatMap(_.map { s =>
         AudioRecord(s.doc_id, encodeWav(renderClip(s.seed, s.variant)), "wav")
       })
