@@ -1114,7 +1114,65 @@ object Validate {
       .orderBy(col("source"))
   }
 
+  private[graft] lazy val weightedBottomKAgg =
+    udaf(graft.functions.WeightedBottomKSample,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)]())
+
+  /** q374 — WEIGHTED QUANTILE SKETCH (weighted bottom-k sample):
+    * per-return-flag weighted median of lineitem price, weight =
+    * quantity — q149's semantics as a MERGEABLE sketch, the one
+    * quantile form q370's unweighted sample can't serve. Each row
+    * contributes (portable row-key hash, cents, weight) to
+    * [[graft.functions.WeightedBottomKSample]]; the kept K = 64
+    * (value, weight) pairs are a deterministic uniform row-sample, and
+    * the estimate applies q149's exact lower-median walk — smallest
+    * value whose cumulative weight reaches `(total + 1) div 2` — to
+    * the SAMPLE's weights (the Hansen–Hurwitz CDF estimate; integer
+    * arithmetic end to end, so the oracle replays the sample AND the
+    * walk row-for-row). Exact row count and exact total weight ride
+    * the same rollup as audit columns (the estimate-beside-truth
+    * pattern): the reader sees how much mass the 64-row sample
+    * summarizes.
+    *
+    * Scale shape: ONE partial-aggregable rollup — map-side combine
+    * reduces every partition to ≤ 64 triples per group before the
+    * shuffle (PlanSpec pins `partial_weightedbottomksample`) — then
+    * the median walk runs over ≤ 64·groups sample rows, vs q149's
+    * two-pass bucket selection over the full corpus. */
+  def weightedQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val rows = load(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      phash(concat_ws(":", col("l_orderkey").cast(StringType),
+        col("l_linenumber").cast(StringType))).as("h"),
+      (d2(col("l_extendedprice")) * 100).cast(LongType).as("v"),
+      col("l_quantity").cast(LongType).as("w"))
+    val sk = rows.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("total_weight"),
+        weightedBottomKAgg(col("h"), col("v"), col("w")).as("sample"))
+    // the weighted-median walk over the exploded ≤ 64-pair samples —
+    // kept relational so the estimator arithmetic stays in the plan
+    val ex = sk.select(col("l_returnflag"), col("n_rows"),
+        col("total_weight"), size(col("sample")).as("m_sample"),
+        explode(col("sample")).as("s"))
+      .groupBy(col("l_returnflag"), col("n_rows"), col("total_weight"),
+        col("m_sample"), col("s._1").as("v"))
+      .agg(sum(col("s._2")).as("wc"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ex.withColumn("cum", sum(col("wc")).over(wCum))
+      .withColumn("sw", sum(col("wc")).over(wAll))
+      .filter(col("cum") >= expr("(sw + 1) div 2") &&
+        col("cum") - col("wc") < expr("(sw + 1) div 2"))
+      .select(col("l_returnflag"), col("n_rows"), col("total_weight"),
+        col("m_sample"), col("sw").as("sample_weight"),
+        col("v").as("est_median_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_weighted_quantile_sketch" -> weightedQuantileSketch,
     "q370_quantile_sketch" -> quantileSketch,
     "q310_join_cardinality" -> joinCardinalityAudit,
     "q305_daily_percentiles" -> dailyPercentiles,
@@ -1162,6 +1220,39 @@ object Validate {
   }
 
   val oracles: Map[String, String] = Map(
+    // q374: the weighted sample is deterministic (bottom-64 by (hash,
+    // value, weight)), so the oracle recomputes the sample with a
+    // window rank and replays q149's lower-median walk over it
+    "q374_weighted_quantile_sketch" ->
+      s"""WITH s AS (
+        | SELECT l_returnflag AS grp,
+        |        ${phashSql("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} AS hk,
+        |        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |        CAST(l_quantity AS BIGINT) AS w
+        | FROM lineitem),
+        |t AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |        CAST(SUM(w) AS BIGINT) AS total_weight
+        |      FROM s GROUP BY grp),
+        |r AS (SELECT grp, v, w,
+        |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hk, v, w) AS rn
+        |      FROM s),
+        |k AS (SELECT grp, v, w FROM r WHERE rn <= 64),
+        |ms AS (SELECT grp, CAST(COUNT(*) AS INT) AS m_sample
+        |       FROM k GROUP BY grp),
+        |g AS (SELECT grp, v, CAST(SUM(w) AS BIGINT) AS wc
+        |      FROM k GROUP BY grp, v),
+        |c AS (SELECT grp, v, wc,
+        |        SUM(wc) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |        SUM(wc) OVER (PARTITION BY grp) AS sw
+        |      FROM g),
+        |m AS (SELECT grp, CAST(sw AS BIGINT) AS sample_weight,
+        |        v AS est_median_cents
+        |      FROM c
+        |      WHERE cum >= (sw + 1) // 2 AND cum - wc < (sw + 1) // 2)
+        |SELECT t.grp AS l_returnflag, t.n_rows, t.total_weight,
+        |  ms.m_sample, m.sample_weight, m.est_median_cents
+        |FROM t JOIN ms ON t.grp = ms.grp JOIN m ON t.grp = m.grp
+        |ORDER BY l_returnflag""".stripMargin,
     // q370: the bottom-64-by-(hash,value) sample is deterministic, so
     // the oracle recomputes it with a window rank and reads the same
     // integer ranks off the sorted sample values

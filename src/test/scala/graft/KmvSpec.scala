@@ -52,6 +52,47 @@ class KmvSpec extends AnyFunSuite {
       xs.take(10).map(_._2).sorted)
   }
 
+  test("WeightedBottomKSample: merge law holds and the weighted median walk is exact") {
+    import graft.functions.WeightedBottomKSample
+    val xs = (0 until 400).map(i =>
+      ((i * 2654435761L) % 100003L, (i * 7919L) % 5000L, 1L + (i * 31L) % 7L))
+    val (l, r) = xs.splitAt(173)
+    val seq = xs.foldLeft(WeightedBottomKSample.zero)(WeightedBottomKSample.reduce)
+    val par = WeightedBottomKSample.merge(
+      l.foldLeft(WeightedBottomKSample.zero)(WeightedBottomKSample.reduce),
+      r.foldLeft(WeightedBottomKSample.zero)(WeightedBottomKSample.reduce))
+    assert(par.toSeq === seq.toSeq)
+    // merge is order-independent (the shuffle-order law)
+    assert(WeightedBottomKSample.merge(
+      r.foldLeft(WeightedBottomKSample.zero)(WeightedBottomKSample.reduce),
+      l.foldLeft(WeightedBottomKSample.zero)(WeightedBottomKSample.reduce))
+      .toSeq === seq.toSeq)
+    // ground truth: the K triples smallest by (hash, value, weight);
+    // finish drops the hash and keeps (value, weight)
+    val truth = xs.sorted.take(WeightedBottomKSample.K)
+    assert(seq.toSeq === truth)
+    assert(WeightedBottomKSample.finish(seq).toSeq ===
+      truth.map(t => (t._2, t._3)))
+    // the q149 lower-median walk over the sample: smallest value whose
+    // cumulative weight reaches (sw + 1) / 2 — replay it by brute force
+    val sample = WeightedBottomKSample.finish(seq)
+    val byV = sample.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    val sw = byV.map(_._2).sum
+    val kth = (sw + 1) / 2
+    var cum = 0L
+    val expectMedian = byV.find { case (_, wc) => cum += wc; cum >= kth }.get._1
+    cum = 0L
+    val walk = byV.map { case (v, wc) => cum += wc; (v, wc, cum) }
+      .find { case (_, wc, c) => c >= kth && c - wc < kth }.get
+    assert(walk._1 === expectMedian)
+    // under-full group: the sample IS the group, weights intact
+    val small = xs.take(10)
+      .foldLeft(WeightedBottomKSample.zero)(WeightedBottomKSample.reduce)
+    assert(WeightedBottomKSample.finish(small).sortBy(identity).toSeq ===
+      xs.take(10).map(t => (t._2, t._3)).sortBy(identity))
+  }
+
   test("merge equals sequential reduction (the mergeable-sketch law)") {
     val xs = (0 until 500).map(i => (i * 2654435761L) % 100000L)
     val (l, r) = xs.splitAt(237)

@@ -215,6 +215,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("window"), plan) // no rank/sort fallback
   }
 
+  test("WeightedBottomKSample aggregates partially: q374's rollup shuffles <= 64 triples/group") {
+    // same contract as q370: the map-side partial ObjectHashAggregate
+    // must run BEFORE the exchange. The median walk's window is legal
+    // here — it runs over <= 64 sample rows per group, not the corpus —
+    // so the pin is on the partial aggregate, plus exactly ONE
+    // lineitem scan (count, total weight and sample share the rollup)
+    val plan = formatted(ops.Validate.weightedQuantileSketch(spark, sf))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_weightedbottomksample"), plan)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("q65 grouping sets expand into ONE aggregate pass, not N scans") {
     val plan = formatted(run("q65_grouping_sets"))
     assert(plan.contains("Expand"), plan)
