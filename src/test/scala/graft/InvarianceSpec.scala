@@ -84,7 +84,13 @@ class InvarianceSpec extends AnyFunSuite {
     "q352_asof_tolerance", "q353_propensity_labels",
     "q354_temporal_split_embargo",
     // round-10 additions: the shared per-source chunk-DF fragment
-    "q355_source_boilerplate", "q356_template_scrub")
+    "q355_source_boilerplate", "q356_template_scrub",
+    // round-13 additions: paired-band fingerprints (decode must be
+    // bit-stable under any input split), occupancy-derived candidate
+    // counts, and the weighted bottom-k sample (merge-order law under
+    // adversarial partition layouts)
+    "q372_image_neardup_wide128", "q373_banding_audit",
+    "q374_weighted_quantile_sketch")
 
   test("round-9 families are layout-invariant (starved + oversized shuffle, shattered splits)") {
     val starved = spark.newSession()
