@@ -504,7 +504,7 @@ object Pipeline {
     * (each stage count is a SUM over these flags — spec-pinned against
     * q313). Flags compose the SAME shared rules (isBench, length gate,
     * decontaminate, contentKey, dedupClusters, and the
-    * mediaRep/imageClusters/audioClusters trio — the media flags run
+    * mediaFlags/imageClusters/audioClusters trio — the media flags run
     * the REAL codec pipelines); the kept rule is the exact q313 chain.
     *
     * Scale shape: one base pass + slim semi-joinable flag sets
@@ -541,28 +541,23 @@ object Pipeline {
         col("cluster_id").isNotNull &&
           col("doc_id") =!= min(col("doc_id")).over(wCl))
       .select(col("doc_id"), col("neardup_removed"))
-    // media stages over the text survivors — the exact q313 chain
+    // media stages over the text survivors — the exact q313 chain,
+    // both verdicts from ONE mediaFlags pass (the codec pipelines run
+    // once, not once per flag)
     val s6 = kept5.filter(!col("neardup_removed")).select(col("doc_id"))
-    val s7 = mediaRep(s6, imageClusters(spark, dir))
-    val s8 = mediaRep(s7, audioClusters(spark, dir))
-    val imgRemoved = s6.join(s7, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit(true).as("img_rm"))
-    val audRemoved = s7.join(s8, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit(true).as("aud_rm"))
+    val mf = mediaFlags(s6, imageClusters(spark, dir),
+      audioClusters(spark, dir))
     flagged.drop("text")
       .join(survivors4, Seq("doc_id"), "left")
       .join(kept5, Seq("doc_id"), "left")
-      .join(imgRemoved, Seq("doc_id"), "left")
-      .join(audRemoved, Seq("doc_id"), "left")
-      .join(s8.select(col("doc_id"), lit(true).as("kept8")),
-        Seq("doc_id"), "left")
+      .join(mf, Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_bench"), col("too_short"),
         col("contaminated"),
         coalesce(!col("exact_canonical"), lit(false)).as("exact_duplicate"),
         coalesce(col("neardup_removed"), lit(false)).as("neardup_removed"),
         coalesce(col("img_rm"), lit(false)).as("image_neardup_removed"),
         coalesce(col("aud_rm"), lit(false)).as("audio_neardup_removed"),
-        coalesce(col("kept8"), lit(false)).as("kept"))
+        coalesce(!col("img_rm") && !col("aud_rm"), lit(false)).as("kept"))
       .orderBy(col("doc_id"))
   }
 
@@ -747,23 +742,37 @@ object Pipeline {
       .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
   }
 
-  /** One media-dedup stage: keep each media cluster's MINIMUM
-    * surviving member; docs outside any cluster pass through. The
+  /** BOTH media-dedup stages in ONE pass: annotate the text survivors
+    * with boolean verdicts `img_rm` (not the image cluster's minimum
+    * surviving member) and `aud_rm` (survived images, but not the
+    * audio cluster's minimum image-surviving member); docs outside a
+    * cluster pass through (the null-key window partitions them alone
+    * via `coalesce(key, -doc_id)` — no giant null partition). The
     * SHARED stage rule of the build (prepareCorpus), the waterfall
-    * (q313) and the lineage (q343) — the three can never fork. Unlike
-    * the sparse text-cluster stage, media clusters here cover most of
-    * the corpus (every doc carries artwork/audio), so the cluster
-    * frame joins by shuffle — NOT broadcast — and only the clustered
-    * slice is windowed. */
-  private def mediaRep(survivors: DataFrame, clusters: DataFrame): DataFrame = {
-    val j = survivors.join(
-      clusters.withColumnRenamed("cluster_id", "mcl"), Seq("doc_id"), "left")
-    val w = Window.partitionBy(col("mcl"))
-    j.filter(col("mcl").isNull).drop("mcl")
-      .unionByName(j.filter(col("mcl").isNotNull)
-        .withColumn("mmin", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("mmin"))
-        .drop("mcl", "mmin"))
+    * (q313) and the lineage (q343) — the three can never fork — and
+    * the reason each caller renders the media pair pipelines ONCE:
+    * stage membership is a flag filter over this single frame, not a
+    * chain of per-stage frames whose branches re-run the codec work
+    * (the first spelling cost q343 2.2× at sf0.1). Unlike the sparse
+    * text-cluster stage, media clusters cover most of the corpus
+    * (every doc carries artwork/audio), so the cluster maps join by
+    * shuffle — NOT broadcast. */
+  private def mediaFlags(survivors: DataFrame,
+      imgClusters: DataFrame, audClusters: DataFrame): DataFrame = {
+    val j = survivors
+      .join(imgClusters.withColumnRenamed("cluster_id", "icl"),
+        Seq("doc_id"), "left")
+      .join(audClusters.withColumnRenamed("cluster_id", "acl"),
+        Seq("doc_id"), "left")
+    val wI = Window.partitionBy(coalesce(col("icl"), -col("doc_id")))
+    val wA = Window.partitionBy(coalesce(col("acl"), -col("doc_id")))
+    j.withColumn("img_rm",
+        col("icl").isNotNull &&
+          col("doc_id") =!= min(col("doc_id")).over(wI))
+      .withColumn("aud_rm",
+        !col("img_rm") && col("acl").isNotNull &&
+          col("doc_id") =!= min(when(!col("img_rm"), col("doc_id"))).over(wA))
+      .drop("icl", "acl")
   }
 
   /** The build's media cluster maps — image clusters from q357's REAL
@@ -846,8 +855,10 @@ object Pipeline {
     // the REAL codec pipelines; text survivors enter first, so a
     // media-dropped doc never drags its clean siblings out (the
     // gates-first rule, applied again)
-    val keptMedia = mediaRep(
-      mediaRep(kept, imageClusters(spark, dir)), audioClusters(spark, dir))
+    val keptMedia = mediaFlags(kept,
+        imageClusters(spark, dir), audioClusters(spark, dir))
+      .filter(!col("img_rm") && !col("aud_rm"))
+      .drop("img_rm", "aud_rm")
     withSplit(keptMedia).write.mode("overwrite").partitionBy("split").parquet(outDir)
     spark.read.parquet(outDir)
       .groupBy(col("split"))
@@ -1282,7 +1293,7 @@ object Pipeline {
     * change silently eats a feed. Every stage count is an exact
     * integer; stage rules compose the SAME shared definitions
     * (isBench, decontaminate, contentKey, dedupClusters, the
-    * mediaRep/imageClusters/audioClusters trio) the build uses, so
+    * mediaFlags/imageClusters/audioClusters trio) the build uses, so
     * report and build can never disagree. The media stage counts come
     * from the REAL codec pipelines; their oracle closed form is the
     * planted group structure (scene group = doc div 5, clip group =
@@ -1306,8 +1317,10 @@ object Pipeline {
       .unionByName(j.filter(col("cluster_id").isNotNull)
         .withColumn("m", min(col("doc_id")).over(wCl))
         .filter(col("doc_id") === col("m")).select(col("doc_id")))
-    val s7 = mediaRep(s6, imageClusters(spark, dir))
-    val s8 = mediaRep(s7, audioClusters(spark, dir))
+    val mf = mediaFlags(s6, imageClusters(spark, dir),
+      audioClusters(spark, dir))
+    val s7 = mf.filter(!col("img_rm"))
+    val s8 = mf.filter(!col("img_rm") && !col("aud_rm"))
     Seq(("1_total", docs), ("2_non_bench", s2), ("3_decontaminated", s3),
       ("4_min_length", s4), ("5_exact_canonical", s5), ("6_neardup_rep", s6),
       ("7_image_rep", s7), ("8_audio_rep", s8))
