@@ -65,4 +65,34 @@ object Banding {
           .as("bkey"))
     }: _*)
   }
+
+  /** N-HASH pigeonhole banding — [[pairedBands]] generalized to a
+    * fingerprint carried as ANY number of 64-bit columns: band b's key
+    * concatenates slice b of every hash word
+    * (`bkey = Σ_i slice_b(h_i) << (i·bitsEach)`). Pigeonhole over the
+    * concatenated `hashes.length · 64` bits is unchanged — a pair
+    * within Hamming distance `nBands − 1` still matches at least one
+    * band exactly in EVERY word — while each band carries
+    * `2^(hashes.length · bitsEach)` buckets. This is SCALE.md §18's
+    * "widen h2" lever taken to its conclusion: with four words at 8×8
+    * slices every band carries 32 key bits, so even a band family
+    * whose h1 slice is structurally degenerate (q368's dark bottom
+    * row) keeps ≥ 21 discriminating bits from the other words and the
+    * residual collision term drops from n²/256 to ~n²/2²². The radius
+    * guarantee needs near-dup edits to flip few bits across ALL words
+    * — contrast-style h2..h4 (q375's quadrant hashes) flip NONE for a
+    * base-level edit, so planted distances live entirely in h1. */
+  def multiBands(hashes: Seq[Column], nBands: Int, bitsEach: Int): Column = {
+    require(hashes.nonEmpty, "at least one hash word")
+    require(nBands * bitsEach <= 64, "band slices must fit 64-bit hashes")
+    require(hashes.length * bitsEach < 64, "the combined key must fit a long")
+    val mask = (1L << bitsEach) - 1L
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        hashes.zipWithIndex.map { case (h, i) =>
+          shiftleft(shiftright(h, b * bitsEach).bitwiseAND(lit(mask)),
+            i * bitsEach): Column
+        }.reduce(_.bitwiseOR(_)).as("bkey"))
+    }: _*)
+  }
 }

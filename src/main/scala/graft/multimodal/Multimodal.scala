@@ -798,6 +798,208 @@ object Multimodal {
       .orderBy(col("family"))
   }
 
+  // ---------------------------------------------------------------
+  // q375/q376 — the 256-bit fingerprint (SCALE.md §18's residual,
+  // retired): widen h2 so EVERY band carries >= 21 discriminating
+  // bits, including the one whose aHash slice is structurally dark.
+  // ---------------------------------------------------------------
+
+  /** A quad-textured scene spec: the q368/q372 geometry (seed, wide
+    * flips, codec mix) plus THREE independent 63-bit texture words,
+    * one per non-base cell quadrant. Each word is built like q372's
+    * (`bits 0–55 from one phash, 56–62 from another, bit 63 kept 0 so
+    * arithmetic shifts agree between Spark and DuckDB`), from three
+    * disjoint hash namespaces, so the words are mutually independent
+    * AND independent of the seed. Like q372's texture they are
+    * GROUP-derived: zero Hamming contribution within a scene group,
+    * ~31.5 bits of disagreement per word across groups. */
+  case class SceneSpec256(doc_id: Long, seed: Long, t0: Long, t1: Long,
+    t2: Long, variant: Int, format: String)
+
+  private def texWord(hi: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lo.bitwiseOR(shiftleft(hi.bitwiseAND(lit(0x7fL)), 56))
+
+  def quadSpecs256(spark: SparkSession, dir: String): Dataset[SceneSpec256] = {
+    import spark.implicits._
+    val g = "cast(doc_id div 5 as string)"
+    val tw = (p: String) => texWord(
+      phash(concat(lit(p + "H"), expr(g))), phash(concat(lit(p + "L"), expr(g))))
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      phash(expr(g)).as("seed"),
+      tw("Q0").as("t0"), tw("Q1").as("t1"), tw("Q2").as("t2"),
+      (col("doc_id") % 5).cast(IntegerType).as("variant"),
+      expr("CASE CAST((doc_id div 5) % 3 AS INT) WHEN 0 THEN 'png' " +
+        "WHEN 1 THEN 'bmp' ELSE 'gif' END").as("format"))
+      .as[SceneSpec256]
+  }
+
+  /** Rasterize with PER-QUADRANT texture: cell c's top-left 4×4-px
+    * quadrant is lifted +40 when t0 bit c is set, top-right when t1,
+    * bottom-left when t2; the bottom-right quadrant ALWAYS stays at
+    * the cell base — it is the reference level the quadrant-contrast
+    * predicates compare against, which is what makes them invariant
+    * to the planted base flips (base and reference move together).
+    * Pixel levels stay the four exact grays {0, 40, 200, 240} —
+    * lossless under png/bmp/gif. */
+  private def cellImage256(cells: Array[Int], t0: Long, t1: Long,
+      t2: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val c = (y / 8) * 8 + (x / 8)
+        val tex =
+          if (y % 8 < 4) { if (x % 8 < 4) t0 else t1 }
+          else { if (x % 8 < 4) t2 else 0L }
+        val v = cells(c) + (if (((tex >> c) & 1L) == 1L) 40 else 0)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  def renderSceneQuad256(s: SceneSpec256): Array[Byte] = {
+    imageIoReady
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(
+      cellImage256(cellValues(s.seed, wideFlips(s.seed, s.variant)),
+        s.t0, s.t1, s.t2),
+      s.format, bos)
+    require(ok, s"no ImageIO writer for format ${s.format}")
+    bos.toByteArray
+  }
+
+  /** The quad-textured corpus — real codecs, [[wideFlips]] planted
+    * distances, three texture planes. */
+  def generatedMediaQuad256(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    fanOut(quadSpecs256(spark, dir)).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { s =>
+        MediaRecord(s.doc_id, renderSceneQuad256(s), s.format, 64, 64)
+      })
+    }
+  }
+
+  /** The 256-bit perceptual fingerprint, carried as four longs. */
+  case class ImageHash4(doc_id: Long, h1: Long, h2: Long, h3: Long,
+    h4: Long, real_decode: Boolean)
+
+  /** Decode ONCE, fingerprint FOUR ways: h1 is the 8×8 mean-threshold
+    * aHash; h2–h4 are QUADRANT-CONTRAST-VS-BASE hashes from the 16×16
+    * nearest-neighbor downsample — for scene cell c with quadrant
+    * samples q0 (top-left), q1 (top-right), q2 (bottom-left), q3
+    * (bottom-right, the untextured base), bit c of h2/h3/h4 is set
+    * when q0/q1/q2 is STRICTLY brighter than q3. A base-level edit
+    * moves all four quadrants together, so it flips one h1 bit and
+    * ZERO contrast bits — planted radii live entirely in h1 — while
+    * unrelated images disagree on ~half of 256 bits. Exact integer
+    * comparisons; no image-mean dependence in h2–h4 at all. */
+  def quadHash(ds: Dataset[MediaRecord]): Dataset[ImageHash4] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { r =>
+        val (px, w, h, real) = decodePixels(r)
+        val small = resizeKernel(px, math.max(w, 1), math.max(h, 1), 8, 8)
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += small(i); i += 1 }
+        val mean = sum / 64
+        var b1 = 0L
+        i = 0
+        while (i < 64) { if (small(i) > mean) b1 |= (1L << i); i += 1 }
+        val g = resizeKernel(px, math.max(w, 1), math.max(h, 1), 16, 16)
+        var b2 = 0L; var b3 = 0L; var b4 = 0L
+        var c = 0
+        while (c < 64) {
+          val rr = (c / 8) * 2; val cc = (c % 8) * 2
+          val q0 = g(rr * 16 + cc); val q1 = g(rr * 16 + cc + 1)
+          val q2 = g((rr + 1) * 16 + cc); val q3 = g((rr + 1) * 16 + cc + 1)
+          if (q0 > q3) b2 |= (1L << c)
+          if (q1 > q3) b3 |= (1L << c)
+          if (q2 > q3) b4 |= (1L << c)
+          c += 1
+        }
+        ImageHash4(r.doc_id, b1, b2, b3, b4, real)
+      })
+    }
+  }
+
+  /** q375 — WIDE-RADIUS NEAR-DUP ON THE 256-BIT FINGERPRINT: the
+    * q368/q372 planted-distance gate (radius ≤ 7, distances exactly
+    * j_a + j_b) banded 8×32 via [[graft.functions.Banding.multiBands]]
+    * — 8 bits from EACH of the four hash words per band, 2³² buckets.
+    * This retires SCALE.md §18's measured residual: q372's band 7
+    * (dark aHash row + 7 texture bits = 128 buckets → n²/256
+    * candidates) now carries 21 discriminating bits (7 from each
+    * texture plane) → ~n²/2²², i.e. negligible to ~10⁸ docs per
+    * partition domain; every other band carries the full 32. Same
+    * pigeonhole losslessness at radius 7 (the planted edits flip h1
+    * bits only — [[quadHash]]). Cross-group pairs differ on ~28 h1 +
+    * ~94 texture bits, so P(≤ 7 of 256) is ~1e-60 and the closed-form
+    * oracle is sound at ANY scale factor — also retiring q368's
+    * documented sf ceiling for this family. q376 is the audit that
+    * measures the candidate cut. */
+  def imageNearDupQuad256(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = quadHash(generatedMediaQuad256(spark, dir)).toDF()
+    val hs = Seq(col("h1"), col("h2"), col("h3"), col("h4"))
+    val bands = hashes
+      .select((col("doc_id") +: hs) :+
+        explode(graft.functions.Banding.multiBands(hs, 8, 8)).as("bk"): _*)
+      .select((col("doc_id") +: hs) :+ col("bk.band").as("band") :+
+        col("bk.bkey").as("bkey"): _*)
+    val x = bands.alias("x")
+    val y = bands.alias("y")
+    x.join(y, col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        Seq("h1", "h2", "h3", "h4").map(h =>
+          bit_count(col(s"x.$h").bitwiseXOR(col(s"y.$h"))))
+          .reduce(_ + _).as("dist"))
+      .filter(col("dist") <= 7)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q376 — 256-BIT BANDING CANDIDATE AUDIT: q373's measured-collision
+    * story extended to the quad fingerprint, over the SAME quad
+    * corpus and real decode path. Three band families — q368's 8×8
+    * over h1 alone, q372's 8×16 over (h1, h2), and q375's 8×32 over
+    * all four words — each reduced to occupied-bucket and candidate
+    * counts (Σ m·(m−1)/2 from occupancies; the quadratic join never
+    * runs). The oracle recomputes all four words in closed form
+    * (h1 = seed XOR the wideFlips sum; h2–h4 = the texture words
+    * verbatim), so the gate pins the decode→4-way-fingerprint path
+    * bit-for-bit AND the audit columns measure the n²/256 → n²/2²²
+    * residual cut at whatever scale it runs. */
+  def bandingAudit256(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = quadHash(generatedMediaQuad256(spark, dir)).toDF()
+    import graft.functions.Banding.multiBands
+    val fams = Seq(
+      ("ahash64_8x8", multiBands(Seq(col("h1")), 8, 8)),
+      ("paired128_8x16", multiBands(Seq(col("h1"), col("h2")), 8, 8)),
+      ("quad256_8x32",
+        multiBands(Seq(col("h1"), col("h2"), col("h3"), col("h4")), 8, 8)))
+    val tagged = hashes.select(explode(concat(fams.map { case (f, bk) =>
+        transform(bk, e => struct(lit(f).as("family"),
+          e.getField("band").as("band"), e.getField("bkey").as("bkey")))
+      }: _*)).as("t"))
+      .select(col("t.family").as("family"), col("t.band").as("band"),
+        col("t.bkey").as("bkey"))
+    tagged.groupBy(col("family"), col("band"), col("bkey"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("(m * (m - 1)) div 2")).as("n_candidates"))
+      .orderBy(col("family"))
+  }
+
   /** q357 — PERCEPTUAL NEAR-DUP OVER REAL ENCODED IMAGES: the full
     * image pipeline (render → real codec encode → real ImageIO decode
     * → 8×8 aHash → pigeonhole-banded pair join) run end-to-end on
@@ -980,7 +1182,9 @@ object Multimodal {
     "q367_gif_frame_census" -> gifFrameCensus,
     "q368_image_neardup_wide" -> imageNearDupWide,
     "q372_image_neardup_wide128" -> imageNearDupWide128,
-    "q373_banding_audit" -> bandingAudit)
+    "q373_banding_audit" -> bandingAudit,
+    "q375_image_neardup_quad256" -> imageNearDupQuad256,
+    "q376_banding_audit256" -> bandingAudit256)
 
   /** The oracle's spelling of the scene seed (portable md5 hash of the
     * scene key — [[graft.Tables.phashSql]]). */
@@ -1113,6 +1317,57 @@ object Multimodal {
         | SELECT 'paired128_8x16' AS family, bb.band AS band,
         |        ((h1 >> (8 * bb.band)) & 255)
         |          | (((h2 >> (8 * bb.band)) & 255) << 8) AS bkey
+        | FROM h, (SELECT unnest(range(0, 8)) AS band) bb),
+        |m AS (SELECT family, band, bkey, COUNT(*) AS m
+        |      FROM b GROUP BY 1, 2, 3)
+        |SELECT family, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_candidates
+        |FROM m GROUP BY family ORDER BY family""".stripMargin,
+    // q375: the identical planted rule again — all three texture
+    // planes are group-constant, so h2–h4 contribute ZERO distance
+    // within a group and the 256-bit distances stay exactly j_a + j_b
+    "q375_image_neardup_quad256" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST((a.doc_id % 5) + (b.doc_id % 5) AS INT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q376: all four hash words in CLOSED FORM (h1 = seed XOR the
+    // wideFlips sum, as q373; h2–h4 = the three texture words
+    // verbatim), three band families, occupancies, Σ m(m−1)/2
+    "q376_banding_audit256" ->
+      s"""WITH s AS (
+        | SELECT doc_id, $seedSqlDuck AS seed,
+        |        ${phashSql("'Q0L' || CAST(doc_id // 5 AS VARCHAR)")}
+        |          | ((${phashSql("'Q0H' || CAST(doc_id // 5 AS VARCHAR)")} & 127) << 56) AS t0,
+        |        ${phashSql("'Q1L' || CAST(doc_id // 5 AS VARCHAR)")}
+        |          | ((${phashSql("'Q1H' || CAST(doc_id // 5 AS VARCHAR)")} & 127) << 56) AS t1,
+        |        ${phashSql("'Q2L' || CAST(doc_id // 5 AS VARCHAR)")}
+        |          | ((${phashSql("'Q2H' || CAST(doc_id // 5 AS VARCHAR)")} & 127) << 56) AS t2,
+        |        CAST(doc_id % 5 AS INT) AS j
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |        xor(seed, COALESCE(list_sum(list_transform(range(0, j),
+        |          t -> (1::BIGINT << CAST((seed % 56 + 1 + (j*(j-1))//2 + t) % 56 AS INT)))),
+        |          0)) AS h1,
+        |        t0, t1, t2
+        | FROM s),
+        |b AS (
+        | SELECT 'ahash64_8x8' AS family, bb.band AS band,
+        |        (h1 >> (8 * bb.band)) & 255 AS bkey
+        | FROM h, (SELECT unnest(range(0, 8)) AS band) bb
+        | UNION ALL
+        | SELECT 'paired128_8x16' AS family, bb.band AS band,
+        |        ((h1 >> (8 * bb.band)) & 255)
+        |          | (((t0 >> (8 * bb.band)) & 255) << 8) AS bkey
+        | FROM h, (SELECT unnest(range(0, 8)) AS band) bb
+        | UNION ALL
+        | SELECT 'quad256_8x32' AS family, bb.band AS band,
+        |        ((h1 >> (8 * bb.band)) & 255)
+        |          | (((t0 >> (8 * bb.band)) & 255) << 8)
+        |          | (((t1 >> (8 * bb.band)) & 255) << 16)
+        |          | (((t2 >> (8 * bb.band)) & 255) << 24) AS bkey
         | FROM h, (SELECT unnest(range(0, 8)) AS band) bb),
         |m AS (SELECT family, band, bkey, COUNT(*) AS m
         |      FROM b GROUP BY 1, 2, 3)

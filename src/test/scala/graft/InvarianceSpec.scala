@@ -90,7 +90,8 @@ class InvarianceSpec extends AnyFunSuite {
     // counts, and the weighted bottom-k sample (merge-order law under
     // adversarial partition layouts)
     "q372_image_neardup_wide128", "q373_banding_audit",
-    "q374_weighted_quantile_sketch")
+    "q374_weighted_quantile_sketch",
+    "q375_image_neardup_quad256", "q376_banding_audit256")
 
   test("round-9 families are layout-invariant (starved + oversized shuffle, shattered splits)") {
     val starved = spark.newSession()

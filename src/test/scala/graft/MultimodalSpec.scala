@@ -350,6 +350,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairedBuckets > rows("ahash64_8x8")._1)
   }
 
+  test("q375: quadHash reads back all three texture planes; h1 stays the flipped seed") {
+    val dir = "/root/testdata/sf0.001"
+    val specs = Multimodal.quadSpecs256(spark, dir).collect()
+      .map(s => s.doc_id -> s).toMap
+    val hashes = Multimodal.quadHash(
+      Multimodal.generatedMediaQuad256(spark, dir)).collect()
+    assert(hashes.length === specs.size)
+    hashes.foreach { h =>
+      val s = specs(h.doc_id)
+      assert(h.real_decode, s"doc ${h.doc_id} (${s.format}) fell to the byte fallback")
+      // each contrast word must read its texture plane back EXACTLY
+      // through the real encode→decode round trip — a swapped quadrant,
+      // a palette quantization, or a transposed downsample index breaks
+      // a specific word, which names the defect
+      assert(h.h2 === s.t0, s"h2 != t0 for doc ${h.doc_id} (${s.format})")
+      assert(h.h3 === s.t1, s"h3 != t1 for doc ${h.doc_id} (${s.format})")
+      assert(h.h4 === s.t2, s"h4 != t2 for doc ${h.doc_id} (${s.format})")
+      val h1 = Multimodal.wideFlips(s.seed, s.variant)
+        .foldLeft(s.seed)((acc, c) => acc ^ (1L << c))
+      assert(h.h1 === h1, s"aHash != planted cells for doc ${h.doc_id}")
+    }
+  }
+
+  test("q376: band-family candidate ordering holds (quad <= paired <= narrow)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Multimodal.bandingAudit256(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val (_, narrow) = rows("ahash64_8x8")
+    val (pairedBuckets, paired) = rows("paired128_8x16")
+    val (quadBuckets, quad) = rows("quad256_8x32")
+    assert(narrow >= n * (n - 1) / 2, "expected the degenerate band-7 term")
+    assert(paired * 10 < narrow, s"128-bit cut missing ($paired vs $narrow)")
+    // adding key bits can only split buckets: candidates never grow,
+    // occupied buckets never shrink
+    assert(quad <= paired, s"256-bit banding grew candidates ($quad vs $paired)")
+    assert(quadBuckets >= pairedBuckets)
+    // every within-group pair (distance <= 7 over 256 bits) must still
+    // be caught: the banded join output is a superset of the plant
+    val pairs = Multimodal.imageNearDupQuad256(spark, dir).collect()
+    assert(pairs.length === (n / 5 * 10).toInt,
+      "quad banding lost a planted pair (pigeonhole broken)")
+  }
+
+  test("multiBands degenerates to hashBands/pairedBands on 1 and 2 words") {
+    import graft.functions.Banding
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((0x1234567890abcdefL, 0x0fedcba098765432L))
+      .toDF("h1", "h2")
+    val one = df.select(Banding.multiBands(Seq(col("h1")), 8, 8).as("b"),
+      Banding.hashBands(col("h1"), 8, 8).as("e")).head()
+    assert(one.get(0) === one.get(1))
+    val two = df.select(
+      Banding.multiBands(Seq(col("h1"), col("h2")), 8, 8).as("b"),
+      Banding.pairedBands(col("h1"), col("h2"), 8, 8).as("e")).head()
+    assert(two.get(0) === two.get(1))
+  }
+
   test("q366: streaming image dedup equals batch q357 exactly (can-never-fork)") {
     val dir = "/root/testdata/sf0.001"
     val stream = graft.streaming.Streams.streamImageDedup(spark, dir).collect()
