@@ -768,6 +768,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max") || plan.contains("partial_sum"), plan)
   }
 
+  test("q375 quad-band join is keyed; q376 audit is join-free partial aggregation") {
+    val p375 = formatted(run("q375_image_neardup_quad256"))
+    assert(!p375.contains("CartesianProduct") &&
+      !p375.contains("BroadcastNestedLoopJoin"), p375)
+    // the audit never forms a pair: two aggregations, zero joins
+    val p376 = formatted(run("q376_banding_audit256"))
+    assert(!p376.contains("Join"), p376)
+    assert(p376.contains("partial_count") || p376.contains("Partial"), p376)
+  }
+
   test("q329/q333/q334/q341/q342 keep every join keyed (no nested loop/cartesian on data)") {
     Seq("q329_delta_ingest_report", "q333_interleave_order",
       "q334_interleaved_packing", "q341_weekly_drift").foreach { q =>
