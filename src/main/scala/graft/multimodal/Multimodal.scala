@@ -581,7 +581,8 @@ object Multimodal {
     * ~0.01). Soak q368 at sf ≥ 1 on throughput/candidate-count probes
     * only, or use q372's 128-bit fingerprint, whose per-pair
     * probability (~2e-13 at the same radius) keeps the expectation
-    * ≪ 1 through sf10. */
+    * ≪ 1 through sf10 — or q375's 256-bit quad fingerprint
+    * (P ≈ 1e-60), sound at any scale. */
   def imageNearDupWide(spark: SparkSession, dir: String): DataFrame =
     imageNearDup(generatedMediaWide(spark, dir), maxDist = 7,
       nBands = 8, bandBits = 8)
@@ -737,9 +738,10 @@ object Multimodal {
     * that measures it. Honest residual: that band still has only the 7
     * texture bits of entropy, so an n²/256 term survives at extreme n
     * (~10⁷ docs per partition domain before it dominates the planted
-    * pairs); the next lever is the same move again — widen h2 (16×16
-    * granularity natively yields 256 bits) so every band carries ≥ 16
-    * discriminating bits. Cross-group pairs differ on ~28 aHash + ~31
+    * pairs); that residual is retired in turn by q375's 256-bit quad
+    * fingerprint ([[imageNearDupQuad256]] — every band ≥ 21
+    * discriminating bits, measured exponent 1.00 at 500 k docs,
+    * SCALE.md §20). Cross-group pairs differ on ~28 aHash + ~31
     * texture bits — P(≤ 7 of 128) ≈ 1e-26, so the closed-form oracle
     * stays sound far past the sf1 ceiling documented on q368. */
   def imageNearDupWide128(spark: SparkSession, dir: String): DataFrame = {
