@@ -1282,6 +1282,52 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q377 — PRIORITY SAMPLING (Duffield–Lund–Thorup): a fixed-size
+    * weighted sample WITHOUT replacement with unbiased subset-sum
+    * estimation — THE statistical subsampling primitive a corpus
+    * pipeline needs when it can afford k documents but must still
+    * estimate token mass over any slice of the full corpus. Each doc
+    * gets priority w/u (w = its token count, u = a deterministic
+    * uniform in (0,1] from the portable hash); keep the k largest
+    * priorities; τ = the (k+1)-th priority; the Horvitz–Thompson
+    * weight of a kept doc is max(w, τ), and Σ max(w, τ) over any
+    * subset of the sample is an unbiased estimator of that subset's
+    * true token mass. Distinct from q166 (uniform quota per stratum)
+    * and q303 (greedy deterministic selection): inclusion here is
+    * ∝ weight and the sample carries its own estimator.
+    *
+    * Determinism/oracle: u = (phash(doc_id:prio)+1)/2^56 — the +1
+    * keeps u > 0 and the divisor is a power of two, so u is EXACT and
+    * priority rounds exactly once, identically in Spark and DuckDB;
+    * ties are broken by doc_id.
+    *
+    * Scale shape: the only corpus-wide work is ONE orderBy+limit —
+    * Spark's TakeOrderedAndProject, a size-(k+1) heap per partition
+    * and a driver-side merge of k+1 rows per partition; no data-row
+    * shuffle, no global sort. The rank/τ window then runs over k+1
+    * rows (domain-bounded by construction, the q341 pattern). */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+      .withColumn("pri",
+        col("n_tokens").cast(DoubleType) /
+          ((phash(concat(col("doc_id").cast(StringType), lit(":prio")))
+            + lit(1L)).cast(DoubleType) / lit(7.2057594037927936e16)))
+    val top = docs.orderBy(col("pri").desc, col("doc_id")).limit(k + 1)
+    val wRank = Window.orderBy(col("pri").desc, col("doc_id"))
+    val wAll = Window.orderBy(col("pri").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    top
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("tau", min(col("pri")).over(wAll))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens").cast(DoubleType), col("tau")).as("ht_weight"))
+      .orderBy(col("rank"))
+  }
+
   /** q313 — CORPUS-BUILD WATERFALL: the stage-by-stage survivor count
     * of the end-to-end build ([[prepareCorpus]]'s exact stage rules,
     * restated as counts): total → bench slice held out →
@@ -1341,6 +1387,8 @@ object Pipeline {
     "q349_leak_source_matrix" -> leakSourceMatrix,
     "q334_interleaved_packing" -> interleavedPacking,
     "q303_budget_selection" -> budgetSelection,
+    "q377_priority_sample" ->
+      ((s: SparkSession, d: String) => prioritySample(s, d)),
     "q292_quantile_normalize" -> quantileNormalize,
     "q280_leak_severity" -> leakSeverity,
     "q276_heldout_coverage" -> heldoutCoverage,
@@ -1976,6 +2024,28 @@ object Pipeline {
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
         |  cum_tokens <= 15000 AS selected
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q377: priorities replayed exactly — u's divisor is a power of
+    // two so u is exact and w/u rounds once, identically in both
+    // engines; tau is the 33rd priority, HT weight = max(w, tau)
+    "q377_priority_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |        CAST(n_tokens AS DOUBLE) /
+        |          ((${phashSql("CAST(doc_id AS VARCHAR) || ':prio'")} + 1)
+        |            / 72057594037927936.0) AS pri
+        |      FROM d WHERE n_tokens > 0),
+        |t AS (SELECT doc_id, n_tokens, pri FROM p
+        |      ORDER BY pri DESC, doc_id LIMIT 33),
+        |r AS (SELECT doc_id, n_tokens, pri,
+        |        ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rank,
+        |        MIN(pri) OVER () AS tau
+        |      FROM t)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, n_tokens,
+        |  GREATEST(CAST(n_tokens AS DOUBLE), tau) AS ht_weight
+        |FROM r WHERE rank <= 32 ORDER BY rank""".stripMargin,
     // q292: oracle uses plain windows — same ranks, simpler plan
     "q292_quantile_normalize" ->
       """WITH d AS (SELECT doc_id, source, n_chars AS v FROM documents),

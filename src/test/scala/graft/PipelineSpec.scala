@@ -114,6 +114,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxPerClip === 1L, s"clip group shipped $maxPerClip near-dup clips")
   }
 
+  test("q377: priority sample carries a sound Horvitz–Thompson estimator") {
+    import graft.ops.Pipeline
+    val dir = "/root/testdata/sf0.001"
+    val s = Pipeline.prioritySample(spark, dir).collect()
+    assert(s.length === 32)
+    assert(s.map(_.getInt(0)).toSeq === (1 to 32), "ranks must be dense 1..k")
+    // ht = max(w, tau) >= w always; rows at the tau floor share ONE
+    // exact value (tau), so the distinct floor count is 0 or 1
+    assert(s.forall(r => r.getDouble(3) >= r.getLong(2).toDouble))
+    val floors = s.filter(r => r.getDouble(3) > r.getLong(2).toDouble)
+      .map(_.getDouble(3)).distinct
+    assert(floors.length <= 1, s"multiple tau floors: ${floors.mkString(",")}")
+    // unbiasedness, deterministically: the HT sum must estimate the
+    // true token mass within the k=32 sampling error band (~1/sqrt(k))
+    val est = s.map(_.getDouble(3)).sum
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.expr(
+        "sum(size(split(trim(text), ' +')))")).collect()(0).getLong(0)
+    assert(est > truth * 0.7 && est < truth * 1.4,
+      s"HT estimate $est far from true mass $truth")
+  }
+
   test("layout maintenance chains onto the built corpus: compact then retire") {
     import graft.ingest.GasPrices
     val compacted =

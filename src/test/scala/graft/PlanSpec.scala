@@ -768,6 +768,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max") || plan.contains("partial_sum"), plan)
   }
 
+  test("q377 priority sample plans a heap top-k over the corpus, never a global sort") {
+    val plan = formatted(run("q377_priority_sample"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the corpus-wide Sort would be the 100 TB killer; the only sorts
+    // allowed are over the k+1 surviving rows (the rank/tau window and
+    // the final ORDER BY rank)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q375 quad-band join is keyed; q376 audit is join-free partial aggregation") {
     val p375 = formatted(run("q375_image_neardup_quad256"))
     assert(!p375.contains("CartesianProduct") &&
