@@ -1328,6 +1328,44 @@ object Pipeline {
       .orderBy(col("rank"))
   }
 
+  /** q378 — STRATIFIED PRIORITY SAMPLING: [[prioritySample]] per
+    * source stratum — the form a real corpus build runs ("k docs per
+    * domain, each stratum carrying its own unbiased token-mass
+    * estimator"). Per-stratum priorities use the q377 construction
+    * with a distinct salt; τ_s is the stratum's (k+1)-th priority, or
+    * 0 when the stratum holds ≤ k docs (then every doc is sampled and
+    * its HT weight is exactly its own w — the estimator degenerates to
+    * the exact sum, DLT's boundary case).
+    *
+    * Scale shape: the grouped top-k is the window-rank spelling
+    * (q166's pattern) — the only thing shuffled is the ~36-byte
+    * (doc_id, source, w, pri) row, never text; τ_s comes from ONE
+    * aggregation over the k+1 survivors per stratum and joins back
+    * broadcast (strata counts are domain-bounded). */
+  def stratifiedPrioritySample(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val docs = spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+      .withColumn("pri",
+        col("n_tokens").cast(DoubleType) /
+          ((phash(concat(col("doc_id").cast(StringType), lit(":sprio")))
+            + lit(1L)).cast(DoubleType) / lit(7.2057594037927936e16)))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pri").desc, col("doc_id"))
+    val ranked = docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k + 1)
+    val tau = ranked.groupBy(col("source"))
+      .agg(coalesce(max(when(col("rank") === k + 1, col("pri"))), lit(0.0))
+        .as("tau"))
+    ranked.filter(col("rank") <= k)
+      .join(broadcast(tau), "source")
+      .select(col("source"), col("rank"), col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens").cast(DoubleType), col("tau")).as("ht_weight"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** q313 — CORPUS-BUILD WATERFALL: the stage-by-stage survivor count
     * of the end-to-end build ([[prepareCorpus]]'s exact stage rules,
     * restated as counts): total → bench slice held out →
@@ -1389,6 +1427,8 @@ object Pipeline {
     "q303_budget_selection" -> budgetSelection,
     "q377_priority_sample" ->
       ((s: SparkSession, d: String) => prioritySample(s, d)),
+    "q378_stratified_priority_sample" ->
+      ((s: SparkSession, d: String) => stratifiedPrioritySample(s, d)),
     "q292_quantile_normalize" -> quantileNormalize,
     "q280_leak_severity" -> leakSeverity,
     "q276_heldout_coverage" -> heldoutCoverage,
@@ -2046,6 +2086,30 @@ object Pipeline {
         |SELECT CAST(rank AS INT) AS rank, doc_id, n_tokens,
         |  GREATEST(CAST(n_tokens AS DOUBLE), tau) AS ht_weight
         |FROM r WHERE rank <= 32 ORDER BY rank""".stripMargin,
+    // q378: the per-stratum replay — tau_s is the 9th priority per
+    // source (0 when a stratum holds <= 8 docs), ht = max(w, tau_s)
+    "q378_stratified_priority_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, n_tokens,
+        |        CAST(n_tokens AS DOUBLE) /
+        |          ((${phashSql("CAST(doc_id AS VARCHAR) || ':sprio'")} + 1)
+        |            / 72057594037927936.0) AS pri
+        |      FROM d WHERE n_tokens > 0),
+        |r AS (SELECT doc_id, source, n_tokens, pri,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY pri DESC, doc_id) AS rank
+        |      FROM p),
+        |t AS (SELECT source,
+        |        COALESCE(MAX(CASE WHEN rank = 9 THEN pri END), 0.0) AS tau
+        |      FROM r WHERE rank <= 9 GROUP BY source)
+        |SELECT r.source, CAST(r.rank AS INT) AS rank, r.doc_id, r.n_tokens,
+        |  GREATEST(CAST(r.n_tokens AS DOUBLE), t.tau) AS ht_weight
+        |FROM r JOIN t ON r.source = t.source
+        |WHERE r.rank <= 8
+        |ORDER BY r.source, r.rank""".stripMargin,
     // q292: oracle uses plain windows — same ranks, simpler plan
     "q292_quantile_normalize" ->
       """WITH d AS (SELECT doc_id, source, n_chars AS v FROM documents),

@@ -92,7 +92,7 @@ class InvarianceSpec extends AnyFunSuite {
     "q372_image_neardup_wide128", "q373_banding_audit",
     "q374_weighted_quantile_sketch",
     "q375_image_neardup_quad256", "q376_banding_audit256",
-    "q377_priority_sample")
+    "q377_priority_sample", "q378_stratified_priority_sample")
 
   test("round-9 families are layout-invariant (starved + oversized shuffle, shattered splits)") {
     val starved = spark.newSession()

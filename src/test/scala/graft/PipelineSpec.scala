@@ -136,6 +136,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"HT estimate $est far from true mass $truth")
   }
 
+  test("q378: per-stratum HT estimators are sound; tiny strata degenerate to exact sums") {
+    import graft.ops.Pipeline
+    import org.apache.spark.sql.functions.{col => c, expr}
+    val dir = "/root/testdata/sf0.001"
+    val s = Pipeline.stratifiedPrioritySample(spark, dir).collect()
+    val bySrc = s.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 8), s"$src ranks")
+      assert(rows.forall(r => r.getDouble(4) >= r.getLong(3).toDouble), src)
+      val floors = rows.filter(r => r.getDouble(4) > r.getLong(3).toDouble)
+        .map(_.getDouble(4)).distinct
+      assert(floors.length <= 1, s"$src has multiple tau floors")
+    }
+    // the 20 per-stratum estimators average down to a tight corpus
+    // total: 1/sqrt(8) per stratum / sqrt(20) strata ~ 8% expected
+    val est = s.map(_.getDouble(4)).sum
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .select(expr("sum(size(split(trim(text), ' +')))")).collect()(0).getLong(0)
+    assert(est > truth * 0.7 && est < truth * 1.4,
+      s"stratified HT estimate $est far from true mass $truth")
+    // DLT boundary: a stratum with <= k docs samples everything and
+    // tau = 0, so every HT weight is EXACTLY the doc's own w
+    val tiny = java.nio.file.Files.createTempDirectory("graft_q378").toString
+    try {
+      import spark.implicits._
+      Seq((0L, "only", "a b c"), (1L, "only", "d e"), (2L, "only", "f"))
+        .toDF("doc_id", "source", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tiny/documents.parquet")
+      val t = Pipeline.stratifiedPrioritySample(spark, tiny).collect()
+      assert(t.length === 3)
+      assert(t.forall(r => r.getDouble(4) === r.getLong(3).toDouble),
+        "tiny stratum must carry exact weights (tau = 0)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tiny))
+    }
+  }
+
   test("layout maintenance chains onto the built corpus: compact then retire") {
     import graft.ingest.GasPrices
     val compacted =
