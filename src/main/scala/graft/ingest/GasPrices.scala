@@ -128,8 +128,8 @@ object GasPrices {
     * §2.3). */
   def topAllTime(df: DataFrame): DataFrame =
     df.agg(
-      max_by(struct(df.columns.map(col): _*), col("price")).as("highest"),
-      min_by(struct(df.columns.map(col): _*), col("price")).as("lowest"))
+      max_by(struct(df.columns.toIndexedSeq.map(col): _*), col("price")).as("highest"),
+      min_by(struct(df.columns.toIndexedSeq.map(col): _*), col("price")).as("lowest"))
 
   /** Multi-sink fan-out (SURVEY §2.12 O4/§4 CSE note): the reference
     * runs the SAME scrape four times, once per sink DAG

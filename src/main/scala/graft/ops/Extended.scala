@@ -440,7 +440,7 @@ object Extended {
     // not filters) but at a larger scale factor every key above the
     // bound funnels into the open-ended edge stride, silently
     // serializing the parallel scan this query exists to demonstrate
-    val r = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+    val r = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
     spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", "gas_orders_part")
@@ -579,7 +579,7 @@ object Extended {
     val out = s"${sys.props("java.io.tmpdir")}/graft_events_by_day${safe}_${ProcessHandle.current().pid()}"
     ev.repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(out)
-    val minDay = ev.agg(min(col("day"))).head.getDate(0)
+    val minDay = ev.agg(min(col("day"))).head().getDate(0)
     spark.read.parquet(out)
       .filter(col("day") === lit(minDay))
       .groupBy(col("event_type"))
