@@ -1297,9 +1297,15 @@ object Pipeline {
     * ∝ weight and the sample carries its own estimator.
     *
     * Determinism/oracle: u = (phash(doc_id:prio)+1)/2^56 — the +1
-    * keeps u > 0 and the divisor is a power of two, so u is EXACT and
-    * priority rounds exactly once, identically in Spark and DuckDB;
-    * ties are broken by doc_id.
+    * keeps u > 0. phash+1 can exceed 2^53, so the long→double cast
+    * itself rounds; but both Spark and DuckDB round that cast the
+    * same way (IEEE round-to-nearest-even) and the power-of-two
+    * divide is then exact, so u is PORTABLE (bit-identical across
+    * engines) rather than exact, and priority rounds once more
+    * identically; ties are broken by doc_id. τ is the (k+1)-th
+    * priority, or 0 when ≤ k docs qualify (then every doc is
+    * sampled and its HT weight is exactly its own w — DLT's
+    * boundary case, same rule as q378's per-stratum τ_s).
     *
     * Scale shape: the only corpus-wide work is ONE orderBy+limit —
     * Spark's TakeOrderedAndProject, a size-(k+1) heap per partition
@@ -1321,7 +1327,9 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     top
       .withColumn("rank", row_number().over(wRank))
-      .withColumn("tau", min(col("pri")).over(wAll))
+      .withColumn("tau",
+        coalesce(max(when(col("rank") === k + 1, col("pri"))).over(wAll),
+          lit(0.0)))
       .filter(col("rank") <= k)
       .select(col("rank"), col("doc_id"), col("n_tokens"),
         greatest(col("n_tokens").cast(DoubleType), col("tau")).as("ht_weight"))
@@ -2064,9 +2072,11 @@ object Pipeline {
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
         |  cum_tokens <= 15000 AS selected
         |FROM c ORDER BY doc_id""".stripMargin,
-    // q377: priorities replayed exactly — u's divisor is a power of
-    // two so u is exact and w/u rounds once, identically in both
-    // engines; tau is the 33rd priority, HT weight = max(w, tau)
+    // q377: priorities replayed portably — the long→double cast
+    // rounds identically (round-to-nearest-even) in both engines and
+    // the power-of-two divide is then exact, so w/u rounds once the
+    // same way; tau is the 33rd priority (0 when <= 32 docs qualify,
+    // the DLT boundary case), HT weight = max(w, tau)
     "q377_priority_sample" ->
       s"""WITH d AS (SELECT doc_id,
         |    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS BIGINT)
@@ -2080,12 +2090,15 @@ object Pipeline {
         |t AS (SELECT doc_id, n_tokens, pri FROM p
         |      ORDER BY pri DESC, doc_id LIMIT 33),
         |r AS (SELECT doc_id, n_tokens, pri,
-        |        ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rank,
-        |        MIN(pri) OVER () AS tau
-        |      FROM t)
+        |        ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rank
+        |      FROM t),
+        |r2 AS (SELECT doc_id, n_tokens, rank,
+        |         COALESCE(MAX(CASE WHEN rank = 33 THEN pri END) OVER (),
+        |           0.0) AS tau
+        |       FROM r)
         |SELECT CAST(rank AS INT) AS rank, doc_id, n_tokens,
         |  GREATEST(CAST(n_tokens AS DOUBLE), tau) AS ht_weight
-        |FROM r WHERE rank <= 32 ORDER BY rank""".stripMargin,
+        |FROM r2 WHERE rank <= 32 ORDER BY rank""".stripMargin,
     // q378: the per-stratum replay — tau_s is the 9th priority per
     // source (0 when a stratum holds <= 8 docs), ht = max(w, tau_s)
     "q378_stratified_priority_sample" ->

@@ -43,7 +43,7 @@ class BandingSpec extends AnyFunSuite {
 
   test("multiBands: the radius bound is tight — 8 flips, one per band, can evade") {
     import spark.implicits._
-    // dirty every band once: bit b*32 lives in band b's h1 slice
+    // dirty every band once: bit b*8 lives in band b's h1 slice
     val h = Array(0L, 0L, 0L, 0L)
     val g = h.clone()
     (0 until 8).foreach { b => g(0) ^= (1L << (b * 8)) }

@@ -778,6 +778,15 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q378 stratified sample prunes per-stratum before the shuffle (WindowGroupLimit)") {
+    val plan = formatted(run("q378_stratified_priority_sample"))
+    // the per-stratum `row_number <= k+1` is scale-safe only because
+    // WindowGroupLimit turns it into a per-partition heap BEFORE the
+    // source shuffle; without the rewrite each stratum is one task
+    // sorting the whole stratum — the q210/q82/q172 pin, applied here
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("q375 quad-band join is keyed; q376 audit is join-free partial aggregation") {
     val p375 = formatted(run("q375_image_neardup_quad256"))
     assert(!p375.contains("CartesianProduct") &&
