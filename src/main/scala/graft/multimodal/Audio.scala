@@ -339,20 +339,27 @@ object Audio {
     * (q361 `real_decode = false`) quarantine surface, not pair
     * candidates — on the gate corpus every clip decodes, so the
     * exclusion is a no-op the oracle already prices. */
-  def audioNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+  /** (doc_id, fp, band, bkey) rows for the decoded corpus — the banded
+    * acoustic fingerprints shared by the self-join detector (q362) and
+    * the incremental probe (q381). Undecodable clips are dropped
+    * before banding (see [[audioNearDup]]'s note). */
+  private def fpBands(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    require(maxDist <= 3, "4x16 banding is lossless only for dist <= 3")
-    val fps = generatedAudio(spark, dir).mapPartitions { it =>
+    generatedAudio(spark, dir).mapPartitions { it =>
       it.grouped(Multimodal.DecodeBatch).flatMap(_.flatMap { r =>
         decodeAudio(r.payload).map(d =>
           AudioFp(r.doc_id, audioFingerprint(d.samples)))
       })
     }.toDF()
-    val bands = fps
       .select(col("doc_id"), col("fp"),
         explode(graft.functions.Banding.hashBands(col("fp"), 4, 16)).as("bk"))
       .select(col("doc_id"), col("fp"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  def audioNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4x16 banding is lossless only for dist <= 3")
+    val bands = fpBands(spark, dir)
     val x = bands.alias("x")
     val y = bands.alias("y")
     x.join(y, col("x.band") === col("y.band") &&
@@ -365,6 +372,32 @@ object Audio {
       .filter(col("dist") <= maxDist)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q381 — INCREMENTAL AUDIO DEDUP PROBE: q379's ingest shape on the
+    * acoustic fingerprint — a new batch's clips (the shared delta
+    * rule, doc_id % 10 == 0) probed against the already-ingested
+    * corpus, never self-joined. Both sides run the REAL WAV
+    * encode→decode→fingerprint pipeline (q362's); the verdict tail is
+    * [[Multimodal.bandProbeVerdict]] VERBATIM (band equi-join →
+    * Hamming ≤ 3 → per-delta-doc verdict). Distinct from the image
+    * twin in a way the oracle exploits: audio groups by doc div 4, so
+    * a delta doc is the group BASE (doc ≡ 0 mod 20) or VARIANT 2
+    * (doc ≡ 10 mod 20) — the probe must report best distance 1 in
+    * both cases (variant 2's nearest is its base) but match mixes
+    * {1,1,1} vs {1,2,2}, which a banding or fingerprint defect skews.
+    *
+    * Scale shape: identical to q379 — corpus prunes to colliding band
+    * keys, 16-byte band rows are the only shuffle, and at 100 TB the
+    * corpus side persists like [[Multimodal.saveImageIndex]]. */
+  def audioIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bands = fpBands(spark, dir)
+    val isDelta = col("doc_id") % 10 === 0
+    Multimodal.bandProbeVerdict(bands.filter(isDelta),
+      bands.filter(!isDelta),
+      load(spark, dir, "documents").select(col("doc_id").as("new_doc"))
+        .filter(col("new_doc") % 10 === 0),
+      hash = "fp")
   }
 
   /** Silence-segmentation row (q363). */
@@ -410,7 +443,8 @@ object Audio {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q361_audio_decode_census" -> audioDecodeCensus,
     "q362_audio_neardup_pairs" -> ((s, d) => audioNearDup(s, d)),
-    "q363_audio_silence_runs" -> audioSilenceRuns)
+    "q363_audio_silence_runs" -> audioSilenceRuns,
+    "q381_audio_incremental_dedup" -> audioIncrementalDedup)
 
   /** The oracle's spelling of the 4-doc group seed. */
   private def seedSqlDuck: String = phashSql("CAST(doc_id // 4 AS VARCHAR)")
@@ -470,5 +504,28 @@ object Audio {
         |       CAST(len(runs) AS INT) AS n_active_runs,
         |       CAST(CASE WHEN len(runs) = 0 THEN 0
         |                 ELSE list_max(runs) END AS INT) AS longest_active_run
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q381: the image probe's closed form on the 4-doc clip groups —
+    // a delta doc's matches are its group's corpus members at planted
+    // distance 1 (either side the base) or 2 (variant-variant)
+    "q381_audio_incremental_dedup" ->
+      """WITH g AS (SELECT doc_id, doc_id // 4 AS grp,
+        |            CAST(doc_id % 4 AS INT) AS vr FROM documents),
+        |m AS (SELECT d.doc_id AS new_doc, c.doc_id AS match_doc,
+        |        CASE WHEN d.vr = 0 OR c.vr = 0 THEN 1 ELSE 2 END AS dist
+        |      FROM g d JOIN g c ON d.grp = c.grp AND c.doc_id <> d.doc_id
+        |       AND c.doc_id % 10 <> 0
+        |      WHERE d.doc_id % 10 = 0),
+        |b AS (SELECT new_doc, match_doc, dist,
+        |        ROW_NUMBER() OVER (PARTITION BY new_doc
+        |          ORDER BY dist, match_doc DESC) AS rn,
+        |        COUNT(*) OVER (PARTITION BY new_doc) AS n_matches
+        |      FROM m)
+        |SELECT d.doc_id AS new_doc,
+        |  CAST(COALESCE(b.n_matches, 0) AS BIGINT) AS n_matches,
+        |  b.match_doc AS best_match,
+        |  CAST(b.dist AS INT) AS best_dist
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN (SELECT * FROM b WHERE rn = 1) b ON d.doc_id = b.new_doc
+        |ORDER BY new_doc""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -1017,6 +1018,125 @@ object Multimodal {
   def imageNearDupGenerated(spark: SparkSession, dir: String): DataFrame =
     imageNearDup(generatedMedia(spark, dir))
 
+  /** (doc_id, ahash, band, bkey) rows for a media set — the probe-side
+    * building block shared by the inline (q379) and persisted (q380)
+    * incremental image-dedup forms. The 16-byte (hash + key) row is
+    * the ONLY thing that ever crosses a shuffle; carrying the hash on
+    * the band row means the Hamming verify runs inside the band join
+    * with no second fetch (cheap for a 64-bit hash, unlike q285's
+    * shingle sets). */
+  private def aHashBands(ds: Dataset[MediaRecord]): DataFrame =
+    aHash(ds).toDF()
+      .select(col("doc_id"), col("ahash"),
+        explode(graft.functions.Banding.hashBands(col("ahash"), 4, 16))
+          .as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** The banded-fingerprint probe's verdict tail, shared VERBATIM by
+    * q379 and q380 — and by the audio probe q381, which passes its own
+    * hash column name (delta/corpus band rows in, one verdict row per
+    * delta doc out): band-key equi-join → Hamming ≤ 3 verify →
+    * per-delta-doc match count + best match (smallest distance, doc-id
+    * tie-break the q285 spelling), clean (0, NULL, NULL) rows via the
+    * left join. */
+  private[multimodal] def bandProbeVerdict(deltaBands: DataFrame,
+      corpusBands: DataFrame, deltaIds: DataFrame,
+      hash: String = "ahash"): DataFrame = {
+    val cand = deltaBands.alias("d")
+      .join(corpusBands.alias("c"),
+        col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
+      .select(col("d.doc_id").as("new_doc"), col("c.doc_id").as("match_doc"),
+        bit_count(col(s"d.$hash").bitwiseXOR(col(s"c.$hash"))).as("dist"))
+      // distance-filter before the distinct — only true near-matches
+      // reach the verdict shuffle (imageNearDup's candidate rule)
+      .filter(col("dist") <= 3)
+      .distinct()
+    val wBest = Window.partitionBy(col("new_doc"))
+      .orderBy(col("dist"), col("match_doc").desc)
+    val best = cand
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy(col("new_doc"))))
+      .filter(col("rn") === 1)
+      .select(col("new_doc"), col("n_matches"),
+        col("match_doc").as("best_match"), col("dist").as("best_dist"))
+    deltaIds.join(best, Seq("new_doc"), "left")
+      .select(col("new_doc"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match"), col("best_dist"))
+      .orderBy(col("new_doc"))
+  }
+
+  /** q379 — INCREMENTAL IMAGE DEDUP PROBE: the q285 production shape
+    * carried to the image column — a new batch's artwork (the shared
+    * delta rule, doc_id % 10 == 0) probed against the ALREADY-INGESTED
+    * corpus's perceptual fingerprints, never against itself and never
+    * corpus-vs-corpus. Both sides run the REAL render→codec→decode→
+    * aHash pipeline (q357's), candidates come from the 4×16 pigeonhole
+    * band join (lossless to Hamming 3), and every delta doc gets a
+    * verdict row: match count, best match, best distance, or a clean
+    * (0, NULL, NULL). The closed-form oracle replays the planted scene
+    * structure: a delta doc's matches are exactly its scene group's
+    * corpus members, at distance 1 (base↔variant) or 2
+    * (variant↔variant).
+    *
+    * Scale shape: the corpus side prunes to colliding band keys (the
+    * delta never touches non-colliding corpus docs); the only shuffle
+    * rows are 16-byte (hash, key) pairs; the quadratic pair space is
+    * never materialized. At 100 TB the corpus side is [[saveImageIndex]]'s
+    * persisted asset — q380 is that form, verdict-identical. */
+  def imageIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bands = aHashBands(generatedMedia(spark, dir))
+    val isDelta = col("doc_id") % 10 === 0
+    bandProbeVerdict(bands.filter(isDelta), bands.filter(!isDelta),
+      load(spark, dir, "documents").select(col("doc_id").as("new_doc"))
+        .filter(col("new_doc") % 10 === 0))
+  }
+
+  /** Persist the corpus side of the q379 probe as an on-disk index:
+    * the banded fingerprint table, partitioned by band so a probe
+    * prunes to its band's files. At 100 TB this is the asset an ingest
+    * pipeline builds ONCE per corpus — decode + fingerprint paid at
+    * build time, never per batch — the `saveLshIndex` lifecycle
+    * carried to the image column. Unlike the text index there is no
+    * sidecar set table: the 64-bit hash rides the band row, so a probe
+    * is one partition-pruned join. */
+  def saveImageIndex(spark: SparkSession, dir: String,
+      indexDir: String): Unit =
+    aHashBands(generatedMedia(spark, dir)
+        .filter(col("doc_id") % 10 =!= 0))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$indexDir/bands")
+
+  /** q380 — INCREMENTAL IMAGE DEDUP FROM THE PERSISTED INDEX: the
+    * q379 probe with its corpus side READ from [[saveImageIndex]]'s
+    * parquet instead of re-decoded — the production ingest shape
+    * (corpus fingerprints are paid once per corpus, not once per
+    * batch). Verdicts must be byte-identical to q379 (same oracle
+    * string — the q285/q331 never-fork pattern), which the gate
+    * enforces every round; band files are partition-pruned by the
+    * probe's band column. */
+  def imageIndexProbe(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame = {
+    val deltaBands = aHashBands(generatedMedia(spark, dir)
+      .filter(col("doc_id") % 10 === 0))
+    bandProbeVerdict(deltaBands, spark.read.parquet(s"$indexDir/bands"),
+      load(spark, dir, "documents").select(col("doc_id").as("new_doc"))
+        .filter(col("new_doc") % 10 === 0))
+  }
+
+  /** q380's registered form: build the index fresh in a per-process
+    * temp dir (a concurrent Verify/test pair on the same data dir must
+    * not race on overwrite/delete of shared parquet), probe from it. */
+  def imageIndexProbeFresh(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft_img_index" +
+      s"${safe}_${ProcessHandle.current().pid()}"
+    saveImageIndex(spark, dir, indexDir)
+    imageIndexProbe(spark, dir, indexDir)
+  }
+
   /** Per-media census row (q358). */
   case class MediaCensus(format: String, n_pixels: Long, n_bright: Long,
     real_decode: Boolean)
@@ -1186,11 +1306,41 @@ object Multimodal {
     "q372_image_neardup_wide128" -> imageNearDupWide128,
     "q373_banding_audit" -> bandingAudit,
     "q375_image_neardup_quad256" -> imageNearDupQuad256,
-    "q376_banding_audit256" -> bandingAudit256)
+    "q376_banding_audit256" -> bandingAudit256,
+    "q379_image_incremental_dedup" -> imageIncrementalDedup,
+    "q380_image_index_probe" -> imageIndexProbeFresh)
 
   /** The oracle's spelling of the scene seed (portable md5 hash of the
     * scene key — [[graft.Tables.phashSql]]). */
   private def seedSqlDuck: String = phashSql("CAST(doc_id // 5 AS VARCHAR)")
+
+  /** q379's closed-form verdict oracle — shared VERBATIM with q380
+    * (the persisted-index probe must emit byte-identical verdicts;
+    * the q285/q331 never-fork pattern). A delta doc's matches are its
+    * scene group's corpus members at the planted distances (1 when
+    * either side is the base variant, else 2 — all within the radius-3
+    * filter); a delta doc alone in its group (a truncated tail group)
+    * gets the clean (0, NULL, NULL) row. */
+  private val imageProbeOracle: String =
+    """WITH g AS (SELECT doc_id, doc_id // 5 AS grp,
+      |            CAST(doc_id % 5 AS INT) AS vr FROM documents),
+      |m AS (SELECT d.doc_id AS new_doc, c.doc_id AS match_doc,
+      |        CASE WHEN d.vr = 0 OR c.vr = 0 THEN 1 ELSE 2 END AS dist
+      |      FROM g d JOIN g c ON d.grp = c.grp AND c.doc_id <> d.doc_id
+      |       AND c.doc_id % 10 <> 0
+      |      WHERE d.doc_id % 10 = 0),
+      |b AS (SELECT new_doc, match_doc, dist,
+      |        ROW_NUMBER() OVER (PARTITION BY new_doc
+      |          ORDER BY dist, match_doc DESC) AS rn,
+      |        COUNT(*) OVER (PARTITION BY new_doc) AS n_matches
+      |      FROM m)
+      |SELECT d.doc_id AS new_doc,
+      |  CAST(COALESCE(b.n_matches, 0) AS BIGINT) AS n_matches,
+      |  b.match_doc AS best_match,
+      |  CAST(b.dist AS INT) AS best_dist
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      |LEFT JOIN (SELECT * FROM b WHERE rn = 1) b ON d.doc_id = b.new_doc
+      |ORDER BY new_doc""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q41_multimodal_meta" ->
@@ -1376,6 +1526,8 @@ object Multimodal {
         |SELECT family, CAST(COUNT(*) AS BIGINT) AS n_buckets,
         |  CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_candidates
         |FROM m GROUP BY family ORDER BY family""".stripMargin,
+    "q379_image_incremental_dedup" -> imageProbeOracle,
+    "q380_image_index_probe" -> imageProbeOracle,
     // q364: text pairs re-derived by the q33 oracle CTE; image pairs by
     // the q357 scene-group rule UNION the mirror feed's shared-lead
     // rule; the matrix is their full-outer rollup.

@@ -339,18 +339,28 @@ object Pipeline {
     * = 0) marched through the ingest gauntlet against the EXISTING
     * corpus: batch total → bench held out → length gate →
     * decontaminated → exact-new (content key unseen in the corpus) →
-    * near-dup-new (no q285 banded-probe match at J ≥ 0.5). This is
+    * near-dup-new (no q285 banded-probe match at J ≥ 0.5) →
+    * image-new (artwork with no q379 corpus fingerprint match) →
+    * audio-new (clip with no q381 corpus match). This is
     * the daily-ingest dashboard ("we received N docs, accepted M")
     * where q313 is the from-scratch build's; cheap gates run first
     * (length before the decontamination join) because on the ingest
     * path every survivor costs an index probe. Every stage composes
     * the SAME shared rules (isBench, decontaminate, contentKey,
-    * incrementalDedup), so report and ingest can never disagree.
+    * incrementalDedup, and now the media probes — the REAL
+    * render/encode/decode/fingerprint pipelines, delta-vs-corpus,
+    * never self-joined), so report and ingest can never disagree.
+    * On the gate corpus every delta doc's artwork and clip has
+    * corpus-side group siblings, so the media stage counts pin ZERO
+    * survivors — an implementation whose probe loses matches (broken
+    * render, codec, banding, or join) reports nonzero and fails; the
+    * per-doc match structure is gated by q379/q380/q381 standalone.
     *
     * Scale shape: all stages are filters/semi-joins on the O(delta)
-    * batch; the near-dup stage rides q285's band-index probe (the
-    * corpus is never self-joined); the exact stage probes a distinct
-    * content-key set. Output O(stages). */
+    * batch; the near-dup stage rides q285's band-index probe and the
+    * media stages ride q379/q381's (the corpus is never self-joined,
+    * and at 100 TB their corpus sides persist — q331/q380); the exact
+    * stage probes a distinct content-key set. Output O(stages). */
   def deltaIngestReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
@@ -367,6 +377,14 @@ object Pipeline {
       .filter(col("n_matches") > 0)
       .select(col("new_doc").as("doc_id"))
     val s6 = s5.join(broadcast(dupNew), Seq("doc_id"), "left_anti")
+    val imgDup = graft.multimodal.Multimodal.imageIncrementalDedup(spark, dir)
+      .filter(col("n_matches") > 0)
+      .select(col("new_doc").as("doc_id"))
+    val s7 = s6.join(broadcast(imgDup), Seq("doc_id"), "left_anti")
+    val audDup = graft.multimodal.Audio.audioIncrementalDedup(spark, dir)
+      .filter(col("n_matches") > 0)
+      .select(col("new_doc").as("doc_id"))
+    val s8 = s7.join(broadcast(audDup), Seq("doc_id"), "left_anti")
     def st(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
@@ -376,6 +394,8 @@ object Pipeline {
       .unionByName(st("4_decontaminated", s4))
       .unionByName(st("5_exact_new", s5))
       .unionByName(st("6_neardup_new", s6))
+      .unionByName(st("7_image_new", s7))
+      .unionByName(st("8_audio_new", s8))
       .orderBy(col("stage"))
   }
 
@@ -1999,7 +2019,19 @@ object Pipeline {
         |       WHERE md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
         |         NOT IN (SELECT k FROM ckk)),
         |w6 AS (SELECT * FROM w5
-        |       WHERE doc_id NOT IN (SELECT DISTINCT new_doc FROM m))
+        |       WHERE doc_id NOT IN (SELECT DISTINCT new_doc FROM m)),
+        |w7 AS (SELECT * FROM w6
+        |       WHERE doc_id NOT IN (
+        |         SELECT d.doc_id FROM documents d JOIN documents c
+        |           ON d.doc_id // 5 = c.doc_id // 5
+        |          AND c.doc_id <> d.doc_id AND c.doc_id % 10 <> 0
+        |         WHERE d.doc_id % 10 = 0)),
+        |w8 AS (SELECT * FROM w7
+        |       WHERE doc_id NOT IN (
+        |         SELECT d.doc_id FROM documents d JOIN documents c
+        |           ON d.doc_id // 4 = c.doc_id // 4
+        |          AND c.doc_id <> d.doc_id AND c.doc_id % 10 <> 0
+        |         WHERE d.doc_id % 10 = 0))
         |SELECT '1_delta_total' AS stage,
         |  CAST((SELECT COUNT(*) FROM d1) AS BIGINT) AS n_docs
         |UNION ALL SELECT '2_non_bench', (SELECT COUNT(*) FROM w2)
@@ -2007,6 +2039,8 @@ object Pipeline {
         |UNION ALL SELECT '4_decontaminated', (SELECT COUNT(*) FROM w4)
         |UNION ALL SELECT '5_exact_new', (SELECT COUNT(*) FROM w5)
         |UNION ALL SELECT '6_neardup_new', (SELECT COUNT(*) FROM w6)
+        |UNION ALL SELECT '7_image_new', (SELECT COUNT(*) FROM w7)
+        |UNION ALL SELECT '8_audio_new', (SELECT COUNT(*) FROM w8)
         |ORDER BY stage""".stripMargin,
     "q313_build_waterfall" ->
       s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabCte},

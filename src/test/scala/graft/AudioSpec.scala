@@ -106,6 +106,33 @@ class AudioSpec extends AnyFunSuite {
     assert(pairsByGroup.count(_._2.length == 6) === fullGroups)
   }
 
+  test("q381: audio probe distinguishes base and variant-2 delta docs") {
+    val rows = Audio.audioIncrementalDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val groupMates = (d / 4 * 4 until d / 4 * 4 + 4)
+        .filter(m => m != d && docs.contains(m))
+      assert(r.getLong(1) === groupMates.size.toLong, s"doc $d match count")
+      if (groupMates.nonEmpty) {
+        // best = smallest distance, then LARGEST doc: a base delta
+        // (d%4==0, every sibling at dist 1) best-matches d+3; a
+        // variant-2 delta (d%20==10) best-matches its base d-2, the
+        // only dist-1 sibling
+        assert(r.getInt(3) === 1, s"doc $d best_dist")
+        val expected = if (d % 4 == 0) groupMates.max else d - 2
+        assert(r.getLong(2) === expected, s"doc $d best_match")
+      } else {
+        assert(r.isNullAt(2) && r.isNullAt(3), s"doc $d must be clean")
+      }
+    }
+    // both delta shapes are actually present on the gate corpus
+    assert(rows.exists(_.getLong(0) % 20 === 0L))
+    assert(rows.exists(_.getLong(0) % 20 === 10L))
+  }
+
   test("q363 silence runs: bitmap-derived run structure matches decode") {
     val rows = Audio.audioSilenceRuns(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -92,7 +92,11 @@ class InvarianceSpec extends AnyFunSuite {
     "q372_image_neardup_wide128", "q373_banding_audit",
     "q374_weighted_quantile_sketch",
     "q375_image_neardup_quad256", "q376_banding_audit256",
-    "q377_priority_sample", "q378_stratified_priority_sample")
+    "q377_priority_sample", "q378_stratified_priority_sample",
+    // round-14 additions: the delta-vs-corpus media probes (banded
+    // fingerprint join + per-delta verdict window must be bit-stable
+    // on any layout; q380's persisted form is gated by its own spec)
+    "q379_image_incremental_dedup", "q381_audio_incremental_dedup")
 
   test("round-9 families are layout-invariant (starved + oversized shuffle, shattered splits)") {
     val starved = spark.newSession()

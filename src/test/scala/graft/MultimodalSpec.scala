@@ -409,6 +409,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(two.get(0) === two.get(1))
   }
 
+  test("q379/q380: image probe never self-matches, index probe is verdict-identical, lone-group deltas come back clean") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val inline = Multimodal.imageIncrementalDedup(spark, dir).collect()
+    // delta-vs-corpus only: every best_match is a corpus doc, and no
+    // delta doc can ever match itself or another delta doc
+    assert(inline.nonEmpty)
+    inline.filter(!_.isNullAt(2)).foreach { r =>
+      assert(r.getLong(2) % 10 !== 0L, s"delta doc matched a delta doc: $r")
+      assert(r.getLong(2) !== r.getLong(0))
+    }
+    // the persisted-index form emits byte-identical verdicts (the
+    // q285/q331 never-fork rule), and its index is band-partitioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imgidx").toString
+    try {
+      Multimodal.saveImageIndex(spark, dir, tmp)
+      val bandDirs = new java.io.File(s"$tmp/bands").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(bandDirs.toSeq === Seq("band=0", "band=1", "band=2", "band=3"),
+        "index must be partitioned by band for probe-side pruning")
+      val fromIdx = Multimodal.imageIndexProbe(spark, dir, tmp).collect()
+      assert(fromIdx.map(_.toString).toSeq === inline.map(_.toString).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    // boundary: a delta doc alone in its scene group (truncated tail)
+    // gets the clean (0, NULL, NULL) verdict, not a dropped row
+    val tiny = java.nio.file.Files.createTempDirectory("graft_q379").toString
+    try {
+      import spark.implicits._
+      (0L to 10L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tiny/documents.parquet")
+      val t = Multimodal.imageIncrementalDedup(spark, tiny).collect()
+      val byDoc = t.map(r => r.getLong(0) -> r).toMap
+      assert(byDoc.keySet === Set(0L, 10L))
+      assert(byDoc(0L).getLong(1) === 4L) // full group: 4 corpus siblings
+      assert(byDoc(0L).getLong(2) === 4L) // best = dist-1 tie, max doc_id
+      assert(byDoc(0L).getInt(3) === 1)
+      assert(byDoc(10L).getLong(1) === 0L, "lone-group delta must be clean")
+      assert(byDoc(10L).isNullAt(2) && byDoc(10L).isNullAt(3))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tiny))
+    }
+  }
+
   test("q366: streaming image dedup equals batch q357 exactly (can-never-fork)") {
     val dir = "/root/testdata/sf0.001"
     val stream = graft.streaming.Streams.streamImageDedup(spark, dir).collect()

@@ -2720,11 +2720,12 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("delta ingest report: stages monotone and reconciled with q285's verdicts") {
+  test("delta ingest report: stages monotone and reconciled with the probe verdicts") {
     val rows = run("q329_delta_ingest_report").collect()
     assert(rows.map(_.getString(0)).toSeq ===
       Seq("1_delta_total", "2_non_bench", "3_min_length",
-        "4_decontaminated", "5_exact_new", "6_neardup_new"))
+        "4_decontaminated", "5_exact_new", "6_neardup_new",
+        "7_image_new", "8_audio_new"))
     val n = rows.map(_.getLong(1))
     n.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => () }
     val docs = Tables.load(spark, sf, "documents")
@@ -2736,6 +2737,16 @@ class OperatorSpec extends AnyFunSuite {
       .filter(col("n_matches") > 0).collect().map(_.getLong(0)).toSet
     assert(n(4) - n(5) <= dup285.size)
     assert(n(4) - n(5) >= 0)
+    // media stages compose q379/q381's verdicts: a stage-6 survivor
+    // passes 7/8 iff its probe found no corpus match (on the planted
+    // corpus every delta doc has group siblings, so both pin zero —
+    // reconciled against the probes, not hard-coded)
+    val imgDup = run("q379_image_incremental_dedup")
+      .filter(col("n_matches") > 0).collect().map(_.getLong(0)).toSet
+    val audDup = run("q381_audio_incremental_dedup")
+      .filter(col("n_matches") > 0).collect().map(_.getLong(0)).toSet
+    assert(n(5) - n(6) <= imgDup.size)
+    assert(n(6) - n(7) <= audDup.size)
   }
 
   test("t-closeness equals a brute-force TVD over the full group x segment grid") {
