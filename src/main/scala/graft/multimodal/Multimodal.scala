@@ -980,26 +980,52 @@ object Multimodal {
     * (h1 = seed XOR the wideFlips sum; h2–h4 = the texture words
     * verbatim), so the gate pins the decode→4-way-fingerprint path
     * bit-for-bit AND the audit columns measure the n²/256 → n²/2²²
-    * residual cut at whatever scale it runs. */
-  def bandingAudit256(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = quadHash(generatedMediaQuad256(spark, dir)).toDF()
+    * residual cut at whatever scale it runs.
+    *
+    * The NOISE TRIPWIRE (round 14): each family's candidates split
+    * into the planted signal (same scene group — the pairs the
+    * detector exists to find) and collision noise (cross-group bucket
+    * accidents, the n²/2^bits term); `noise_flagged` fires when noise
+    * exceeds half the candidates. The quad family's noise is ~4% of
+    * signal on the gate corpus and becomes subdominant only past
+    * ~10⁷ docs per partition domain (SCALE.md §20) — this column is
+    * how the corpus that needs a FIFTH `multiBands` word announces
+    * itself instead of silently going quadratic. The flag rides the
+    * same occupancy reduction (group-by only, no pair join). */
+  def bandingAudit256(spark: SparkSession, dir: String): DataFrame =
+    bandingAudit256From(quadHash(generatedMediaQuad256(spark, dir)).toDF())
+
+  /** The audit's reduction, factored so specs can feed an adversarial
+    * hash frame ((doc_id, h1..h4) rows; planted group = doc_id div 5)
+    * and pin the tripwire on a degenerate corpus. */
+  private[graft] def bandingAudit256From(hashes: DataFrame): DataFrame = {
     import graft.functions.Banding.multiBands
     val fams = Seq(
       ("ahash64_8x8", multiBands(Seq(col("h1")), 8, 8)),
       ("paired128_8x16", multiBands(Seq(col("h1"), col("h2")), 8, 8)),
       ("quad256_8x32",
         multiBands(Seq(col("h1"), col("h2"), col("h3"), col("h4")), 8, 8)))
-    val tagged = hashes.select(explode(concat(fams.map { case (f, bk) =>
-        transform(bk, e => struct(lit(f).as("family"),
-          e.getField("band").as("band"), e.getField("bkey").as("bkey")))
-      }: _*)).as("t"))
-      .select(col("t.family").as("family"), col("t.band").as("band"),
-        col("t.bkey").as("bkey"))
-    tagged.groupBy(col("family"), col("band"), col("bkey"))
-      .agg(count(lit(1)).as("m"))
+    val tagged = hashes.select(expr("doc_id div 5").as("grp"),
+        explode(concat(fams.map { case (f, bk) =>
+          transform(bk, e => struct(lit(f).as("family"),
+            e.getField("band").as("band"), e.getField("bkey").as("bkey")))
+        }: _*)).as("t"))
+      .select(col("grp"), col("t.family").as("family"),
+        col("t.band").as("band"), col("t.bkey").as("bkey"))
+    // two-level occupancy: per (bucket, group) counts roll into per-
+    // bucket totals, so the same pass yields total candidates AND the
+    // same-group (planted) share — still zero pair joins
+    tagged.groupBy(col("family"), col("band"), col("bkey"), col("grp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("family"), col("band"), col("bkey"))
+      .agg(sum(col("c")).as("m"),
+        sum(expr("(c * (c - 1)) div 2")).as("pl"))
       .groupBy(col("family"))
       .agg(count(lit(1)).as("n_buckets"),
-        sum(expr("(m * (m - 1)) div 2")).as("n_candidates"))
+        sum(expr("(m * (m - 1)) div 2")).as("n_candidates"),
+        sum(col("pl")).as("n_planted"))
+      .withColumn("n_noise", col("n_candidates") - col("n_planted"))
+      .withColumn("noise_flagged", col("n_noise") * 2 > col("n_candidates"))
       .orderBy(col("family"))
   }
 
@@ -1506,26 +1532,36 @@ object Multimodal {
         |        t0, t1, t2
         | FROM s),
         |b AS (
-        | SELECT 'ahash64_8x8' AS family, bb.band AS band,
+        | SELECT doc_id // 5 AS grp, 'ahash64_8x8' AS family,
+        |        bb.band AS band,
         |        (h1 >> (8 * bb.band)) & 255 AS bkey
         | FROM h, (SELECT unnest(range(0, 8)) AS band) bb
         | UNION ALL
-        | SELECT 'paired128_8x16' AS family, bb.band AS band,
+        | SELECT doc_id // 5 AS grp, 'paired128_8x16' AS family,
+        |        bb.band AS band,
         |        ((h1 >> (8 * bb.band)) & 255)
         |          | (((t0 >> (8 * bb.band)) & 255) << 8) AS bkey
         | FROM h, (SELECT unnest(range(0, 8)) AS band) bb
         | UNION ALL
-        | SELECT 'quad256_8x32' AS family, bb.band AS band,
+        | SELECT doc_id // 5 AS grp, 'quad256_8x32' AS family,
+        |        bb.band AS band,
         |        ((h1 >> (8 * bb.band)) & 255)
         |          | (((t0 >> (8 * bb.band)) & 255) << 8)
         |          | (((t1 >> (8 * bb.band)) & 255) << 16)
         |          | (((t2 >> (8 * bb.band)) & 255) << 24) AS bkey
         | FROM h, (SELECT unnest(range(0, 8)) AS band) bb),
-        |m AS (SELECT family, band, bkey, COUNT(*) AS m
-        |      FROM b GROUP BY 1, 2, 3)
+        |m AS (SELECT family, band, bkey, grp, COUNT(*) AS c
+        |      FROM b GROUP BY 1, 2, 3, 4),
+        |k AS (SELECT family, band, bkey, SUM(c) AS m,
+        |        SUM(c * (c - 1) // 2) AS pl
+        |      FROM m GROUP BY 1, 2, 3)
         |SELECT family, CAST(COUNT(*) AS BIGINT) AS n_buckets,
-        |  CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_candidates
-        |FROM m GROUP BY family ORDER BY family""".stripMargin,
+        |  CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(pl) AS BIGINT) AS n_planted,
+        |  CAST(SUM(m * (m - 1) // 2) - SUM(pl) AS BIGINT) AS n_noise,
+        |  (SUM(m * (m - 1) // 2) - SUM(pl)) * 2 > SUM(m * (m - 1) // 2)
+        |    AS noise_flagged
+        |FROM k GROUP BY family ORDER BY family""".stripMargin,
     "q379_image_incremental_dedup" -> imageProbeOracle,
     "q380_image_index_probe" -> imageProbeOracle,
     // q364: text pairs re-derived by the q33 oracle CTE; image pairs by

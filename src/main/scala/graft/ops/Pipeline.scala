@@ -795,13 +795,39 @@ object Pipeline {
       .drop("icl", "acl")
   }
 
-  /** The build's media cluster maps — image clusters from q357's REAL
-    * render→codec→decode→aHash pair pipeline, audio clusters from
-    * q362's WAV fingerprint pairs. One definition for build, waterfall
-    * and lineage. */
-  private def imageClusters(spark: SparkSession, dir: String): DataFrame =
-    pairClusters(
-      graft.multimodal.Multimodal.imageNearDupGenerated(spark, dir))
+  /** Image near-dup POLICY for the corpus build: which fingerprint +
+    * banding family the image stage runs — the radius knob a real
+    * build config carries. [[NarrowRadius3]] is q357's 64-bit aHash
+    * under 4×16 banding (lossless to Hamming 3); [[WideRadius7]] is
+    * q375's 256-bit quad fingerprint under 8×32 `multiBands`
+    * (lossless to Hamming 7). The two are NOT interchangeable knob
+    * positions on one pipeline — that is the point: widening the
+    * radius on the single-word 8×8 split is the measured quadratic
+    * killer (candidate exponent 2.00 at 50 k→500 k docs, SCALE.md
+    * §18/§20), so the policy type makes "wider radius" arrive
+    * ONLY with the banding whose candidate exponent stays 1.00.
+    * q376's occupancy audit is the guard to run on a corpus before
+    * adopting [[WideRadius7]]: its `noise_flagged` tripwire names the
+    * corpus whose collision noise would dominate (and hence needs a
+    * fifth hash word) BEFORE the build pays a quadratic stage. */
+  sealed trait ImageDedupPolicy
+  /** Radius ≤ 3: q357's aHash + 4×16 pigeonhole banding. */
+  case object NarrowRadius3 extends ImageDedupPolicy
+  /** Radius ≤ 7: q375's quad-256 fingerprint + 8×32 multiBands. */
+  case object WideRadius7 extends ImageDedupPolicy
+
+  /** The build's media cluster maps — image clusters from the policy's
+    * REAL render→codec→decode→fingerprint pair pipeline (q357 narrow /
+    * q375 wide), audio clusters from q362's WAV fingerprint pairs. One
+    * definition for build, waterfall and lineage. */
+  private def imageClusters(spark: SparkSession, dir: String,
+      policy: ImageDedupPolicy = NarrowRadius3): DataFrame =
+    pairClusters(policy match {
+      case NarrowRadius3 =>
+        graft.multimodal.Multimodal.imageNearDupGenerated(spark, dir)
+      case WideRadius7 =>
+        graft.multimodal.Multimodal.imageNearDupQuad256(spark, dir)
+    })
 
   private def audioClusters(spark: SparkSession, dir: String): DataFrame =
     pairClusters(graft.multimodal.Audio.audioNearDup(spark, dir))
@@ -816,10 +842,14 @@ object Pipeline {
     *                    survivor — gates run FIRST so an excluded
     *                    cluster minimum never drags its clean siblings
     *                    out of the corpus with it
-    *  4. image dedup:   each doc's attached artwork runs q357's REAL
-    *                    codec near-dup pipeline; every image cluster
-    *                    keeps its minimum TEXT-SURVIVING member (same
-    *                    gates-first rule as stage 3)
+    *  4. image dedup:   each doc's attached artwork runs the
+    *                    `imagePolicy`'s REAL codec near-dup pipeline
+    *                    (q357's radius-3 aHash by default; q375's
+    *                    radius-7 quad-256 under [[WideRadius7]] — see
+    *                    [[ImageDedupPolicy]] for why the radius and
+    *                    the banding move together); every image
+    *                    cluster keeps its minimum TEXT-SURVIVING
+    *                    member (same gates-first rule as stage 3)
     *  5. audio dedup:   the same with q362's acoustic fingerprints
     *  6. split:         leak-free 8/1/1 by doc-hash (the q69 rule,
     *                    shared code)
@@ -837,8 +867,8 @@ object Pipeline {
     * decode + fingerprint — is the narrow banded-pair machinery the
     * standalone gates already soaked. Returns the per-split summary;
     * composition contracts are gated in PipelineSpec. */
-  def prepareCorpus(spark: SparkSession, dir: String,
-      outDir: String): DataFrame = {
+  def prepareCorpus(spark: SparkSession, dir: String, outDir: String,
+      imagePolicy: ImageDedupPolicy = NarrowRadius3): DataFrame = {
     val docs = spread(load(spark, dir, "documents"))
     val contaminated = decontaminate(spark, dir).select(col("doc_id"))
     val eligible = docs
@@ -876,7 +906,7 @@ object Pipeline {
     // media-dropped doc never drags its clean siblings out (the
     // gates-first rule, applied again)
     val keptMedia = mediaFlags(kept,
-        imageClusters(spark, dir), audioClusters(spark, dir))
+        imageClusters(spark, dir, imagePolicy), audioClusters(spark, dir))
       .filter(!col("img_rm") && !col("aud_rm"))
       .drop("img_rm", "aud_rm")
     withSplit(keptMedia).write.mode("overwrite").partitionBy("split").parquet(outDir)
@@ -1409,8 +1439,14 @@ object Pipeline {
     * report and build can never disagree. The media stage counts come
     * from the REAL codec pipelines; their oracle closed form is the
     * planted group structure (scene group = doc div 5, clip group =
-    * doc div 4) the standalone q357/q362 gates already pin. */
-  def buildWaterfall(spark: SparkSession, dir: String): DataFrame = {
+    * doc div 4) the standalone q357/q362 gates already pin. The
+    * `imagePolicy` knob mirrors the build's ([[ImageDedupPolicy]]):
+    * both fingerprint families plant the same scene-group clusters on
+    * the gate corpus, so the waterfall is policy-invariant there —
+    * PipelineSpec pins that equality, which is what licenses swapping
+    * the policy without forking the oracle. */
+  def buildWaterfall(spark: SparkSession, dir: String,
+      imagePolicy: ImageDedupPolicy = NarrowRadius3): DataFrame = {
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
     val s2 = docs.filter(!isBench(col("doc_id")))
@@ -1429,7 +1465,7 @@ object Pipeline {
       .unionByName(j.filter(col("cluster_id").isNotNull)
         .withColumn("m", min(col("doc_id")).over(wCl))
         .filter(col("doc_id") === col("m")).select(col("doc_id")))
-    val mf = mediaFlags(s6, imageClusters(spark, dir),
+    val mf = mediaFlags(s6, imageClusters(spark, dir, imagePolicy),
       audioClusters(spark, dir))
     val s7 = mf.filter(!col("img_rm"))
     val s8 = mf.filter(!col("img_rm") && !col("aud_rm"))
@@ -1444,7 +1480,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q313_build_waterfall" -> buildWaterfall,
+    "q313_build_waterfall" -> ((s, d) => buildWaterfall(s, d)),
     "q329_delta_ingest_report" -> deltaIngestReport,
     "q333_interleave_order" -> interleaveOrder,
     "q342_dataset_card" -> datasetCard,

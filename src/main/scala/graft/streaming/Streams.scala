@@ -354,7 +354,20 @@ object Streams {
     * shape for custom state machines; when the per-key history can be
     * unbounded (a bot user at 100 TB), the bounded-state path is the
     * native merge-based session_window aggregation (q39), which holds
-    * only open-session aggregates, not raw events. */
+    * only open-session aggregates, not raw events.
+    *
+    * NoTimeout is STATELESS-BY-CONSTRUCTION here, not an unbounded-
+    * state liability: `sessionize` never calls `state.update`, so no
+    * state row is ever written and there is nothing for a timeout to
+    * evict (the registry's one remaining NoTimeout, kept deliberately).
+    * The visible consequence: each micro-batch sessionizes only its
+    * own events, so a session whose events SPAN micro-batches is
+    * emitted as two sessions — fine for the gate (batch execution ==
+    * one group invocation == q39's oracle) and for replay-style
+    * backfills, wrong for a live continuous stream. The production
+    * forms are q104 (mergeable session windows, bounded state) and
+    * the q198/q271 transformWithState machinery (event-time timers)
+    * when the custom state machine itself must survive batches. */
   case class Ev(user_id: Long, event_id: Long,
     ts: java.time.LocalDateTime, value: Double)
   case class Sess(user_id: Long, session_start: java.time.LocalDateTime,

@@ -375,7 +375,8 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("q376: band-family candidate ordering holds (quad <= paired <= narrow)") {
     val dir = "/root/testdata/sf0.001"
-    val rows = Multimodal.bandingAudit256(spark, dir).collect()
+    val full = Multimodal.bandingAudit256(spark, dir).collect()
+    val rows = full
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     val (_, narrow) = rows("ahash64_8x8")
@@ -387,11 +388,41 @@ class MultimodalSpec extends AnyFunSuite {
     // occupied buckets never shrink
     assert(quad <= paired, s"256-bit banding grew candidates ($quad vs $paired)")
     assert(quadBuckets >= pairedBuckets)
+    // the noise split reconciles, and the tripwire reads correctly on
+    // the gate corpus: the degenerate 8x8 family is noise-dominated
+    // (that is WHY q372/q375 exist); the quad family's candidates are
+    // almost all planted signal, so it must not flag
+    full.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3) + r.getLong(4),
+        s"${r.getString(0)}: candidates != planted + noise")
+      assert(r.getBoolean(5) === (r.getLong(4) * 2 > r.getLong(2)))
+    }
+    val flagged = full.map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(flagged("ahash64_8x8"), "8x8 must trip the noise wire")
+    assert(!flagged("quad256_8x32"), "quad noise must stay subdominant")
     // every within-group pair (distance <= 7 over 256 bits) must still
     // be caught: the banded join output is a superset of the plant
     val pairs = Multimodal.imageNearDupQuad256(spark, dir).collect()
     assert(pairs.length === (n / 5 * 10).toInt,
       "quad banding lost a planted pair (pigeonhole broken)")
+  }
+
+  test("q376 tripwire: a degenerate corpus (collapsed fingerprints across groups) flags every family") {
+    import spark.implicits._
+    // 200 docs, one per scene group (grp = doc_id div 5 all distinct),
+    // every fingerprint word identical: zero planted pairs, every
+    // bucket a full collision — the corpus that needs another hash
+    // word must announce itself on ALL families, quad included
+    val degenerate = (0L until 200L).map(i => (i * 5, 0L, 0L, 0L, 0L))
+      .toDF("doc_id", "h1", "h2", "h3", "h4")
+    val rows = Multimodal.bandingAudit256From(degenerate).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getLong(3) === 0L, s"${r.getString(0)}: planted must be 0")
+      assert(r.getLong(4) === 8L * (200L * 199L / 2),
+        s"${r.getString(0)}: all 8 bands fully collided")
+      assert(r.getBoolean(5), s"${r.getString(0)} failed to flag")
+    }
   }
 
   test("multiBands degenerates to hashBands/pairedBands on 1 and 2 words") {

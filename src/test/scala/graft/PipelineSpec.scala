@@ -224,6 +224,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("image policy: the quad-banded wide build ships the same corpus and waterfall on the gate corpus") {
+    // both fingerprint families plant the same scene-group clusters
+    // on the generated corpus (q357 dist <= 2, q375 dist <= 7, both
+    // exactly the doc div 5 groups), so the WideRadius7 build must be
+    // composition-identical — which is what licenses flipping the
+    // radius knob without forking the waterfall oracle. A policy
+    // wiring bug (wrong pipeline, wrong banding, lost pairs) breaks
+    // this equality even though each pair pipeline is gated standalone
+    val wideOut =
+      java.nio.file.Files.createTempDirectory("graft_corpus_wide").toString
+    try {
+      Pipeline.prepareCorpus(spark, sf, wideOut, Pipeline.WideRadius7)
+      val narrow = corpus.select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")).collect().toSeq
+      val wide = spark.read.parquet(wideOut)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")).collect().toSeq
+      assert(narrow === wide, "wide-policy build diverged from narrow")
+      // wide survivors still satisfy the media invariant
+      val maxPerScene = spark.read.parquet(wideOut)
+        .groupBy(expr("doc_id div 5")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      assert(maxPerScene === 1L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wideOut))
+    }
+    val base = Pipeline.buildWaterfall(spark, sf).collect().map(_.toString)
+    val wideWf = Pipeline.buildWaterfall(spark, sf, Pipeline.WideRadius7)
+      .collect().map(_.toString)
+    assert(base.toSeq === wideWf.toSeq,
+      "waterfall must be policy-invariant on the gate corpus")
+  }
+
   test("rerun writes the identical corpus (deterministic artifact)") {
     val first = corpus.select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq
