@@ -343,9 +343,10 @@ object Audio {
     * acoustic fingerprints shared by the self-join detector (q362) and
     * the incremental probe (q381). Undecodable clips are dropped
     * before banding (see [[audioNearDup]]'s note). */
-  private def fpBands(spark: SparkSession, dir: String): DataFrame = {
+  private def fpBands(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import spark.implicits._
-    generatedAudio(spark, dir).mapPartitions { it =>
+    generatedAudio(spark, dir).filter(keep).mapPartitions { it =>
       it.grouped(Multimodal.DecodeBatch).flatMap(_.flatMap { r =>
         decodeAudio(r.payload).map(d =>
           AudioFp(r.doc_id, audioFingerprint(d.samples)))
@@ -391,13 +392,48 @@ object Audio {
     * keys, 16-byte band rows are the only shuffle, and at 100 TB the
     * corpus side persists like [[Multimodal.saveImageIndex]]. */
   def audioIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val bands = fpBands(spark, dir)
     val isDelta = col("doc_id") % 10 === 0
-    Multimodal.bandProbeVerdict(bands.filter(isDelta),
-      bands.filter(!isDelta),
+    Multimodal.bandProbeVerdict(fpBands(spark, dir, isDelta),
+      fpBands(spark, dir, !isDelta),
       load(spark, dir, "documents").select(col("doc_id").as("new_doc"))
         .filter(col("new_doc") % 10 === 0),
       hash = "fp")
+  }
+
+  /** Persist the corpus side of the q381 probe as an on-disk index —
+    * [[Multimodal.saveImageIndex]]'s lifecycle on the acoustic
+    * fingerprint: banded (doc_id, fp, bkey) rows partitioned by band,
+    * so a probe prunes to its band's files and the corpus
+    * encode→decode→fingerprint cost is paid once per corpus. */
+  def saveAudioIndex(spark: SparkSession, dir: String,
+      indexDir: String): Unit =
+    fpBands(spark, dir, col("doc_id") % 10 =!= 0)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$indexDir/bands")
+
+  /** q382 — INCREMENTAL AUDIO DEDUP FROM THE PERSISTED INDEX: q381
+    * with its corpus side READ from [[saveAudioIndex]]'s parquet —
+    * verdicts byte-identical to q381 (same oracle string, the
+    * q285/q331/q380 never-fork pattern). Completes the persisted-index
+    * story across all three ingest columns: text (q331), image (q380),
+    * audio (q382). */
+  def audioIndexProbe(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame =
+    Multimodal.bandProbeVerdict(
+      fpBands(spark, dir, col("doc_id") % 10 === 0),
+      spark.read.parquet(s"$indexDir/bands"),
+      load(spark, dir, "documents").select(col("doc_id").as("new_doc"))
+        .filter(col("new_doc") % 10 === 0),
+      hash = "fp")
+
+  /** q382's registered form: per-process temp index (no overwrite race
+    * between a concurrent Verify/test pair), build then probe. */
+  def audioIndexProbeFresh(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft_aud_index" +
+      s"${safe}_${ProcessHandle.current().pid()}"
+    saveAudioIndex(spark, dir, indexDir)
+    audioIndexProbe(spark, dir, indexDir)
   }
 
   /** Silence-segmentation row (q363). */
@@ -444,7 +480,8 @@ object Audio {
     "q361_audio_decode_census" -> audioDecodeCensus,
     "q362_audio_neardup_pairs" -> ((s, d) => audioNearDup(s, d)),
     "q363_audio_silence_runs" -> audioSilenceRuns,
-    "q381_audio_incremental_dedup" -> audioIncrementalDedup)
+    "q381_audio_incremental_dedup" -> audioIncrementalDedup,
+    "q382_audio_index_probe" -> audioIndexProbeFresh)
 
   /** The oracle's spelling of the 4-doc group seed. */
   private def seedSqlDuck: String = phashSql("CAST(doc_id // 4 AS VARCHAR)")
@@ -505,10 +542,14 @@ object Audio {
         |       CAST(CASE WHEN len(runs) = 0 THEN 0
         |                 ELSE list_max(runs) END AS INT) AS longest_active_run
         |FROM r ORDER BY doc_id""".stripMargin,
-    // q381: the image probe's closed form on the 4-doc clip groups —
-    // a delta doc's matches are its group's corpus members at planted
-    // distance 1 (either side the base) or 2 (variant-variant)
-    "q381_audio_incremental_dedup" ->
+    // q381/q382: the image probe's closed form on the 4-doc clip
+    // groups — a delta doc's matches are its group's corpus members at
+    // planted distance 1 (either side the base) or 2 (variant-variant);
+    // the persisted-index form must emit byte-identical verdicts
+    "q381_audio_incremental_dedup" -> audioProbeOracle,
+    "q382_audio_index_probe" -> audioProbeOracle)
+
+  private lazy val audioProbeOracle: String =
       """WITH g AS (SELECT doc_id, doc_id // 4 AS grp,
         |            CAST(doc_id % 4 AS INT) AS vr FROM documents),
         |m AS (SELECT d.doc_id AS new_doc, c.doc_id AS match_doc,
@@ -527,5 +568,5 @@ object Audio {
         |  CAST(b.dist AS INT) AS best_dist
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
         |LEFT JOIN (SELECT * FROM b WHERE rn = 1) b ON d.doc_id = b.new_doc
-        |ORDER BY new_doc""".stripMargin)
+        |ORDER BY new_doc""".stripMargin
 }

@@ -133,6 +133,23 @@ class AudioSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(0) % 20 === 10L))
   }
 
+  test("q382: persisted audio index is band-partitioned and verdict-identical to q381") {
+    val inline = Audio.audioIncrementalDedup(spark, sf).collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_audidx").toString
+    try {
+      Audio.saveAudioIndex(spark, sf, tmp)
+      val bandDirs = new java.io.File(s"$tmp/bands").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(bandDirs.toSeq === Seq("band=0", "band=1", "band=2", "band=3"),
+        "index must be partitioned by band for probe-side pruning")
+      val fromIdx = Audio.audioIndexProbe(spark, sf, tmp).collect()
+      assert(fromIdx.map(_.toString).toSeq === inline.map(_.toString).toSeq)
+      assert(fromIdx.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("q363 silence runs: bitmap-derived run structure matches decode") {
     val rows = Audio.audioSilenceRuns(spark, sf).collect()
     assert(rows.nonEmpty)
