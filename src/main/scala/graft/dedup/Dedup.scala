@@ -1621,6 +1621,27 @@ object Dedup {
       .orderBy(col("new_doc"))
   }
 
+  /** The q285 probe over ARBITRARY (doc_id, text) frames — batch vs
+    * corpus — the text handle the incremental ingest writer
+    * ([[graft.ops.Pipeline]] `ingestBatch`) composes: same signature,
+    * band-key, exact-verify and verdict machinery VERBATIM, with the
+    * corpus side a persisted artifact instead of a table slice. */
+  private[graft] def textProbe(batch: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val bBands = bandKeys(withSignature(batch))
+      .select(col("doc_id"), col("band"), col("bkey"))
+    val cBands = bandKeys(withSignature(corpus))
+      .select(col("doc_id"), col("band"), col("bkey"))
+    val cand = bBands.alias("d")
+      .join(cBands.alias("c"),
+        col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
+      .select(col("d.doc_id").as("new_doc"), col("c.doc_id").as("match_doc"))
+      .distinct()
+    probeVerdict(cand, probeSets(batch, lit(true)),
+      probeSets(corpus, lit(true)),
+      batch.select(col("doc_id").as("new_doc")))
+  }
+
   /** Persist the corpus side of the q285 probe as an on-disk index:
     * the band table (partitioned by band, so a probe prunes to its
     * band's files) and the shingle-hash sets (fetched by doc-key join

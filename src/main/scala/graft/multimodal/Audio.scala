@@ -212,9 +212,14 @@ object Audio {
     * DuckDB oracle re-derives the pipeline's expected output. */
   case class ClipSpec(doc_id: Long, seed: Long, variant: Int)
 
-  def clipSpecs(spark: SparkSession, dir: String): Dataset[ClipSpec] = {
-    import spark.implicits._
-    load(spark, dir, "documents").select(
+  def clipSpecs(spark: SparkSession, dir: String): Dataset[ClipSpec] =
+    clipSpecsOf(load(spark, dir, "documents"))
+
+  /** Clip specs of an ARBITRARY doc-id frame — the audio twin of
+    * [[Multimodal.sceneSpecsOf]], for the incremental ingest path. */
+  def clipSpecsOf(ids: DataFrame): Dataset[ClipSpec] = {
+    import ids.sparkSession.implicits._
+    ids.select(
       col("doc_id"),
       phash(expr("cast(doc_id div 4 as string)")).as("seed"),
       (col("doc_id") % 4).cast(IntegerType).as("variant"))
@@ -234,9 +239,13 @@ object Audio {
     * split — and the A/B at heaps1 (50 k clips) measures fan+SPI at
     * 2.1/2.4/1.7 s vs 8.5/9.0/8.2 s for the r12 no-fan facade path
     * (SCALE.md §17). */
-  def generatedAudio(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
-    import spark.implicits._
-    Multimodal.fanOut(clipSpecs(spark, dir)).mapPartitions { it =>
+  def generatedAudio(spark: SparkSession, dir: String): Dataset[AudioRecord] =
+    generatedAudioOf(load(spark, dir, "documents"))
+
+  /** [[generatedAudio]] over an arbitrary doc-id frame. */
+  def generatedAudioOf(ids: DataFrame): Dataset[AudioRecord] = {
+    import ids.sparkSession.implicits._
+    Multimodal.fanOut(clipSpecsOf(ids)).mapPartitions { it =>
       it.grouped(Multimodal.DecodeBatch).flatMap(_.map { s =>
         AudioRecord(s.doc_id, encodeWav(renderClip(s.seed, s.variant)), "wav")
       })
@@ -344,9 +353,16 @@ object Audio {
     * the incremental probe (q381). Undecodable clips are dropped
     * before banding (see [[audioNearDup]]'s note). */
   private def fpBands(spark: SparkSession, dir: String,
-      keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      keep: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    audioBandsOf(load(spark, dir, "documents").filter(keep))
+
+  /** Banded acoustic-fingerprint rows of an arbitrary doc-id frame —
+    * the probe-side handle the incremental ingest writer composes
+    * (the gated q362/q381 machinery end to end). */
+  private[graft] def audioBandsOf(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
     import spark.implicits._
-    generatedAudio(spark, dir).filter(keep).mapPartitions { it =>
+    generatedAudioOf(ids).mapPartitions { it =>
       it.grouped(Multimodal.DecodeBatch).flatMap(_.flatMap { r =>
         decodeAudio(r.payload).map(d =>
           AudioFp(r.doc_id, audioFingerprint(d.samples)))

@@ -343,9 +343,17 @@ object Multimodal {
     * shift. */
   private val SceneCells = 56
 
-  def sceneSpecs(spark: SparkSession, dir: String): Dataset[SceneSpec] = {
-    import spark.implicits._
-    load(spark, dir, "documents").select(
+  def sceneSpecs(spark: SparkSession, dir: String): Dataset[SceneSpec] =
+    sceneSpecsOf(load(spark, dir, "documents"))
+
+  /** Scene specs of an ARBITRARY doc-id frame — the generated-media
+    * convention (payloads derive deterministically from doc_id alone)
+    * applied to any id set, so the incremental ingest path can
+    * fingerprint a persisted corpus artifact or an incoming batch
+    * with no documents table behind them. */
+  def sceneSpecsOf(ids: DataFrame): Dataset[SceneSpec] = {
+    import ids.sparkSession.implicits._
+    ids.select(
       col("doc_id"),
       phash(expr("cast(doc_id div 5 as string)")).as("seed"),
       (col("doc_id") % 5).cast(IntegerType).as("variant"),
@@ -540,15 +548,26 @@ object Multimodal {
     * produced executor-side from the row's own spec: nothing is
     * shipped from the driver, and the render cost scales with the
     * partition, not the job. */
-  def generatedMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
-    import spark.implicits._
-    fanOut(sceneSpecs(spark, dir)).mapPartitions { it =>
+  def generatedMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    generatedMediaOf(load(spark, dir, "documents"))
+
+  /** [[generatedMedia]] over an arbitrary doc-id frame (see
+    * [[sceneSpecsOf]]). */
+  def generatedMediaOf(ids: DataFrame): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
+    fanOut(sceneSpecsOf(ids)).mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap(_.map { s =>
         MediaRecord(s.doc_id, renderScene(s.seed, s.variant, s.format),
           s.format, 64, 64)
       })
     }
   }
+
+  /** Banded aHash rows of an arbitrary doc-id frame — the probe-side
+    * handle the incremental ingest writer composes (render → codec →
+    * decode → aHash → 4×16 bands, all the gated q357/q379 machinery). */
+  private[graft] def imageBandsOf(ids: DataFrame): DataFrame =
+    aHashBands(generatedMediaOf(ids))
 
   /** The wide-variant generated media table ([[renderSceneWide]] per
     * row — real codecs, multi-cell flips). */
@@ -1066,7 +1085,7 @@ object Multimodal {
     * per-delta-doc match count + best match (smallest distance, doc-id
     * tie-break the q285 spelling), clean (0, NULL, NULL) rows via the
     * left join. */
-  private[multimodal] def bandProbeVerdict(deltaBands: DataFrame,
+  private[graft] def bandProbeVerdict(deltaBands: DataFrame,
       corpusBands: DataFrame, deltaIds: DataFrame,
       hash: String = "ahash"): DataFrame = {
     val cand = deltaBands.alias("d")

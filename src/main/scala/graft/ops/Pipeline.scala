@@ -916,6 +916,131 @@ object Pipeline {
       .orderBy(col("split"))
   }
 
+  /** INCREMENTAL CORPUS INGEST — the writer q329's dashboard reports
+    * on: append an incoming batch of documents to an EXISTING corpus
+    * artifact ([[prepareCorpus]]'s layout) by probing the ARTIFACT —
+    * never a rebuild, never a corpus self-join. The production shape
+    * of a daily feed at 100 TB: the corpus is the thing you already
+    * paid for; a batch costs O(batch) signature/fingerprint work plus
+    * band-key equi-joins whose corpus side prunes to colliding keys
+    * (persisted-index forms: q331/q380/q382).
+    *
+    * The gauntlet, cheapest gate first, every rule the gated shared
+    * definition: (1) id guard — exact re-delivery of an already-
+    * ingested doc_id drops immediately; (2) length gate; (3) exact
+    * content — each batch content group keeps its min doc (the build's
+    * canonical rule) and content the artifact already holds drops;
+    * (4) text near-dup — [[graft.dedup.Dedup.textProbe]] (q285's
+    * machinery verbatim) against artifact docs; (5)/(6) image/audio
+    * near-dup — the q379/q381 banded fingerprint probes against
+    * artifact ids. Batches are expected internally near-dup-free
+    * (the batch-side build dedups within the batch — the two-phase
+    * shape of a real daily pipeline); within-batch EXACT dups are
+    * still collapsed here because the canonical rule is one line.
+    *
+    * Because accepted docs APPEND, a later batch probes the GROWN
+    * artifact — re-delivering yesterday's accepted content (same ids
+    * or re-keyed) drops at stage 1 or 3/4/5/6, which is the
+    * idempotence contract PipelineSpec pins. Ingest never rewrites
+    * history: artifact docs are untouched, so a batch doc near-dup of
+    * a kept doc loses regardless of doc_id order (unlike the batch
+    * rebuild, which re-elects cluster minima — documented divergence,
+    * the price of an append-only corpus).
+    *
+    * Returns the stage-count audit (q329's dashboard shape). Stage
+    * counts are materialized BEFORE the append (one aggregation over
+    * one persisted O(batch) flag frame), so the audit reads the
+    * pre-append artifact; the write then reuses the same cached flags.
+    * `batch` must not itself be a live read of `corpusDir`. */
+  def ingestBatch(spark: SparkSession, corpusDir: String,
+      batch: DataFrame): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.multimodal.{Audio, Multimodal}
+    val corpus = spark.read.parquet(corpusDir)
+    val corpusDocs = corpus.select(col("doc_id"), col("text"))
+    val wC = Window.partitionBy(col("ck"))
+    val base = batch.select(col("doc_id"), col("text"))
+      .join(corpusDocs.select(col("doc_id"), lit(true).as("id0")),
+        Seq("doc_id"), "left")
+      .withColumn("id_dup", coalesce(col("id0"), lit(false))).drop("id0")
+      .withColumn("too_short",
+        !col("id_dup") && size(tokens(col("text"))) < 10)
+      .withColumn("ck", Dedup.contentKey(col("text")))
+      .withColumn("m",
+        min(when(!col("id_dup") && !col("too_short"), col("doc_id")))
+          .over(wC))
+      .join(corpusDocs
+          .select(Dedup.contentKey(col("text")).as("ck"),
+            lit(true).as("k0"))
+          .groupBy(col("ck")).agg(max(col("k0")).as("k0")),
+        Seq("ck"), "left")
+      .withColumn("exact_dup",
+        !col("id_dup") && !col("too_short") &&
+          (col("doc_id") =!= col("m") || coalesce(col("k0"), lit(false))))
+      .drop("ck", "m", "k0")
+    val s4 = base
+      .filter(!col("id_dup") && !col("too_short") && !col("exact_dup"))
+    val textDup = Dedup.textProbe(s4.select(col("doc_id"), col("text")),
+        corpusDocs)
+      .filter(col("n_matches") > 0)
+      .select(col("new_doc").as("doc_id"), lit(true).as("t0"))
+    val withText = base.join(textDup, Seq("doc_id"), "left")
+      .withColumn("text_dup", coalesce(col("t0"), lit(false))).drop("t0")
+    val s5 = withText.filter(!col("id_dup") && !col("too_short") &&
+      !col("exact_dup") && !col("text_dup"))
+    val corpusIds = corpus.select(col("doc_id"))
+    val imgDup = Multimodal.bandProbeVerdict(
+        Multimodal.imageBandsOf(s5.select(col("doc_id"))),
+        Multimodal.imageBandsOf(corpusIds),
+        s5.select(col("doc_id").as("new_doc")))
+      .filter(col("n_matches") > 0)
+      .select(col("new_doc").as("doc_id"), lit(true).as("i0"))
+    val withImg = withText.join(imgDup, Seq("doc_id"), "left")
+      .withColumn("img_dup", coalesce(col("i0"), lit(false))).drop("i0")
+    val s6 = withImg.filter(!col("id_dup") && !col("too_short") &&
+      !col("exact_dup") && !col("text_dup") && !col("img_dup"))
+    val audDup = Multimodal.bandProbeVerdict(
+        Audio.audioBandsOf(s6.select(col("doc_id"))),
+        Audio.audioBandsOf(corpusIds),
+        s6.select(col("doc_id").as("new_doc")), hash = "fp")
+      .filter(col("n_matches") > 0)
+      .select(col("new_doc").as("doc_id"), lit(true).as("a0"))
+    val flags = withImg.join(audDup, Seq("doc_id"), "left")
+      .withColumn("aud_dup", coalesce(col("a0"), lit(false))).drop("a0")
+      .select(col("doc_id"), col("id_dup"), col("too_short"),
+        col("exact_dup"), col("text_dup"), col("img_dup"), col("aud_dup"))
+      .persist()
+    try {
+      // ONE aggregation materializes every probe once, against the
+      // pre-append artifact
+      def surv(cs: Column*) = sum(when(cs.reduce(_ && _), 1L).otherwise(0L))
+      val c = flags.agg(
+        count(lit(1)).as("n1"),
+        surv(!col("id_dup")).as("n2"),
+        surv(!col("id_dup"), !col("too_short")).as("n3"),
+        surv(!col("id_dup"), !col("too_short"), !col("exact_dup")).as("n4"),
+        surv(!col("id_dup"), !col("too_short"), !col("exact_dup"),
+          !col("text_dup")).as("n5"),
+        surv(!col("id_dup"), !col("too_short"), !col("exact_dup"),
+          !col("text_dup"), !col("img_dup")).as("n6"),
+        surv(!col("id_dup"), !col("too_short"), !col("exact_dup"),
+          !col("text_dup"), !col("img_dup"), !col("aud_dup")).as("n7"))
+        .head()
+      val acceptedIds = flags.filter(!col("id_dup") && !col("too_short") &&
+        !col("exact_dup") && !col("text_dup") && !col("img_dup") &&
+        !col("aud_dup")).select(col("doc_id"))
+      withSplit(batch.join(acceptedIds, Seq("doc_id"), "left_semi"))
+        .select(corpus.columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").partitionBy("split").parquet(corpusDir)
+      import spark.implicits._
+      Seq(("1_batch_total", c.getLong(0)), ("2_id_new", c.getLong(1)),
+        ("3_min_length", c.getLong(2)), ("4_exact_new", c.getLong(3)),
+        ("5_neardup_new", c.getLong(4)), ("6_image_new", c.getLong(5)),
+        ("7_audio_new_accepted", c.getLong(6)))
+        .toDF("stage", "n_docs").orderBy(col("stage"))
+    } finally flags.unpersist(): Unit
+  }
+
   /** Deterministic training-order shuffle: every epoch a training run
     * needs the corpus in a pseudorandom order that is REPRODUCIBLE
     * (resume mid-epoch, re-run bit-identically) and layout-independent

@@ -257,6 +257,68 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "waterfall must be policy-invariant on the gate corpus")
   }
 
+  test("incremental ingest: probes the artifact, accepts only novel docs, re-ingest is a no-op") {
+    val work = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    try {
+      Pipeline.prepareCorpus(spark, sf, work)
+      val art0 = spark.read.parquet(work)
+      val n0 = art0.count()
+      val maxId = art0.agg(max(col("doc_id"))).head().getLong(0)
+      // fresh ids on a 20-boundary: new scene (div 5) AND clip (div 4)
+      // groups, spaced 20 apart so the batch is internally media-clean
+      val base = ((maxId / 20) + 2) * 20
+      val tpl = art0.drop("split").limit(1)
+      def mk(id: Long, text: String) = tpl
+        .withColumn("doc_id", lit(id)).withColumn("text", lit(text))
+      def novelText(i: Int) =
+        (0 until 12).map(j => s"zz${i}w$j").mkString(" ")
+      val srcText = art0.filter(size(split(trim(col("text")), " +")) >= 12)
+        .orderBy(col("doc_id")).select(col("text")).head().getString(0)
+      val nearText = srcText + " zzextra" // J = (w-2)/(w-1) >= 0.9
+      val batch1 = Seq(
+        mk(base, novelText(0)),        // novel -> accepted
+        mk(base + 20, novelText(1)),   // novel -> accepted
+        mk(base + 40, srcText),        // exact content the corpus holds
+        mk(base + 60, nearText),       // near-dup of corpus text
+        mk(base + 80, "tiny"))         // fails the length gate
+        .reduce(_ unionByName _)
+        .unionByName(art0.drop("split").limit(1)) // same-id re-delivery
+      val a1 = Pipeline.ingestBatch(spark, work, batch1).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a1("1_batch_total") === 6L)
+      assert(a1("2_id_new") === 5L, s"id guard: $a1")
+      assert(a1("3_min_length") === 4L, s"length gate: $a1")
+      assert(a1("4_exact_new") === 3L, s"exact stage: $a1")
+      assert(a1("5_neardup_new") === 2L, s"text probe: $a1")
+      assert(a1("6_image_new") === 2L && a1("7_audio_new_accepted") === 2L,
+        s"fresh-group novels must pass media: $a1")
+      assert(spark.read.parquet(work).count() === n0 + 2)
+      // batch 2 probes the GROWN artifact: novel text but the scene
+      // group of a doc ACCEPTED in batch 1 -> image stage rejects
+      val a2 = Pipeline.ingestBatch(spark, work, mk(base + 1, novelText(7)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a2("5_neardup_new") === 1L && a2("6_image_new") === 0L,
+        s"image probe must see batch-1 appends: $a2")
+      // batch 3: re-keyed re-delivery of batch-1 content -> exact stage
+      val a3 = Pipeline.ingestBatch(spark, work, mk(base + 100, novelText(0)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a3("3_min_length") === 1L && a3("4_exact_new") === 0L,
+        s"re-keyed content must drop at the exact stage: $a3")
+      assert(spark.read.parquet(work).count() === n0 + 2,
+        "re-ingest must be a no-op")
+      // appended docs carry the split their hash dictates (q69 rule)
+      val wrong = spark.read.parquet(work)
+        .filter(col("doc_id") >= base)
+        .withColumn("eb", Tables.phash(col("doc_id").cast("string")) % 10)
+        .filter((col("eb") < 8 && col("split") =!= "train") ||
+          (col("eb") === 8 && col("split") =!= "val") ||
+          (col("eb") === 9 && col("split") =!= "test"))
+      assert(wrong.count() === 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
   test("rerun writes the identical corpus (deterministic artifact)") {
     val first = corpus.select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq

@@ -787,6 +787,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q379/q381 media probes are keyed band joins; q376 audit stays join-free") {
+    // delta-vs-corpus must ride the (band, bkey) equi-join — a plan
+    // that degrades to a nested loop pays |delta| x |corpus| decodes'
+    // worth of pairs at 100 TB
+    for (q <- Seq("q379_image_incremental_dedup",
+        "q381_audio_incremental_dedup")) {
+      val plan = formatted(run(q))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+    val p376 = formatted(run("q376_banding_audit256"))
+    assert(!p376.contains("Join"), p376)
+  }
+
   test("q375 quad-band join is keyed; q376 audit is join-free partial aggregation") {
     val p375 = formatted(run("q375_image_neardup_quad256"))
     assert(!p375.contains("CartesianProduct") &&
