@@ -1627,18 +1627,37 @@ object Dedup {
     * band-key, exact-verify and verdict machinery VERBATIM, with the
     * corpus side a persisted artifact instead of a table slice. */
   private[graft] def textProbe(batch: DataFrame,
-      corpus: DataFrame): DataFrame = {
-    val bBands = bandKeys(withSignature(batch))
+      corpus: DataFrame): DataFrame =
+    textProbeAgainst(batch, textBandRows(corpus), shingleSets(corpus))
+
+  /** (doc_id, band, bkey) LSH band rows of an arbitrary (doc_id, text)
+    * frame — the corpus-handle form of the probe's band side: the
+    * inline probe computes it from text, the index-backed ingest
+    * writer READS it from [[saveLshIndex]]'s parquet. One definition
+    * with [[bandKeys]]/[[withSignature]], so the two can never fork. */
+  private[graft] def textBandRows(docs: DataFrame): DataFrame =
+    bandKeys(withSignature(docs))
       .select(col("doc_id"), col("band"), col("bkey"))
-    val cBands = bandKeys(withSignature(corpus))
-      .select(col("doc_id"), col("band"), col("bkey"))
+
+  /** (doc_id, hx, n) shingle-hash sets of an arbitrary (doc_id, text)
+    * frame — the corpus-handle form of the probe's verify side. */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    probeSets(docs, lit(true))
+
+  /** The q285 probe with the CORPUS SIDE HANDED IN as (band rows,
+    * shingle sets) — computed inline by [[textProbe]], read from the
+    * persisted index by the index-backed ingest writer. The batch side
+    * is always computed fresh (O(batch)); verdict machinery is
+    * [[probeVerdict]] verbatim. */
+  private[graft] def textProbeAgainst(batch: DataFrame,
+      corpusBands: DataFrame, corpusSets: DataFrame): DataFrame = {
+    val bBands = textBandRows(batch)
     val cand = bBands.alias("d")
-      .join(cBands.alias("c"),
+      .join(corpusBands.alias("c"),
         col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
       .select(col("d.doc_id").as("new_doc"), col("c.doc_id").as("match_doc"))
       .distinct()
-    probeVerdict(cand, probeSets(batch, lit(true)),
-      probeSets(corpus, lit(true)),
+    probeVerdict(cand, probeSets(batch, lit(true)), corpusSets,
       batch.select(col("doc_id").as("new_doc")))
   }
 
@@ -1651,11 +1670,10 @@ object Dedup {
   def saveLshIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
     val corpus = spread(load(spark, dir, "documents"))
       .filter(col("doc_id") % 10 =!= 0)
-    bandKeys(withSignature(corpus))
-      .select(col("doc_id"), col("band"), col("bkey"))
+    textBandRows(corpus)
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$indexDir/bands")
-    probeSets(corpus, lit(true))
+    shingleSets(corpus)
       .write.mode("overwrite").parquet(s"$indexDir/shingles")
   }
 
@@ -1688,11 +1706,10 @@ object Dedup {
   /** q331's registered form: build the index fresh in a temp dir,
     * probe from it. */
   def lshIndexProbe(spark: SparkSession, dir: String): DataFrame = {
-    // per-process index path: a concurrent Verify/test pair on the same
-    // data dir must not race on overwrite/delete of shared parquet
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val indexDir =
-      s"${sys.props("java.io.tmpdir")}/graft_lsh_index${safe}_${ProcessHandle.current().pid()}"
+    // per-CALL index path, deleted at JVM exit (graft.util.Scratch):
+    // concurrent calls never race on overwrite, repeated runs never
+    // accumulate tmp parquet
+    val indexDir = graft.util.Scratch.indexDir("graft_lsh_index", dir)
     saveLshIndex(spark, dir, indexDir)
     incrementalDedupFromIndex(spark, dir, indexDir)
   }

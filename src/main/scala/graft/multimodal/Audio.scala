@@ -442,12 +442,10 @@ object Audio {
         .filter(col("new_doc") % 10 === 0),
       hash = "fp")
 
-  /** q382's registered form: per-process temp index (no overwrite race
-    * between a concurrent Verify/test pair), build then probe. */
+  /** q382's registered form: per-CALL temp index (unique, deleted at
+    * JVM exit — [[graft.util.Scratch]]), build then probe. */
   def audioIndexProbeFresh(spark: SparkSession, dir: String): DataFrame = {
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft_aud_index" +
-      s"${safe}_${ProcessHandle.current().pid()}"
+    val indexDir = graft.util.Scratch.indexDir("graft_aud_index", dir)
     saveAudioIndex(spark, dir, indexDir)
     audioIndexProbe(spark, dir, indexDir)
   }

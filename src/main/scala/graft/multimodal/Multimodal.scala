@@ -842,12 +842,18 @@ object Multimodal {
       lo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     lo.bitwiseOR(shiftleft(hi.bitwiseAND(lit(0x7fL)), 56))
 
-  def quadSpecs256(spark: SparkSession, dir: String): Dataset[SceneSpec256] = {
+  def quadSpecs256(spark: SparkSession, dir: String): Dataset[SceneSpec256] =
+    quadSpecs256Of(load(spark, dir, "documents"))
+
+  /** Quad specs of an ARBITRARY doc-id frame — the wide-policy probe
+    * handle (see [[sceneSpecsOf]] for the narrow twin). */
+  def quadSpecs256Of(ids: DataFrame): Dataset[SceneSpec256] = {
+    val spark = ids.sparkSession
     import spark.implicits._
     val g = "cast(doc_id div 5 as string)"
     val tw = (p: String) => texWord(
       phash(concat(lit(p + "H"), expr(g))), phash(concat(lit(p + "L"), expr(g))))
-    load(spark, dir, "documents").select(
+    ids.select(
       col("doc_id"),
       phash(expr(g)).as("seed"),
       tw("Q0").as("t0"), tw("Q1").as("t1"), tw("Q2").as("t2"),
@@ -899,13 +905,34 @@ object Multimodal {
 
   /** The quad-textured corpus — real codecs, [[wideFlips]] planted
     * distances, three texture planes. */
-  def generatedMediaQuad256(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
-    import spark.implicits._
-    fanOut(quadSpecs256(spark, dir)).mapPartitions { it =>
+  def generatedMediaQuad256(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    generatedMediaQuad256Of(load(spark, dir, "documents"))
+
+  /** [[generatedMediaQuad256]] over an arbitrary doc-id frame — the
+    * wide-policy ([[graft.ops.Pipeline.WideRadius7]]) probe side of
+    * the incremental ingest writer. */
+  def generatedMediaQuad256Of(ids: DataFrame): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
+    fanOut(quadSpecs256Of(ids)).mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap(_.map { s =>
         MediaRecord(s.doc_id, renderSceneQuad256(s), s.format, 64, 64)
       })
     }
+  }
+
+  /** Banded quad-256 fingerprint rows of an arbitrary doc-id frame —
+    * the [[imageBandsOf]] twin under the WIDE policy: render → codec →
+    * decode → [[quadHash]] → 8×32 `multiBands` (lossless to Hamming 7,
+    * candidate exponent 1.00 — the q375 geometry). Carries all four
+    * hash words on the band row so the Hamming verify runs inside the
+    * band join, like the narrow form. */
+  private[graft] def quadBandsOf(ids: DataFrame): DataFrame = {
+    val hs = Seq(col("h1"), col("h2"), col("h3"), col("h4"))
+    quadHash(generatedMediaQuad256Of(ids)).toDF()
+      .select((col("doc_id") +: hs) :+
+        explode(graft.functions.Banding.multiBands(hs, 8, 8)).as("bk"): _*)
+      .select((col("doc_id") +: hs) :+ col("bk.band").as("band") :+
+        col("bk.bkey").as("bkey"): _*)
   }
 
   /** The 256-bit perceptual fingerprint, carried as four longs. */
@@ -1087,15 +1114,27 @@ object Multimodal {
     * left join. */
   private[graft] def bandProbeVerdict(deltaBands: DataFrame,
       corpusBands: DataFrame, deltaIds: DataFrame,
-      hash: String = "ahash"): DataFrame = {
+      hash: String = "ahash"): DataFrame =
+    bandProbeVerdictN(deltaBands, corpusBands, deltaIds, Seq(hash), 3)
+
+  /** [[bandProbeVerdict]] generalized to a MULTI-WORD fingerprint and
+    * caller-set radius — the wide-policy ingest probe's verdict (quad
+    * 256-bit words, Hamming ≤ 7). The single-word overload above
+    * delegates here, so the q379/q380/q381/q382 gates pin this path
+    * too (never-fork). */
+  private[graft] def bandProbeVerdictN(deltaBands: DataFrame,
+      corpusBands: DataFrame, deltaIds: DataFrame,
+      hashCols: Seq[String], maxDist: Int): DataFrame = {
     val cand = deltaBands.alias("d")
       .join(corpusBands.alias("c"),
         col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
       .select(col("d.doc_id").as("new_doc"), col("c.doc_id").as("match_doc"),
-        bit_count(col(s"d.$hash").bitwiseXOR(col(s"c.$hash"))).as("dist"))
+        hashCols.map(h =>
+          bit_count(col(s"d.$h").bitwiseXOR(col(s"c.$h"))))
+          .reduce(_ + _).as("dist"))
       // distance-filter before the distinct — only true near-matches
       // reach the verdict shuffle (imageNearDup's candidate rule)
-      .filter(col("dist") <= 3)
+      .filter(col("dist") <= maxDist)
       .distinct()
     val wBest = Window.partitionBy(col("new_doc"))
       .orderBy(col("dist"), col("match_doc").desc)
@@ -1177,13 +1216,12 @@ object Multimodal {
         .filter(col("new_doc") % 10 === 0))
   }
 
-  /** q380's registered form: build the index fresh in a per-process
-    * temp dir (a concurrent Verify/test pair on the same data dir must
-    * not race on overwrite/delete of shared parquet), probe from it. */
+  /** q380's registered form: build the index fresh in a per-CALL temp
+    * dir (unique — concurrent calls never race on overwrite; deleted
+    * at JVM exit so repeated runs never accumulate tmp parquet — see
+    * [[graft.util.Scratch]]), probe from it. */
   def imageIndexProbeFresh(spark: SparkSession, dir: String): DataFrame = {
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft_img_index" +
-      s"${safe}_${ProcessHandle.current().pid()}"
+    val indexDir = graft.util.Scratch.indexDir("graft_img_index", dir)
     saveImageIndex(spark, dir, indexDir)
     imageIndexProbe(spark, dir, indexDir)
   }
