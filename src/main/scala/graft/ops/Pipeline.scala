@@ -1085,12 +1085,17 @@ object Pipeline {
     val acceptedPred = !col("id_dup") && !col("too_short") &&
       !col("exact_dup") && !col("text_dup") && !col("img_dup") &&
       !col("aud_dup")
-    val accDocs = flags.filter(acceptedPred)
-      .select(col("doc_id"), col("text"))
-    val accImgBands = imageBandsFor(accDocs.select(col("doc_id")),
-      imagePolicy).persist()
-    val accAudBands = Audio.audioBandsOf(accDocs.select(col("doc_id")))
-      .persist()
+    // accepted rows are SNAPSHOTTED to a scratch parquet before ANY
+    // append runs — this is load-bearing, not tidiness: appending to
+    // the key/band assets recaches-by-path every cached plan that
+    // reads them (Spark's CacheManager), so a frame derived from
+    // `flags` would silently RECOMPUTE against the grown index after
+    // the first append — the batch's own rows would then look like
+    // corpus duplicates and every later append would write nothing.
+    // The snapshot cuts that lineage: every append below reads only
+    // the scratch file, immune to invalidation and feedback. (The
+    // scratch dir is per-call unique and deleted at JVM exit.)
+    val scratch = graft.util.Scratch.indexDir("graft_ingest_acc", corpusDir)
     try {
       // ONE aggregation materializes every probe once, against the
       // pre-append handles
@@ -1107,57 +1112,63 @@ object Pipeline {
         surv(!col("id_dup"), !col("too_short"), !col("exact_dup"),
           !col("text_dup"), !col("img_dup"), !col("aud_dup")).as("n7"))
         .head()
-      // within-batch near-dup audit (the batch contract, measured):
-      // self-probes over the ACCEPTED set only — O(batch) band joins,
-      // zero corpus work. The accepted band frames are persisted and
-      // reused verbatim by the index maintenance below.
-      val accNew = accDocs.select(col("doc_id").as("new_doc"))
-      val intra = Dedup.textProbeAgainst(accDocs,
-          Dedup.textBandRows(accDocs), Dedup.shingleSets(accDocs))
-        .filter(col("n_matches") >= 2).select(col("new_doc"))
-        .unionByName(imageProbeFor(accImgBands, accImgBands, accNew,
-            imagePolicy)
-          .filter(col("n_matches") >= 2).select(col("new_doc")))
-        .unionByName(Multimodal.bandProbeVerdictN(accAudBands,
-            accAudBands, accNew, Seq("fp"), 3)
-          .filter(col("n_matches") >= 2).select(col("new_doc")))
-        .distinct().count()
-      // every probe and band frame is materialized above; only now do
-      // the appends run, so no write can feed back into a probe
-      withSplit(flags.filter(acceptedPred)
-          .drop(IngestReserved.filterNot(_ == "split"): _*))
-        .select(artifactCols.map(col): _*)
-        .write.mode("append").partitionBy("split").parquet(corpusDir)
-      // index maintenance (indexed form only): the accepted docs' key,
-      // band, and set rows APPEND to the same assets the probe read,
-      // so batch N+1 probes the grown index without a rebuild — the
-      // asset lifecycle q331/q380/q382 persist, kept current by the
-      // writer itself (VERDICT r15 top item)
-      maintainIndex.foreach { ix =>
-        flags.filter(acceptedPred).select(col("doc_id"), col("ck"))
-          .write.mode("append").parquet(s"$ix/keys")
-        Dedup.textBandRows(accDocs)
-          .write.mode("append").partitionBy("band")
-          .parquet(s"$ix/text_bands")
-        Dedup.shingleSets(accDocs)
-          .write.mode("append").parquet(s"$ix/text_shingles")
-        accImgBands.write.mode("append").partitionBy("band")
-          .parquet(s"$ix/image_bands")
-        accAudBands.write.mode("append").partitionBy("band")
-          .parquet(s"$ix/audio_bands")
+      flags.filter(acceptedPred).write.parquet(scratch)
+      val accepted = spark.read.parquet(scratch)
+      val accDocs = accepted.select(col("doc_id"), col("text"))
+      val accImgBands = imageBandsFor(accDocs.select(col("doc_id")),
+        imagePolicy).persist()
+      val accAudBands = Audio.audioBandsOf(accDocs.select(col("doc_id")))
+        .persist()
+      try {
+        // within-batch near-dup audit (the batch contract, measured):
+        // self-probes over the ACCEPTED set only — O(batch) band
+        // joins, zero corpus work. The accepted band frames are
+        // persisted and reused verbatim by the index maintenance.
+        val accNew = accDocs.select(col("doc_id").as("new_doc"))
+        val intra = Dedup.textProbeAgainst(accDocs,
+            Dedup.textBandRows(accDocs), Dedup.shingleSets(accDocs))
+          .filter(col("n_matches") >= 2).select(col("new_doc"))
+          .unionByName(imageProbeFor(accImgBands, accImgBands, accNew,
+              imagePolicy)
+            .filter(col("n_matches") >= 2).select(col("new_doc")))
+          .unionByName(Multimodal.bandProbeVerdictN(accAudBands,
+              accAudBands, accNew, Seq("fp"), 3)
+            .filter(col("n_matches") >= 2).select(col("new_doc")))
+          .distinct().count()
+        withSplit(accepted
+            .drop(IngestReserved.filterNot(_ == "split"): _*))
+          .select(artifactCols.map(col): _*)
+          .write.mode("append").partitionBy("split").parquet(corpusDir)
+        // index maintenance (indexed form only): the accepted docs'
+        // key, band, and set rows APPEND to the same assets the probe
+        // read, so batch N+1 probes the grown index without a rebuild
+        // — the asset lifecycle q331/q380/q382 persist, kept current
+        // by the writer itself (VERDICT r15 top item)
+        maintainIndex.foreach { ix =>
+          accepted.select(col("doc_id"), col("ck"))
+            .write.mode("append").parquet(s"$ix/keys")
+          Dedup.textBandRows(accDocs)
+            .write.mode("append").partitionBy("band")
+            .parquet(s"$ix/text_bands")
+          Dedup.shingleSets(accDocs)
+            .write.mode("append").parquet(s"$ix/text_shingles")
+          accImgBands.write.mode("append").partitionBy("band")
+            .parquet(s"$ix/image_bands")
+          accAudBands.write.mode("append").partitionBy("band")
+            .parquet(s"$ix/audio_bands")
+        }
+        import spark.implicits._
+        Seq(("1_batch_total", c.getLong(0)), ("2_id_new", c.getLong(1)),
+          ("3_min_length", c.getLong(2)), ("4_exact_new", c.getLong(3)),
+          ("5_neardup_new", c.getLong(4)), ("6_image_new", c.getLong(5)),
+          ("7_audio_new_accepted", c.getLong(6)),
+          ("8_intra_batch_neardup", intra))
+          .toDF("stage", "n_docs").orderBy(col("stage"))
+      } finally {
+        accImgBands.unpersist()
+        accAudBands.unpersist(): Unit
       }
-      import spark.implicits._
-      Seq(("1_batch_total", c.getLong(0)), ("2_id_new", c.getLong(1)),
-        ("3_min_length", c.getLong(2)), ("4_exact_new", c.getLong(3)),
-        ("5_neardup_new", c.getLong(4)), ("6_image_new", c.getLong(5)),
-        ("7_audio_new_accepted", c.getLong(6)),
-        ("8_intra_batch_neardup", intra))
-        .toDF("stage", "n_docs").orderBy(col("stage"))
-    } finally {
-      flags.unpersist()
-      accImgBands.unpersist()
-      accAudBands.unpersist(): Unit
-    }
+    } finally flags.unpersist(): Unit
   }
 
   /** The INLINE incremental ingest writer: corpus handles recomputed

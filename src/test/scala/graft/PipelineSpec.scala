@@ -319,6 +319,184 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("index-backed ingest: audit and artifact byte-identical to the inline writer; indexes grow with the corpus") {
+    // the never-fork gate for ingestBatchIndexed (VERDICT r15 #1): the
+    // same multi-batch scenario runs through BOTH writers — inline
+    // handles on copy A, persisted-index handles on copy B — and every
+    // batch's audit plus the final artifacts must match byte-for-byte.
+    // The index maintenance contract rides the same scenario: batch 2
+    // must reject against a doc ACCEPTED in batch 1, which only works
+    // if batch 1's accepted band rows were appended to the index.
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ing_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ing_b").toString
+    val ix = java.nio.file.Files.createTempDirectory("graft_ing_ix").toString
+    try {
+      corpus // force the shared build
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(out), new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(out), new java.io.File(dirB))
+      Pipeline.saveIngestIndexes(spark, dirB, ix)
+      val art0 = spark.read.parquet(dirA)
+      val nKeys0 = spark.read.parquet(s"$ix/keys").count()
+      assert(nKeys0 === art0.count(), "index keys must cover the corpus")
+      val maxId = art0.agg(max(col("doc_id"))).head().getLong(0)
+      val base = ((maxId / 20) + 2) * 20
+      val tpl = art0.drop("split").limit(1)
+      def mk(id: Long, text: String) = tpl
+        .withColumn("doc_id", lit(id)).withColumn("text", lit(text))
+      def novelText(i: Int) =
+        (0 until 12).map(j => s"ix${i}w$j").mkString(" ")
+      val srcText = art0.filter(size(split(trim(col("text")), " +")) >= 12)
+        .orderBy(col("doc_id")).select(col("text")).head().getString(0)
+      val batches = Seq(
+        Seq(mk(base, novelText(0)), mk(base + 20, novelText(1)),
+          mk(base + 40, srcText), mk(base + 60, srcText + " ixextra"),
+          mk(base + 80, "tiny")).reduce(_ unionByName _)
+          .unionByName(art0.drop("split").limit(1)),
+        mk(base + 1, novelText(7)), // image-group dup of a batch-1 accept
+        mk(base + 100, novelText(0))) // re-keyed batch-1 content
+      def audit(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val inline = audit(Pipeline.ingestBatch(spark, dirA, b))
+        val indexed = audit(Pipeline.ingestBatchIndexed(spark, dirB, b, ix))
+        assert(inline === indexed, s"batch $i audits diverged")
+      }
+      val finalA = spark.read.parquet(dirA).orderBy(col("doc_id"))
+        .collect().map(_.toString).toSeq
+      val finalB = spark.read.parquet(dirB).orderBy(col("doc_id"))
+        .collect().map(_.toString).toSeq
+      assert(finalA === finalB, "artifacts diverged between writers")
+      // maintenance: every artifact doc (original + accepted) has
+      // exactly one key row and its band rows in the grown index
+      val nFinal = spark.read.parquet(dirB).count()
+      assert(spark.read.parquet(s"$ix/keys").count() === nFinal)
+      val bandDocs = spark.read.parquet(s"$ix/text_bands")
+        .select(col("doc_id")).distinct().count()
+      assert(bandDocs === nFinal, "text band rows must cover the grown corpus")
+      val imgDocs = spark.read.parquet(s"$ix/image_bands")
+        .select(col("doc_id")).distinct().count()
+      assert(imgDocs === nFinal, "image band rows must cover the grown corpus")
+    } finally {
+      Seq(dirA, dirB, ix).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
+  test("ingest batch contracts: duplicate doc_ids collapse to one canonical; mutual near-dups are accepted but audited") {
+    val work = java.nio.file.Files.createTempDirectory("graft_ing_c").toString
+    try {
+      corpus
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(out), new java.io.File(work))
+      val art0 = spark.read.parquet(work)
+      val n0 = art0.count()
+      val maxId = art0.agg(max(col("doc_id"))).head().getLong(0)
+      val base = ((maxId / 20) + 2) * 20
+      val tpl = art0.drop("split").limit(1)
+      def mk(id: Long, text: String) = tpl
+        .withColumn("doc_id", lit(id)).withColumn("text", lit(text))
+      def novelText(i: Int) =
+        (0 until 12).map(j => s"bc${i}w$j").mkString(" ")
+      // two rows, SAME doc_id, different novel content: the corpus-only
+      // id guard would admit both (each canonicalizes its own content
+      // group) and append a duplicate doc_id — the stage-1 collapse
+      // must keep exactly the smaller (content-key, text) row
+      val a1 = Pipeline.ingestBatch(spark, work,
+          mk(base, novelText(0)).unionByName(mk(base, novelText(1))))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a1("1_batch_total") === 2L && a1("2_id_new") === 1L,
+        s"intra-batch id dup must drop at stage 1: $a1")
+      assert(a1("7_audio_new_accepted") === 1L, s"one canonical accepted: $a1")
+      val appended = spark.read.parquet(work)
+        .filter(col("doc_id") === base).collect()
+      assert(appended.length === 1, "duplicate doc_id must never append twice")
+      assert(spark.read.parquet(work).count() === n0 + 1)
+      // two mutually near-dup NOVEL docs in one batch: the gauntlet
+      // probes the corpus only, so both are accepted (the documented
+      // two-phase contract) — but the audit row must count them
+      val t = novelText(5)
+      val a2 = Pipeline.ingestBatch(spark, work,
+          mk(base + 20, t).unionByName(mk(base + 40, t + " bcextra")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a2("7_audio_new_accepted") === 2L,
+        s"batch-internal near-dups are both accepted by contract: $a2")
+      assert(a2("8_intra_batch_neardup") === 2L,
+        s"the contract violation must be audited: $a2")
+      // a clean batch audits zero
+      val a3 = Pipeline.ingestBatch(spark, work, mk(base + 60, novelText(9)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a3("8_intra_batch_neardup") === 0L, s"clean batch: $a3")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
+  test("ingest image policy: radius-5 pairs flagged by the wide probe, invisible to the narrow radius; wide corpus ingests wide") {
+    import spark.implicits._
+    // PROBE LEVEL — the differential the planted end-to-end geometry
+    // cannot produce (a same-scene-group pair is within BOTH policies'
+    // radii by construction, which is exactly why the wide build is
+    // corpus-identical on the gate data): two fingerprints at quad
+    // Hamming distance 5 sharing a band key. The wide probe (radius 7)
+    // must flag; the narrow probe (radius 3) must not.
+    val delta4 = Seq((1L, 31L, 0L, 0L, 0L, 0, 7L))
+      .toDF("doc_id", "h1", "h2", "h3", "h4", "band", "bkey")
+    val corpus4 = Seq((2L, 0L, 0L, 0L, 0L, 0, 7L))
+      .toDF("doc_id", "h1", "h2", "h3", "h4", "band", "bkey")
+    val ids = Seq(1L).toDF("new_doc")
+    val wide = graft.multimodal.Multimodal.bandProbeVerdictN(
+      delta4, corpus4, ids, Seq("h1", "h2", "h3", "h4"), 7).collect()
+    assert(wide.head.getLong(1) === 1L && wide.head.getInt(3) === 5,
+      s"radius-7 probe must flag the distance-5 pair: ${wide.toSeq}")
+    val delta1 = Seq((1L, 31L, 0, 7L)).toDF("doc_id", "ahash", "band", "bkey")
+    val corpus1 = Seq((2L, 0L, 0, 7L)).toDF("doc_id", "ahash", "band", "bkey")
+    val narrow = graft.multimodal.Multimodal.bandProbeVerdictN(
+      delta1, corpus1, ids, Seq("ahash"), 3).collect()
+    assert(narrow.head.getLong(1) === 0L,
+      s"radius-3 probe must not flag distance 5: ${narrow.toSeq}")
+    // END TO END — a WideRadius7 corpus + index: a batch doc whose
+    // quad render sits at planted distance >= 4 from its scene group's
+    // kept member (variant 4 flips 4 cells) must drop at the image
+    // stage THROUGH THE QUAD PIPELINE, and the indexed writer must
+    // agree with the inline wide writer byte-for-byte. Without the
+    // policy threading the narrow 4x16 aHash probe would run instead —
+    // its radius still catches the pair (narrow distance 2), but the
+    // fingerprints, bands, and index rows would be the wrong family,
+    // which the h1..h4 index schema and this audit equality pin.
+    val wDir = java.nio.file.Files.createTempDirectory("graft_wide_a").toString
+    val wDir2 = java.nio.file.Files.createTempDirectory("graft_wide_b").toString
+    val wIx = java.nio.file.Files.createTempDirectory("graft_wide_ix").toString
+    try {
+      Pipeline.prepareCorpus(spark, sf, wDir, Pipeline.WideRadius7)
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(wDir), new java.io.File(wDir2))
+      Pipeline.saveIngestIndexes(spark, wDir2, wIx, Pipeline.WideRadius7)
+      assert(spark.read.parquet(s"$wIx/image_bands").columns.contains("h4"),
+        "wide index must persist the quad fingerprint words")
+      val art = spark.read.parquet(wDir)
+      // a kept scene-group member that is not variant 4 (so 5g+4 is
+      // free) — its group's variant-4 doc probes at distance 4 + j_kept
+      val kept = art.filter(col("doc_id") % 5 =!= 4)
+        .orderBy(col("doc_id")).select(col("doc_id")).head().getLong(0)
+      val probeId = (kept / 5) * 5 + 4
+      val novel = (0 until 12).map(j => s"wp0w$j").mkString(" ")
+      val b = art.drop("split").limit(1)
+        .withColumn("doc_id", lit(probeId)).withColumn("text", lit(novel))
+      val inline = Pipeline.ingestBatch(spark, wDir, b, Pipeline.WideRadius7)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val indexed = Pipeline.ingestBatchIndexed(spark, wDir2, b, wIx)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(inline === indexed, s"wide writers diverged: $inline vs $indexed")
+      assert(inline("5_neardup_new") === 1L && inline("6_image_new") === 0L,
+        s"radius>=4 group variant must drop at the wide image stage: $inline")
+    } finally {
+      Seq(wDir, wDir2, wIx).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("rerun writes the identical corpus (deterministic artifact)") {
     val first = corpus.select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq

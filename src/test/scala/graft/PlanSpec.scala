@@ -848,4 +848,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
     assert(plan.contains("Union"), plan)
   }
+
+  test("index-backed ingest probes: corpus side is a parquet scan of the index — zero corpus shingle/decode work") {
+    // the scale contract of ingestBatchIndexed (VERDICT r15 #1): the
+    // probe plans may touch the BATCH source and the INDEX files, and
+    // nothing else — a corpus-side recompute would (a) scan the corpus
+    // parquet and (b) add a second render chain (SerializeFromObject)
+    // to the image plan. Both are pinned absent here.
+    val corp = java.nio.file.Files.createTempDirectory("graft_pp_c").toString
+    val ix = java.nio.file.Files.createTempDirectory("graft_pp_ix").toString
+    try {
+      graft.Tables.load(spark, sf, "documents").limit(40)
+        .write.mode("overwrite").parquet(corp)
+      graft.ops.Pipeline.saveIngestIndexes(spark, corp, ix)
+      val batch = graft.Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") > 100).limit(5)
+        .select(col("doc_id"), col("text"))
+      val tp = graft.dedup.Dedup.textProbeAgainst(batch,
+        spark.read.parquet(s"$ix/text_bands"),
+        spark.read.parquet(s"$ix/text_shingles"))
+      val tPlan = formatted(tp)
+      assert(tPlan.contains(s"$ix/text_bands") &&
+        tPlan.contains(s"$ix/text_shingles"),
+        "text probe must read the persisted index")
+      assert(!tPlan.contains(corp),
+        "text probe must never scan the corpus parquet")
+      assert(!tPlan.contains("CartesianProduct") &&
+        !tPlan.contains("BroadcastNestedLoopJoin"), tPlan)
+      val ip = graft.multimodal.Multimodal.bandProbeVerdictN(
+        graft.multimodal.Multimodal.imageBandsOf(batch.select(col("doc_id"))),
+        spark.read.parquet(s"$ix/image_bands"),
+        batch.select(col("doc_id").as("new_doc")), Seq("ahash"), 3)
+      val iPlan = formatted(ip)
+      assert(iPlan.contains(s"$ix/image_bands"), iPlan.take(2000))
+      assert(!iPlan.contains(corp),
+        "image probe must never scan the corpus parquet")
+      // the batch side's render chain is present; a corpus-side decode
+      // is impossible without scanning the corpus path (pinned absent
+      // above) — every index row enters as parquet columns
+      assert(iPlan.contains("SerializeFromObject"), iPlan)
+      assert(!iPlan.contains("CartesianProduct") &&
+        !iPlan.contains("BroadcastNestedLoopJoin"), iPlan)
+    } finally {
+      Seq(corp, ix).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
