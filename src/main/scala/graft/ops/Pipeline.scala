@@ -869,6 +869,20 @@ object Pipeline {
     * composition contracts are gated in PipelineSpec. */
   def prepareCorpus(spark: SparkSession, dir: String, outDir: String,
       imagePolicy: ImageDedupPolicy = NarrowRadius3): DataFrame = {
+    // the wide policy's safety interlock (VERDICT r14 #3): q376's
+    // noise tripwire runs WHERE the risk is taken — a corpus whose
+    // quad-band candidates are collision-noise-dominated must not pay
+    // the wide image stage (it needs a fifth hash word first), and
+    // the guard the ImageDedupPolicy doc promises now actually runs
+    // in the build that takes the risk. Costs one extra decode→
+    // fingerprint pass over the media; wide builds only.
+    imagePolicy match {
+      case WideRadius7 => guardWideBandingFrom(
+        graft.multimodal.Multimodal.quadHash(
+          graft.multimodal.Multimodal.generatedMediaQuad256(spark, dir))
+          .toDF())
+      case NarrowRadius3 => ()
+    }
     val docs = spread(load(spark, dir, "documents"))
     val contaminated = decontaminate(spark, dir).select(col("doc_id"))
     val eligible = docs
@@ -954,6 +968,24 @@ object Pipeline {
         .bandProbeVerdictN(deltaBands, corpusBands, deltaIds,
           Seq("h1", "h2", "h3", "h4"), 7)
     }
+
+  /** The wide build's banding guard — q376's `noise_flagged` tripwire
+    * evaluated on the quad fingerprint frame and ENFORCED: when the
+    * 8×32 quad family's band candidates are majority collision noise,
+    * a radius-7 build would pay a near-quadratic image stage, so the
+    * build refuses and names the fix (a fifth `multiBands` word).
+    * Factored over a hash frame so the spec can feed the degenerate
+    * corpus ([[graft.multimodal.Multimodal.bandingAudit256From]]'s
+    * pattern); [[prepareCorpus]] feeds the real decode path. */
+  private[graft] def guardWideBandingFrom(hashes: DataFrame): Unit = {
+    val aud = graft.multimodal.Multimodal.bandingAudit256From(hashes)
+      .filter(col("family") === "quad256_8x32").head()
+    if (aud.getBoolean(5)) throw new IllegalStateException(
+      "WideRadius7 build refused: quad-256 band candidates are noise-" +
+        s"dominated (n_noise=${aud.getLong(4)} of n_candidates=" +
+        s"${aud.getLong(2)}) — this corpus needs a fifth multiBands " +
+        "word before a radius-7 build is safe (q376's tripwire)")
+  }
 
   private[graft] def policyName(p: ImageDedupPolicy): String = p match {
     case NarrowRadius3 => "narrow_radius3"

@@ -497,6 +497,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("wide build refuses a noise-dominated corpus; the gate corpus passes the same guard") {
+    import spark.implicits._
+    // the q376 tripwire is now ENFORCED by prepareCorpus(WideRadius7)
+    // (the build that takes the radius-7 risk runs the guard the
+    // policy doc promises). Flagged path: the degenerate corpus —
+    // one doc per scene group, all fingerprint words identical, so
+    // every candidate is collision noise — must refuse with the
+    // fifth-word remedy named.
+    val degenerate = (0L until 200L).map(i => (i * 5, 0L, 0L, 0L, 0L))
+      .toDF("doc_id", "h1", "h2", "h3", "h4")
+    val e = intercept[IllegalStateException] {
+      Pipeline.guardWideBandingFrom(degenerate)
+    }
+    assert(e.getMessage.contains("fifth multiBands word"), e.getMessage)
+    // clean path: the gate corpus passes the exact guard the wide
+    // build invokes (the full wide build itself runs in the policy
+    // tests above, through this same interlock)
+    Pipeline.guardWideBandingFrom(graft.multimodal.Multimodal.quadHash(
+      graft.multimodal.Multimodal.generatedMediaQuad256(spark, sf)).toDF())
+  }
+
   test("rerun writes the identical corpus (deterministic artifact)") {
     val first = corpus.select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq
