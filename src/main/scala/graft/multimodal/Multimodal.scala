@@ -275,17 +275,24 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap(_.map { r =>
         val (px, w, h, real) = decodePixels(r)
-        val small = resizeKernel(px, math.max(w, 1), math.max(h, 1), 8, 8)
-        var sum = 0L
-        var i = 0
-        while (i < 64) { sum += small(i); i += 1 }
-        val mean = sum / 64
-        var bits = 0L
-        i = 0
-        while (i < 64) { if (small(i) > mean) bits |= (1L << i); i += 1 }
-        ImageHash(r.doc_id, bits, real)
+        ImageHash(r.doc_id, aHash64(px, w, h), real)
       })
     }
+  }
+
+  /** The aHash bit kernel over one decoded luminance raster — factored
+    * so the single-image hash above and the per-frame clip hash
+    * (q383) share one definition and can never fork. */
+  private def aHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val small = resizeKernel(px, math.max(w, 1), math.max(h, 1), 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += small(i); i += 1 }
+    val mean = sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (small(i) > mean) bits |= (1L << i); i += 1 }
+    bits
   }
 
   /** NEAR-DUPLICATE IMAGE pairs by Hamming distance over [[aHash]],
@@ -540,6 +547,143 @@ object Multimodal {
         }
       })
     }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // ---------------------------------------------------------------
+  // q383 — CLIP-LEVEL video near-dup: re-encoded clips dedup as UNITS
+  // (the video analogue of q362's acoustic fingerprint).
+  // ---------------------------------------------------------------
+
+  /** A clip-group spec: unlike [[GifSpec]] (one unique clip per doc),
+    * clips come in RE-ENCODE GROUPS of four (group = doc_id div 4 —
+    * the audio grouping rule, reused so the two clip-shaped corpora
+    * stay structurally aligned): a base clip (variant 0) and three
+    * re-encodes, each re-encode differing by ONE extra flipped cell
+    * carried through EVERY frame (a constant rendering artifact — the
+    * planted stand-in for a brightness/quantization shift that a real
+    * re-encode introduces), each separately encoded through the REAL
+    * multi-frame GIF writer. Frame f > 0 additionally flips the
+    * frame-motion cell (the [[GifSpec]] rule), shared by all variants
+    * of the group. Cells at offsets 1..3 (frames) and 18..20
+    * (variants) from the seed anchor are distinct mod 56, so the
+    * planted per-frame Hamming distances are exact: base↔variant 1,
+    * variant↔variant 2, and the CLIP distance (summed over aligned
+    * frames) is n_frames × that. */
+  case class ClipSpec(doc_id: Long, seed: Long, n_frames: Int, variant: Int)
+
+  def clipSpecs(spark: SparkSession, dir: String): Dataset[ClipSpec] = {
+    import spark.implicits._
+    val g = "cast(doc_id div 4 as string)"
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      phash(concat(lit("CL"), expr(g))).as("seed"),
+      (lit(2) + expr("(doc_id div 4) % 3")).cast(IntegerType).as("n_frames"),
+      (col("doc_id") % 4).cast(IntegerType).as("variant"))
+      .as[ClipSpec]
+  }
+
+  /** The generated clip table: one REAL animated-GIF container per doc
+    * ([[encodeGifAnimation]] — genuine GIF89a multi-image), rendered
+    * executor-side from the row's own spec. */
+  def generatedClips(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    fanOut(clipSpecs(spark, dir)).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { s =>
+        val anchor = (s.seed % SceneCells).toInt
+        val vFlip =
+          if (s.variant == 0) Array.empty[Int]
+          else Array((anchor + 17 + s.variant) % SceneCells)
+        val frames = (0 until s.n_frames).map { f =>
+          val fFlip =
+            if (f == 0) Array.empty[Int]
+            else Array((anchor + f) % SceneCells)
+          cellValues(s.seed, fFlip ++ vFlip)
+        }
+        MediaRecord(s.doc_id, encodeGifAnimation(frames), "gif", 64, 64)
+      })
+    }
+  }
+
+  /** (doc_id, frame_idx, fhash, nf): every clip frame decoded through
+    * the ImageReader multi-frame path and aHashed with the SHARED
+    * [[aHash64]] kernel, plus the clip's frame count (carried so the
+    * verify can demand full alignment without a second decode). */
+  private def clipFrameHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    generatedClips(spark, dir).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.flatMap { r =>
+        val frames = decodeAllFrames(r.payload)
+        frames.zipWithIndex.map { case (px, f) =>
+          (r.doc_id, f, aHash64(px, 64, 64), frames.length)
+        }
+      })
+    }.toDF("doc_id", "frame_idx", "fhash", "nf")
+  }
+
+  /** q383 — CLIP-LEVEL VIDEO NEAR-DUP: re-encoded clips dedup as
+    * UNITS, not frame-by-frame — the missing video analogue of the
+    * image (q357) and audio (q362) detectors. The order-aware clip
+    * signature is the SEQUENCE of per-frame aHashes; candidates come
+    * from a banded join keyed on (frame_idx, band, bkey) — the frame
+    * index in the key is what makes it order-aware: frame 2 of one
+    * clip can only ever collide with frame 2 of another, so a
+    * re-ordered cut is NOT a near-dup — and the verify joins the two
+    * clips' FULL aligned hash sequences, demands complete alignment
+    * on both sides (equal frame counts, every frame matched) and a
+    * summed Hamming distance ≤ 8. A one-frame verify would be wrong
+    * two ways: a cross-group band accident on a single frame would
+    * pass, and a clip sharing one frame with a longer clip would
+    * read as a duplicate of it.
+    *
+    * Decode-once discipline (the r12–r14 codec-stage lesson applied
+    * at design time, not discovered at the soak): the frame-hash
+    * table is materialized to a per-call scratch parquet in ONE
+    * decode pass, and the band, verify-left and verify-right sides
+    * all read that parquet — the container codec runs once per clip,
+    * not once per plan reference.
+    *
+    * Closed-form oracle: a group's pairs are planted at clip distance
+    * n_frames × 1 (base↔re-encode) or × 2 (re-encode↔re-encode), and
+    * per-frame distances ≤ 2 sit inside the 4×16 banding's lossless
+    * radius, so the pair set is exact. Cross-group frame hashes
+    * disagree on ~28 of 56 cell bits; P(aligned clip distance ≤ 8)
+    * is ≪ 1e-12 per pair, so the oracle is sound through sf10 —
+    * same probabilistic-ceiling bookkeeping as q368/q372. */
+  def clipNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.indexDir("graft_clip_fh", dir)
+    clipFrameHashes(spark, dir).write.parquet(scratch)
+    val fh = spark.read.parquet(scratch)
+    val bands = fh.select(col("doc_id"), col("frame_idx"), col("fhash"),
+        explode(graft.functions.Banding.hashBands(col("fhash"), 4, 16))
+          .as("bk"))
+      .select(col("doc_id"), col("frame_idx"), col("fhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val x = bands.alias("x")
+    val y = bands.alias("y")
+    val cand = x.join(y, col("x.frame_idx") === col("y.frame_idx") &&
+        col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      // frame-radius filter BEFORE the distinct: a band accident at
+      // frame distance > 3 never reaches the pair shuffle
+      .filter(bit_count(col("x.fhash").bitwiseXOR(col("y.fhash"))) <= 3)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val fa = fh.select(col("doc_id").as("doc_a"), col("frame_idx"),
+      col("fhash").as("ha"), col("nf").as("na"))
+    val fb = fh.select(col("doc_id").as("doc_b"), col("frame_idx"),
+      col("fhash").as("hb"), col("nf").as("nb"))
+    cand.join(fa, Seq("doc_a"))
+      .join(fb, Seq("doc_b", "frame_idx"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .cast(LongType).as("clip_dist"),
+        count(lit(1)).as("n_aligned"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .filter(col("n_aligned") === col("na") &&
+        col("n_aligned") === col("nb") && col("clip_dist") <= 8)
+      .select(col("doc_a"), col("doc_b"), col("clip_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The generated media table: REAL encoded image bytes (one render +
@@ -1397,7 +1541,8 @@ object Multimodal {
     "q375_image_neardup_quad256" -> imageNearDupQuad256,
     "q376_banding_audit256" -> bandingAudit256,
     "q379_image_incremental_dedup" -> imageIncrementalDedup,
-    "q380_image_index_probe" -> imageIndexProbeFresh)
+    "q380_image_index_probe" -> imageIndexProbeFresh,
+    "q383_clip_near_dup" -> clipNearDup)
 
   /** The oracle's spelling of the scene seed (portable md5 hash of the
     * scene key — [[graft.Tables.phashSql]]). */
@@ -1647,5 +1792,19 @@ object Multimodal {
         |      FROM tp FULL OUTER JOIN ip
         |        ON tp.doc_a = ip.doc_a AND tp.doc_b = ip.doc_b)
         |SELECT in_text, in_image, CAST(COUNT(*) AS BIGINT) AS n_pairs
-        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q383: clip near-dup pairs are exactly the re-encode groups
+    // (doc_id div 4); clip distance is the planted per-frame distance
+    // (1 with the base, 2 between re-encodes) summed over the group's
+    // n_frames = 2 + (group % 3) aligned frames.
+    "q383_clip_near_dup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g,
+        |                  CAST(doc_id % 4 AS INT) AS v
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST((2 + CAST(a.g % 3 AS INT)) *
+        |         (CASE WHEN a.v = 0 OR b.v = 0 THEN 1 ELSE 2 END)
+        |         AS BIGINT) AS clip_dist
+        |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -792,7 +792,10 @@ class PlanSpec extends AnyFunSuite {
     // that degrades to a nested loop pays |delta| x |corpus| decodes'
     // worth of pairs at 100 TB
     for (q <- Seq("q379_image_incremental_dedup",
-        "q381_audio_incremental_dedup")) {
+        "q381_audio_incremental_dedup",
+        // q383's clip-pair candidates must ride the (frame_idx, band,
+        // bkey) equi-join — all-pairs over clips is the 100 TB killer
+        "q383_clip_near_dup")) {
       val plan = formatted(run(q))
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
