@@ -1227,6 +1227,74 @@ object Streams {
     }).toDF("doc_a", "doc_b", "dist")
   }
 
+  /** The INDEX-SEEDED streaming image detector — the streaming twin
+    * of the q380 persisted-index probe (VERDICT r15 #6). The old
+    * liability: a (re)started stream begins with EMPTY band-bucket
+    * state, so near-dups of already-ingested corpus docs go
+    * undetected unless the whole corpus is replayed through the
+    * stream — re-paying every corpus render/decode into state on
+    * every restart. Here the corpus side is
+    * [[graft.multimodal.Multimodal.saveImageIndex]]'s parquet, joined
+    * STREAM-STATIC per micro-batch on (band, bkey) — stateless, so
+    * there is nothing to lose on restart and the corpus is never
+    * re-rendered — while within-stream duplicates keep flowing
+    * through the [[ttlPairs]] watermark-bounded state core. The
+    * stream carries only the delta slice (the shared doc_id % 10 == 0
+    * rule). Cross-band duplicate emissions collapse in the caller's
+    * final distinct (the ttlPairs convention). */
+  private[graft] def imagePairsTtlStreamIndexed(spark: SparkSession,
+      dir: String, base: String, horizon: String,
+      indexDir: String): DataFrame = {
+    import spark.implicits._
+    deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs(): Unit
+    val delta = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    val srcDir = stageOrderedBatches(spark,
+      graft.multimodal.Multimodal.generatedMediaOf(delta).toDF()
+        .withColumn("batch", pmod(col("doc_id"), lit(4)).cast("int")),
+      base, 4)
+    val schema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val hashed = graft.multimodal.Multimodal
+      .aHash(src.select(col("doc_id"), col("payload"), col("format"),
+        col("width"), col("height"))
+        .as[graft.multimodal.Multimodal.MediaRecord]).toDF()
+      .withColumn("ts",
+        expr(s"$DedupT0 + (doc_id % 4) * INTERVAL '1' HOUR"))
+      .withWatermark("ts", horizon)
+    val fanned = hashed
+      .select(col("doc_id"), col("ahash"), col("ts"),
+        explode(graft.functions.Banding.hashBands(col("ahash"), 4, 16))
+          .as("bk"))
+      .select(col("doc_id"), col("ahash"), col("ts"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // corpus flags: stateless stream-static equi-join against the
+    // persisted index — band-keyed parquet, zero corpus decode
+    val ix = spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id").as("c_doc"), col("ahash").as("c_hash"),
+        col("band"), col("bkey"))
+    val corpusHits = fanned.join(ix, Seq("band", "bkey"))
+      .withColumn("dist",
+        bit_count(col("ahash").bitwiseXOR(col("c_hash")))
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .filter(col("dist") <= 3)
+      .select(least(col("doc_id"), col("c_doc")).as("doc_a"),
+        greatest(col("doc_id"), col("c_doc")).as("doc_b"), col("dist"))
+    val banded = fanned
+      .select(concat_ws("|", col("band"), col("bkey")).as("bucket"),
+        col("doc_id"), col("ahash"), col("ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+    val streamPairs = ttlPairs[Long, (Long, Long, Int)](banded,
+      (id, h, pid, ph) => {
+        val d = java.lang.Long.bitCount(h ^ ph)
+        if (d <= 3) Some((math.min(pid, id), math.max(pid, id), d))
+        else None
+      }).toDF("doc_a", "doc_b", "dist")
+    streamPairs.unionByName(corpusHits)
+  }
+
   /** q338 — STREAMING CANARY CHECK: q335's planted-duplicate
     * acceptance test run through the STREAMING detector (the
     * [[ttlPairs]] band-bucket state machinery) — the health probe for
