@@ -1144,62 +1144,80 @@ object Pipeline {
         surv(!col("id_dup"), !col("too_short"), !col("exact_dup"),
           !col("text_dup"), !col("img_dup"), !col("aud_dup")).as("n7"))
         .head()
-      flags.filter(acceptedPred).write.parquet(scratch)
-      val accepted = spark.read.parquet(scratch)
-      val accDocs = accepted.select(col("doc_id"), col("text"))
-      val accImgBands = imageBandsFor(accDocs.select(col("doc_id")),
-        imagePolicy).persist()
-      val accAudBands = Audio.audioBandsOf(accDocs.select(col("doc_id")))
-        .persist()
-      try {
-        // within-batch near-dup audit (the batch contract, measured):
-        // self-probes over the ACCEPTED set only — O(batch) band
-        // joins, zero corpus work. The accepted band frames are
-        // persisted and reused verbatim by the index maintenance.
-        val accNew = accDocs.select(col("doc_id").as("new_doc"))
-        val intra = Dedup.textProbeAgainst(accDocs,
-            Dedup.textBandRows(accDocs), Dedup.shingleSets(accDocs))
-          .filter(col("n_matches") >= 2).select(col("new_doc"))
-          .unionByName(imageProbeFor(accImgBands, accImgBands, accNew,
-              imagePolicy)
-            .filter(col("n_matches") >= 2).select(col("new_doc")))
-          .unionByName(Multimodal.bandProbeVerdictN(accAudBands,
-              accAudBands, accNew, Seq("fp"), 3)
-            .filter(col("n_matches") >= 2).select(col("new_doc")))
-          .distinct().count()
-        withSplit(accepted
-            .drop(IngestReserved.filterNot(_ == "split"): _*))
-          .select(artifactCols.map(col): _*)
-          .write.mode("append").partitionBy("split").parquet(corpusDir)
-        // index maintenance (indexed form only): the accepted docs'
-        // key, band, and set rows APPEND to the same assets the probe
-        // read, so batch N+1 probes the grown index without a rebuild
-        // — the asset lifecycle q331/q380/q382 persist, kept current
-        // by the writer itself (VERDICT r15 top item)
-        maintainIndex.foreach { ix =>
-          accepted.select(col("doc_id"), col("ck"))
-            .write.mode("append").parquet(s"$ix/keys")
-          Dedup.textBandRows(accDocs)
-            .write.mode("append").partitionBy("band")
-            .parquet(s"$ix/text_bands")
-          Dedup.shingleSets(accDocs)
-            .write.mode("append").parquet(s"$ix/text_shingles")
-          accImgBands.write.mode("append").partitionBy("band")
-            .parquet(s"$ix/image_bands")
-          accAudBands.write.mode("append").partitionBy("band")
-            .parquet(s"$ix/audio_bands")
+      // a fully-rejected batch (the idempotent-re-delivery steady
+      // state) skips the snapshot, the self-probes, and every append:
+      // each would be a fixed-cost Spark job writing nothing
+      val intra = if (c.getLong(6) == 0L) 0L else {
+        flags.filter(acceptedPred).write.parquet(scratch)
+        val accepted = spark.read.parquet(scratch)
+        val accDocs = accepted.select(col("doc_id"), col("text"))
+        val accImgBands = imageBandsFor(accDocs.select(col("doc_id")),
+          imagePolicy).persist()
+        val accAudBands = Audio.audioBandsOf(accDocs.select(col("doc_id")))
+          .persist()
+        try {
+          // within-batch near-dup audit (the batch contract,
+          // measured): self-probes over the ACCEPTED set only —
+          // O(batch) band joins, zero corpus work. The accepted band
+          // frames are persisted and reused by the index maintenance.
+          val accNew = accDocs.select(col("doc_id").as("new_doc"))
+          val violations = Dedup.textProbeAgainst(accDocs,
+              Dedup.textBandRows(accDocs), Dedup.shingleSets(accDocs))
+            .filter(col("n_matches") >= 2).select(col("new_doc"))
+            .unionByName(imageProbeFor(accImgBands, accImgBands, accNew,
+                imagePolicy)
+              .filter(col("n_matches") >= 2).select(col("new_doc")))
+            .unionByName(Multimodal.bandProbeVerdictN(accAudBands,
+                accAudBands, accNew, Seq("fp"), 3)
+              .filter(col("n_matches") >= 2).select(col("new_doc")))
+            .distinct().count()
+          // the artifact append and the five index-maintenance appends
+          // (indexed form — the accepted docs' key, band, and set rows
+          // APPEND to the same assets the probe read, so batch N+1
+          // probes the grown index without a rebuild: the q331/q380/
+          // q382 asset lifecycle kept current by the writer itself,
+          // VERDICT r15 top item) target six DISJOINT paths and read
+          // only the materialized snapshot/band frames, so they run
+          // CONCURRENTLY: a batch's wall-clock pays max(append), not
+          // Σ(append) — six driver-serialized small-write jobs are a
+          // fixed tax that dwarfs the actual O(batch) work
+          val appends: Seq[() => Unit] = Seq(
+            () => withSplit(accepted
+                .drop(IngestReserved.filterNot(_ == "split"): _*))
+              .select(artifactCols.map(col): _*)
+              .write.mode("append").partitionBy("split")
+              .parquet(corpusDir)) ++
+            maintainIndex.toSeq.flatMap { ix => Seq[() => Unit](
+              () => accepted.select(col("doc_id"), col("ck"))
+                .write.mode("append").parquet(s"$ix/keys"),
+              () => Dedup.textBandRows(accDocs)
+                .write.mode("append").partitionBy("band")
+                .parquet(s"$ix/text_bands"),
+              () => Dedup.shingleSets(accDocs)
+                .write.mode("append").parquet(s"$ix/text_shingles"),
+              () => accImgBands.write.mode("append").partitionBy("band")
+                .parquet(s"$ix/image_bands"),
+              () => accAudBands.write.mode("append").partitionBy("band")
+                .parquet(s"$ix/audio_bands"))
+            }
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(
+            Future.sequence(appends.map(f => Future(f()))),
+            scala.concurrent.duration.Duration.Inf): Unit
+          violations
+        } finally {
+          accImgBands.unpersist()
+          accAudBands.unpersist(): Unit
         }
-        import spark.implicits._
-        Seq(("1_batch_total", c.getLong(0)), ("2_id_new", c.getLong(1)),
-          ("3_min_length", c.getLong(2)), ("4_exact_new", c.getLong(3)),
-          ("5_neardup_new", c.getLong(4)), ("6_image_new", c.getLong(5)),
-          ("7_audio_new_accepted", c.getLong(6)),
-          ("8_intra_batch_neardup", intra))
-          .toDF("stage", "n_docs").orderBy(col("stage"))
-      } finally {
-        accImgBands.unpersist()
-        accAudBands.unpersist(): Unit
       }
+      import spark.implicits._
+      Seq(("1_batch_total", c.getLong(0)), ("2_id_new", c.getLong(1)),
+        ("3_min_length", c.getLong(2)), ("4_exact_new", c.getLong(3)),
+        ("5_neardup_new", c.getLong(4)), ("6_image_new", c.getLong(5)),
+        ("7_audio_new_accepted", c.getLong(6)),
+        ("8_intra_batch_neardup", intra))
+        .toDF("stage", "n_docs").orderBy(col("stage"))
     } finally flags.unpersist(): Unit
   }
 
