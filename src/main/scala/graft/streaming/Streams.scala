@@ -1391,6 +1391,34 @@ object Streams {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** q384 — INDEX-SEEDED STREAMING IMAGE DEDUP: the q380 persisted
+    * index composed into the streaming detector
+    * ([[imagePairsTtlStreamIndexed]]). Only the DELTA slice (the
+    * shared doc_id % 10 == 0 rule) streams; near-dups of
+    * already-ingested corpus docs flag through the STATELESS
+    * stream-static band join against `saveImageIndex`'s parquet — the
+    * corpus is never rendered into the stream or carried in state, so
+    * a restart loses nothing (OperatorSpec pins cold-restart set
+    * equality). Closed-form oracle: a delta doc is always its scene
+    * group's BASE (a multiple of 10 is a multiple of 5), so it pairs
+    * with each of its group's four corpus members at exactly q357's
+    * planted base↔variant distance 1; within-stream planted pairs
+    * cannot exist (one multiple of 10 per group), and cross-group
+    * accidents are excluded by the same ≤ 3 radius argument as
+    * q357's oracle. */
+  def streamImageDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = dedupBase("graft_img_ixs", dir)
+    val ix = graft.util.Scratch.indexDir("graft_img_ixs_index", dir)
+    graft.multimodal.Multimodal.saveImageIndex(spark, dir, ix)
+    try {
+      runToMemoryAppend(spark,
+          imagePairsTtlStreamIndexed(spark, dir, base, ReplayHorizon, ix),
+          "graft_stream_img_ixs")
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** q369 — TTL-BOUNDED STREAMING PERCEPTUAL DEDUP: q366 under the
     * tight [[TtlHorizon]]. The gate proves both directions against a
     * closed-form oracle: in-window scene pairs (batch gap ≤ 2) must
@@ -1567,6 +1595,7 @@ object Streams {
     "q338_stream_canaries" -> streamCanaries,
     "q366_stream_image_dedup" -> streamImageDedup,
     "q369_stream_dedup_ttl" -> streamImageDedupTtl,
+    "q384_stream_image_dedup_indexed" -> streamImageDedupIndexed,
     "q371_stream_lsh_dedup_ttl" -> streamLshDedupTtl,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
@@ -1639,6 +1668,17 @@ object Streams {
     // q366: oracle = batch q357's string verbatim (stream==batch gate)
     "q366_stream_image_dedup" ->
       graft.multimodal.Multimodal.oracles("q357_image_neardup_pairs"),
+    // q384: only delta docs stream, and a delta doc is always its
+    // scene group's BASE, so the pair set is exactly (delta, corpus
+    // group member) at planted distance 1
+    "q384_stream_image_dedup_indexed" ->
+      """WITH p AS (
+        |  SELECT d.doc_id AS doc_a, m.doc_id AS doc_b
+        |  FROM documents d JOIN documents m
+        |    ON m.doc_id // 5 = d.doc_id // 5 AND m.doc_id <> d.doc_id
+        |  WHERE d.doc_id % 10 = 0)
+        |SELECT doc_a, doc_b, CAST(1 AS INT) AS dist
+        |FROM p ORDER BY doc_a, doc_b""".stripMargin,
     // q369: q357's pair rule RESTRICTED to the watermark window — a
     // scene pair emits iff its docs' event-hours (doc_id mod 4) are at
     // most 2 apart; gap-3 pairs (present in every scene quintet) must
