@@ -77,14 +77,15 @@ object Bench {
     // two full sweeps, min per query (see protocol note above); an
     // error in EITHER pass is reported — an intermittent failure must
     // surface, not be hidden by a lucky second draw
-    // WINDOW ANCHORS (SCALE.md §24): ten stable mid-range queries with
+    // WINDOW ANCHORS (SCALE.md §25): ten stable mid-range queries with
     // COMMITTED sf0.1 reference minima (BENCH_sf01_r14_final.json,
-    // min-of-3). Each sweep measures them once at sweep START and once
-    // at sweep END; window_factor = median over anchors of
-    // min(start, end) / reference. Host windows drift ±7–15% between
-    // rounds (three rounds adjudicated by hand-run isolated minima —
-    // r12–r14); the factor makes a sweep's round-over-round comparison
-    // interpretable without fresh isolated runs: divide the sweep's
+    // min-of-3). The run measures them THREE times — before pass 1,
+    // between the passes, and after pass 2 — so each measured sweep is
+    // bracketed by two anchor readings; window_factor = median over
+    // anchors of min(readings) / reference. Host windows drift ±7–15%
+    // between rounds (three rounds adjudicated by hand-run isolated
+    // minima — r12–r14); the factor makes a run's round-over-round
+    // comparison interpretable without fresh isolated runs: divide the
     // totals by window_factor before reading a delta as real. Only
     // computed at the sf0.1 gate scale where the references apply.
     val anchorRef: Map[String, Double] = Map(
@@ -95,12 +96,16 @@ object Bench {
       "q116_twap" -> 0.923, "q357_image_neardup_pairs" -> 1.071)
     val anchorsOn = sfDir.endsWith("sf0.1") && filter.isEmpty &&
       anchorRef.keys.forall(SparkEntry.queries.contains)
+    // a failed anchor measurement is simply DROPPED (no NaN may ever
+    // reach the JSON line — the whole record would be unparseable);
+    // the remaining anchors still yield a factor
     def anchorSweep(): Map[String, Double] =
       if (!anchorsOn) Map.empty
       else anchorRef.keys.toSeq.sorted
-        .map(n => n -> measured(n).getOrElse(Double.NaN)).toMap
+        .flatMap(n => measured(n).toOption.map(n -> _)).toMap
     val anchorStart = anchorSweep()
     val pass1 = names.map(n => n -> measured(n)).toMap
+    val anchorMid = anchorSweep()
     val pass2 = names.map(n => n -> measured(n)).toMap
     val anchorEnd = anchorSweep()
     val results = names.map { n =>
@@ -126,23 +131,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nFail = results.count(_._2.isLeft)
-    val anchorJson =
-      if (!anchorsOn) ""
+    val anchorJson = {
+      val mins = anchorRef.keys.toSeq.sorted.flatMap { n =>
+        val vs = Seq(anchorStart, anchorMid, anchorEnd).flatMap(_.get(n))
+        if (vs.isEmpty) None else Some(n -> vs.min)
+      }
+      val ratios = mins.map { case (n, v) => v / anchorRef(n) }.sorted
+      if (!anchorsOn || ratios.isEmpty) ""
       else {
-        val mins = anchorRef.keys.toSeq.sorted.map { n =>
-          n -> math.min(anchorStart(n), anchorEnd(n))
-        }
-        val ratios = mins.collect {
-          case (n, v) if !v.isNaN => v / anchorRef(n)
-        }.sorted
         val wf =
-          if (ratios.isEmpty) Double.NaN
-          else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+          if (ratios.size % 2 == 1) ratios(ratios.size / 2)
           else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
         val am = mins.map { case (n, v) => s"${jstr(n)}:${r3(v)}" }
           .mkString("{", ",", "}")
         s""""anchors":$am,"window_factor":${r3(wf)},"""
       }
+    }
     // Key order is deliberate: the headline summary (metric/value/sf)
     // goes LAST so a tail-truncated capture always retains the total
     // even when the per-query map overflows the window. JSON key order

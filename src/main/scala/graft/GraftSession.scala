@@ -55,7 +55,13 @@ object GraftSession {
     * whenever no live plan depends on a truncated lineage — i.e.
     * BETWEEN fully-materialized queries, which is where Verify and
     * Bench call it. */
-  def dropStaleBlocks(spark: SparkSession): Unit =
+  def dropStaleBlocks(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // same safe point, same contract: scratch dirs written by the
+    // previous query (per-call index builds, frame-hash snapshots)
+    // are fully consumed once its result materialized — purge them so
+    // a long run's tmp usage stays bounded at one query's worth
+    graft.util.Scratch.purge()
+  }
 }

@@ -1138,8 +1138,15 @@ object Multimodal {
     * oracle is sound at ANY scale factor — also retiring q368's
     * documented sf ceiling for this family. q376 is the audit that
     * measures the candidate cut. */
-  def imageNearDupQuad256(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = quadHash(generatedMediaQuad256(spark, dir)).toDF()
+  def imageNearDupQuad256(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupQuad256From(quadHash(generatedMediaQuad256(spark, dir)).toDF())
+
+  /** The q375 pair join over a PRECOMPUTED (doc_id, h1..h4) frame —
+    * factored so the wide corpus build can decode+fingerprint ONCE
+    * and feed both its banding guard and this join (the decode-once
+    * discipline); q375's registered form delegates here, so the two
+    * can never fork. */
+  private[graft] def imageNearDupQuad256From(hashes: DataFrame): DataFrame = {
     val hs = Seq(col("h1"), col("h2"), col("h3"), col("h4"))
     val bands = hashes
       .select((col("doc_id") +: hs) :+

@@ -821,12 +821,19 @@ object Pipeline {
     * q375 wide), audio clusters from q362's WAV fingerprint pairs. One
     * definition for build, waterfall and lineage. */
   private def imageClusters(spark: SparkSession, dir: String,
-      policy: ImageDedupPolicy = NarrowRadius3): DataFrame =
+      policy: ImageDedupPolicy = NarrowRadius3,
+      quadHashes: Option[DataFrame] = None): DataFrame =
     pairClusters(policy match {
       case NarrowRadius3 =>
         graft.multimodal.Multimodal.imageNearDupGenerated(spark, dir)
-      case WideRadius7 =>
-        graft.multimodal.Multimodal.imageNearDupQuad256(spark, dir)
+      case WideRadius7 => quadHashes match {
+        // the build hands in its once-decoded fingerprint frame (the
+        // guard already paid for it); standalone callers decode inline
+        case Some(h) =>
+          graft.multimodal.Multimodal.imageNearDupQuad256From(h)
+        case None =>
+          graft.multimodal.Multimodal.imageNearDupQuad256(spark, dir)
+      }
     })
 
   private def audioClusters(spark: SparkSession, dir: String): DataFrame =
@@ -874,14 +881,20 @@ object Pipeline {
     // quad-band candidates are collision-noise-dominated must not pay
     // the wide image stage (it needs a fifth hash word first), and
     // the guard the ImageDedupPolicy doc promises now actually runs
-    // in the build that takes the risk. Costs one extra decode→
-    // fingerprint pass over the media; wide builds only.
-    imagePolicy match {
-      case WideRadius7 => guardWideBandingFrom(
+    // in the build that takes the risk. Decode-once discipline: the
+    // quad fingerprint frame (the build's most expensive pass)
+    // materializes to a per-call scratch parquet and feeds BOTH the
+    // guard and the image cluster stage — one decode, two consumers.
+    val quadHashes: Option[DataFrame] = imagePolicy match {
+      case WideRadius7 =>
+        val scratch = graft.util.Scratch.indexDir("graft_wide_quad", dir)
         graft.multimodal.Multimodal.quadHash(
-          graft.multimodal.Multimodal.generatedMediaQuad256(spark, dir))
-          .toDF())
-      case NarrowRadius3 => ()
+            graft.multimodal.Multimodal.generatedMediaQuad256(spark, dir))
+          .toDF().write.parquet(scratch)
+        val h = spark.read.parquet(scratch)
+        guardWideBandingFrom(h)
+        Some(h)
+      case NarrowRadius3 => None
     }
     val docs = spread(load(spark, dir, "documents"))
     val contaminated = decontaminate(spark, dir).select(col("doc_id"))
@@ -920,7 +933,8 @@ object Pipeline {
     // media-dropped doc never drags its clean siblings out (the
     // gates-first rule, applied again)
     val keptMedia = mediaFlags(kept,
-        imageClusters(spark, dir, imagePolicy), audioClusters(spark, dir))
+        imageClusters(spark, dir, imagePolicy, quadHashes),
+        audioClusters(spark, dir))
       .filter(!col("img_rm") && !col("aud_rm"))
       .drop("img_rm", "aud_rm")
     withSplit(keptMedia).write.mode("overwrite").partitionBy("split").parquet(outDir)
@@ -1155,14 +1169,18 @@ object Pipeline {
           imagePolicy).persist()
         val accAudBands = Audio.audioBandsOf(accDocs.select(col("doc_id")))
           .persist()
+        val accTextBands = Dedup.textBandRows(accDocs).persist()
+        val accTextSets = Dedup.shingleSets(accDocs).persist()
         try {
           // within-batch near-dup audit (the batch contract,
           // measured): self-probes over the ACCEPTED set only —
-          // O(batch) band joins, zero corpus work. The accepted band
-          // frames are persisted and reused by the index maintenance.
+          // O(batch) band joins, zero corpus work. ALL FOUR accepted
+          // band/set frames are persisted and reused by the index
+          // maintenance below — the signature/shingle/decode work per
+          // accepted doc is paid once, not once per consumer.
           val accNew = accDocs.select(col("doc_id").as("new_doc"))
           val violations = Dedup.textProbeAgainst(accDocs,
-              Dedup.textBandRows(accDocs), Dedup.shingleSets(accDocs))
+              accTextBands, accTextSets)
             .filter(col("n_matches") >= 2).select(col("new_doc"))
             .unionByName(imageProbeFor(accImgBands, accImgBands, accNew,
                 imagePolicy)
@@ -1171,35 +1189,43 @@ object Pipeline {
                 accAudBands, accNew, Seq("fp"), 3)
               .filter(col("n_matches") >= 2).select(col("new_doc")))
             .distinct().count()
-          // the artifact append and the five index-maintenance appends
-          // (indexed form — the accepted docs' key, band, and set rows
-          // APPEND to the same assets the probe read, so batch N+1
-          // probes the grown index without a rebuild: the q331/q380/
-          // q382 asset lifecycle kept current by the writer itself,
-          // VERDICT r15 top item) target six DISJOINT paths and read
-          // only the materialized snapshot/band frames, so they run
-          // CONCURRENTLY: a batch's wall-clock pays max(append), not
-          // Σ(append) — six driver-serialized small-write jobs are a
-          // fixed tax that dwarfs the actual O(batch) work
-          val appends: Seq[() => Unit] = Seq(
-            () => withSplit(accepted
-                .drop(IngestReserved.filterNot(_ == "split"): _*))
-              .select(artifactCols.map(col): _*)
-              .write.mode("append").partitionBy("split")
-              .parquet(corpusDir)) ++
-            maintainIndex.toSeq.flatMap { ix => Seq[() => Unit](
-              () => accepted.select(col("doc_id"), col("ck"))
-                .write.mode("append").parquet(s"$ix/keys"),
-              () => Dedup.textBandRows(accDocs)
-                .write.mode("append").partitionBy("band")
-                .parquet(s"$ix/text_bands"),
-              () => Dedup.shingleSets(accDocs)
-                .write.mode("append").parquet(s"$ix/text_shingles"),
-              () => accImgBands.write.mode("append").partitionBy("band")
-                .parquet(s"$ix/image_bands"),
-              () => accAudBands.write.mode("append").partitionBy("band")
-                .parquet(s"$ix/audio_bands"))
-            }
+          // APPEND ORDER IS A RECOVERY CONTRACT: the artifact append
+          // runs FIRST and alone — the append-only artifact is the
+          // source of truth, and a doc must never be CLAIMED by the
+          // index (id-guard keys) before it exists in the artifact,
+          // or a failed ingest re-delivered would drop the docs at
+          // stage 1 and silently lose them. With artifact-first, a
+          // failure before the artifact write leaves everything
+          // untouched (clean retry), and a failure among the index
+          // appends leaves the artifact ahead of the index — a
+          // DETECTABLE divergence [[repairIngestIndexes]] reconciles
+          // in O(missing docs); run it before the next batch.
+          withSplit(accepted
+              .drop(IngestReserved.filterNot(_ == "split"): _*))
+            .select(artifactCols.map(col): _*)
+            .write.mode("append").partitionBy("split")
+            .parquet(corpusDir)
+          // the five index-maintenance appends (the accepted docs'
+          // key, band, and set rows APPEND to the same assets the
+          // probe read, so batch N+1 probes the grown index without a
+          // rebuild: the q331/q380/q382 asset lifecycle kept current
+          // by the writer itself, VERDICT r15 top item) target five
+          // DISJOINT paths and read only materialized snapshot/band
+          // frames, so they run CONCURRENTLY: wall-clock pays
+          // max(append), not Σ(append) — driver-serialized small
+          // writes are a fixed tax that dwarfs the O(batch) work
+          val appends = maintainIndex.toSeq.flatMap { ix => Seq[() => Unit](
+            () => accepted.select(col("doc_id"), col("ck"))
+              .write.mode("append").parquet(s"$ix/keys"),
+            () => accTextBands.write.mode("append").partitionBy("band")
+              .parquet(s"$ix/text_bands"),
+            () => accTextSets.write.mode("append")
+              .parquet(s"$ix/text_shingles"),
+            () => accImgBands.write.mode("append").partitionBy("band")
+              .parquet(s"$ix/image_bands"),
+            () => accAudBands.write.mode("append").partitionBy("band")
+              .parquet(s"$ix/audio_bands"))
+          }
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           Await.result(
@@ -1208,7 +1234,9 @@ object Pipeline {
           violations
         } finally {
           accImgBands.unpersist()
-          accAudBands.unpersist(): Unit
+          accAudBands.unpersist()
+          accTextBands.unpersist()
+          accTextSets.unpersist(): Unit
         }
       }
       import spark.implicits._
@@ -1303,6 +1331,60 @@ object Pipeline {
       imageBands = spark.read.parquet(s"$indexDir/image_bands"),
       audioBands = spark.read.parquet(s"$indexDir/audio_bands"))
     ingestGauntlet(spark, corpusDir, batch, handles, policy, Some(indexDir))
+  }
+
+  /** RECONCILE the persisted ingest indexes with the artifact — the
+    * recovery half of the writer's append-order contract: the
+    * artifact appends first, so the one reachable divergence is
+    * "artifact ahead of index" (an ingest crashed between its
+    * artifact write and its index appends). Without repair, a
+    * re-delivered batch would re-accept those docs (the stale keys
+    * sidecar misses them) and append DUPLICATE doc_ids to the
+    * artifact. This routine finds artifact docs absent from the key
+    * sidecar (one anti-join) and appends their key/band/set rows —
+    * O(missing docs) signature/fingerprint work, idempotent, safe to
+    * run any time. Returns the number of docs repaired. */
+  def repairIngestIndexes(spark: SparkSession, corpusDir: String,
+      indexDir: String): Long = {
+    import graft.dedup.Dedup
+    val policy = policyOf(
+      spark.read.parquet(s"$indexDir/meta").head().getString(0))
+    val missing = spark.read.parquet(corpusDir)
+      .select(col("doc_id"), col("text"))
+      .join(spark.read.parquet(s"$indexDir/keys").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    // snapshot before appending — the recache-by-path discipline the
+    // writer itself follows (the anti-join reads the keys asset the
+    // first append below grows)
+    val scratch = graft.util.Scratch.indexDir("graft_ingest_repair",
+      corpusDir)
+    missing.write.parquet(scratch)
+    val docs = spark.read.parquet(scratch)
+    val n = docs.count()
+    if (n > 0L) {
+      val ids = docs.select(col("doc_id"))
+      val appends: Seq[() => Unit] = Seq(
+        () => docs.select(col("doc_id"),
+            Dedup.contentKey(col("text")).as("ck"))
+          .write.mode("append").parquet(s"$indexDir/keys"),
+        () => Dedup.textBandRows(docs)
+          .write.mode("append").partitionBy("band")
+          .parquet(s"$indexDir/text_bands"),
+        () => Dedup.shingleSets(docs)
+          .write.mode("append").parquet(s"$indexDir/text_shingles"),
+        () => imageBandsFor(ids, policy)
+          .write.mode("append").partitionBy("band")
+          .parquet(s"$indexDir/image_bands"),
+        () => graft.multimodal.Audio.audioBandsOf(ids)
+          .write.mode("append").partitionBy("band")
+          .parquet(s"$indexDir/audio_bands"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(appends.map(f => Future(f()))),
+        scala.concurrent.duration.Duration.Inf): Unit
+    }
+    n
   }
 
   /** Deterministic training-order shuffle: every epoch a training run

@@ -30,8 +30,21 @@ object Scratch {
     f.delete(): Unit
   }
 
+  /** Delete every scratch dir created so far and forget them — the
+    * bound on within-process accumulation (a long Bench/Verify run
+    * invokes each index-building query several times, and each call's
+    * dir would otherwise sit in tmp until exit). Safe ONLY at driver
+    * points where no live frame can still reference a scratch path;
+    * [[graft.GraftSession.dropStaleBlocks]] calls it between
+    * fully-materialized queries, which is exactly that contract. */
+  def purge(): Unit = {
+    var f = created.poll()
+    while (f != null) { deleteRecursively(f); f = created.poll() }
+  }
+
   /** A fresh, unique scratch dir keyed to (prefix, data dir): unique
-    * per CALL within the process, deleted at JVM exit. */
+    * per CALL within the process, deleted at JVM exit (or at the next
+    * [[purge]], whichever comes first). */
   def indexDir(prefix: String, dataDir: String): String = {
     hookInstalled
     val safe = dataDir.replaceAll("[^A-Za-z0-9]", "_")

@@ -497,6 +497,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repairIngestIndexes reconciles an artifact-ahead index; re-delivery then drops at stage 1") {
+    // the one reachable divergence under the writer's artifact-first
+    // append order: docs landed in the artifact but not the index
+    // (an ingest crashed between the two, or — as here — the INLINE
+    // writer grew an artifact that also has persisted indexes).
+    // Without repair, a re-delivery would re-accept those docs off
+    // the stale keys sidecar and append duplicate doc_ids.
+    val work = java.nio.file.Files.createTempDirectory("graft_rep_w").toString
+    val ix = java.nio.file.Files.createTempDirectory("graft_rep_ix").toString
+    try {
+      corpus
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(out), new java.io.File(work))
+      Pipeline.saveIngestIndexes(spark, work, ix)
+      val art0 = spark.read.parquet(work)
+      val maxId = art0.agg(max(col("doc_id"))).head().getLong(0)
+      val base = ((maxId / 20) + 2) * 20
+      val novel = art0.drop("split").limit(1)
+        .withColumn("doc_id", lit(base))
+        .withColumn("text",
+          lit((0 until 12).map(j => s"rp0w$j").mkString(" ")))
+      val a = Pipeline.ingestBatch(spark, work, novel) // indexes NOT maintained
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a("7_audio_new_accepted") === 1L)
+      val n1 = spark.read.parquet(work).count()
+      assert(Pipeline.repairIngestIndexes(spark, work, ix) === 1L)
+      // the repaired index now claims the doc: same-id re-delivery
+      // drops at stage 1, the artifact stays fixed
+      val a2 = Pipeline.ingestBatchIndexed(spark, work, novel, ix)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a2("2_id_new") === 0L, s"repaired id guard must fire: $a2")
+      assert(spark.read.parquet(work).count() === n1)
+      // and repair is idempotent
+      assert(Pipeline.repairIngestIndexes(spark, work, ix) === 0L)
+    } finally {
+      Seq(work, ix).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("wide build refuses a noise-dominated corpus; the gate corpus passes the same guard") {
     import spark.implicits._
     // the q376 tripwire is now ENFORCED by prepareCorpus(WideRadius7)
