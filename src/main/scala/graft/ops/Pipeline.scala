@@ -938,6 +938,13 @@ object Pipeline {
       .filter(!col("img_rm") && !col("aud_rm"))
       .drop("img_rm", "aud_rm")
     withSplit(keptMedia).write.mode("overwrite").partitionBy("split").parquet(outDir)
+    // the image policy travels WITH the artifact (underscore-prefixed
+    // dir — invisible to the corpus read): an ingest writer left at
+    // its default parameter on a wide-built corpus must fail loudly
+    // instead of silently reopening the radius-4..7 side door
+    // (ADVICE r15) — [[ingestBatch]]/[[ingestBatchIndexed]] validate
+    // against this meta.
+    writePolicyMeta(spark, imagePolicy, s"$outDir/_image_policy")
     spark.read.parquet(outDir)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
@@ -958,6 +965,55 @@ object Pipeline {
     * the two forms can never fork. */
   private case class IngestHandles(keys: DataFrame, textBands: DataFrame,
     textSets: DataFrame, imageBands: DataFrame, audioBands: DataFrame)
+
+  /** SORTED index layout (VERDICT r15 #1): every band asset is range-
+    * partitioned and sorted on (band, bkey) before it lands, so each
+    * parquet file/row-group covers a tight bkey range and min/max
+    * stats can skip everything a probe's key set doesn't touch —
+    * range partitioning (not `repartition(col("band"))`) keeps the
+    * write parallel at any asset size instead of collapsing to one
+    * task per band. */
+  private def bandSorted(df: DataFrame): DataFrame =
+    df.repartitionByRange(col("band"), col("bkey"))
+      .sortWithinPartitions(col("band"), col("bkey"))
+
+  /** The non-band assets' sorted layout: keys by content key (the
+    * exact-stage probe key), shingle sets by doc_id (the candidate-
+    * fetch join key). */
+  private def keySorted(df: DataFrame, k: String): DataFrame =
+    df.repartitionByRange(col(k)).sortWithinPartitions(col(k))
+
+  /** The stage-1/3 corpus-key probe of the ingest gauntlet, factored
+    * so PlanSpec can pin its physical shape: which of the batch's keys
+    * does the index already hold? Runs FROM THE INDEX SIDE as a
+    * broadcast left-semi join — one narrow index scan, NO shuffle of
+    * the index (the 100 TB contract; a plain left join would sort-
+    * merge the whole sidecar per batch) — and only the tiny hit set
+    * shuffles (the defensive distinct) before broadcasting back onto
+    * the batch. */
+  private[graft] def indexHits(indexKeys: DataFrame, batchKeys: DataFrame,
+      key: String, flag: String): DataFrame =
+    indexKeys.select(col(key))
+      .join(broadcast(batchKeys.select(col(key)).distinct()),
+        Seq(key), "left_semi")
+      .distinct()
+      .withColumn(flag, lit(true))
+
+  /** Run independent append jobs concurrently and wait for ALL of
+    * them to SETTLE before returning (ADVICE r15): a fail-fast
+    * Await(Future.sequence) would unwind the caller — unpersisting
+    * the very frames sibling append jobs are still reading — while
+    * those jobs run, leaving nondeterministic partial state. Here
+    * every job runs to completion, then the first failure (if any)
+    * rethrows. */
+  private def awaitSettled(jobs: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val settled = Await.result(
+      Future.sequence(jobs.map(f => Future(scala.util.Try(f())))),
+      scala.concurrent.duration.Duration.Inf)
+    settled.collectFirst { case scala.util.Failure(e) => throw e }: Unit
+  }
 
   /** Policy-shaped image band rows of an arbitrary doc-id frame — the
     * probe side AND the index row shape of the ingest image gate. */
@@ -1012,6 +1068,37 @@ object Pipeline {
     case other => throw new IllegalArgumentException(
       s"unknown image policy in index meta: $other")
   }
+
+  private def writePolicyMeta(spark: SparkSession, p: ImageDedupPolicy,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq(policyName(p)).toDF("image_policy")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The policy recorded in the artifact by [[prepareCorpus]] — None
+    * for artifacts predating the meta (those trust the caller's
+    * parameter, the documented legacy contract). */
+  private def artifactPolicy(spark: SparkSession,
+      corpusDir: String): Option[ImageDedupPolicy] = {
+    val path = new org.apache.hadoop.fs.Path(corpusDir, "_image_policy")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      Some(policyOf(spark.read.parquet(path.toString).head().getString(0)))
+    else None
+  }
+
+  /** Fail loudly when a writer's policy disagrees with the one the
+    * artifact was built under (ADVICE r15: a forgotten default
+    * parameter must not silently probe a wide corpus narrow). */
+  private def requirePolicyMatches(spark: SparkSession, corpusDir: String,
+      used: ImageDedupPolicy, source: String): Unit =
+    artifactPolicy(spark, corpusDir).foreach { ap =>
+      require(ap == used,
+        s"corpus artifact at $corpusDir was built ${policyName(ap)} but " +
+          s"$source supplies ${policyName(used)} — pass the artifact's " +
+          "policy (the radius-4..7 ingest side door stays closed)")
+    }
 
   /** Internal gauntlet column names — reserved on the batch frame so
     * flag columns can ride next to the batch's own columns (the
@@ -1077,14 +1164,30 @@ object Pipeline {
     require(clash.isEmpty, s"batch columns clash with gauntlet internals: $clash")
     val artifactCols =
       spark.read.parquet(corpusDir).columns.toIndexedSeq
+    // Stage-1/3 key probes run FROM THE INDEX SIDE as broadcast
+    // left-semi joins (VERDICT r15 #1): the batch's distinct ids/
+    // content keys broadcast (a daily batch's 8–16-byte key columns —
+    // MBs at millions of docs), the keys sidecar streams through ONE
+    // narrow scan with NO shuffle (a plain left join would sort-merge
+    // the ENTIRE corpus sidecar on doc_id every batch — the right side
+    // of a left-outer join cannot broadcast), and only the tiny hit
+    // set — batch keys the corpus already holds — comes back to
+    // broadcast-left-join onto the batch. The post-semi distinct is
+    // over that tiny hit set (defensive against an invariant-violating
+    // duplicated sidecar row silently duplicating batch rows), never
+    // over the corpus. PlanSpec pins the shape: no Exchange between
+    // the keys-index scan and its semi join.
+    val idHits = indexHits(h.keys, batch.select(col("doc_id")),
+      "doc_id", "id0")
+    val ckHits = indexHits(h.keys,
+      batch.select(Dedup.contentKey(col("text")).as("ck")), "ck", "k0")
     val wId = Window.partitionBy(col("doc_id"))
       .orderBy(col("ck"), col("text"))
     val wC = Window.partitionBy(col("ck"))
     val base = batch
       .withColumn("ck", Dedup.contentKey(col("text")))
       .withColumn("id_rn", row_number().over(wId))
-      .join(h.keys.select(col("doc_id"), lit(true).as("id0")),
-        Seq("doc_id"), "left")
+      .join(broadcast(idHits), Seq("doc_id"), "left")
       .withColumn("id_dup",
         coalesce(col("id0"), lit(false)) || col("id_rn") > 1)
       .drop("id0", "id_rn")
@@ -1093,9 +1196,7 @@ object Pipeline {
       .withColumn("m",
         min(when(!col("id_dup") && !col("too_short"), col("doc_id")))
           .over(wC))
-      .join(h.keys.select(col("ck"), lit(true).as("k0"))
-          .groupBy(col("ck")).agg(max(col("k0")).as("k0")),
-        Seq("ck"), "left")
+      .join(broadcast(ckHits), Seq("ck"), "left")
       .withColumn("exact_dup",
         !col("id_dup") && !col("too_short") &&
           (col("doc_id") =!= col("m") || coalesce(col("k0"), lit(false))))
@@ -1189,48 +1290,54 @@ object Pipeline {
                 accAudBands, accNew, Seq("fp"), 3)
               .filter(col("n_matches") >= 2).select(col("new_doc")))
             .distinct().count()
-          // APPEND ORDER IS A RECOVERY CONTRACT: the artifact append
-          // runs FIRST and alone — the append-only artifact is the
-          // source of truth, and a doc must never be CLAIMED by the
-          // index (id-guard keys) before it exists in the artifact,
-          // or a failed ingest re-delivered would drop the docs at
-          // stage 1 and silently lose them. With artifact-first, a
-          // failure before the artifact write leaves everything
-          // untouched (clean retry), and a failure among the index
-          // appends leaves the artifact ahead of the index — a
-          // DETECTABLE divergence [[repairIngestIndexes]] reconciles
-          // in O(missing docs); run it before the next batch.
+          // APPEND ORDER IS A RECOVERY CONTRACT, two-phase: (1) the
+          // artifact append runs FIRST and alone — the append-only
+          // artifact is the source of truth, and a doc must never be
+          // CLAIMED by the index (id-guard keys) before it exists in
+          // the artifact, or a failed ingest re-delivered would drop
+          // the docs at stage 1 and silently lose them; (2) the KEYS
+          // append runs LAST and alone, after every band/set append
+          // has succeeded — the keys sidecar is the index's COMMIT
+          // MARKER (VERDICT r15 #2): a doc present in keys is
+          // guaranteed fully indexed, so [[repairIngestIndexes]]'
+          // keys anti-join finds EVERY partially-indexed doc, not
+          // just the all-assets-missing case. A failure anywhere
+          // between (1) and (2) leaves the artifact ahead of keys —
+          // one DETECTABLE divergence class, reconciled in O(missing
+          // docs); run repair before the next batch.
           withSplit(accepted
               .drop(IngestReserved.filterNot(_ == "split"): _*))
             .select(artifactCols.map(col): _*)
             .write.mode("append").partitionBy("split")
             .parquet(corpusDir)
-          // the five index-maintenance appends (the accepted docs'
-          // key, band, and set rows APPEND to the same assets the
-          // probe read, so batch N+1 probes the grown index without a
-          // rebuild: the q331/q380/q382 asset lifecycle kept current
-          // by the writer itself, VERDICT r15 top item) target five
-          // DISJOINT paths and read only materialized snapshot/band
-          // frames, so they run CONCURRENTLY: wall-clock pays
+          // the four band/set appends (the accepted docs' rows APPEND
+          // to the same assets the probe read, so batch N+1 probes
+          // the grown index without a rebuild: the q331/q380/q382
+          // asset lifecycle kept current by the writer itself) target
+          // four DISJOINT paths and read only materialized snapshot/
+          // band frames, so they run CONCURRENTLY: wall-clock pays
           // max(append), not Σ(append) — driver-serialized small
-          // writes are a fixed tax that dwarfs the O(batch) work
-          val appends = maintainIndex.toSeq.flatMap { ix => Seq[() => Unit](
-            () => accepted.select(col("doc_id"), col("ck"))
-              .write.mode("append").parquet(s"$ix/keys"),
-            () => accTextBands.write.mode("append").partitionBy("band")
-              .parquet(s"$ix/text_bands"),
-            () => accTextSets.write.mode("append")
-              .parquet(s"$ix/text_shingles"),
-            () => accImgBands.write.mode("append").partitionBy("band")
-              .parquet(s"$ix/image_bands"),
-            () => accAudBands.write.mode("append").partitionBy("band")
-              .parquet(s"$ix/audio_bands"))
+          // writes are a fixed tax that dwarfs the O(batch) work.
+          // Every append lands SORTED (bandSorted/ckSorted) so parquet
+          // row-group min/max stats stay selective as the asset grows.
+          maintainIndex.foreach { ix =>
+            val appends = Seq[() => Unit](
+              () => bandSorted(accTextBands)
+                .write.mode("append").partitionBy("band")
+                .parquet(s"$ix/text_bands"),
+              () => keySorted(accTextSets, "doc_id")
+                .write.mode("append").parquet(s"$ix/text_shingles"),
+              () => bandSorted(accImgBands)
+                .write.mode("append").partitionBy("band")
+                .parquet(s"$ix/image_bands"),
+              () => bandSorted(accAudBands)
+                .write.mode("append").partitionBy("band")
+                .parquet(s"$ix/audio_bands"))
+            awaitSettled(appends)
+            // keys LAST — the commit marker (see the contract above)
+            keySorted(accepted.select(col("doc_id"), col("ck")), "ck")
+              .write.mode("append").parquet(s"$ix/keys")
           }
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.ExecutionContext.Implicits.global
-          Await.result(
-            Future.sequence(appends.map(f => Future(f()))),
-            scala.concurrent.duration.Duration.Inf): Unit
           violations
         } finally {
           accImgBands.unpersist()
@@ -1263,6 +1370,8 @@ object Pipeline {
       batch: DataFrame,
       imagePolicy: ImageDedupPolicy = NarrowRadius3): DataFrame = {
     import graft.dedup.Dedup
+    requirePolicyMatches(spark, corpusDir, imagePolicy,
+      "ingestBatch's imagePolicy parameter")
     val corpus = spark.read.parquet(corpusDir)
     val docs = corpus.select(col("doc_id"), col("text"))
     val handles = IngestHandles(
@@ -1292,21 +1401,24 @@ object Pipeline {
     import spark.implicits._
     val corpus = spark.read.parquet(corpusDir)
     val docs = corpus.select(col("doc_id"), col("text"))
-    docs.select(col("doc_id"), Dedup.contentKey(col("text")).as("ck"))
+    // sorted layout throughout (see [[bandSorted]]): build-time sort
+    // is one extra range shuffle per asset, paid once per corpus
+    keySorted(docs.select(col("doc_id"),
+        Dedup.contentKey(col("text")).as("ck")), "ck")
       .write.mode("overwrite").parquet(s"$indexDir/keys")
-    Dedup.textBandRows(docs)
+    bandSorted(Dedup.textBandRows(docs))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$indexDir/text_bands")
-    Dedup.shingleSets(docs)
+    keySorted(Dedup.shingleSets(docs), "doc_id")
       .write.mode("overwrite").parquet(s"$indexDir/text_shingles")
-    imageBandsFor(corpus.select(col("doc_id")), imagePolicy)
+    bandSorted(imageBandsFor(corpus.select(col("doc_id")), imagePolicy))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$indexDir/image_bands")
-    graft.multimodal.Audio.audioBandsOf(corpus.select(col("doc_id")))
+    bandSorted(graft.multimodal.Audio
+        .audioBandsOf(corpus.select(col("doc_id"))))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$indexDir/audio_bands")
-    Seq(policyName(imagePolicy)).toDF("image_policy")
-      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    writePolicyMeta(spark, imagePolicy, s"$indexDir/meta")
   }
 
   /** The INDEX-BACKED incremental ingest writer — the 100 TB shape
@@ -1324,6 +1436,7 @@ object Pipeline {
       batch: DataFrame, indexDir: String): DataFrame = {
     val policy = policyOf(
       spark.read.parquet(s"$indexDir/meta").head().getString(0))
+    requirePolicyMatches(spark, corpusDir, policy, "the index meta")
     val handles = IngestHandles(
       keys = spark.read.parquet(s"$indexDir/keys"),
       textBands = spark.read.parquet(s"$indexDir/text_bands"),
@@ -1334,16 +1447,21 @@ object Pipeline {
   }
 
   /** RECONCILE the persisted ingest indexes with the artifact — the
-    * recovery half of the writer's append-order contract: the
-    * artifact appends first, so the one reachable divergence is
-    * "artifact ahead of index" (an ingest crashed between its
-    * artifact write and its index appends). Without repair, a
-    * re-delivered batch would re-accept those docs (the stale keys
-    * sidecar misses them) and append DUPLICATE doc_ids to the
-    * artifact. This routine finds artifact docs absent from the key
-    * sidecar (one anti-join) and appends their key/band/set rows —
-    * O(missing docs) signature/fingerprint work, idempotent, safe to
-    * run any time. Returns the number of docs repaired. */
+    * recovery half of the writer's two-phase append contract: the
+    * artifact appends first and the KEYS sidecar appends LAST (the
+    * commit marker), so every reachable crash divergence is "artifact
+    * ahead of keys" — including partial states where SOME band/set
+    * appends landed before the crash. This routine finds artifact
+    * docs absent from the key sidecar (one anti-join — complete by
+    * the commit-marker ordering), then repairs each asset
+    * INDEPENDENTLY: a band/set asset gets rows appended only for
+    * missing docs it does not already hold (a blind five-way
+    * re-append would duplicate rows in the assets whose append DID
+    * land before the crash), and keys appends last, sealing the
+    * repair with the same commit semantics as the writer. O(missing
+    * docs) signature/fingerprint work plus one narrow doc_id scan per
+    * asset, idempotent, safe to run any time. Returns the number of
+    * docs repaired. */
   def repairIngestIndexes(spark: SparkSession, corpusDir: String,
       indexDir: String): Long = {
     import graft.dedup.Dedup
@@ -1355,7 +1473,7 @@ object Pipeline {
         Seq("doc_id"), "left_anti")
     // snapshot before appending — the recache-by-path discipline the
     // writer itself follows (the anti-join reads the keys asset the
-    // first append below grows)
+    // final append below grows)
     val scratch = graft.util.Scratch.indexDir("graft_ingest_repair",
       corpusDir)
     missing.write.parquet(scratch)
@@ -1363,26 +1481,43 @@ object Pipeline {
     val n = docs.count()
     if (n > 0L) {
       val ids = docs.select(col("doc_id"))
-      val appends: Seq[() => Unit] = Seq(
-        () => docs.select(col("doc_id"),
-            Dedup.contentKey(col("text")).as("ck"))
-          .write.mode("append").parquet(s"$indexDir/keys"),
-        () => Dedup.textBandRows(docs)
+      // per-asset need sets, each snapshotted BEFORE its append runs
+      // (never read a path a concurrent job appends to): the asset's
+      // doc_ids semi-joined against the tiny missing set — a narrow
+      // column scan — anti-joined back so only genuinely absent docs
+      // re-derive rows
+      def needs(asset: String): DataFrame = {
+        val have = spark.read.parquet(s"$indexDir/$asset")
+          .select(col("doc_id"))
+          .join(broadcast(ids), Seq("doc_id"), "left_semi")
+          .distinct()
+        val nd = docs.join(broadcast(have), Seq("doc_id"), "left_anti")
+        val s = graft.util.Scratch.indexDir(s"graft_repair_$asset", corpusDir)
+        nd.write.parquet(s)
+        spark.read.parquet(s)
+      }
+      val nTB = needs("text_bands")
+      val nTS = needs("text_shingles")
+      val nIB = needs("image_bands")
+      val nAB = needs("audio_bands")
+      awaitSettled(Seq(
+        () => bandSorted(Dedup.textBandRows(nTB))
           .write.mode("append").partitionBy("band")
           .parquet(s"$indexDir/text_bands"),
-        () => Dedup.shingleSets(docs)
+        () => keySorted(Dedup.shingleSets(nTS), "doc_id")
           .write.mode("append").parquet(s"$indexDir/text_shingles"),
-        () => imageBandsFor(ids, policy)
+        () => bandSorted(imageBandsFor(nIB.select(col("doc_id")), policy))
           .write.mode("append").partitionBy("band")
           .parquet(s"$indexDir/image_bands"),
-        () => graft.multimodal.Audio.audioBandsOf(ids)
+        () => bandSorted(graft.multimodal.Audio
+            .audioBandsOf(nAB.select(col("doc_id"))))
           .write.mode("append").partitionBy("band")
-          .parquet(s"$indexDir/audio_bands"))
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.sequence(appends.map(f => Future(f()))),
-        scala.concurrent.duration.Duration.Inf): Unit
+          .parquet(s"$indexDir/audio_bands")))
+      // keys LAST — the commit marker: by definition every missing
+      // doc is absent from keys, so the full set appends
+      keySorted(docs.select(col("doc_id"),
+          Dedup.contentKey(col("text")).as("ck")), "ck")
+        .write.mode("append").parquet(s"$indexDir/keys")
     }
     n
   }

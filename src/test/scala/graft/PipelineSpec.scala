@@ -537,6 +537,131 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repair closes a PARTIAL index append: keys is the commit marker, per-asset anti-joins never duplicate rows") {
+    // the VERDICT r15 #2 crash class: the four band/set appends run
+    // concurrently, so a crash can land SOME of them before the keys
+    // append (which now runs LAST, as the commit marker). Simulated
+    // here by rewinding one band asset AND the keys rows for an
+    // artifact-present doc: repair must find the doc via the keys
+    // anti-join, restore ONLY the missing asset's rows (a blind
+    // five-way re-append would duplicate the assets that landed), and
+    // seal with the keys append — after which a re-delivered near-dup
+    // of that doc is rejected by every gate.
+    val work = java.nio.file.Files.createTempDirectory("graft_pr_w").toString
+    val ix = java.nio.file.Files.createTempDirectory("graft_pr_ix").toString
+    try {
+      corpus
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(out), new java.io.File(work))
+      Pipeline.saveIngestIndexes(spark, work, ix)
+      val art0 = spark.read.parquet(work)
+      val maxId = art0.agg(max(col("doc_id"))).head().getLong(0)
+      val base = ((maxId / 20) + 2) * 20
+      val tpl = art0.drop("split").limit(1)
+      def mk(id: Long, text: String) = tpl
+        .withColumn("doc_id", lit(id)).withColumn("text", lit(text))
+      def novelText(i: Int) =
+        (0 until 12).map(j => s"pr${i}w$j").mkString(" ")
+      val doc = base + 20
+      val a1 = Pipeline.ingestBatchIndexed(spark, work,
+          mk(doc, novelText(0)), ix)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a1("7_audio_new_accepted") === 1L)
+      // rewind: delete the doc's rows from image_bands (that append
+      // "failed") and from keys (the commit marker never ran); text/
+      // audio/shingle appends "landed" before the crash
+      def rewind(asset: String, partitioned: Boolean): Unit = {
+        val path = s"$ix/$asset"
+        val kept = spark.read.parquet(path)
+          .filter(col("doc_id") =!= doc).collect()
+        val schema = spark.read.parquet(path).schema
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(path))
+        val df = spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(kept: _*)), schema)
+        val w = df.write.mode("overwrite")
+        (if (partitioned) w.partitionBy("band") else w).parquet(path)
+      }
+      rewind("image_bands", partitioned = true)
+      rewind("keys", partitioned = false)
+      assert(spark.read.parquet(s"$ix/image_bands")
+        .filter(col("doc_id") === doc).count() === 0L)
+      assert(spark.read.parquet(s"$ix/text_bands")
+        .filter(col("doc_id") === doc).count() === 4L,
+        "the text append must still be in place (partial crash state)")
+      // repair: finds the doc (keys anti-join), restores image rows
+      // ONLY, appends keys last
+      assert(Pipeline.repairIngestIndexes(spark, work, ix) === 1L)
+      for ((asset, n) <- Seq("text_bands" -> 4L, "image_bands" -> 4L,
+          "audio_bands" -> 4L, "text_shingles" -> 1L, "keys" -> 1L)) {
+        assert(spark.read.parquet(s"$ix/$asset")
+          .filter(col("doc_id") === doc).count() === n,
+          s"$asset must hold exactly the doc's rows after repair — " +
+            "no duplicates from the assets that had already landed")
+      }
+      // the repaired index rejects re-deliveries at every gate:
+      // same id -> stage 1; same scene/clip group (doc+1) -> image
+      // stage (the asset we rewound); near-dup text -> text stage
+      val a2 = Pipeline.ingestBatchIndexed(spark, work,
+          mk(doc, novelText(0)), ix)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a2("2_id_new") === 0L, s"id guard must fire: $a2")
+      val a3 = Pipeline.ingestBatchIndexed(spark, work,
+          mk(doc + 1, novelText(1)), ix)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a3("5_neardup_new") === 1L && a3("6_image_new") === 0L,
+        s"repaired image index must reject the scene sibling: $a3")
+      val a4 = Pipeline.ingestBatchIndexed(spark, work,
+          mk(base + 40, novelText(0) + " prextra"), ix)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a4("4_exact_new") === 1L && a4("5_neardup_new") === 0L,
+        s"text gate must reject the near-dup of the repaired doc: $a4")
+      // and repair is idempotent
+      assert(Pipeline.repairIngestIndexes(spark, work, ix) === 0L)
+    } finally {
+      Seq(work, ix).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
+  test("the image policy travels with the artifact: a mismatched writer fails loudly") {
+    // ADVICE r15: a caller forgetting ingestBatch's policy parameter
+    // on a wide-built corpus must not silently probe narrow —
+    // prepareCorpus records the policy in the artifact and both
+    // writers validate against it.
+    val work = java.nio.file.Files.createTempDirectory("graft_pm_w").toString
+    val ix = java.nio.file.Files.createTempDirectory("graft_pm_ix").toString
+    try {
+      corpus // built NarrowRadius3 → meta says narrow
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(out), new java.io.File(work))
+      val art0 = spark.read.parquet(work)
+      val b = art0.drop("split").limit(1)
+        .withColumn("doc_id", lit(10000000L))
+        .withColumn("text",
+          lit((0 until 12).map(j => s"pm0w$j").mkString(" ")))
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.ingestBatch(spark, work, b, Pipeline.WideRadius7)
+      }
+      assert(e.getMessage.contains("narrow_radius3") &&
+        e.getMessage.contains("wide_radius7"), e.getMessage)
+      // the indexed writer cross-checks the INDEX meta too: a wide
+      // index pointed at a narrow artifact is the same category error
+      Pipeline.saveIngestIndexes(spark, work, ix, Pipeline.WideRadius7)
+      val e2 = intercept[IllegalArgumentException] {
+        Pipeline.ingestBatchIndexed(spark, work, b, ix)
+      }
+      assert(e2.getMessage.contains("wide_radius7"), e2.getMessage)
+      // matching policies pass (the narrow default on a narrow corpus)
+      val a = Pipeline.ingestBatch(spark, work, b)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a("7_audio_new_accepted") === 1L, s"$a")
+    } finally {
+      Seq(work, ix).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("wide build refuses a noise-dominated corpus; the gate corpus passes the same guard") {
     import spark.implicits._
     // the q376 tripwire is now ENFORCED by prepareCorpus(WideRadius7)

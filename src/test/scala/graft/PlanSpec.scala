@@ -892,6 +892,38 @@ class PlanSpec extends AnyFunSuite {
       assert(iPlan.contains("SerializeFromObject"), iPlan)
       assert(!iPlan.contains("CartesianProduct") &&
         !iPlan.contains("BroadcastNestedLoopJoin"), iPlan)
+      // stage-1/3 key probes (VERDICT r15 #1): the keys sidecar must
+      // NEVER shuffle — the probe is a broadcast LEFT-SEMI from the
+      // index side (index scan streams through the join; only the tiny
+      // hit set shuffles in the post-semi defensive distinct). A plain
+      // left join would plan a sort-merge join: an Exchange UNDER the
+      // join with the whole corpus sidecar in its subtree.
+      for (key <- Seq("doc_id", "ck")) {
+        val probe = if (key == "doc_id") batch.select(col("doc_id"))
+          else batch.select(
+            graft.dedup.Dedup.contentKey(col("text")).as("ck"))
+        val hits = graft.ops.Pipeline.indexHits(
+          spark.read.parquet(s"$ix/keys"), probe, key, "hit")
+        val plan = hits.queryExecution.sparkPlan
+        val semis = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        }
+        assert(semis.nonEmpty, s"$key probe must plan a broadcast " +
+          s"left-semi join:\n$plan")
+        val streamed = semis.head.left
+        assert(streamed.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(ix))
+            => s
+        }.nonEmpty, s"the semi join's streamed side must be the index " +
+          s"scan:\n$plan")
+        assert(countShuffles(streamed) === 0,
+          s"no Exchange may sit between the keys-index scan and its " +
+            s"semi join ($key):\n$plan")
+        assert(countShuffles(plan) <= 1, // the post-semi tiny distinct
+          s"the $key probe may shuffle only the tiny hit set:\n$plan")
+      }
     } finally {
       Seq(corp, ix).foreach(d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
