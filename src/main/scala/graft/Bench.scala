@@ -78,24 +78,39 @@ object Bench {
     // error in EITHER pass is reported — an intermittent failure must
     // surface, not be hidden by a lucky second draw
     // WINDOW ANCHORS (SCALE.md §25): ten stable mid-range queries with
-    // COMMITTED sf0.1 reference minima (BENCH_sf01_r14_final.json,
-    // min-of-3). The run measures them THREE times — before pass 1,
-    // between the passes, and after pass 2 — so each measured sweep is
-    // bracketed by two anchor readings; window_factor = median over
-    // anchors of min(readings) / reference. Host windows drift ±7–15%
-    // between rounds (three rounds adjudicated by hand-run isolated
-    // minima — r12–r14); the factor makes a run's round-over-round
-    // comparison interpretable without fresh isolated runs: divide the
-    // totals by window_factor before reading a delta as real. Only
-    // computed at the sf0.1 gate scale where the references apply.
+    // COMMITTED sf0.1 reference minima. The run measures them THREE
+    // times — before pass 1, between the passes, and after pass 2 — so
+    // each measured sweep is bracketed by two anchor readings;
+    // window_factor = median over anchors of min(readings)/reference.
+    // Host windows drift ±7–15% between rounds (three rounds
+    // adjudicated by hand-run isolated minima — r12–r14); the factor
+    // makes a run's round-over-round comparison interpretable without
+    // fresh isolated runs: divide the totals by window_factor before
+    // reading a delta as real. Only computed at the sf0.1 gate scale
+    // where the references apply.
+    //
+    // RE-PIN POLICY (VERDICT r15 #3 / SCALE.md §25): the references
+    // are refreshed EVERY round from that round's folded definitive
+    // record (elementwise min over all committed draws), so a genuine
+    // anchor-query speedup becomes the new reference instead of
+    // permanently reading as a fast window; an anchor whose
+    // implementation a round's source change touches is excluded from
+    // that round's factor until re-pinned. Current pins: the r15
+    // folded record (BENCH_sf01_r15_final.json, min over its queries
+    // and anchors fields).
     val anchorRef: Map[String, Double] = Map(
-      "q01_pricing_summary" -> 1.588, "q05_multiway_join" -> 1.342,
-      "q09_argmax_per_day" -> 0.503, "q16_window_topn" -> 0.631,
-      "q26_token_stats" -> 0.522, "q31_minhash_lsh" -> 0.770,
-      "q54_window_range_frame" -> 0.789, "q82_tfidf_topk" -> 1.701,
-      "q116_twap" -> 0.923, "q357_image_neardup_pairs" -> 1.071)
-    val anchorsOn = sfDir.endsWith("sf0.1") && filter.isEmpty &&
-      anchorRef.keys.forall(SparkEntry.queries.contains)
+      "q01_pricing_summary" -> 1.342, "q05_multiway_join" -> 1.413,
+      "q09_argmax_per_day" -> 0.549, "q16_window_topn" -> 0.555,
+      "q26_token_stats" -> 0.470, "q31_minhash_lsh" -> 0.632,
+      "q54_window_range_frame" -> 0.767, "q82_tfidf_topk" -> 1.372,
+      "q116_twap" -> 0.918, "q357_image_neardup_pairs" -> 1.004)
+    val anchorScale = sfDir.endsWith("sf0.1") && filter.isEmpty
+    // an anchor name that no longer resolves must surface LOUDLY in
+    // the record (ADVICE r15): silently dropping the anchors field
+    // would lose window calibration with no trace
+    val anchorMissing = anchorRef.keys
+      .filterNot(SparkEntry.queries.contains).toSeq.sorted
+    val anchorsOn = anchorScale && anchorMissing.isEmpty
     // a failed anchor measurement is simply DROPPED (no NaN may ever
     // reach the JSON line — the whole record would be unparseable);
     // the remaining anchors still yield a factor
@@ -137,7 +152,11 @@ object Bench {
         if (vs.isEmpty) None else Some(n -> vs.min)
       }
       val ratios = mins.map { case (n, v) => v / anchorRef(n) }.sorted
-      if (!anchorsOn || ratios.isEmpty) ""
+      if (anchorScale && anchorMissing.nonEmpty)
+        s""""anchors":null,"anchors_error":${jstr(
+          s"unresolved anchor queries: ${anchorMissing.mkString(",")} — " +
+            "re-pin Bench.anchorRef")},"""
+      else if (!anchorsOn || ratios.isEmpty) ""
       else {
         val wf =
           if (ratios.size % 2 == 1) ratios(ratios.size / 2)

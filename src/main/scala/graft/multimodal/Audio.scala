@@ -359,20 +359,32 @@ object Audio {
   /** Banded acoustic-fingerprint rows of an arbitrary doc-id frame —
     * the probe-side handle the incremental ingest writer composes
     * (the gated q362/q381 machinery end to end). */
-  private[graft] def audioBandsOf(ids: DataFrame): DataFrame = {
-    val spark = ids.sparkSession
-    import spark.implicits._
-    generatedAudioOf(ids).mapPartitions { it =>
+  private[graft] def audioBandsOf(ids: DataFrame): DataFrame =
+    fpBandsOf(fpOf(generatedAudioOf(ids)).toDF())
+
+  /** The decode→fingerprint kernel over an arbitrary clip Dataset —
+    * factored so the STREAMING detector (q386) can run the identical
+    * stateless typed map per micro-batch (the [[Multimodal.aHash]]
+    * pattern): payload bytes never outlive the map; only (doc_id, fp)
+    * survives. Undecodable clips drop (see [[audioNearDup]]'s note). */
+  private[graft] def fpOf(ds: Dataset[AudioRecord]): Dataset[AudioFp] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
       it.grouped(Multimodal.DecodeBatch).flatMap(_.flatMap { r =>
         decodeAudio(r.payload).map(d =>
           AudioFp(r.doc_id, audioFingerprint(d.samples)))
       })
-    }.toDF()
+    }
+  }
+
+  /** The 4×16 band fan-out of a (doc_id, fp) frame — one definition
+    * for the batch handle and the streaming detector. */
+  private[graft] def fpBandsOf(fps: DataFrame): DataFrame =
+    fps
       .select(col("doc_id"), col("fp"),
         explode(graft.functions.Banding.hashBands(col("fp"), 4, 16)).as("bk"))
       .select(col("doc_id"), col("fp"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-  }
 
   def audioNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4x16 banding is lossless only for dist <= 3")

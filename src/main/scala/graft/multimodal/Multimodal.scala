@@ -686,6 +686,139 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---------------------------------------------------------------
+  // q387 — TRIM-TOLERANT clip near-dup: q383 demands EXACT frame-count
+  // alignment, so a one-frame trim defeats it (documented residue).
+  // ---------------------------------------------------------------
+
+  /** A trimmed-clip spec: [[ClipSpec]]'s re-encode groups of four,
+    * with variants additionally TRIMMED from the start by
+    * trim = variant mod 3 ∈ {0,1,2} ORIGINAL frames (variant 0: the
+    * untrimmed base; variant 3: an untrimmed re-encode — offset-0
+    * pairs must still match). Remaining frames keep their ORIGINAL
+    * motion flips (a trim cuts frames, it does not re-render them), so
+    * two clips' frames align exactly when their ORIGINAL frame numbers
+    * agree: encoded index i of a trim-δ clip is original frame i+δ.
+    * n_frames = 4 + (group mod 3) ∈ {4,5,6} keeps every overlap
+    * window ≥ 2 frames. */
+  case class TrimClipSpec(doc_id: Long, seed: Long, n_frames: Int,
+    variant: Int, trim: Int)
+
+  def trimClipSpecs(spark: SparkSession, dir: String): Dataset[TrimClipSpec] = {
+    import spark.implicits._
+    val g = "cast(doc_id div 4 as string)"
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      phash(concat(lit("TC"), expr(g))).as("seed"),
+      (lit(4) + expr("(doc_id div 4) % 3")).cast(IntegerType).as("n_frames"),
+      (col("doc_id") % 4).cast(IntegerType).as("variant"),
+      ((col("doc_id") % 4) % 3).cast(IntegerType).as("trim"))
+      .as[TrimClipSpec]
+  }
+
+  /** The generated trimmed-clip table — [[generatedClips]]' render
+    * rules (variant flip carried through every frame, frame-motion
+    * flip keyed on the ORIGINAL frame number) minus the first `trim`
+    * frames, each clip through the real multi-frame GIF writer. */
+  def generatedTrimClips(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    fanOut(trimClipSpecs(spark, dir)).mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.map { s =>
+        val anchor = (s.seed % SceneCells).toInt
+        val vFlip =
+          if (s.variant == 0) Array.empty[Int]
+          else Array((anchor + 17 + s.variant) % SceneCells)
+        val frames = (s.trim until s.n_frames).map { f =>
+          val fFlip =
+            if (f == 0) Array.empty[Int]
+            else Array((anchor + f) % SceneCells)
+          cellValues(s.seed, fFlip ++ vFlip)
+        }
+        MediaRecord(s.doc_id, encodeGifAnimation(frames), "gif", 64, 64)
+      })
+    }
+  }
+
+  /** q387 — TRIM-TOLERANT CLIP NEAR-DUP: q383's order-aware detector
+    * extended with a BOUNDED alignment offset, so a clip trimmed by up
+    * to 2 frames still dedups against its source. Candidates come from
+    * the same banded join, with the probe side fanned to 5 offset keys
+    * (frame_idx + δ, |δ| ≤ 2) — the frame index stays IN the equi-key,
+    * so pruning survives and a re-ordered cut still cannot match. The
+    * verify aligns the two hash sequences at each candidate δ and
+    * demands (a) the overlap window is FULLY matched —
+    * n_aligned = min(n_a, n_b), exactly the start-trim overlap — and
+    * (b) summed Hamming ≤ 2·n_aligned (the planted per-frame ceiling).
+    * The cap is load-bearing, not a tolerance: a WRONG offset between
+    * same-group clips can also achieve a full-looking overlap count,
+    * but misaligned frames disagree on the motion cells (≥ 3 bits per
+    * frame vs ≤ 2 planted — rejected for every n ≥ 4; the margin is
+    * tightest at n = 4: 5 > 4). Per pair the minimum-distance offset
+    * wins.
+    *
+    * Closed-form oracle: every same-group pair matches at offset
+    * trim_a − trim_b with clip distance
+    * (n − max(trim_a, trim_b)) × (1 if either side is the base else
+    * 2); cross-group aligned frames disagree on ~28 of 56 bits, so
+    * the ≤ 2·n cap is unreachable (same bookkeeping as q383). */
+  def clipNearDupTrimTolerant(spark: SparkSession, dir: String): DataFrame = {
+    // decode-once discipline (q383's): one decode pass to scratch,
+    // read by the band side and both verify sides
+    val scratch: String = graft.util.Scratch.indexDir("graft_trim_fh", dir)
+    locally {
+      import spark.implicits._
+      generatedTrimClips(spark, dir).mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap(_.flatMap { r =>
+          val frames = decodeAllFrames(r.payload)
+          frames.zipWithIndex.map { case (px, f) =>
+            (r.doc_id, f, aHash64(px, 64, 64), frames.length)
+          }
+        })
+      }.toDF("doc_id", "frame_idx", "fhash", "nf").write.parquet(scratch)
+    }
+    val fh = spark.read.parquet(scratch)
+    val bands = fh.select(col("doc_id"), col("frame_idx"), col("fhash"),
+        explode(graft.functions.Banding.hashBands(col("fhash"), 4, 16))
+          .as("bk"))
+      .select(col("doc_id"), col("frame_idx"), col("fhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val xo = bands
+      .select(col("doc_id"), col("frame_idx"), col("fhash"),
+        col("band"), col("bkey"),
+        explode(sequence(lit(-2), lit(2))).as("off"))
+      .withColumn("fkey", col("frame_idx") + col("off"))
+    val cand = xo.alias("x").join(bands.alias("y"),
+        col("x.fkey") === col("y.frame_idx") &&
+        col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.fhash").bitwiseXOR(col("y.fhash"))) <= 3)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.off").as("off"))
+      .distinct()
+    val fa = fh.select(col("doc_id").as("doc_a"),
+      col("frame_idx").as("fi"), col("fhash").as("ha"), col("nf").as("na"))
+    val fb = fh.select(col("doc_id").as("doc_b"),
+      col("frame_idx").as("fj"), col("fhash").as("hb"), col("nf").as("nb"))
+    val verified = cand.join(fa, Seq("doc_a"))
+      .withColumn("fj", col("fi") + col("off"))
+      .join(fb, Seq("doc_b", "fj"))
+      .groupBy(col("doc_a"), col("doc_b"), col("off"))
+      .agg(sum(bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .cast(LongType).as("clip_dist"),
+        count(lit(1)).as("n_aligned"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .filter(col("n_aligned") === least(col("na"), col("nb")) &&
+        col("clip_dist") <= lit(2) * col("n_aligned"))
+    verified
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(struct(col("clip_dist"), col("off"))).as("best"))
+      .select(col("doc_a"), col("doc_b"),
+        col("best.off").cast(IntegerType).as("best_offset"),
+        col("best.clip_dist").as("clip_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The generated media table: REAL encoded image bytes (one render +
     * encode per row, partition-batched like every decode path here) —
     * the corpus the oracle-gated image queries run on. Payloads are
@@ -1549,7 +1682,8 @@ object Multimodal {
     "q376_banding_audit256" -> bandingAudit256,
     "q379_image_incremental_dedup" -> imageIncrementalDedup,
     "q380_image_index_probe" -> imageIndexProbeFresh,
-    "q383_clip_near_dup" -> clipNearDup)
+    "q383_clip_near_dup" -> clipNearDup,
+    "q387_clip_near_dup_trimmed" -> clipNearDupTrimTolerant)
 
   /** The oracle's spelling of the scene seed (portable md5 hash of the
     * scene key — [[graft.Tables.phashSql]]). */
@@ -1813,5 +1947,22 @@ object Multimodal {
         |         (CASE WHEN a.v = 0 OR b.v = 0 THEN 1 ELSE 2 END)
         |         AS BIGINT) AS clip_dist
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q387: every same-group pair matches at offset trim_a - trim_b
+    // (trim = variant mod 3) over the overlap window
+    // n - max(trim_a, trim_b), with the planted per-frame distance
+    // (1 with the base, 2 between re-encodes) summed over it
+    "q387_clip_near_dup_trimmed" ->
+      """WITH c AS (SELECT doc_id, doc_id // 4 AS g,
+        |             CAST(doc_id % 4 AS INT) AS v,
+        |             CAST((doc_id % 4) % 3 AS INT) AS tr,
+        |             CAST(4 + (doc_id // 4) % 3 AS INT) AS n
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(a.tr - b.tr AS INT) AS best_offset,
+        |  CAST((a.n - GREATEST(a.tr, b.tr)) *
+        |    (CASE WHEN a.v = 0 OR b.v = 0 THEN 1 ELSE 2 END)
+        |    AS BIGINT) AS clip_dist
+        |FROM c a JOIN c b ON a.g = b.g AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -983,6 +983,16 @@ object Pipeline {
   private def keySorted(df: DataFrame, k: String): DataFrame =
     df.repartitionByRange(col(k)).sortWithinPartitions(col(k))
 
+  /** The APPEND-path variant: sort only, never re-range — a per-batch
+    * append is small, and repartitionByRange's sampling pass + 32-way
+    * shuffle would add fixed jobs and a fan of tiny files to every
+    * ingest (measured ~2 s/batch at ProbeIngest's 100-doc batch).
+    * Each appended file still lands internally sorted, so its row-
+    * group min/max stats stay tight; the file-count growth is the
+    * compaction routine's job, not the writer's. */
+  private def appendSorted(df: DataFrame, cols: String*): DataFrame =
+    df.sortWithinPartitions(cols.map(col): _*)
+
   /** The stage-1/3 corpus-key probe of the ingest gauntlet, factored
     * so PlanSpec can pin its physical shape: which of the batch's keys
     * does the index already hold? Runs FROM THE INDEX SIDE as a
@@ -1177,10 +1187,21 @@ object Pipeline {
     // duplicated sidecar row silently duplicating batch rows), never
     // over the corpus. PlanSpec pins the shape: no Exchange between
     // the keys-index scan and its semi join.
-    val idHits = indexHits(h.keys, batch.select(col("doc_id")),
-      "doc_id", "id0")
-    val ckHits = indexHits(h.keys,
-      batch.select(Dedup.contentKey(col("text")).as("ck")), "ck", "k0")
+    // the hit frames SNAPSHOT to scratch (the same discipline as the
+    // accepted-rows snapshot below): each probe chain executes exactly
+    // once, and everything downstream — including the repeated base
+    // subtrees inside the flags plan — broadcasts a KB-sized parquet
+    // instead of re-deriving a semi-join
+    def snapHits(df: DataFrame, tag: String): DataFrame = {
+      val s = graft.util.Scratch.indexDir(s"graft_hits_$tag", corpusDir)
+      df.write.parquet(s)
+      spark.read.parquet(s)
+    }
+    val idHits = snapHits(indexHits(h.keys, batch.select(col("doc_id")),
+      "doc_id", "id0"), "id")
+    val ckHits = snapHits(indexHits(h.keys,
+      batch.select(Dedup.contentKey(col("text")).as("ck")), "ck", "k0"),
+      "ck")
     val wId = Window.partitionBy(col("doc_id"))
       .orderBy(col("ck"), col("text"))
     val wC = Window.partitionBy(col("ck"))
@@ -1322,20 +1343,20 @@ object Pipeline {
           // row-group min/max stats stay selective as the asset grows.
           maintainIndex.foreach { ix =>
             val appends = Seq[() => Unit](
-              () => bandSorted(accTextBands)
+              () => appendSorted(accTextBands, "band", "bkey")
                 .write.mode("append").partitionBy("band")
                 .parquet(s"$ix/text_bands"),
-              () => keySorted(accTextSets, "doc_id")
+              () => appendSorted(accTextSets, "doc_id")
                 .write.mode("append").parquet(s"$ix/text_shingles"),
-              () => bandSorted(accImgBands)
+              () => appendSorted(accImgBands, "band", "bkey")
                 .write.mode("append").partitionBy("band")
                 .parquet(s"$ix/image_bands"),
-              () => bandSorted(accAudBands)
+              () => appendSorted(accAudBands, "band", "bkey")
                 .write.mode("append").partitionBy("band")
                 .parquet(s"$ix/audio_bands"))
             awaitSettled(appends)
             // keys LAST — the commit marker (see the contract above)
-            keySorted(accepted.select(col("doc_id"), col("ck")), "ck")
+            appendSorted(accepted.select(col("doc_id"), col("ck")), "ck")
               .write.mode("append").parquet(s"$ix/keys")
           }
           violations
@@ -1501,25 +1522,72 @@ object Pipeline {
       val nIB = needs("image_bands")
       val nAB = needs("audio_bands")
       awaitSettled(Seq(
-        () => bandSorted(Dedup.textBandRows(nTB))
+        () => appendSorted(Dedup.textBandRows(nTB), "band", "bkey")
           .write.mode("append").partitionBy("band")
           .parquet(s"$indexDir/text_bands"),
-        () => keySorted(Dedup.shingleSets(nTS), "doc_id")
+        () => appendSorted(Dedup.shingleSets(nTS), "doc_id")
           .write.mode("append").parquet(s"$indexDir/text_shingles"),
-        () => bandSorted(imageBandsFor(nIB.select(col("doc_id")), policy))
+        () => appendSorted(
+            imageBandsFor(nIB.select(col("doc_id")), policy), "band", "bkey")
           .write.mode("append").partitionBy("band")
           .parquet(s"$indexDir/image_bands"),
-        () => bandSorted(graft.multimodal.Audio
-            .audioBandsOf(nAB.select(col("doc_id"))))
+        () => appendSorted(graft.multimodal.Audio
+            .audioBandsOf(nAB.select(col("doc_id"))), "band", "bkey")
           .write.mode("append").partitionBy("band")
           .parquet(s"$indexDir/audio_bands")))
       // keys LAST — the commit marker: by definition every missing
       // doc is absent from keys, so the full set appends
-      keySorted(docs.select(col("doc_id"),
+      appendSorted(docs.select(col("doc_id"),
           Dedup.contentKey(col("text")).as("ck")), "ck")
         .write.mode("append").parquet(s"$indexDir/keys")
     }
     n
+  }
+
+  /** q388 — BANDING AUDIT OVER THE GROWN INGEST INDEX (VERDICT r15
+    * #6): the q376 noise tripwire guards the wide BUILD, but an index
+    * that accretes batches for months can drift noise-dominated with
+    * no one re-running the build — this audits the PERSISTED image
+    * band asset in place. The per-doc hash words are reconstructed
+    * from the band rows themselves (every doc repeats once per band
+    * with identical words — one dropDuplicates, ZERO re-decode), and
+    * [[graft.multimodal.Multimodal.bandingAudit256From]]'s reduction
+    * runs unchanged, so the reconstruct-from-asset path can never
+    * fork from the decode path (q388's gate pins them equal). Under
+    * [[NarrowRadius3]] the single-word asset audits its own
+    * ahash64_8x8 family only. This scans the asset (O(corpus),
+    * narrow), which is exactly why it is a MAINTENANCE surface — run
+    * it every Nth batch or alongside [[repairIngestIndexes]] — and
+    * not a per-batch gauntlet stage. */
+  def auditIngestIndexBanding(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    val policy = policyOf(
+      spark.read.parquet(s"$indexDir/meta").head().getString(0))
+    val bands = spark.read.parquet(s"$indexDir/image_bands")
+    val hashes = policy match {
+      case WideRadius7 => bands
+        .select(col("doc_id"), col("h1"), col("h2"), col("h3"), col("h4"))
+        .dropDuplicates("doc_id")
+      case NarrowRadius3 => bands
+        .select(col("doc_id"), col("ahash").as("h1"),
+          lit(0L).as("h2"), lit(0L).as("h3"), lit(0L).as("h4"))
+        .dropDuplicates("doc_id")
+    }
+    val audit = graft.multimodal.Multimodal.bandingAudit256From(hashes)
+    policy match {
+      case WideRadius7 => audit
+      case NarrowRadius3 => audit.filter(col("family") === "ahash64_8x8")
+    }
+  }
+
+  /** q388's registered form: index the table's documents WIDE into a
+    * per-call temp dir, audit from the asset — the oracle is q376's
+    * string VERBATIM (the full-table decode-path audit), so the
+    * reconstruction is pinned bit-for-bit. */
+  def ingestIndexAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ix = graft.util.Scratch.indexDir("graft_ing_audit", dir)
+    saveIngestIndexes(spark, s"$dir/documents.parquet", ix, WideRadius7)
+    auditIngestIndexBanding(spark, ix)
   }
 
   /** Deterministic training-order shuffle: every epoch a training run
@@ -2088,6 +2156,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q313_build_waterfall" -> ((s, d) => buildWaterfall(s, d)),
     "q329_delta_ingest_report" -> deltaIngestReport,
+    "q388_ingest_index_audit" -> ingestIndexAudit,
     "q333_interleave_order" -> interleaveOrder,
     "q342_dataset_card" -> datasetCard,
     "q343_doc_lineage" -> docLineage,
@@ -2180,6 +2249,12 @@ object Pipeline {
       |FROM r, l ORDER BY r.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q388: the grown-index audit must equal the full-table decode-
+    // path audit BIT-FOR-BIT — q376's oracle string verbatim (the
+    // never-fork pattern): the asset-reconstructed hash frame is the
+    // same (doc_id, h1..h4) set the decode path produces
+    "q388_ingest_index_audit" ->
+      graft.multimodal.Multimodal.oracles("q376_banding_audit256"),
     // q276: same q69 split rule, same trigram-shingle hash kernel;
     // coverage = |doc shingles ∩ train vocabulary| / |doc shingles|
     "q276_heldout_coverage" ->

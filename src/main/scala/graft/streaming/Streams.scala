@@ -1295,6 +1295,140 @@ object Streams {
     streamPairs.unionByName(corpusHits)
   }
 
+  /** The INDEX-SEEDED streaming TEXT detector — q384's pattern carried
+    * to the LSH column (VERDICT r16 #3): only the delta slice streams;
+    * near-dups of already-ingested corpus docs flag through a
+    * STATELESS stream-static band join against
+    * [[graft.dedup.Dedup.saveLshIndex]]'s parquet, exact-verified by
+    * joining the persisted shingle sets (the q285 verify rule — exact
+    * Jaccard ≥ 0.5 over the candidate's fetched set), so the corpus is
+    * never re-shingled into state and a restart loses nothing.
+    * Within-stream duplicates keep flowing through the [[ttlPairs]]
+    * watermark-bounded core with q319's signature-overlap estimate.
+    * The two paths are structurally disjoint (corpus partners are
+    * never delta docs), so the caller's final distinct only collapses
+    * cross-band duplicate emissions. */
+  private[graft] def lshPairsTtlStreamIndexed(spark: SparkSession,
+      dir: String, base: String, horizon: String,
+      indexDir: String): DataFrame = {
+    import spark.implicits._
+    val K = graft.dedup.Dedup.K
+    deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs(): Unit
+    val delta = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", pmod(col("doc_id"), lit(4)).cast("int"))
+    val srcDir = stageOrderedBatches(spark,
+      delta.withColumn("ts",
+        expr(s"$DedupT0 + batch * INTERVAL '1' HOUR")), base, 4)
+    val schema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", horizon)
+    // O(batch) per micro-batch: shingle hashes (exact verify side) and
+    // the MinHash signature, computed once per arriving doc
+    val enriched = src.select(col("doc_id"), col("text"), col("ts"))
+      .withColumn("hx",
+        graft.dedup.Dedup.shingleHashes(col("text"), mod = false))
+      .withColumn("nx", size(col("hx")).cast("long"))
+      .withColumn("sig", call_function("minhash_sig",
+        graft.dedup.Dedup.shingleHashes(col("text"), mod = true)))
+    val banded = graft.dedup.Dedup.bandKeys(enriched)
+    val ixBands = spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id").as("match_doc"), col("band"), col("bkey"))
+    val ixSets = spark.read.parquet(s"$indexDir/shingles")
+      .select(col("doc_id").as("match_doc"), col("hx").as("hb"),
+        col("n").as("nb"))
+    val corpusHits = banded
+      .select(col("doc_id"), col("hx"), col("nx"), col("band"), col("bkey"))
+      .join(ixBands, Seq("band", "bkey"))
+      .join(ixSets, Seq("match_doc"))
+      .withColumn("c", size(array_intersect(col("hx"), col("hb")))
+        .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("score",
+        col("c").cast(org.apache.spark.sql.types.DoubleType) /
+          (col("nx") + col("nb") - col("c")))
+      .filter(col("score") >= 0.5)
+      .select(least(col("doc_id"), col("match_doc")).as("doc_a"),
+        greatest(col("doc_id"), col("match_doc")).as("doc_b"),
+        col("score"))
+    val bucketed = banded
+      .select(concat_ws("|", col("band"), col("bkey")).as("bucket"),
+        col("doc_id"), col("sig"), col("ts"))
+      .as[(String, Long, Array[Long], java.sql.Timestamp)]
+    val streamPairs = ttlPairs[Array[Long], (Long, Long, Double)](bucketed,
+      (id, sg, pid, psg) => {
+        var eq = 0; var i = 0
+        while (i < K) { if (sg(i) == psg(i)) eq += 1; i += 1 }
+        val est = eq.toDouble / K
+        if (est >= 0.5) Some((math.min(pid, id), math.max(pid, id), est))
+        else None
+      }).toDF("doc_a", "doc_b", "score")
+    streamPairs.unionByName(corpusHits)
+  }
+
+  /** The INDEX-SEEDED streaming AUDIO detector — the q384/q385 pattern
+    * completed across all three ingest columns: the corpus side is
+    * [[graft.multimodal.Audio.saveAudioIndex]]'s banded fingerprint
+    * parquet (stateless stream-static join, restart-proof); arriving
+    * clips run the REAL WAV decode→fingerprint kernel
+    * ([[graft.multimodal.Audio.fpOf]] — the batch kernel verbatim,
+    * stateless typed map per micro-batch); within-stream duplicates
+    * pair through [[ttlPairs]] at Hamming ≤ 3. */
+  private[graft] def audioPairsTtlStreamIndexed(spark: SparkSession,
+      dir: String, base: String, horizon: String,
+      indexDir: String): DataFrame = {
+    import spark.implicits._
+    deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs(): Unit
+    val delta = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    val srcDir = stageOrderedBatches(spark,
+      graft.multimodal.Audio.generatedAudioOf(delta).toDF()
+        .withColumn("batch", pmod(col("doc_id"), lit(4)).cast("int")),
+      base, 4)
+    val schema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val fped = graft.multimodal.Audio.fpOf(
+        src.select(col("doc_id"), col("payload"), col("format"))
+          .as[graft.multimodal.Audio.AudioRecord]).toDF()
+      .withColumn("ts",
+        expr(s"$DedupT0 + (doc_id % 4) * INTERVAL '1' HOUR"))
+      .withWatermark("ts", horizon)
+    // the same 4×16 fan-out as Audio.fpBandsOf, with the watermark-
+    // tagged ts column riding along (a projection that dropped it
+    // would fail the event-time-timeout analysis check)
+    val fanned = fped
+      .select(col("doc_id"), col("fp"), col("ts"),
+        explode(graft.functions.Banding.hashBands(col("fp"), 4, 16))
+          .as("bk"))
+      .select(col("doc_id"), col("fp"), col("ts"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val ixb = spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id").as("c_doc"), col("fp").as("c_fp"),
+        col("band"), col("bkey"))
+    val corpusHits = fanned.join(ixb, Seq("band", "bkey"))
+      .withColumn("dist",
+        bit_count(col("fp").bitwiseXOR(col("c_fp")))
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .filter(col("dist") <= 3)
+      .select(least(col("doc_id"), col("c_doc")).as("doc_a"),
+        greatest(col("doc_id"), col("c_doc")).as("doc_b"), col("dist"))
+    val bucketed = fanned
+      .select(concat_ws("|", col("band"), col("bkey")).as("bucket"),
+        col("doc_id"), col("fp"), col("ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+    val streamPairs = ttlPairs[Long, (Long, Long, Int)](bucketed,
+      (id, h, pid, ph) => {
+        val d = java.lang.Long.bitCount(h ^ ph)
+        if (d <= 3) Some((math.min(pid, id), math.max(pid, id), d))
+        else None
+      }).toDF("doc_a", "doc_b", "dist")
+    streamPairs.unionByName(corpusHits)
+  }
+
   /** q338 — STREAMING CANARY CHECK: q335's planted-duplicate
     * acceptance test run through the STREAMING detector (the
     * [[ttlPairs]] band-bucket state machinery) — the health probe for
@@ -1414,6 +1548,51 @@ object Streams {
       runToMemoryAppend(spark,
           imagePairsTtlStreamIndexed(spark, dir, base, ReplayHorizon, ix),
           "graft_stream_img_ixs")
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** q385 — INDEX-SEEDED STREAMING TEXT DEDUP: q384's restart-proof
+    * pattern on the LSH column ([[lshPairsTtlStreamIndexed]]). The
+    * corpus side is `saveLshIndex`'s parquet — never replayed into
+    * state, so a restarted stream re-pays nothing (OperatorSpec pins
+    * cold-restart set equality). Oracle: corpus hits are q285's
+    * exact-verified delta-vs-corpus matches (the deltaProbeCte `ver`
+    * chain, J ≥ 0.5); within-stream hits are q31's pair rule
+    * restricted to both-delta endpoints — the two sets are disjoint
+    * by construction and their union is exact. */
+  def streamLshDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = dedupBase("graft_lsh_ixs", dir)
+    val ix = graft.util.Scratch.indexDir("graft_lsh_ixs_index", dir)
+    graft.dedup.Dedup.saveLshIndex(spark, dir, ix)
+    try {
+      runToMemoryAppend(spark,
+          lshPairsTtlStreamIndexed(spark, dir, base, ReplayHorizon, ix),
+          "graft_stream_lsh_ixs")
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** q386 — INDEX-SEEDED STREAMING AUDIO DEDUP: the pattern completed
+    * across all three ingest columns (text q385, image q384, audio
+    * here) — [[audioPairsTtlStreamIndexed]] against `saveAudioIndex`'s
+    * parquet. Closed-form oracle: a delta doc pairs with each of its
+    * clip group's corpus members (group = doc div 4) at q362's planted
+    * distance — 1 when either side is the group base (variant 0), 2
+    * between re-encodes; within-stream planted pairs cannot exist
+    * (two multiples of 10 never share 4 consecutive ids), and
+    * cross-group fingerprints never pass Hamming ≤ 3 (q362's
+    * soundness argument). */
+  def streamAudioDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = dedupBase("graft_aud_ixs", dir)
+    val ix = graft.util.Scratch.indexDir("graft_aud_ixs_index", dir)
+    graft.multimodal.Audio.saveAudioIndex(spark, dir, ix)
+    try {
+      runToMemoryAppend(spark,
+          audioPairsTtlStreamIndexed(spark, dir, base, ReplayHorizon, ix),
+          "graft_stream_aud_ixs")
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     } finally deleteRecursively(new java.io.File(base))
@@ -1596,6 +1775,8 @@ object Streams {
     "q366_stream_image_dedup" -> streamImageDedup,
     "q369_stream_dedup_ttl" -> streamImageDedupTtl,
     "q384_stream_image_dedup_indexed" -> streamImageDedupIndexed,
+    "q385_stream_lsh_dedup_indexed" -> streamLshDedupIndexed,
+    "q386_stream_audio_dedup_indexed" -> streamAudioDedupIndexed,
     "q371_stream_lsh_dedup_ttl" -> streamLshDedupTtl,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
@@ -1679,6 +1860,45 @@ object Streams {
         |  WHERE d.doc_id % 10 = 0)
         |SELECT doc_a, doc_b, CAST(1 AS INT) AS dist
         |FROM p ORDER BY doc_a, doc_b""".stripMargin,
+    // q385: corpus hits are q285's exact-verified delta-vs-corpus
+    // matches (deltaProbeCte's `ver` chain, J >= 0.5); within-stream
+    // hits are q31's signature-estimate pair rule restricted to
+    // both-delta endpoints — disjoint sets, exact union
+    "q385_stream_lsh_dedup_indexed" ->
+      s"""WITH ${graft.dedup.Dedup.deltaProbeCte},
+        |cp AS (SELECT LEAST(new_doc, match_doc) AS doc_a,
+        |         GREATEST(new_doc, match_doc) AS doc_b, jaccard AS score
+        |       FROM ver WHERE jaccard >= 0.5),
+        |sp0 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |        FROM bands x JOIN bands y
+        |          ON x.band = y.band AND x.bkey = y.bkey
+        |           AND x.doc_id < y.doc_id
+        |        WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 = 0),
+        |sp AS (SELECT doc_a, doc_b,
+        |         CAST(LEN(LIST_FILTER(
+        |             GENERATE_SERIES(1, ${graft.dedup.Dedup.K}),
+        |             i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+        |           / ${graft.dedup.Dedup.K}.0 AS score
+        |       FROM sp0 JOIN sig a ON a.doc_id = sp0.doc_a
+        |         JOIN sig b ON b.doc_id = sp0.doc_b)
+        |SELECT doc_a, doc_b, score FROM cp
+        |UNION
+        |SELECT doc_a, doc_b, score FROM sp WHERE score >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q386: a delta doc pairs with its clip group's corpus members at
+    // q362's planted distances (1 via the base, 2 re-encode↔re-encode);
+    // within-stream pairs cannot exist (two multiples of 10 never
+    // share 4 consecutive ids)
+    "q386_stream_audio_dedup_indexed" ->
+      """SELECT LEAST(d.doc_id, c.doc_id) AS doc_a,
+        |  GREATEST(d.doc_id, c.doc_id) AS doc_b,
+        |  CAST(CASE WHEN d.doc_id % 4 = 0 OR c.doc_id % 4 = 0
+        |       THEN 1 ELSE 2 END AS INT) AS dist
+        |FROM documents d JOIN documents c
+        |  ON d.doc_id // 4 = c.doc_id // 4 AND c.doc_id <> d.doc_id
+        | AND c.doc_id % 10 <> 0
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q369: q357's pair rule RESTRICTED to the watermark window — a
     // scene pair emits iff its docs' event-hours (doc_id mod 4) are at
     // most 2 apart; gap-3 pairs (present in every scene quintet) must

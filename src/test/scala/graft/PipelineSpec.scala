@@ -683,6 +683,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.multimodal.Multimodal.generatedMediaQuad256(spark, sf)).toDF())
   }
 
+  test("grown-index banding audit: accreted noise flips the tripwire read straight from the asset") {
+    import spark.implicits._
+    // VERDICT r15 #6: the build-time guard cannot see an index that
+    // DRIFTS noise-dominated as batches accrete — the audit must read
+    // the persisted band asset itself. Synthetic wide asset (the
+    // guardWideBandingFrom spec's constructed-hash pattern; the
+    // real-decode reconstruction path is gated by q388): signal docs
+    // pair within their scene groups at Hamming distance 1 with
+    // group-distinct bytes in every h1 lane (zero cross-group
+    // collisions); noise docs are group-less all-identical hashes.
+    val ix = java.nio.file.Files.createTempDirectory("graft_ixa").toString
+    try {
+      def bandsOf(h: org.apache.spark.sql.DataFrame) = {
+        val hs = Seq(col("h1"), col("h2"), col("h3"), col("h4"))
+        h.select((col("doc_id") +: hs) :+
+            explode(graft.functions.Banding.multiBands(hs, 8, 8)).as("bk"): _*)
+          .select((col("doc_id") +: hs) :+ col("bk.band").as("band") :+
+            col("bk.bkey").as("bkey"): _*)
+      }
+      Seq("wide_radius7").toDF("image_policy")
+        .write.parquet(s"$ix/meta")
+      val signal = (0L until 100L).flatMap { g =>
+        val base = g * 0x0101010101010101L
+        Seq((g * 5, base, 0L, 0L, 0L), (g * 5 + 1, base + 1L, 0L, 0L, 0L))
+      }.toDF("doc_id", "h1", "h2", "h3", "h4")
+      bandsOf(signal).write.partitionBy("band")
+        .parquet(s"$ix/image_bands")
+      def quadRow() = Pipeline.auditIngestIndexBanding(spark, ix)
+        .filter(col("family") === "quad256_8x32").head()
+      val clean = quadRow()
+      assert(!clean.getBoolean(5),
+        s"clean index must not flag: $clean")
+      // a batch of 20 group-less identical-hash docs appends — their
+      // C(20,2)×8 band accidents now dominate the 700 planted
+      // candidates, and the audit read from the GROWN asset must say so
+      val noise = (0L until 20L).map(i => ((1000L + i) * 5,
+        0x00DEAD00BEEF00L, 0L, 0L, 0L))
+        .toDF("doc_id", "h1", "h2", "h3", "h4")
+      bandsOf(noise).write.mode("append").partitionBy("band")
+        .parquet(s"$ix/image_bands")
+      val grown = quadRow()
+      assert(grown.getBoolean(5),
+        s"noise-dominated grown index must flag: $grown")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
+    }
+  }
+
   test("rerun writes the identical corpus (deterministic artifact)") {
     val first = corpus.select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq

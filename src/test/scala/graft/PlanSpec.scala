@@ -795,7 +795,11 @@ class PlanSpec extends AnyFunSuite {
         "q381_audio_incremental_dedup",
         // q383's clip-pair candidates must ride the (frame_idx, band,
         // bkey) equi-join — all-pairs over clips is the 100 TB killer
-        "q383_clip_near_dup")) {
+        "q383_clip_near_dup",
+        // q387's bounded-offset variant keeps the frame key IN the
+        // equi-join (the probe side fans to 5 offset keys) — the
+        // trim tolerance must never degrade to all-pairs
+        "q387_clip_near_dup_trimmed")) {
       val plan = formatted(run(q))
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
