@@ -95,15 +95,17 @@ object Bench {
     // anchor-query speedup becomes the new reference instead of
     // permanently reading as a fast window; an anchor whose
     // implementation a round's source change touches is excluded from
-    // that round's factor until re-pinned. Current pins: the r15
-    // folded record (BENCH_sf01_r15_final.json, min over its queries
-    // and anchors fields).
+    // that round's factor until re-pinned. Current pins: the r16
+    // folded record (BENCH_sf01_r16_final.json, min over its queries
+    // and anchors fields; folded window_factor vs the r15 pins was
+    // 0.975, and no anchor's implementation was touched in r16, so
+    // all ten re-pin).
     val anchorRef: Map[String, Double] = Map(
-      "q01_pricing_summary" -> 1.342, "q05_multiway_join" -> 1.413,
-      "q09_argmax_per_day" -> 0.549, "q16_window_topn" -> 0.555,
-      "q26_token_stats" -> 0.470, "q31_minhash_lsh" -> 0.632,
-      "q54_window_range_frame" -> 0.767, "q82_tfidf_topk" -> 1.372,
-      "q116_twap" -> 0.918, "q357_image_neardup_pairs" -> 1.004)
+      "q01_pricing_summary" -> 1.231, "q05_multiway_join" -> 1.208,
+      "q09_argmax_per_day" -> 0.489, "q16_window_topn" -> 0.545,
+      "q26_token_stats" -> 0.470, "q31_minhash_lsh" -> 0.642,
+      "q54_window_range_frame" -> 0.787, "q82_tfidf_topk" -> 1.477,
+      "q116_twap" -> 0.764, "q357_image_neardup_pairs" -> 0.972)
     val anchorScale = sfDir.endsWith("sf0.1") && filter.isEmpty
     // an anchor name that no longer resolves must surface LOUDLY in
     // the record (ADVICE r15): silently dropping the anchors field
