@@ -1544,6 +1544,58 @@ object Pipeline {
     n
   }
 
+  /** STREAMING CORPUS INGEST — [[ingestBatchIndexed]] as a Structured
+    * Streaming `foreachBatch` sink: the production write path when the
+    * corpus grows from a stream rather than a daily drop. Micro-batches
+    * execute serially, so the result is BY CONSTRUCTION the sequential
+    * multi-batch semantics PipelineSpec pins for the batch writer (each
+    * batch probes the artifact + indexes exactly as they stood after
+    * the previous batch); PipelineSpec additionally pins streamed ==
+    * sequential equality end-to-end and full-redelivery idempotence.
+    *
+    * Crash story, composed from contracts that already exist:
+    *  - a micro-batch that fails mid-gauntlet leaves at most "artifact
+    *    ahead of keys" (the writer's two-phase append order);
+    *  - on restart, `foreachBatch` re-delivers that batch (the
+    *    checkpoint WAL marks it uncommitted) — and the gauntlet run
+    *    starts by [[repairIngestIndexes]] (default on), reconciling
+    *    the partial append before any probe; re-delivered docs the
+    *    artifact already holds then reject at the id-guard, novel
+    *    remainder ingests once. Repair on a CONSISTENT state is one
+    *    narrow anti-join finding nothing — the same order of work as
+    *    the id-guard probe itself, so the guard costs a per-batch
+    *    constant, not a scale term.
+    *
+    * Each micro-batch frame is snapshotted to scratch parquet first:
+    * the gauntlet contract requires `batch` not be a live read of the
+    * corpus/index, and the gauntlet runs many jobs over the batch —
+    * one materialization, then every probe reads the snapshot.
+    * `onAudit` receives each batch's stage-count audit (the q329
+    * dashboard shape) — the streaming twin of the batch writer's
+    * return value. */
+  def streamIngestIndexed(spark: SparkSession, corpusDir: String,
+      indexDir: String, batches: DataFrame, checkpointDir: String,
+      repairOnStart: Boolean = true,
+      onAudit: (Long, DataFrame) => Unit = (_, _) => ()): Unit = {
+    val q = batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (repairOnStart) {
+          repairIngestIndexes(spark, corpusDir, indexDir): Unit
+        }
+        val snap = graft.util.Scratch.indexDir(
+          s"graft_stream_ingest_b$batchId", corpusDir)
+        b.write.parquet(snap)
+        val audit =
+          ingestBatchIndexed(spark, corpusDir, spark.read.parquet(snap),
+            indexDir)
+        onAudit(batchId, audit)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+  }
+
   /** q388 — BANDING AUDIT OVER THE GROWN INGEST INDEX (VERDICT r15
     * #6): the q376 noise tripwire guards the wide BUILD, but an index
     * that accretes batches for months can drift noise-dominated with

@@ -36,15 +36,15 @@ import graft.Tables._
 object Similarity {
 
   /** Codegen'd sequential-fold dot product (see GraftExtensions). */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
 
   /** Deterministic cosine from dot + squared norms (all double). */
-  private def cosine(d: Column, n2a: Column, n2b: Column): Column =
+  private[graft] def cosine(d: Column, n2a: Column, n2b: Column): Column =
     d / sqrt(n2a * n2b)
 
   /** Embeddings with precomputed squared norms. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
     spread(load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("n2", dot(col("embedding"), col("embedding")))
@@ -121,7 +121,7 @@ object Similarity {
     * the broadcast centroid table is O(k) regardless of n, and probe
     * cost per query is ~nprobe/k of the corpus. */
   private val IvfK = 32
-  private val IvfNProbe = 8
+  private[graft] val IvfNProbe = 8
 
   /** Fixed-k coarse quantizer: the IvfK vectors FIRST in deterministic
     * hash order of vec_id. TakeOrderedAndProject: fixed-k sample by
@@ -149,7 +149,7 @@ object Similarity {
   /** Coarse probe shared by q36's IVF search and q138's IVF-PQ: each
     * query's IvfNProbe best buckets by centroid cosine (one rule —
     * the two must never fork). */
-  private def probeBuckets(q: DataFrame, cent: DataFrame,
+  private[graft] def probeBuckets(q: DataFrame, cent: DataFrame,
       nprobe: Int = IvfNProbe): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("cid").desc)
@@ -304,6 +304,22 @@ object Similarity {
         trainIvfCentroids(spark, dir, IvfK, trainIters)
           .select(col("cid"), col("centroid").as("ce"), col("norm2").as("cn"))
       else hashCentroids(v)
+    saveIvfQuantizerAndAssign(spark, v, quantizer, indexDir)
+  }
+
+  /** [[saveIvfIndex]] over a caller-supplied vector frame with the
+    * default hash-sample quantizer — the spelling q389's base-corpus
+    * index build uses (centroids and assignment from the NON-delta
+    * slice only: the production invariant that a delta stream probes
+    * an index built before it arrived, same rule as q295's
+    * maintenance). One body with [[saveIvfIndex]] — the two must
+    * never fork. */
+  private[graft] def saveIvfIndexOn(spark: SparkSession, v: DataFrame,
+      indexDir: String): Unit =
+    saveIvfQuantizerAndAssign(spark, v, hashCentroids(v), indexDir)
+
+  private def saveIvfQuantizerAndAssign(spark: SparkSession, v: DataFrame,
+      quantizer: DataFrame, indexDir: String): Unit = {
     quantizer.write.mode("overwrite").parquet(s"$indexDir/centroids")
     // assign from the WRITTEN centroids: skips a second quantizer-sample
     // corpus scan, and the saved assignment is provably derived from
@@ -311,6 +327,31 @@ object Similarity {
     val cent = spark.read.parquet(s"$indexDir/centroids")
     assignToCentroids(v, cent)
       .write.mode("overwrite").parquet(s"$indexDir/assign")
+  }
+
+  /** STATELESS per-row coarse probe: the top-`nprobe` centroid ids for
+    * one query vector, computed entirely inside Catalyst higher-order
+    * functions over a collected O(k) centroid array — no window, no
+    * groupBy, so the expression is legal in an append-mode STREAMING
+    * plan (a `row_number` spelling like [[probeBuckets]]'s is not).
+    * Rank rule is identical to [[probeBuckets]] (cosine DESC, cid
+    * DESC) — the two must never fork; OperatorSpec pins the streaming
+    * probe's bucket choice equal to the batch probe's on the same
+    * index. O(k log k) per row with k = [[IvfK]]; the centroid array
+    * broadcasts as ONE static row whatever the corpus size. */
+  private[graft] def probeCidsExpr(centArr: Column, qe: Column,
+      qn: Column, nprobe: Int = IvfNProbe): Column = {
+    val scored = transform(centArr, c =>
+      struct(
+        cosine(dot(qe, c.getField("ce")), qn, c.getField("cn")).as("psim"),
+        c.getField("cid").as("cid")))
+    val ranked = array_sort(scored, (l, r) =>
+      when(l.getField("psim") > r.getField("psim"), -1)
+        .when(l.getField("psim") < r.getField("psim"), 1)
+        .when(l.getField("cid") > r.getField("cid"), -1)
+        .when(l.getField("cid") < r.getField("cid"), 1)
+        .otherwise(0))
+    transform(slice(ranked, 1, nprobe), c => c.getField("cid"))
   }
 
   /** Probe a previously-saved IVF index: byte-identical results to
@@ -1282,6 +1323,46 @@ object Similarity {
        |             ${cosSql(dotSql("v.embedding", "ce"), "v.n2", "cn")} DESC, cid DESC) AS arn
        |         FROM v, cent),
        |asg AS (SELECT vec_id, embedding, n2, cid FROM asg0 WHERE arn = 1)""".stripMargin
+
+  /** q389's oracle — the index-seeded streaming semantic detector in
+    * closed form: the BASE slice (vec_id % 10 != 0) builds the
+    * quantizer + assignment (the persisted index), each DELTA vector
+    * probes its [[IvfNProbe]] best buckets for corpus partners at
+    * cosine >= 0.4 (q99's threshold), and within-stream pairs are
+    * delta vectors sharing a TOP-1 coarse bucket (the streaming
+    * detector's ttlPairs key). The two legs are disjoint by
+    * construction — corpus hits have exactly one base endpoint,
+    * stream pairs two delta endpoints — so the UNION ALL + DISTINCT
+    * mirrors the Spark side's cross-leg unionByName + distinct.
+    * Defined HERE, next to [[ivfAsgCtes]], so the quantizer/probe SQL
+    * can never fork from the batch oracles'. */
+  private[graft] lazy val streamSemanticOracle: String =
+    s"""WITH v AS ($vSql),
+       |base AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+       |delta AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn FROM base
+       |         ORDER BY ${phashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT ${IvfK}),
+       |asg0 AS (SELECT base.vec_id, base.embedding, base.n2, cent.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY
+       |             ${cosSql(dotSql("base.embedding", "ce"), "base.n2", "cn")} DESC, cid DESC) AS arn
+       |         FROM base, cent),
+       |asg AS (SELECT vec_id, embedding, n2, cid FROM asg0 WHERE arn = 1),
+       |pr0 AS (SELECT delta.vec_id, delta.embedding AS qe, delta.n2 AS qn, cent.cid,
+       |          ROW_NUMBER() OVER (PARTITION BY delta.vec_id ORDER BY
+       |            ${cosSql(dotSql("delta.embedding", "ce"), "delta.n2", "cn")} DESC, cid DESC) AS prn
+       |        FROM delta, cent),
+       |ch AS (SELECT LEAST(p.vec_id, a.vec_id) AS vec_a,
+       |              GREATEST(p.vec_id, a.vec_id) AS vec_b,
+       |              ${cosSql(dotSql("p.qe", "a.embedding"), "p.qn", "a.n2")} AS cosine
+       |       FROM pr0 p JOIN asg a ON p.prn <= ${IvfNProbe} AND p.cid = a.cid),
+       |b1 AS (SELECT vec_id, qe, qn, cid FROM pr0 WHERE prn = 1),
+       |sp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |              ${cosSql(dotSql("a.qe", "b.qe"), "a.qn", "b.qn")} AS cosine
+       |       FROM b1 a JOIN b1 b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT DISTINCT vec_a, vec_b, cosine FROM (
+       |  SELECT * FROM ch WHERE cosine >= 0.4
+       |  UNION ALL SELECT * FROM sp WHERE cosine >= 0.4)
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Shared CTE body for the PQ family (no leading WITH, so it can
     * compose after [[ivfAsgCtes]] — the doubles view is `vd` to avoid

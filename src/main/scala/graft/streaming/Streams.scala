@@ -1598,6 +1598,118 @@ object Streams {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** The index-seeded streaming SEMANTIC detector behind q389 —
+    * the q384/q385/q386 restart-proof pattern carried to the FOURTH
+    * ingest column (embeddings): the corpus side is
+    * [[graft.sim.Similarity.saveIvfIndexOn]]'s persisted parquet
+    * (centroids + bucket assignment, built from the NON-delta slice —
+    * the q295 production invariant that a delta never retrains or
+    * re-indexes the corpus mid-flight), probed stream-static per
+    * micro-batch; no corpus vector ever enters stream state, so a
+    * cold restart reproduces the identical pair set.
+    *
+    * Per arriving vector, stateless and codegen-friendly:
+    *  - the O(k) centroid table is collapsed to ONE static row
+    *    (array of structs) and cross-joined in (a broadcast of one
+    *    row, whatever the corpus size);
+    *  - [[graft.sim.Similarity.probeCidsExpr]] ranks the centroids
+    *    inside higher-order functions (append-mode-legal — the batch
+    *    probe's `row_number` spelling is not) with the identical
+    *    cosine-DESC/cid-DESC rule;
+    *  - corpus candidates come from the persisted `assign` parquet
+    *    via a stream-static equi-join on the probed bucket ids —
+    *    at 100 TB a narrow per-batch index scan, the same economics
+    *    as the text/image/audio detectors — and exact-verify at
+    *    cosine >= 0.4 (q99's threshold, codegen'd `vec_dot`);
+    *  - within-stream pairs go through [[ttlPairs]] keyed on the
+    *    TOP-1 coarse bucket (the same blocking rule q99 uses for
+    *    batch pairs), exact cosine in the comparator with the same
+    *    left-fold double op order as `vec_dot`.
+    *
+    * Delta slice, batching, event times, and horizon all mirror
+    * q385 (vec_id % 10 = 0; batch = vec_id mod 4; T0 + batch·1h;
+    * [[ReplayHorizon]]). */
+  private[graft] def semanticPairsStreamIndexed(spark: SparkSession,
+      dir: String, base: String, horizon: String,
+      indexDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sim.Similarity
+    deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs(): Unit
+    val delta = Similarity.vecs(spark, dir)
+      .filter(col("vec_id") % 10 === 0)
+      .withColumn("batch", pmod(col("vec_id"), lit(4)).cast("int"))
+    val srcDir = stageOrderedBatches(spark,
+      delta.withColumn("ts",
+        expr(s"$DedupT0 + batch * INTERVAL '1' HOUR")), base, 4)
+    val schema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", horizon)
+    // one-row static frame: the whole O(k) quantizer as an array,
+    // sorted by cid for a deterministic (if semantically irrelevant)
+    // layout
+    val centArr = spark.read.parquet(s"$indexDir/centroids")
+      .agg(array_sort(collect_list(
+        struct(col("cid"), col("ce"), col("cn")))).as("cents"))
+    val probed = src.crossJoin(broadcast(centArr))
+      .withColumn("cids", Similarity.probeCidsExpr(
+        col("cents"), col("embedding"), col("n2")))
+      .withColumn("b1", col("cids").getItem(0))
+      .drop("cents")
+    val ixAssign = spark.read.parquet(s"$indexDir/assign")
+      .select(col("vec_id").as("m_id"), col("embedding").as("me"),
+        col("n2").as("mn"), col("cid"))
+    val corpusHits = probed
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        explode(col("cids")).as("cid"))
+      .join(ixAssign, Seq("cid"))
+      .withColumn("cosine", Similarity.cosine(
+        Similarity.dot(col("embedding"), col("me")), col("n2"), col("mn")))
+      .filter(col("cosine") >= 0.4)
+      .select(least(col("vec_id"), col("m_id")).as("vec_a"),
+        greatest(col("vec_id"), col("m_id")).as("vec_b"), col("cosine"))
+    val bucketed = probed
+      .select(concat(lit("c"), col("b1")).as("bucket"), col("vec_id"),
+        struct(col("embedding").as("_1"), col("n2").as("_2")).as("p"),
+        col("ts"))
+      .as[(String, Long, (Array[Float], Double), java.sql.Timestamp)]
+    val streamPairs = ttlPairs[(Array[Float], Double), (Long, Long, Double)](
+      bucketed, (id, p, pid, pp) => {
+        // identical double op sequence to VecDotFloat's codegen loop
+        // (left-fold sum of widened products) and to the oracle's
+        // LIST_REDUCE — the three must never fork
+        val (e1, n1) = p; val (e2, n2) = pp
+        var s = 0.0; var i = 0
+        while (i < e1.length) { s += e1(i).toDouble * e2(i).toDouble; i += 1 }
+        val cos = s / math.sqrt(n1 * n2)
+        if (cos >= 0.4) Some((math.min(pid, id), math.max(pid, id), cos))
+        else None
+      }).toDF("vec_a", "vec_b", "cosine")
+    streamPairs.unionByName(corpusHits)
+  }
+
+  /** q389 — INDEX-SEEDED STREAMING SEMANTIC DEDUP (gate form): builds
+    * the base-corpus IVF index per call for oracle determinism
+    * (production builds once — the stream only ever reads it), runs
+    * the [[semanticPairsStreamIndexed]] detector over the staged
+    * delta replay, and collapses cross-leg duplicates exactly like
+    * q384/q385/q386. */
+  def streamSemanticDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sim.Similarity
+    val base = dedupBase("graft_sem_ixs", dir)
+    val ix = graft.util.Scratch.indexDir("graft_sem_ixs_index", dir)
+    Similarity.saveIvfIndexOn(spark,
+      Similarity.vecs(spark, dir).filter(col("vec_id") % 10 =!= 0), ix)
+    try {
+      runToMemoryAppend(spark,
+          semanticPairsStreamIndexed(spark, dir, base, ReplayHorizon, ix),
+          "graft_stream_sem_ixs")
+        .distinct()
+        .orderBy(col("vec_a"), col("vec_b"))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** q369 — TTL-BOUNDED STREAMING PERCEPTUAL DEDUP: q366 under the
     * tight [[TtlHorizon]]. The gate proves both directions against a
     * closed-form oracle: in-window scene pairs (batch gap ≤ 2) must
@@ -1777,6 +1889,7 @@ object Streams {
     "q384_stream_image_dedup_indexed" -> streamImageDedupIndexed,
     "q385_stream_lsh_dedup_indexed" -> streamLshDedupIndexed,
     "q386_stream_audio_dedup_indexed" -> streamAudioDedupIndexed,
+    "q389_stream_semantic_dedup_indexed" -> streamSemanticDedupIndexed,
     "q371_stream_lsh_dedup_ttl" -> streamLshDedupTtl,
     "q42_custom_state_sessions" -> customStateSessions,
     "q43_stream_dedup" -> streamDedup,
@@ -1889,6 +2002,10 @@ object Streams {
     // q362's planted distances (1 via the base, 2 re-encode↔re-encode);
     // within-stream pairs cannot exist (two multiples of 10 never
     // share 4 consecutive ids)
+    // q389: quantizer/probe CTEs live next to the batch IVF oracles in
+    // Similarity (one definition — they can never fork)
+    "q389_stream_semantic_dedup_indexed" ->
+      graft.sim.Similarity.streamSemanticOracle,
     "q386_stream_audio_dedup_indexed" ->
       """SELECT LEAST(d.doc_id, c.doc_id) AS doc_a,
         |  GREATEST(d.doc_id, c.doc_id) AS doc_b,

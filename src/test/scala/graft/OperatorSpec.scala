@@ -3263,6 +3263,116 @@ class OperatorSpec extends AnyFunSuite {
     } finally rmTree(new java.io.File(ix))
   }
 
+  test("index-seeded streaming semantic dedup: stateless probe matches the batch probe, corpus side is the IVF index, planted within-stream pairs emit, and the set survives a cold restart") {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.sim.Similarity
+    // --- never-fork pin on the REAL corpus: the streaming stateless
+    // probe (higher-order array expr) must choose exactly the batch
+    // probeBuckets bucket set for every delta vector
+    val ix = java.nio.file.Files.createTempDirectory("graft_spec_semix").toString
+    val v = Sim.vecs(spark, sf)
+    Sim.saveIvfIndexOn(spark, v.filter(col("vec_id") % 10 =!= 0), ix)
+    try {
+      val cent = spark.read.parquet(s"$ix/centroids")
+      val delta = v.filter(col("vec_id") % 10 === 0)
+      val batchProbe = Sim.probeBuckets(
+          delta.select(col("vec_id").as("query_id"),
+            col("embedding").as("qe"), col("n2").as("qn")), cent)
+        .groupBy(col("query_id"))
+        .agg(sort_array(collect_list(col("cid"))).as("cids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val centArr = cent.agg(array_sort(collect_list(
+        struct(col("cid"), col("ce"), col("cn")))).as("cents"))
+      val streamProbe = delta.crossJoin(broadcast(centArr))
+        .withColumn("cids",
+          Sim.probeCidsExpr(col("cents"), col("embedding"), col("n2")))
+        .select(col("vec_id"), col("cids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(streamProbe === batchProbe,
+        "stateless streaming probe forked from the batch probe rule")
+
+      // --- full detector on the real corpus: every pair touches at
+      // least one delta vector (the index side never self-pairs), and
+      // a cold restart (fresh checkpoint + state) reproduces the set
+      def runOnce(dir: String, tag: String): Set[(Long, Long, Double)] = {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_spec_semix_src_" +
+          s"${tag}_${ProcessHandle.current().pid()}"
+        val ixr = java.nio.file.Files
+          .createTempDirectory(s"graft_spec_semix_$tag").toString
+        val vv = Sim.vecs(spark, dir)
+        Sim.saveIvfIndexOn(spark, vv.filter(col("vec_id") % 10 =!= 0), ixr)
+        val pairs = streaming.Streams.semanticPairsStreamIndexed(
+          spark, dir, base, "4 hours", ixr)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-spec-ckpt-sx")
+        val name = s"graft_spec_sem_ix_$tag"
+        if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+        val q = pairs.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        try spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        finally { rmTree(new java.io.File(base)); rmTree(ckpt.toFile)
+          rmTree(new java.io.File(ixr)) }
+      }
+      val first = runOnce(sf, "1")
+      assert(first.nonEmpty)
+      first.foreach { case (a, b, _) =>
+        assert(a % 10 == 0 || b % 10 == 0,
+          s"corpus-corpus pair ($a,$b) — the index side must never self-pair") }
+      val second = runOnce(sf, "2")
+      assert(second === first, "restart changed the verdict set")
+
+      // --- planted synthetic corpus: three delta vectors share one
+      // dominant base direction (same top-1 coarse bucket whatever the
+      // quantizer sample picks), so the within-stream ttlPairs leg —
+      // empty on the real corpora at spec scales — must emit all
+      // three pairwise matches, including the same-micro-batch pair
+      // (10,30), and the shared base partner must flag through the
+      // index for each
+      val synth = java.nio.file.Files
+        .createTempDirectory("graft_spec_semsyn").toString
+      val dim = 64
+      def unit(ax: Int, sc: Float, ax2: Int = -1, sc2: Float = 0f) = {
+        val a = Array.fill(dim)(0f); a(ax) = sc
+        if (ax2 >= 0) a(ax2) = sc2
+        a
+      }
+      // 36 ids = 32 base vectors exactly: EVERY base vector is a
+      // centroid (hashCentroids takes IvfK = 32), so the planted
+      // shared direction (base 5) is guaranteed a bucket of its own
+      // and the three deltas provably share their top-1 bucket
+      val rows = (0L until 36L).map { i =>
+        val e = i match {
+          case 0L  => unit(5, 0.8f, 12, 0.1f)   // delta, batch 0
+          case 10L => unit(5, 0.9f)             // delta, batch 2
+          case 30L => unit(5, 0.85f, 11, 0.05f) // delta, batch 2
+          case _   => unit((i % dim).toInt, 1f) // orthogonal base/delta
+        }
+        (i, e, (i % 3).toInt)
+      }
+      spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$synth/embeddings.parquet")
+      try {
+        val planted = runOnce(synth, "3")
+        val pairSet = planted.map(p => (p._1, p._2))
+        Seq((0L, 10L), (0L, 30L), (10L, 30L)).foreach(p =>
+          assert(pairSet.contains(p), s"missing within-stream pair $p"))
+        Seq((5L, 10L), (0L, 5L), (5L, 30L)).foreach(p =>
+          assert(pairSet.contains(p), s"missing corpus partner pair $p"))
+        // orthogonal vectors must not pair: everything emitted involves
+        // the planted direction
+        val involved = Set(0L, 5L, 10L, 30L)
+        pairSet.foreach { case (a, b) =>
+          assert(involved.contains(a) && involved.contains(b),
+            s"unplanted pair ($a,$b) emitted") }
+      } finally rmTree(new java.io.File(synth))
+    } finally rmTree(new java.io.File(ix))
+  }
+
   test("replica bucket diff flags only faulted buckets and q98-equal replicas flag none") {
     // every emitted bucket must actually disagree on at least one field
     val d = run("q184_replica_bucket_diff").collect()

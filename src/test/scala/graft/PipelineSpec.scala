@@ -731,6 +731,109 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming ingest: foreachBatch writer equals the sequential indexed writer; full redelivery is a no-op") {
+    // streamIngestIndexed's contract: micro-batches run the SAME
+    // indexed gauntlet serially, so a staged 3-batch stream must leave
+    // artifact, all five index assets, and per-batch audits identical
+    // to three sequential ingestBatchIndexed calls on a twin corpus —
+    // and re-running the whole stream with a fresh checkpoint (total
+    // redelivery, the crash-recovery worst case) must change nothing.
+    val dirSeq = java.nio.file.Files.createTempDirectory("graft_sing_a").toString
+    val dirStr = java.nio.file.Files.createTempDirectory("graft_sing_b").toString
+    val ixSeq = java.nio.file.Files.createTempDirectory("graft_sing_ixa").toString
+    val ixStr = java.nio.file.Files.createTempDirectory("graft_sing_ixb").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_sing_src").toString
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    try {
+      corpus // force the shared build
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(out), new java.io.File(dirSeq))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(out), new java.io.File(dirStr))
+      Pipeline.saveIngestIndexes(spark, dirSeq, ixSeq)
+      Pipeline.saveIngestIndexes(spark, dirStr, ixStr)
+      val art0 = spark.read.parquet(dirSeq)
+      val maxId = art0.agg(max(col("doc_id"))).head().getLong(0)
+      val base = ((maxId / 20) + 2) * 20
+      val tpl = art0.drop("split").limit(1)
+      def mk(id: Long, text: String) = tpl
+        .withColumn("doc_id", lit(id)).withColumn("text", lit(text))
+      def novelText(i: Int) =
+        (0 until 12).map(j => s"sg${i}w$j").mkString(" ")
+      val batches = Seq(
+        // novel accepts + an id-dup of an existing corpus doc
+        Seq(mk(base, novelText(0)), mk(base + 20, novelText(1)),
+          mk(base + 80, "tiny")).reduce(_ unionByName _)
+          .unionByName(art0.drop("split").limit(1)),
+        mk(base + 40, novelText(2)), // accepted
+        mk(base + 100, novelText(0))) // near-dup of batch-1 accept
+      // sequential ground truth
+      def audit(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+      val seqAudits = batches.map(b =>
+        audit(Pipeline.ingestBatchIndexed(spark, dirSeq, b, ixSeq)))
+      // stage the same batches as an mtime-ordered file stream
+      new java.io.File(s"$stage/src").mkdirs(): Unit
+      val m0 = new java.io.File(stage).lastModified()
+      batches.zipWithIndex.foreach { case (b, k) =>
+        val tmp = s"$stage/b$k"
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file for batch $k"))
+        val dst = new java.io.File(s"$stage/src/batch$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(m0 + k * 60000L), s"mtime stamp $k")
+      }
+      val schema = spark.read.parquet(s"$stage/src").schema
+      def runStream(tag: String): Seq[(Long, Seq[(String, Long)])] = {
+        val audits =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(String, Long)])]
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$stage/src")
+        Pipeline.streamIngestIndexed(spark, dirStr, ixStr, src,
+          s"$stage/ckpt_$tag",
+          onAudit = (id, a) => { audits += ((id, audit(a))); () })
+        audits.toSeq
+      }
+      val strAudits = runStream("1")
+      assert(strAudits.map(_._1) === strAudits.map(_._1).sorted,
+        "micro-batches must execute in staged order")
+      assert(strAudits.map(_._2) === seqAudits,
+        "streamed audits diverged from sequential")
+      def snap(dir: String, ix: String) = (
+        spark.read.parquet(dir).orderBy(col("doc_id"))
+          .collect().map(_.toString).toSeq,
+        spark.read.parquet(s"$ix/keys").orderBy(col("doc_id"), col("ck"))
+          .collect().map(_.toString).toSeq,
+        spark.read.parquet(s"$ix/text_bands")
+          .orderBy(col("doc_id"), col("band"), col("bkey"))
+          .collect().map(_.toString).toSeq,
+        spark.read.parquet(s"$ix/image_bands")
+          .orderBy(col("doc_id"), col("band"), col("bkey"))
+          .collect().map(_.toString).toSeq,
+        spark.read.parquet(s"$ix/audio_bands")
+          .orderBy(col("doc_id"), col("band"), col("bkey"))
+          .collect().map(_.toString).toSeq)
+      assert(snap(dirStr, ixStr) === snap(dirSeq, ixSeq),
+        "streamed artifact/indexes diverged from sequential")
+      // TOTAL REDELIVERY: fresh checkpoint, same staged files — every
+      // doc must reject (id-guard against artifact+keys) and the final
+      // state must be byte-identical
+      val before = snap(dirStr, ixStr)
+      val replay = runStream("2")
+      replay.foreach { case (id, a) =>
+        val m = a.toMap
+        assert(m("7_audio_new_accepted") === 0L,
+          s"redelivered batch $id re-ingested") }
+      assert(snap(dirStr, ixStr) === before, "redelivery changed state")
+    } finally Seq(dirSeq, dirStr, ixSeq, ixStr, stage)
+      .foreach(d => rm(new java.io.File(d)))
+  }
+
   test("rerun writes the identical corpus (deterministic artifact)") {
     val first = corpus.select(col("doc_id"), col("split"))
       .orderBy(col("doc_id")).collect().toSeq
