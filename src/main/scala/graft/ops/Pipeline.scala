@@ -1587,10 +1587,21 @@ object Pipeline {
         val snap = graft.util.Scratch.indexDir(
           s"graft_stream_ingest_b$batchId", corpusDir)
         b.write.parquet(snap)
-        val audit =
-          ingestBatchIndexed(spark, corpusDir, spark.read.parquet(snap),
-            indexDir)
-        onAudit(batchId, audit)
+        try {
+          // the returned audit is a driver-local frame (collected
+          // stage counts) and every index/artifact append has run by
+          // the time the gauntlet returns, so nothing references the
+          // snapshot afterwards
+          val audit = ingestBatchIndexed(spark, corpusDir,
+            spark.read.parquet(snap), indexDir)
+          onAudit(batchId, audit)
+        } finally {
+          // delete per batch, not at JVM exit: a continuous stream
+          // would otherwise accumulate one snapshot per micro-batch
+          // in tmp for the life of the driver
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(snap))
+        }
       }
       .start()
     try q.awaitTermination() finally q.stop()
