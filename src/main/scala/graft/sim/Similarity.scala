@@ -312,11 +312,15 @@ object Similarity {
     * index build uses (centroids and assignment from the NON-delta
     * slice only: the production invariant that a delta stream probes
     * an index built before it arrived, same rule as q295's
-    * maintenance). One body with [[saveIvfIndex]] — the two must
-    * never fork. */
+    * maintenance). `k` is THE scale knob for every IVF consumer:
+    * probe candidates grow as n_query · n_corpus / k, so a fixed k
+    * turns the bucket join super-linear as the corpus grows — k must
+    * scale with n (measured: tools/ProbeAnn + SCALE.md) and the
+    * quantizer retrains only here, at index build. One body with
+    * [[saveIvfIndex]] — the two must never fork. */
   private[graft] def saveIvfIndexOn(spark: SparkSession, v: DataFrame,
-      indexDir: String): Unit =
-    saveIvfQuantizerAndAssign(spark, v, hashCentroids(v), indexDir)
+      indexDir: String, k: Int = IvfK): Unit =
+    saveIvfQuantizerAndAssign(spark, v, hashCentroids(v, k), indexDir)
 
   private def saveIvfQuantizerAndAssign(spark: SparkSession, v: DataFrame,
       quantizer: DataFrame, indexDir: String): Unit = {

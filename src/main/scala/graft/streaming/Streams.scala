@@ -1697,16 +1697,24 @@ object Streams {
     * q384/q385/q386. */
   def streamSemanticDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
     import graft.sim.Similarity
-    val base = dedupBase("graft_sem_ixs", dir)
     val ix = graft.util.Scratch.indexDir("graft_sem_ixs_index", dir)
     Similarity.saveIvfIndexOn(spark,
       Similarity.vecs(spark, dir).filter(col("vec_id") % 10 =!= 0), ix)
+    probeSemanticStreamIndexed(spark, dir, ix)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The probe half of q389 against an ALREADY-BUILT index — split
+    * from the gate form so tools/ProbeAnn can time build and probe
+    * separately (and at different k) without forking the detector. */
+  private[graft] def probeSemanticStreamIndexed(spark: SparkSession,
+      dir: String, ix: String): DataFrame = {
+    val base = dedupBase("graft_sem_ixs", dir)
     try {
       runToMemoryAppend(spark,
           semanticPairsStreamIndexed(spark, dir, base, ReplayHorizon, ix),
           "graft_stream_sem_ixs")
         .distinct()
-        .orderBy(col("vec_a"), col("vec_b"))
     } finally deleteRecursively(new java.io.File(base))
   }
 
