@@ -46,6 +46,39 @@ object GraftSession {
     s
   }
 
+  /** Run `body` (a streaming-query `.start()` call) with
+    * spark.sql.shuffle.partitions lowered to the STREAMING state
+    * parallelism, restoring the caller's value before returning.
+    *
+    * Why a separate knob (optimization r16, guide §2.2/§6): a stateful
+    * streaming operator materializes ONE state store instance per
+    * shuffle partition, and every micro-batch commits a delta file per
+    * instance (plus task setup/teardown per partition per batch) — the
+    * per-batch floor scales with the partition count, not the data.
+    * The bounded gate streams hold small keyed state (hours, users,
+    * band keys), so batch-sized parallelism (the session's core count)
+    * buys nothing downstream of the watermark while multiplying the
+    * per-batch commit bill. State size, not corpus size, is what
+    * should set this in production — raise it via
+    * SPARK_GRAFT_STREAM_PARTITIONS for large keyed state (it must be
+    * fixed for the life of a checkpoint; every gate/bench run starts
+    * from a fresh checkpoint, so re-runs stay comparable).
+    *
+    * Restoring immediately after `.start()` is safe: StreamExecution
+    * clones the session synchronously at construction, so the running
+    * query keeps the lowered value for every batch while the caller's
+    * session never sees it. Results are partition-count-invariant
+    * (InvarianceSpec pins this; the oracle gates re-verify per run).
+    */
+  def withStreamParallelism[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS",
+      math.min(scala.util.Try(prev.toInt).getOrElse(8), 8).toString)
+    spark.conf.set(key, n)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Drop every persisted RDD still registered with the block manager.
     * The iterative operators (connected components, streaming twins)
     * localCheckpoint per round and those blocks live until the context

@@ -1777,14 +1777,18 @@ object Dedup {
       .select(col("doc_id"), col("bk.config").as("config"),
         col("bk.n_bands").as("n_bands"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
-    val cand = bands.alias("x").join(bands.alias("y"),
+    val cand = oneShot(bands.alias("x").join(bands.alias("y"),
         col("x.config") === col("y.config") &&
         col("x.band") === col("y.band") &&
         col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.config").as("config"), col("x.n_bands").as("n_bands"),
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .distinct(),
+      // referenced twice below (candidate count + hit probe) — the
+      // banded self-join over all five configs is the dominant
+      // subtree; materialize it ONCE like `exact` (optimization r16)
+      bigCorpus(spark, dir))
     val exact = oneShot(jaccardScoredPairs(spark, dir)
       .filter(col("jaccard") >= 0.5).select(col("doc_a"), col("doc_b")),
       // referenced twice below (hit probe + n_true); materialize the

@@ -916,19 +916,26 @@ object Extended {
     val MinSupport = 3
     val li = load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
+    // consumed three times (freqItems + both rule-direction joins) —
+    // materialize the O(parts) rollup once (optimization r16)
     val itemN = li.groupBy(col("l_partkey"))
       .agg(countDistinct(col("l_orderkey")).as("n_item"))
+      .localCheckpoint(eager = false)
     val freqItems = itemN.filter(col("n_item") >= MinSupport)
       .select(col("l_partkey"))
     val baskets = li.join(freqItems, "l_partkey")
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
     val pairsCol = pairCombos(col("parts"), "part_a", "part_b")
+    // the basket mining (collect_set + pair enumeration — the
+    // dominant subtree) feeds BOTH directions of the rules union;
+    // materialize the O(frequent pairs) result once (optimization r16)
     val pairCounts = baskets.select(explode(pairsCol).as("p"))
       .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= MinSupport)
+      .localCheckpoint(eager = false)
     val nOrders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val rules = pairCounts
       .select(col("part_a").as("antecedent"), col("part_b").as("consequent"),

@@ -362,40 +362,56 @@ object Pipeline {
     * and at 100 TB their corpus sides persist — q331/q380); the exact
     * stage probes a distinct content-key set. Output O(stages). */
   def deltaIngestReport(spark: SparkSession, dir: String): DataFrame = {
+    // ONE-PASS FORM (optimization r16, guide §2.4; same move as q313):
+    // the first spelling unioned eight per-stage frames whose shared
+    // prefix re-ran per stage — decontaminate ×5, incrementalDedup ×3,
+    // the image/audio incremental probes ×2/×1 (measured 3.3 s at
+    // sf0.1). Every anti-join becomes a left join carrying a marker,
+    // every stage a cumulative boolean, and the eight counts ONE
+    // conditional aggregate. Marker sides are doc_id-unique (each is
+    // a filter/projection of a per-new-doc report), so the left joins
+    // cannot fan out and flagging replaces the anti-join losslessly.
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
-    val s1 = docs.filter(col("doc_id") % 10 === 0)
-    val s2 = s1.filter(!isBench(col("doc_id")))
-    val s3 = s2.filter(size(tokens(col("text"))) >= 10)
-    val s4 = s3.join(decontaminate(spark, dir).select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val cont = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("cont"))
     val corpusKeys = docs.filter(col("doc_id") % 10 =!= 0)
       .select(graft.dedup.Dedup.contentKey(col("text")).as("ck")).distinct()
-    val s5 = s4.withColumn("ck", graft.dedup.Dedup.contentKey(col("text")))
-      .join(corpusKeys, Seq("ck"), "left_anti")
+      .withColumn("ck_seen", lit(true))
     val dupNew = graft.dedup.Dedup.incrementalDedup(spark, dir)
       .filter(col("n_matches") > 0)
-      .select(col("new_doc").as("doc_id"))
-    val s6 = s5.join(broadcast(dupNew), Seq("doc_id"), "left_anti")
+      .select(col("new_doc").as("doc_id"), lit(true).as("dup_new"))
     val imgDup = graft.multimodal.Multimodal.imageIncrementalDedup(spark, dir)
       .filter(col("n_matches") > 0)
-      .select(col("new_doc").as("doc_id"))
-    val s7 = s6.join(broadcast(imgDup), Seq("doc_id"), "left_anti")
+      .select(col("new_doc").as("doc_id"), lit(true).as("img_dup"))
     val audDup = graft.multimodal.Audio.audioIncrementalDedup(spark, dir)
       .filter(col("n_matches") > 0)
-      .select(col("new_doc").as("doc_id"))
-    val s8 = s7.join(broadcast(audDup), Seq("doc_id"), "left_anti")
-    def st(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
-    st("1_delta_total", s1)
-      .unionByName(st("2_non_bench", s2))
-      .unionByName(st("3_min_length", s3))
-      .unionByName(st("4_decontaminated", s4))
-      .unionByName(st("5_exact_new", s5))
-      .unionByName(st("6_neardup_new", s6))
-      .unionByName(st("7_image_new", s7))
-      .unionByName(st("8_audio_new", s8))
+      .select(col("new_doc").as("doc_id"), lit(true).as("aud_dup"))
+    val staged = delta
+      .join(cont, Seq("doc_id"), "left")
+      .join(broadcast(dupNew), Seq("doc_id"), "left")
+      .join(broadcast(imgDup), Seq("doc_id"), "left")
+      .join(broadcast(audDup), Seq("doc_id"), "left")
+      .withColumn("f2", !isBench(col("doc_id")))
+      .withColumn("f3", col("f2") && size(tokens(col("text"))) >= 10)
+      .withColumn("f4", col("f3") && col("cont").isNull)
+      .withColumn("ck",
+        when(col("f4"), graft.dedup.Dedup.contentKey(col("text"))))
+      .join(corpusKeys, Seq("ck"), "left")
+      .withColumn("f5", col("f4") && col("ck_seen").isNull)
+      .withColumn("f6", col("f5") && col("dup_new").isNull)
+      .withColumn("f7", col("f6") && col("img_dup").isNull)
+      .withColumn("f8", col("f7") && col("aud_dup").isNull)
+    def cIf(c: Column) = count(when(c, 1))
+    staged.agg(count(lit(1)).as("c1"), cIf(col("f2")).as("c2"),
+        cIf(col("f3")).as("c3"), cIf(col("f4")).as("c4"),
+        cIf(col("f5")).as("c5"), cIf(col("f6")).as("c6"),
+        cIf(col("f7")).as("c7"), cIf(col("f8")).as("c8"))
+      .selectExpr("""stack(8,
+          '1_delta_total', c1, '2_non_bench', c2, '3_min_length', c3,
+          '4_decontaminated', c4, '5_exact_new', c5, '6_neardup_new', c6,
+          '7_image_new', c7, '8_audio_new', c8) as (stage, n_docs)""")
       .orderBy(col("stage"))
   }
 
@@ -1423,22 +1439,31 @@ object Pipeline {
     val corpus = spark.read.parquet(corpusDir)
     val docs = corpus.select(col("doc_id"), col("text"))
     // sorted layout throughout (see [[bandSorted]]): build-time sort
-    // is one extra range shuffle per asset, paid once per corpus
+    // is one extra range shuffle per asset, paid once per corpus.
+    // The four band/set assets build CONCURRENTLY (optimization r16,
+    // guide §2.6: independent jobs back-fill each other's straggler
+    // tails — the decode-heavy image asset overlaps the shingle-heavy
+    // text assets); the KEYS sidecar writes after all of them land
+    // and meta seals the build — the same keys-last commit-marker
+    // discipline as the append path, so a crashed initial build is
+    // distinguishable (no keys => rebuild) exactly like a crashed
+    // append.
+    awaitSettled(Seq(
+      () => bandSorted(Dedup.textBandRows(docs))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$indexDir/text_bands"),
+      () => keySorted(Dedup.shingleSets(docs), "doc_id")
+        .write.mode("overwrite").parquet(s"$indexDir/text_shingles"),
+      () => bandSorted(imageBandsFor(corpus.select(col("doc_id")), imagePolicy))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$indexDir/image_bands"),
+      () => bandSorted(graft.multimodal.Audio
+          .audioBandsOf(corpus.select(col("doc_id"))))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$indexDir/audio_bands")))
     keySorted(docs.select(col("doc_id"),
         Dedup.contentKey(col("text")).as("ck")), "ck")
       .write.mode("overwrite").parquet(s"$indexDir/keys")
-    bandSorted(Dedup.textBandRows(docs))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$indexDir/text_bands")
-    keySorted(Dedup.shingleSets(docs), "doc_id")
-      .write.mode("overwrite").parquet(s"$indexDir/text_shingles")
-    bandSorted(imageBandsFor(corpus.select(col("doc_id")), imagePolicy))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$indexDir/image_bands")
-    bandSorted(graft.multimodal.Audio
-        .audioBandsOf(corpus.select(col("doc_id"))))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$indexDir/audio_bands")
     writePolicyMeta(spark, imagePolicy, s"$indexDir/meta")
   }
 
@@ -1649,7 +1674,19 @@ object Pipeline {
     * reconstruction is pinned bit-for-bit. */
   def ingestIndexAudit(spark: SparkSession, dir: String): DataFrame = {
     val ix = graft.util.Scratch.indexDir("graft_ing_audit", dir)
-    saveIngestIndexes(spark, s"$dir/documents.parquet", ix, WideRadius7)
+    // the audit reads ONLY the image band asset + policy meta — build
+    // exactly those two, via the SAME shared build rules
+    // (imageBandsFor/bandSorted/writePolicyMeta) the full writer
+    // uses, so the asset layout cannot fork from saveIngestIndexes'.
+    // The first spelling built all five assets and never read the
+    // text/audio ones (optimization r16, guide §1.2: don't compute
+    // things you throw away — measured 4.4 s at sf0.1).
+    bandSorted(imageBandsFor(
+        spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+        WideRadius7))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$ix/image_bands")
+    writePolicyMeta(spark, WideRadius7, s"$ix/meta")
     auditIngestIndexBanding(spark, ix)
   }
 
@@ -2184,35 +2221,68 @@ object Pipeline {
     * the policy without forking the oracle. */
   def buildWaterfall(spark: SparkSession, dir: String,
       imagePolicy: ImageDedupPolicy = NarrowRadius3): DataFrame = {
+    // ONE-PASS FORM (optimization r16, guide §2.4): the first spelling
+    // unioned eight per-stage frames, each a superset of the previous
+    // stage's plan, so the shared prefix re-ran once per stage —
+    // decontaminate ×6, dedupClusters ×3, the image/audio codec
+    // pipelines ×2 (measured 6.1 s at sf0.1; at 100 TB eight full
+    // corpus scans). Here every stage becomes a BOOLEAN FLAG over one
+    // annotated pass: each survivor-restricted window min is spelled
+    // min(when(prev_flag, doc_id)) over the same key (null keys
+    // isolated per doc, the mediaFlags trick, so no giant null
+    // partition), and the eight counts are ONE conditional aggregate.
+    // Stage rules are bit-identical to the chained-filter form: a
+    // row's flag_i can only differ if its stage-i window min differed,
+    // and each min ranges over exactly the stage's survivor set.
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
-    val s2 = docs.filter(!isBench(col("doc_id")))
-    val s3 = s2.join(decontaminate(spark, dir).select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
-    val s4 = s3.filter(size(tokens(col("text"))) >= 10)
-    val wC = Window.partitionBy(col("ck"))
-    val s5 = s4.withColumn("ck", graft.dedup.Dedup.contentKey(col("text")))
-      .withColumn("m", min(col("doc_id")).over(wC))
-      .filter(col("doc_id") === col("m")).drop("ck", "m")
+    // doc_id-unique flag/label sides (uniqueness pinned by q343's
+    // lineage gate, which left-joins the same frames): left joins
+    // cannot fan out, so flagging replaces the anti-join losslessly.
+    val cont = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("cont"))
     val clusters = graft.dedup.Dedup.dedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
-    val j = s5.join(broadcast(clusters), Seq("doc_id"), "left")
-    val wCl = Window.partitionBy(col("cluster_id"))
-    val s6 = j.filter(col("cluster_id").isNull).select(col("doc_id"))
-      .unionByName(j.filter(col("cluster_id").isNotNull)
-        .withColumn("m", min(col("doc_id")).over(wCl))
-        .filter(col("doc_id") === col("m")).select(col("doc_id")))
-    val mf = mediaFlags(s6, imageClusters(spark, dir, imagePolicy),
-      audioClusters(spark, dir))
-    val s7 = mf.filter(!col("img_rm"))
-    val s8 = mf.filter(!col("img_rm") && !col("aud_rm"))
-    Seq(("1_total", docs), ("2_non_bench", s2), ("3_decontaminated", s3),
-      ("4_min_length", s4), ("5_exact_canonical", s5), ("6_neardup_rep", s6),
-      ("7_image_rep", s7), ("8_audio_rep", s8))
-      .map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(name).as("stage"), col("n_docs"))
-      }.reduce(_ unionAll _)
+    val imgCl = imageClusters(spark, dir, imagePolicy)
+      .withColumnRenamed("cluster_id", "icl")
+    val audCl = audioClusters(spark, dir)
+      .withColumnRenamed("cluster_id", "acl")
+    val flagged = docs
+      .join(cont, Seq("doc_id"), "left")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(imgCl, Seq("doc_id"), "left")
+      .join(audCl, Seq("doc_id"), "left")
+      .withColumn("f2", !isBench(col("doc_id")))
+      .withColumn("f3", col("f2") && col("cont").isNull)
+      .withColumn("f4", col("f3") && size(tokens(col("text"))) >= 10)
+      // ck only where stage 5 evaluates it; "#"+doc_id can never
+      // collide with a 32-hex md5, so non-survivors window alone
+      .withColumn("ck",
+        when(col("f4"), graft.dedup.Dedup.contentKey(col("text"))))
+      .drop("text")
+    val wC = Window.partitionBy(
+      coalesce(col("ck"), concat(lit("#"), col("doc_id"))))
+    val wCl = Window.partitionBy(coalesce(col("cluster_id"), -col("doc_id")))
+    val wI = Window.partitionBy(coalesce(col("icl"), -col("doc_id")))
+    val wA = Window.partitionBy(coalesce(col("acl"), -col("doc_id")))
+    val staged = flagged
+      .withColumn("f5", col("f4") &&
+        col("doc_id") === min(when(col("f4"), col("doc_id"))).over(wC))
+      .withColumn("f6", col("f5") && (col("cluster_id").isNull ||
+        col("doc_id") === min(when(col("f5"), col("doc_id"))).over(wCl)))
+      .withColumn("f7", col("f6") && (col("icl").isNull ||
+        col("doc_id") === min(when(col("f6"), col("doc_id"))).over(wI)))
+      .withColumn("f8", col("f7") && (col("acl").isNull ||
+        col("doc_id") === min(when(col("f7"), col("doc_id"))).over(wA)))
+    def cIf(c: Column) = count(when(c, 1))
+    staged.agg(count(lit(1)).as("c1"), cIf(col("f2")).as("c2"),
+        cIf(col("f3")).as("c3"), cIf(col("f4")).as("c4"),
+        cIf(col("f5")).as("c5"), cIf(col("f6")).as("c6"),
+        cIf(col("f7")).as("c7"), cIf(col("f8")).as("c8"))
+      .selectExpr("""stack(8,
+          '1_total', c1, '2_non_bench', c2, '3_decontaminated', c3,
+          '4_min_length', c4, '5_exact_canonical', c5, '6_neardup_rep', c6,
+          '7_image_rep', c7, '8_audio_rep', c8) as (stage, n_docs)""")
       .orderBy(col("stage"))
   }
 

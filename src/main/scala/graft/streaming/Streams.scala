@@ -150,11 +150,13 @@ object Streams {
       name: String): DataFrame = {
     if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = graft.GraftSession.withStreamParallelism(spark) {
+      agg.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     try q.awaitTermination()
     finally { q.stop(); deleteRecursively(ckpt.toFile) }
     spark.table(name)
@@ -164,11 +166,13 @@ object Streams {
       name: String): DataFrame = {
     if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = graft.GraftSession.withStreamParallelism(spark) {
+      agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     try q.awaitTermination()
     finally { q.stop(); deleteRecursively(ckpt.toFile) }
     spark.table(name)
@@ -242,12 +246,14 @@ object Streams {
     val (out, ckpt) = dedupBoundedPaths(dir)
     deleteRecursively(new java.io.File(out))
     deleteRecursively(new java.io.File(ckpt))
-    val q = dedupBoundedStream(spark, dir).writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = graft.GraftSession.withStreamParallelism(spark) {
+      dedupBoundedStream(spark, dir).writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     try q.awaitTermination() finally q.stop()
     spark.read.parquet(out)
       .groupBy(col("event_type"))
@@ -522,12 +528,14 @@ object Streams {
     val (out, ckpt) = streamOuterJoinPaths(dir)
     deleteRecursively(new java.io.File(out))
     deleteRecursively(new java.io.File(ckpt))
-    val q = joined.writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = graft.GraftSession.withStreamParallelism(spark) {
+      joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     try q.awaitTermination() finally { captureJoinProfile("ojoin", dir, q); q.stop() }
     spark.read.parquet(out)
       .groupBy(col("click_user").as("user_id"))
@@ -573,12 +581,14 @@ object Streams {
     val (out, ckpt) = streamJoinPaths(dir)
     deleteRecursively(new java.io.File(out))
     deleteRecursively(new java.io.File(ckpt))
-    val q = joined.writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = graft.GraftSession.withStreamParallelism(spark) {
+      joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     try q.awaitTermination() finally { captureJoinProfile("join", dir, q); q.stop() }
     spark.read.parquet(out)
       .groupBy(col("click_user").as("user_id"))
@@ -618,6 +628,9 @@ object Streams {
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
+      // NOT withStreamParallelism: this query is STATELESS (no state
+      // stores to commit per batch) and its per-batch work is batch
+      // writes that want the session's full parallelism
       .start()
     try q.awaitTermination() finally q.stop()
     batches
@@ -682,6 +695,9 @@ object Streams {
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
+      // NOT withStreamParallelism: stateless foreachBatch — the
+      // per-batch full-outer MERGE joins are batch jobs that want the
+      // session's full parallelism (measured 1.9× slower throttled)
       .start()
     try q.awaitTermination() finally q.stop()
     require(version >= 3, s"expected >=4 micro-batches, last id $version")
@@ -808,11 +824,13 @@ object Streams {
           OutputMode.Append())
       val name = "graft_tws_log"
       if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
-      val q = out.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = graft.GraftSession.withStreamParallelism(spark) {
+        out.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       try q.awaitTermination() finally q.stop()
       spark.table(name)
         .groupBy(col("user_id"))
@@ -854,11 +872,13 @@ object Streams {
           OutputMode.Append())
       val name = "graft_tws_types"
       if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
-      val q = out.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = graft.GraftSession.withStreamParallelism(spark) {
+        out.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       try q.awaitTermination() finally q.stop()
       spark.table(name)
         .groupBy(col("user_id"))
@@ -947,11 +967,13 @@ object Streams {
           OutputMode.Append())
       val name = "graft_tws_timer"
       if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
-      val q = out.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = graft.GraftSession.withStreamParallelism(spark) {
+        out.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       try q.awaitTermination() finally q.stop()
       spark.table(name).orderBy(col("user_id"))
     } finally prev match {
@@ -1775,11 +1797,13 @@ object Streams {
           OutputMode.Append())
       val name = "graft_tws_totals"
       if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
-      val q = out.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = graft.GraftSession.withStreamParallelism(spark) {
+        out.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       try q.awaitTermination() finally q.stop()
       spark.table(name)
         .groupBy(col("user_id"))
