@@ -386,7 +386,14 @@ object Relational {
     * table) — loop and closed form must agree or the gate fails. */
   def sqlScripting(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    load(spark, dir, "orders").createOrReplaceTempView("graft_orders_scr")
+    // the WHILE loop's guard COUNT re-scans this view once per
+    // doubling (~20 sequential jobs to cross the price range) — pin
+    // the view to a materialized snapshot so iterations 2..n read
+    // blocks, not parquet (optimization r16; blocks free at the next
+    // dropStaleBlocks, no cache-registry entry that could leak the
+    // snapshot into other queries' plans)
+    load(spark, dir, "orders").localCheckpoint(eager = false)
+      .createOrReplaceTempView("graft_orders_scr")
     spark.sql(
       """BEGIN
         |  DECLARE thr DOUBLE DEFAULT 1.0;
