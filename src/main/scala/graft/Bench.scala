@@ -174,6 +174,19 @@ object Bench {
     // is semantically irrelevant, so intact captures parse identically.
     val json =
       s"""{"queries":$qs,"n_failed":$nFail,"failed":$failed,$anchorJson"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
+    // Compact summary line FIRST (VERDICT r16 #6): the full per-query
+    // line is ~8 KB and a log pipeline that clips it leaves no
+    // parseable JSON at all (BENCH_r15 lost its whole round-over-round
+    // table to exactly this). This one-liner is small enough to
+    // survive any reasonable capture window and carries the headline
+    // numbers. Additions-only: the metric name is "total_compact" so
+    // any consumer looking for the canonical "total" record cannot
+    // mistake it for the full line, which still prints below,
+    // byte-compatible with every prior round.
+    val wfJson = anchorJson.split(",").find(_.startsWith("\"window_factor\""))
+      .map(s => s + ",").getOrElse("")
+    println(
+      s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n":${names.size},"n_failed":$nFail,$wfJson"sf":"$sfDir"}""")
     println(json)
     // Also land the JSON in a file: log-pipeline truncation must never
     // cost the per-query numbers (r6 lost q01–q38 to a truncated tail).

@@ -70,14 +70,34 @@ object GraftSession {
     * session never sees it. Results are partition-count-invariant
     * (InvarianceSpec pins this; the oracle gates re-verify per run).
     */
-  def withStreamParallelism[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS",
-      math.min(scala.util.Try(prev.toInt).getOrElse(8), 8).toString)
-    spark.conf.set(key, n)
-    try body finally spark.conf.set(key, prev)
-  }
+  def withStreamParallelism[T](spark: SparkSession)(body: => T): T =
+    // Serialized (ADVICE r16): the set/restore mutates the session-global
+    // conf, and is only safe because StreamExecution clones the session
+    // synchronously inside .start(). Without the lock, two concurrent
+    // wrapped starts could capture the LOWERED value as `prev` and
+    // permanently throttle later batch shuffles. Stream starts are
+    // currently sequential per session; the lock makes the contract hold
+    // for any future concurrent caller too.
+    streamParallelismLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val sessionN = scala.util.Try(prev.toInt).getOrElse(8)
+      // env override validated (ADVICE r16): garbage or non-positive
+      // values fall back to the default instead of failing obscurely
+      // inside the stream; the value is capped at the session's own
+      // parallelism so the knob only ever LOWERS (the SessionSpec
+      // contract) — raising state parallelism above batch parallelism
+      // is a cluster-deployment decision, not a gate-bench one.
+      val n = sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .filter(_ > 0)
+        .map(math.min(_, sessionN))
+        .getOrElse(math.min(sessionN, 8))
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+
+  private[this] val streamParallelismLock = new Object
 
   /** Drop every persisted RDD still registered with the block manager.
     * The iterative operators (connected components, streaming twins)

@@ -1673,16 +1673,12 @@ object Dedup {
     // the two assets are independent shingle passes over the same
     // corpus — build them concurrently so each job's tail back-fills
     // the other (optimization r16, guide §2.6)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val settled = Await.result(Future.sequence(Seq(
-      Future(scala.util.Try(textBandRows(corpus)
+    graft.util.Concurrency.awaitSettled(Seq(
+      () => textBandRows(corpus)
         .write.mode("overwrite").partitionBy("band")
-        .parquet(s"$indexDir/bands"))),
-      Future(scala.util.Try(shingleSets(corpus)
-        .write.mode("overwrite").parquet(s"$indexDir/shingles"))))),
-      scala.concurrent.duration.Duration.Inf)
-    settled.collectFirst { case scala.util.Failure(e) => throw e }: Unit
+        .parquet(s"$indexDir/bands"),
+      () => shingleSets(corpus)
+        .write.mode("overwrite").parquet(s"$indexDir/shingles")))
   }
 
   /** q331 — INCREMENTAL DEDUP FROM THE PERSISTED INDEX: the q285

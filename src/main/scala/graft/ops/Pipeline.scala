@@ -548,54 +548,39 @@ object Pipeline {
     * two media stages' corpus-wide fingerprint joins (narrow —
     * (doc_id, cluster) only); output O(n) booleans — the shape a
     * support tool filters by doc_id. */
-  def docLineage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spread(load(spark, dir, "documents"))
-      .select(col("doc_id"), col("text"))
-    val cont = decontaminate(spark, dir)
-      .select(col("doc_id"), lit(true).as("contaminated0"))
-    val wC = Window.partitionBy(col("ck"))
-    val flagged = docs
-      .withColumn("is_bench", isBench(col("doc_id")))
-      .withColumn("too_short", size(tokens(col("text"))) < 10)
-      .join(cont, Seq("doc_id"), "left")
-      .withColumn("contaminated", coalesce(col("contaminated0"), lit(false)))
-      .drop("contaminated0")
-    // exact-dup canonicality evaluated among q313's stage-4 survivors
-    // (the same population the build deduplicates)
-    val survivors4 = flagged
-      .filter(!col("is_bench") && !col("contaminated") && !col("too_short"))
-      .withColumn("ck", graft.dedup.Dedup.contentKey(col("text")))
-      .withColumn("exact_canonical",
-        col("doc_id") === min(col("doc_id")).over(wC))
-      .select(col("doc_id"), col("exact_canonical"))
-    val clusters = graft.dedup.Dedup.dedupClusters(spark, dir)
-      .select(col("doc_id"), col("cluster_id"))
-    val s5 = survivors4.filter(col("exact_canonical")).select(col("doc_id"))
-    val wCl = Window.partitionBy(col("cluster_id"))
-    val kept5 = s5.join(broadcast(clusters), Seq("doc_id"), "left")
-      .withColumn("neardup_removed",
-        col("cluster_id").isNotNull &&
-          col("doc_id") =!= min(col("doc_id")).over(wCl))
-      .select(col("doc_id"), col("neardup_removed"))
-    // media stages over the text survivors — the exact q313 chain,
-    // both verdicts from ONE mediaFlags pass (the codec pipelines run
-    // once, not once per flag)
-    val s6 = kept5.filter(!col("neardup_removed")).select(col("doc_id"))
-    val mf = mediaFlags(s6, imageClusters(spark, dir),
-      audioClusters(spark, dir))
-    flagged.drop("text")
-      .join(survivors4, Seq("doc_id"), "left")
-      .join(kept5, Seq("doc_id"), "left")
-      .join(mf, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("is_bench"), col("too_short"),
+  def docLineage(spark: SparkSession, dir: String): DataFrame =
+    // ONE-PASS FLAG FORM (optimization r17, guide §2.4 — the q313 move
+    // applied to the per-doc rows): the first spelling chained
+    // flagged → survivors4 → kept5 → mediaFlags and then LEFT-JOINED
+    // each stage frame back onto the base, so every join input
+    // re-derived its whole prefix (the corpus tokenize/contentKey pass
+    // ran once per stage frame; ReusedExchange cannot dedupe the
+    // differing window subtrees — the r16 checkpoint attempt measured
+    // 1.15× and was reverted). Now the per-doc trail reads straight
+    // off [[stageFlags]]'s single annotated pass: each output column
+    // is a boolean identity over consecutive stage flags, and the
+    // q313↔q343 reconciliation (each waterfall count = SUM over these
+    // flags) holds by construction — both queries render the SAME
+    // frame. Column equivalence to the chained form, row by row:
+    //   is_bench              = !f2            (definition of f2)
+    //   exact_duplicate       = f4 && !f5      (canonicality is only
+    //                                           defined among stage-4
+    //                                           survivors; others false)
+    //   neardup_removed       = f5 && !f6      (cluster min among s5)
+    //   image_neardup_removed = f6 && !f7      (mediaFlags img_rm rule)
+    //   audio_neardup_removed = f7 && !f8      (mediaFlags aud_rm rule)
+    //   kept                  = f8             (survived all stages)
+    stageFlags(spark, dir)
+      .select(col("doc_id"),
+        (!col("f2")).as("is_bench"),
+        col("too_short"),
         col("contaminated"),
-        coalesce(!col("exact_canonical"), lit(false)).as("exact_duplicate"),
-        coalesce(col("neardup_removed"), lit(false)).as("neardup_removed"),
-        coalesce(col("img_rm"), lit(false)).as("image_neardup_removed"),
-        coalesce(col("aud_rm"), lit(false)).as("audio_neardup_removed"),
-        coalesce(!col("img_rm") && !col("aud_rm"), lit(false)).as("kept"))
+        (col("f4") && !col("f5")).as("exact_duplicate"),
+        (col("f5") && !col("f6")).as("neardup_removed"),
+        (col("f6") && !col("f7")).as("image_neardup_removed"),
+        (col("f7") && !col("f8")).as("audio_neardup_removed"),
+        col("f8").as("kept"))
       .orderBy(col("doc_id"))
-  }
 
   /** q348 — PER-SOURCE DATASET CARDS: q342's release datasheet at
     * feed granularity — one row per source with volume, language
@@ -1025,21 +1010,10 @@ object Pipeline {
       .distinct()
       .withColumn(flag, lit(true))
 
-  /** Run independent append jobs concurrently and wait for ALL of
-    * them to SETTLE before returning (ADVICE r15): a fail-fast
-    * Await(Future.sequence) would unwind the caller — unpersisting
-    * the very frames sibling append jobs are still reading — while
-    * those jobs run, leaving nondeterministic partial state. Here
-    * every job runs to completion, then the first failure (if any)
-    * rethrows. */
-  private def awaitSettled(jobs: Seq[() => Unit]): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val settled = Await.result(
-      Future.sequence(jobs.map(f => Future(scala.util.Try(f())))),
-      scala.concurrent.duration.Duration.Inf)
-    settled.collectFirst { case scala.util.Failure(e) => throw e }: Unit
-  }
+  /** Run independent append jobs concurrently, settle-then-rethrow
+    * (ADVICE r15/r16) — the shared policy, one definition. */
+  private def awaitSettled(jobs: Seq[() => Unit]): Unit =
+    graft.util.Concurrency.awaitSettled(jobs)
 
   /** Policy-shaped image band rows of an arbitrary doc-id frame — the
     * probe side AND the index row shape of the ingest image gate. */
@@ -2219,25 +2193,31 @@ object Pipeline {
     * the gate corpus, so the waterfall is policy-invariant there —
     * PipelineSpec pins that equality, which is what licenses swapping
     * the policy without forking the oracle. */
-  def buildWaterfall(spark: SparkSession, dir: String,
+  /** The build's eight stage rules as BOOLEAN FLAGS over ONE annotated
+    * pass of the corpus — the shared engine of the waterfall (q313)
+    * and the per-doc lineage (q343), so the two can never disagree
+    * (the reconciliation OperatorSpec pins is now an identity).
+    *
+    * ONE-PASS FORM (optimization r16, guide §2.4): the first spelling
+    * unioned eight per-stage frames, each a superset of the previous
+    * stage's plan, so the shared prefix re-ran once per stage —
+    * decontaminate ×6, dedupClusters ×3, the image/audio codec
+    * pipelines ×2 (measured 6.1 s at sf0.1; at 100 TB eight full
+    * corpus scans). Here every stage becomes a BOOLEAN FLAG over one
+    * annotated pass: each survivor-restricted window min is spelled
+    * min(when(prev_flag, doc_id)) over the same key (null keys
+    * isolated per doc, the mediaFlags trick, so no giant null
+    * partition). Stage rules are bit-identical to the chained-filter
+    * form: a row's flag_i can only differ if its stage-i window min
+    * differed, and each min ranges over exactly the stage's survivor
+    * set. Raw per-rule booleans (`contaminated`, `too_short`) ride
+    * along for the lineage's independent columns. */
+  private def stageFlags(spark: SparkSession, dir: String,
       imagePolicy: ImageDedupPolicy = NarrowRadius3): DataFrame = {
-    // ONE-PASS FORM (optimization r16, guide §2.4): the first spelling
-    // unioned eight per-stage frames, each a superset of the previous
-    // stage's plan, so the shared prefix re-ran once per stage —
-    // decontaminate ×6, dedupClusters ×3, the image/audio codec
-    // pipelines ×2 (measured 6.1 s at sf0.1; at 100 TB eight full
-    // corpus scans). Here every stage becomes a BOOLEAN FLAG over one
-    // annotated pass: each survivor-restricted window min is spelled
-    // min(when(prev_flag, doc_id)) over the same key (null keys
-    // isolated per doc, the mediaFlags trick, so no giant null
-    // partition), and the eight counts are ONE conditional aggregate.
-    // Stage rules are bit-identical to the chained-filter form: a
-    // row's flag_i can only differ if its stage-i window min differed,
-    // and each min ranges over exactly the stage's survivor set.
     val docs = spread(load(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
     // doc_id-unique flag/label sides (uniqueness pinned by q343's
-    // lineage gate, which left-joins the same frames): left joins
+    // lineage gate, which composes the same frames): left joins
     // cannot fan out, so flagging replaces the anti-join losslessly.
     val cont = decontaminate(spark, dir)
       .select(col("doc_id"), lit(true).as("cont"))
@@ -2252,9 +2232,11 @@ object Pipeline {
       .join(broadcast(clusters), Seq("doc_id"), "left")
       .join(imgCl, Seq("doc_id"), "left")
       .join(audCl, Seq("doc_id"), "left")
+      .withColumn("contaminated", col("cont").isNotNull)
+      .withColumn("too_short", size(tokens(col("text"))) < 10)
       .withColumn("f2", !isBench(col("doc_id")))
-      .withColumn("f3", col("f2") && col("cont").isNull)
-      .withColumn("f4", col("f3") && size(tokens(col("text"))) >= 10)
+      .withColumn("f3", col("f2") && !col("contaminated"))
+      .withColumn("f4", col("f3") && !col("too_short"))
       // ck only where stage 5 evaluates it; "#"+doc_id can never
       // collide with a 32-hex md5, so non-survivors window alone
       .withColumn("ck",
@@ -2265,7 +2247,7 @@ object Pipeline {
     val wCl = Window.partitionBy(coalesce(col("cluster_id"), -col("doc_id")))
     val wI = Window.partitionBy(coalesce(col("icl"), -col("doc_id")))
     val wA = Window.partitionBy(coalesce(col("acl"), -col("doc_id")))
-    val staged = flagged
+    flagged
       .withColumn("f5", col("f4") &&
         col("doc_id") === min(when(col("f4"), col("doc_id"))).over(wC))
       .withColumn("f6", col("f5") && (col("cluster_id").isNull ||
@@ -2274,6 +2256,11 @@ object Pipeline {
         col("doc_id") === min(when(col("f6"), col("doc_id"))).over(wI)))
       .withColumn("f8", col("f7") && (col("acl").isNull ||
         col("doc_id") === min(when(col("f7"), col("doc_id"))).over(wA)))
+  }
+
+  def buildWaterfall(spark: SparkSession, dir: String,
+      imagePolicy: ImageDedupPolicy = NarrowRadius3): DataFrame = {
+    val staged = stageFlags(spark, dir, imagePolicy)
     def cIf(c: Column) = count(when(c, 1))
     staged.agg(count(lit(1)).as("c1"), cIf(col("f2")).as("c2"),
         cIf(col("f3")).as("c3"), cIf(col("f4")).as("c4"),

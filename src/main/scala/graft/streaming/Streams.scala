@@ -1076,23 +1076,18 @@ object Streams {
     // mtime stamps still happen per batch file after ITS move, so the
     // oldest-first processing order the TTL oracles depend on is
     // unchanged.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val settled = Await.result(
-      Future.sequence((0 until n).map { k => Future(scala.util.Try {
-        val stage = s"$base/stage$k"
-        staged.filter(col("batch") === k)
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file staged for batch $k"))
-        val dst = new java.io.File(s"$base/src/batch$k.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(mtime0 + k * 60000L),
-          s"cannot stamp mtime for batch $k")
-      })}),
-      scala.concurrent.duration.Duration.Inf)
-    settled.collectFirst { case scala.util.Failure(e) => throw e }: Unit
+    graft.util.Concurrency.awaitSettled((0 until n).map { k => () => {
+      val stage = s"$base/stage$k"
+      staged.filter(col("batch") === k)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file staged for batch $k"))
+      val dst = new java.io.File(s"$base/src/batch$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(mtime0 + k * 60000L),
+        s"cannot stamp mtime for batch $k")
+    }})
     s"$base/src"
   }
 
